@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Q, Relational, Scalars}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry in `queries` is one operator from SURVEY.md §2 (names carry the
+  * §2 ids); `oracleSql` holds the DuckDB-equivalent SQL for the hash gate. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** All registered inventory queries, in registration order. */
+  def registry: Seq[Q] = Relational.qs ++ Scalars.qs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's heart: existing-ids scan + anti-join + MERGE shape
+    * compressed into one plan (scan→filter→join→agg). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.filter(col("o_custkey").isNotNull)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.sql.map(s => q.name -> normalize(s))).toMap
+
+  /** Collapse the triple-quoted indentation to a single-line SQL string. */
+  private def normalize(sql: String): String =
+    sql.replaceAll("\\s+", " ").trim
 }

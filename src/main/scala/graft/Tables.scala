@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders. The driver's tables are one parquet per name under a
+  * scale-factor directory (see /root/repo/TESTDATA.md). At cluster scale the same
+  * call shape reads a partitioned directory tree; nothing here assumes single-file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) which Spark's parquet reader
+      // rejects; read it as raw nanos and floor-convert to the native
+      // microsecond TimestampType. Integer `div` — double division would lose
+      // precision above 2^53 ns.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view so SQL-surface queries
+    * (spark.sql) resolve the same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
