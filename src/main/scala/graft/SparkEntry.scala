@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{Q, Relational, Scalars}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All registered inventory queries, in registration order. */
-  def registry: Seq[Q] = Relational.qs ++ Scalars.qs
+  def registry: Seq[Q] =
+    Relational.qs ++ Scalars.qs ++
+      TextAnalysis.qs ++ Dedup.qs ++ Similarity.qs ++ Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: existing-ids scan + anti-join + MERGE shape

@@ -1,0 +1,170 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication tier for a training-data pipeline (SURVEY.md §2.11):
+  * exact (group-by / hash), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup shuffles a
+  * 32-byte hash instead of the document body; MinHash shuffles a (band,
+  * band-hash) key — candidate pairs only materialize inside colliding
+  * buckets, which is the standard way to near-dedup 100 TB without an O(n²)
+  * cross join. The bounded-window Jaccard query exists to give the exact
+  * metric an oracle pairing; the LSH path is the production shape.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** 3-word shingles (1-based element_at mirrors the oracle's generate_series
+    * formulation exactly). */
+  val shingleExpr: String =
+    "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+
+  /** MinHash signature: minPerms seeded xxhash64 minima over the shingle set.
+    * xxhash64(shingle, seed) is the seeded family; array_min the row-wise min. */
+  def minhashSig(minPerms: Int): String =
+    s"transform(sequence(0, ${minPerms - 1}), " +
+      "s -> array_min(transform(shingles, sh -> xxhash64(sh, s))))"
+
+  /** Exact shingle-set Jaccard between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
+    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
+    inter / union
+  }
+
+  /** LSH banding: explode the signature into (band_id, band_hash) keys;
+    * docs colliding on any band become candidate pairs. */
+  def bandedSignatures(withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    withSig.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+      .as(Seq("band_id", "band_hash")))
+
+  /** Full MinHash-LSH near-dup candidate pipeline over `documents`:
+    * tokens → shingles → 32-perm signature → 8×4 bands → bucket join. */
+  def minhashCandidates(s: SparkSession, dir: String,
+                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val withSig = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("sig", expr(minhashSig(bands * rowsPerBand)))
+    val banded = bandedSignatures(withSig, bands, rowsPerBand)
+    val l = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("a"))
+    val r = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 64-bit SimHash over the distinct token set (xxhash64 bit votes). */
+  val simhashExpr: String =
+    """aggregate(
+      |  zip_with(
+      |    aggregate(array_distinct(toks),
+      |      transform(sequence(0, 63), i -> CAST(0 AS BIGINT)),
+      |      (acc, t) -> zip_with(acc,
+      |        transform(sequence(0, 63),
+      |          i -> IF((shiftright(xxhash64(t), i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+      |        (x, y) -> x + y)),
+      |    sequence(0, 63),
+      |    (c, i) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+      |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // Exact dedup — one representative (min doc_id) per identical text.
+    Q("x_dedup_exact",
+      (s, dir) => docs(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+              FROM documents GROUP BY text
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Exact dedup at scale: group on sha256(text) so the shuffle key is 64
+    // hex chars regardless of document size.
+    Q("x_dedup_hash",
+      (s, dir) => docs(s, dir)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
+              count(*) AS n_copies
+              FROM documents GROUP BY sha256(text)
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // MinHash-LSH candidates verified by exact Jaccard ≥ 0.5. Rows-only in
+    // the oracle gate (the seeded-hash family has no DuckDB equivalent);
+    // recall/precision are pinned by DedupSpec instead.
+    Q("x_dedup_minhash_lsh",
+      (s, dir) => {
+        val cands = minhashCandidates(s, dir)
+        val sh = docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("shingles", expr(shingleExpr))
+          .select(col("doc_id"), col("shingles"))
+        cands
+          .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+          .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("a", "b", "jaccard")
+          .orderBy("a", "b")
+      },
+      None),
+
+    // Exact n-gram Jaccard over a bounded id window (|b-a| ≤ 20): gives the
+    // similarity metric itself an oracle pairing without an O(n²) join.
+    Q("x_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("shingles", expr(shingleExpr))
+          .select(col("doc_id"), col("shingles"))
+        val a = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+        val b = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+        a.join(b, col("b") > col("a") && col("b") <= col("a") + 20)
+          .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("a", "b", "jaccard")
+          .orderBy("a", "b")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+                    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+2]) AS shingles
+                FROM documents)
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                round(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))
+                  / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                     - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))), 6) AS jaccard
+              FROM sh a JOIN sh b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+              WHERE len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))
+                  / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                     - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) >= 0.5
+              ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""")),
+
+    // SimHash content signature (rows-only: seeded-hash family).
+    Q("x_dedup_simhash",
+      (s, dir) => docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

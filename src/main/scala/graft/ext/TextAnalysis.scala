@@ -1,0 +1,141 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.11):
+  * tokenization, frequency, quality scoring, language-ID heuristic, and a
+  * rolling-hash document fingerprint. Everything is built-in higher-order
+  * functions — codegen'd, no UDFs, no driver-side loops — so the same plan
+  * runs over 100 TB of documents with one scan and (for the frequency query)
+  * one shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer shared by every text operator (and the oracle SQL
+    * mirror `string_split_regex(trim(text),'\s+')`). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Per-token surrogate value for the rolling-hash fingerprint: cheap,
+    * engine-portable (length*31 + first-codepoint). */
+  private val tokenVals = "transform(toks, t -> CAST(length(t)*31 + ascii(t) AS BIGINT))"
+
+  /** Polynomial rolling hash over token values mod 1e9+7 — a content
+    * fingerprint stable across partitioning (pure left fold per row). */
+  private val fingerprint =
+    s"aggregate($tokenVals, CAST(0 AS BIGINT), (acc, x) -> (acc*31 + x) % 1000000007)"
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // Stopword sets for the n-gram/stopword language heuristic. Tiny on
+  // purpose: the heuristic must be expressible in both Spark and the oracle.
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStops = Seq("der", "die", "und", "das", "ist", "nicht")
+  private val frStops = Seq("le", "la", "et", "les", "est", "une")
+
+  private def stopHits(toksCol: String, stops: Seq[String]): String =
+    s"size(filter($toksCol, t -> t IN (${stops.map(s => s"'$s'").mkString(",")})))"
+
+  val qs: Seq[Q] = Seq(
+
+    // Token + char counting per document.
+    Q("x_text_tokens",
+      (s, dir) => t(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_calc, n_chars
+              FROM documents ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Corpus-level term frequency: explode → count → top-50.
+    // One shuffle on the token; top-k is TakeOrderedAndProject.
+    Q("x_text_word_freq",
+      (s, dir) => t(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(50),
+      Some("""SELECT word, count(*) AS n
+              FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents)
+              GROUP BY word
+              ORDER BY n DESC NULLS LAST, word ASC NULLS FIRST LIMIT 50""")),
+
+    // Quality scoring: type-token ratio, stopword ratio, mean token length.
+    // All ratios are int/int IEEE divisions — bit-deterministic both engines.
+    Q("x_text_quality",
+      (s, dir) => t(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          (size(array_distinct(col("toks"))) / size(col("toks"))).as("ttr"),
+          (expr(stopHits("toks", enStops)) / size(col("toks"))).as("stop_ratio"),
+          (expr("aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            / size(col("toks"))).as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents)
+              SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              len(list_distinct(toks)) / len(toks) AS ttr,
+              len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / len(toks) AS stop_ratio,
+              list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) / len(toks) AS avg_token_len
+              FROM d ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Language-ID heuristic: argmax of per-language stopword hits with a
+    // deterministic tie order (en > de > fr > und).
+    Q("x_text_lang_id",
+      (s, dir) => {
+        val d = t(s, dir).withColumn("toks", tokens(lower(col("text"))))
+          .withColumn("en_hits", expr(stopHits("toks", enStops)).cast("long"))
+          .withColumn("de_hits", expr(stopHits("toks", deStops)).cast("long"))
+          .withColumn("fr_hits", expr(stopHits("toks", frStops)).cast("long"))
+        d.select(col("doc_id"), col("en_hits"), col("de_hits"), col("fr_hits"),
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+            && col("en_hits") > 0, "en")
+            .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+            .when(col("fr_hits") > 0, "fr")
+            .otherwise("und").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en_hits,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS de_hits,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('le','la','et','les','est','une'))) AS BIGINT) AS fr_hits
+                FROM documents)
+              SELECT doc_id, en_hits, de_hits, fr_hits,
+                CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                     WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                     WHEN fr_hits > 0 THEN 'fr'
+                     ELSE 'und' END AS pred_lang
+              FROM d ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Rolling-hash fingerprint (shift-invariant content id).
+    Q("x_text_fingerprint",
+      (s, dir) => t(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), expr(fingerprint).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split_regex(trim(text), '\s+'),
+                    t -> CAST(length(t)*31 + ascii(t) AS BIGINT))),
+                (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+              FROM documents ORDER BY doc_id ASC NULLS FIRST"""))
+  )
+}
