@@ -2,6 +2,8 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{Q, Relational, Scalars}
+import graft.sources.SourceQueries
+import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,7 +15,8 @@ object SparkEntry {
   /** All registered inventory queries, in registration order. */
   def registry: Seq[Q] =
     Relational.qs ++ Scalars.qs ++
-      TextAnalysis.qs ++ Dedup.qs ++ Similarity.qs ++ Multimodal.qs
+      TextAnalysis.qs ++ Dedup.qs ++ Similarity.qs ++ Multimodal.qs ++
+      Streams.qs ++ SourceQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: existing-ids scan + anti-join + MERGE shape

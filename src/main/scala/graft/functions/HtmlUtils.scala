@@ -97,6 +97,7 @@ object HtmlUtils {
         if (s.regionMatches(i, "<!--", 0, 4)) {
           val end = s.indexOf("-->", i + 4)
           i = if (end < 0) s.length else end + 3
+          sb.append(' ') // text on either side of a comment joins with " "
         } else {
           val close = s.indexOf('>', i + 1)
           if (close < 0) {

@@ -52,9 +52,13 @@ object TicketFunctions {
   def jsonSerialize(c: Column): Column =
     when(c.isNull, lit(null).cast(StringType)).otherwise(to_json(c))
 
-  /** F9: parse-if-string with null-on-malformed (main.py:211-231).
-    * from_json already yields NULL for malformed input — same semantics. */
-  def parseIfString(c: Column, schema: DataType): Column = from_json(c, schema)
+  /** F9: parse-if-string with null-on-malformed (main.py:211-231). Spark's
+    * PERMISSIVE from_json yields an all-null struct for malformed input, not
+    * NULL — gate on try_parse_json validity to recover the reference's
+    * null-on-failure semantics. */
+  def parseIfString(c: Column, schema: DataType): Column =
+    when(try_parse_json(c).isNotNull, from_json(c, schema))
+      .otherwise(lit(null).cast(schema))
 
   /** F10: {email,name} struct or NULL when source is NULL (main.py:203-209). */
   def emailStruct(c: Column): Column =

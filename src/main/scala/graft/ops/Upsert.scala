@@ -63,7 +63,12 @@ object Upsert {
       // bootstrap: CREATE TABLE AS SELECT * LIMIT 0 then insert == plain write
       source.write.mode(SaveMode.ErrorIfExists).parquet(targetPath)
     } else {
-      val current = spark.read.parquet(targetPath)
+      // list the snapshot's concrete files: a directory-level read would hit
+      // the (possibly stale, JVM-shared) file-status cache after a prior swap
+      spark.catalog.refreshByPath(targetPath)
+      val files = fs.listStatus(target).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet"))
+      val current = spark.read.parquet(files.toIndexedSeq: _*)
       val merged = merge(current, source, keys).localCheckpoint()
       val tmp = new org.apache.hadoop.fs.Path(targetPath + "__snapshot_tmp")
       val old = new org.apache.hadoop.fs.Path(targetPath + "__snapshot_old")
@@ -74,5 +79,8 @@ object Upsert {
       fs.rename(tmp, target)
       fs.delete(old, true)
     }
+    // drop the cached file listing for the path — readers in this session
+    // would otherwise resolve the pre-swap snapshot's deleted files
+    spark.catalog.refreshByPath(targetPath)
   }
 }

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.ops.Upsert
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end sync pipeline (SURVEY.md §3.1; /root/reference/main.py:391-471)
+  * re-expressed Spark-first:
+  *
+  *   source batch (JSON lines / DataFrame)
+  *     → transform (one codegen'd projection, TicketTransform)
+  *     → last-write-wins dedup on _id           [window, main.py MERGE pre-req]
+  *     → incremental anti-join vs target ids    [fixes the reference's dead
+  *        code at main.py:409-417: it computed new-vs-existing then re-fetched
+  *        everything anyway]
+  *     → MERGE upsert into the target           [main.py:349-384]
+  *
+  * No driver-side ID sets anywhere (the reference's client set at main.py:96
+  * is O(table) driver memory) — membership is a distributed semi/anti join.
+  */
+object TicketPipeline {
+
+  /** Parse raw JSON ticket lines against the fixed input schema. */
+  def ingestJson(spark: SparkSession, lines: DataFrame): DataFrame =
+    lines.select(from_json(col("value"), TicketTransform.ticketInputSchema).as("t"))
+      .select("t.*")
+
+  /** Existing-ids query (§3.2, main.py:81-102): stays distributed. */
+  def existingIds(target: DataFrame): DataFrame =
+    target.filter(col("_id").isNotNull).select("_id").distinct()
+
+  /** Incremental slice: only tickets whose _id is absent from the target —
+    * the anti-join the reference computed but never used (main.py:409,417). */
+  def newTickets(transformed: DataFrame, target: DataFrame): DataFrame =
+    transformed.join(existingIds(target), Seq("_id"), "left_anti")
+
+  /** Full-refresh sync of one batch into a parquet target path:
+    * transform → dedup latest per _id → upsert (source wins on match). */
+  def sync(spark: SparkSession, rawTickets: DataFrame, targetPath: String): SyncReport = {
+    val transformed = TicketTransform.transform(rawTickets)
+    val deduped = Upsert.latestPerKey(transformed, Seq("_id"), "updatedTimestamp")
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+    val (nInserted, nUpdated) =
+      if (!existed) (deduped.count(), 0L)
+      else {
+        val target = spark.read.parquet(targetPath)
+        val updated = deduped.join(target.select("_id"), Seq("_id"), "left_semi").count()
+        (deduped.count() - updated, updated)
+      }
+    Upsert.upsertParquet(spark, targetPath, deduped, Seq("_id"))
+    SyncReport(total = deduped.count(), inserted = nInserted, updated = nUpdated)
+  }
+
+  /** Sync-report counters (main.py:323-329,502-507). */
+  case class SyncReport(total: Long, inserted: Long, updated: Long)
+}

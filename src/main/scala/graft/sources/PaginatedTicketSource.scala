@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 source modeling the reference's paginated REST ticket API
+  * (SURVEY.md §2.1 S2; /root/reference/main.py:124-177): `limit`/`page`
+  * cursor, newest-first order, hard page cap.
+  *
+  * Spark-first mapping: **one input partition per page** — the thread-pool
+  * page fetcher (max_workers=10, main.py:437) becomes executor-task
+  * parallelism, and the `page <= 20` early stop (main.py:134) becomes
+  * `SupportsPushDownLimit` (a LIMIT in the query plans fewer pages — the
+  * fetch never happens instead of being fetched-then-discarded).
+  *
+  * Offline, rows are synthesized deterministically per (page, offset); on a
+  * live deployment `PageReader.fetch` is the HTTP GET — partition planning,
+  * schema and pushdown stay identical.
+  */
+class PaginatedTicketSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ticket-pages"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PaginatedTicketSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagesTable(
+      pages = Option(properties.get("pages")).map(_.toInt).getOrElse(20),
+      pageSize = Option(properties.get("pagesize"))
+        .orElse(Option(properties.get("pageSize"))) // getTable keeps option case
+        .map(_.toInt).getOrElse(100))
+}
+
+object PaginatedTicketSource {
+  val schema: StructType = StructType(Seq(
+    StructField("_id", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("createdTimestamp", LongType, nullable = false),
+    StructField("subject", StringType, nullable = false)))
+
+  /** Deterministic synthetic "API response" row for (page, i). */
+  def row(page: Int, pageSize: Int, i: Int): (String, Int, Long, String) = {
+    val global = page * pageSize + i
+    (f"T$global%06d", page,
+      1700000000L - global * 60L, // newest-first, like sortBy=createdOn desc
+      s"Ticket <b>$global</b> &amp; update")
+  }
+}
+
+class PagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"ticket_pages($pages x $pageSize)"
+  override def schema(): StructType = PaginatedTicketSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagesScanBuilder(pages, pageSize)
+}
+
+class PagesScanBuilder(var pages: Int, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownLimit {
+  /** LIMIT n ⇒ plan only ceil(n / pageSize) pages — the page-cap early stop. */
+  override def pushLimit(limit: Int): Boolean = {
+    pages = math.min(pages, (limit + pageSize - 1) / pageSize)
+    true // partial: Spark still applies the exact limit on top
+  }
+  override def build(): Scan = new PagesScan(pages, pageSize)
+}
+
+case class PagePartition(page: Int, pageSize: Int) extends InputPartition
+
+class PagesScan(pages: Int, pageSize: Int) extends Scan with Batch {
+  override def readSchema(): StructType = PaginatedTicketSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(p => PagePartition(p, pageSize): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[PagePartition]
+      new PageReader(p.page, p.pageSize)
+    }
+}
+
+/** Reads one page. On a live system `next()` walks the HTTP response items
+  * (30 s timeout, null-on-error per main.py:186-194); here it synthesizes. */
+class PageReader(page: Int, pageSize: Int) extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < pageSize }
+  override def get(): InternalRow = {
+    val (id, pg, ts, subj) = PaginatedTicketSource.row(page, pageSize, i)
+    InternalRow(UTF8String.fromString(id), pg, ts, UTF8String.fromString(subj))
+  }
+  override def close(): Unit = ()
+}

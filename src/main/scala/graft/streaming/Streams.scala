@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.ops.{Q, Upsert}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Structured-Streaming tier (SURVEY.md §2.9). The reference is a scheduled,
+  * re-runnable batch with an idempotent MERGE sink — exactly the
+  * `Trigger.AvailableNow` + `foreachBatch(upsert)` shape. Event-time windows,
+  * watermarks and stateful dedup come from the engine, not the reference.
+  */
+object Streams {
+
+  /** events schema with ts as raw nanos (the parquet is INT64
+    * TIMESTAMP(NANOS), which the batch loader also handles — Tables.scala). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Micro-batch source over the events fixture (file source; at scale this
+    * is a Kafka/queue source with identical downstream code). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parq*") // glob: FileStreamSource needs a dir/glob, not a bare file
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation (1 h windows, 10 min lateness). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Session windows per user (30 min gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming dedup on event_id within the watermark horizon — the
+    * streaming analogue of the MERGE's idempotency on _id. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** The reference's sink: every micro-batch MERGE-upserted into the target
+    * (idempotent on the key, late/duplicate data folded by upsert). */
+  def upsertSink(events: DataFrame, targetPath: String,
+                 checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsertParquet(batch.sparkSession, targetPath,
+          Upsert.latestPerKey(batch, Seq("event_id"), "ts"), Seq("event_id"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Run an AvailableNow query to completion (test/driver helper). */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+
+  // Batch-equivalent window queries for the oracle gate: identical semantics
+  // to the streaming aggregations above at AvailableNow completion.
+  val qs: Seq[Q] = Seq(
+
+    // Tumbling 1 h event-time windows (batch shape of tumblingCounts).
+    Q("st_tumbling_window",
+      (s, dir) => graft.Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                event_type, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18,2))) AS total
+              FROM events GROUP BY 1, 2
+              ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
+
+    // Sessionization as gaps-and-islands (30 min gap) — the SQL-expressible
+    // twin of session_window, so the oracle can check it.
+    Q("st_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        graft.Tables(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH marked AS (
+                SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+              sessions AS (
+                SELECT user_id,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked),
+              per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sessions GROUP BY user_id, session_id)
+              SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+              FROM per_session GROUP BY user_id
+              ORDER BY user_id ASC NULLS FIRST"""))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall/precision pinning for the near-dup tier: the LSH candidate set
+  * must contain every strongly-similar pair (the fixture has planted
+  * near-dups, jaccard ≥ 0.9) and nothing below the 0.5 verify threshold. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds all strongly-similar pairs (recall @ j>=0.9)") {
+    // ground truth: exact all-pairs jaccard on the sf0.001 corpus (500 docs)
+    val sh = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingles", expr(Dedup.shingleExpr))
+      .select(col("doc_id"), col("shingles"))
+    val a = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+    val strong = a.join(b, col("b") > col("a"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty, "fixture should contain planted near-dups")
+
+    val cands = Dedup.minhashCandidates(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val missed = strong -- cands
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+  }
+
+  test("verified minhash output has no below-threshold pairs (precision)") {
+    val out = graft.SparkEntry.queries("x_dedup_minhash_lsh")(spark, sf)
+    val bad = out.filter(col("jaccard") < 0.5).count()
+    assert(bad == 0)
+    assert(out.count() > 0)
+  }
+
+  test("simhash: near-identical docs get small hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val hashed = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), expr(Dedup.simhashExpr).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(hashed(1L), hashed(2L)) < hamming(hashed(1L), hashed(3L)))
+    assert(hamming(hashed(1L), hashed(2L)) <= 16)
+  }
+
+  test("exact dedup collapses identical texts") {
+    val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    dup.createOrReplaceTempView("dup_docs")
+    val out = dup.groupBy("text").agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    assert(out.count() == 2)
+    assert(out.filter(col("n") === 2).select("keep").as[Long].head() == 1L)
+  }
+}

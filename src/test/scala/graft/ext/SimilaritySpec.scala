@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression matches a hand computation") {
+    val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(2.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val sim = df.select(Similarity.cosine(col("a"), col("b")).as("s"))
+      .as[Double].head()
+    val expect = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(sim - expect) < 1e-12)
+  }
+
+  test("brute top-k is ordered and self-excluded") {
+    val top = Similarity.bruteTopK(spark, sf, 0L, 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(!top.map(_._1).contains(0L))
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("ANN results are a subset of the bucket and exact-scored") {
+    val brute = Similarity.bruteTopK(spark, sf, 0L, 500)
+      .as[(Long, Double)].collect().toMap
+    val ann = Similarity.annTopK(spark, sf, 0L, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // every ANN hit carries its true cosine score
+    ann.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-9) }
+  }
+
+  test("LSH buckets partition the corpus") {
+    val planes = Similarity.hyperplanes(4, 64)
+    val e = graft.Tables(spark, sf, "embeddings")
+    val total = e.count()
+    val bucketed = e.withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
+    assert(bucketed.count() == total)
+    val nBuckets = bucketed.select("bucket").distinct().count()
+    assert(nBuckets > 1 && nBuckets <= 16)
+  }
+
+  test("IVF assignments cover every vector with k lists") {
+    val assign = Similarity.ivfAssignments(spark, sf, nLists = 8)
+    assert(assign.count() == graft.Tables(spark, sf, "embeddings").count())
+    val lists = assign.select("list_id").distinct().count()
+    assert(lists == 8)
+  }
+}

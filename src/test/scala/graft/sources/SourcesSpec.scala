@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paginated source: pages x pageSize rows, one partition per page") {
+    val df = spark.read.format("ticket-pages")
+      .option("pages", "4").option("pageSize", "50").load()
+    assert(df.count() == 200)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.select("_id").distinct().count() == 200)
+  }
+
+  test("limit pushdown plans only the pages the limit needs (page-cap)") {
+    val b = new PagesScanBuilder(20, 100)
+    assert(b.pushLimit(150))
+    assert(b.build().toBatch.planInputPartitions().length == 2)
+    val b2 = new PagesScanBuilder(20, 100)
+    assert(b2.pushLimit(5000)) // larger than source: keeps all 20
+    assert(b2.build().toBatch.planInputPartitions().length == 20)
+  }
+
+  test("csv export/ingest round-trip (S5/S6)") {
+    val out = tmpDir() + "/csv"
+    val src = graft.Tables(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    CsvIo.export(src, out, singleFile = true)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val back = CsvIo.ingest(spark, out + "/*.csv", Some(schema))
+    assert(back.count() == src.count())
+    val a = src.orderBy("c_custkey").as[(Long, String, Double)].collect().toSeq
+    val b = back.orderBy("c_custkey").as[(Long, String, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal: stub decode preserves cardinality and derives features") {
+    val feats = graft.ext.Multimodal.decodeAll(spark, sf)
+    val n = graft.Tables(spark, sf, "documents").count()
+    assert(feats.count() == n)
+    assert(feats.filter(col("byte_len") <= 0).count() == 0)
+    assert(feats.filter(col("kind") === "video").filter(col("n_frames") < 1).count() == 0)
+  }
+}
