@@ -21,23 +21,30 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** 3-word shingles (1-based element_at mirrors the oracle's generate_series
-    * formulation exactly). */
+  /** 3-word shingle SET (distinct once at projection time — every downstream
+    * pairwise op then works on sets, instead of re-distincting inside each of
+    * the O(pairs) Jaccard evaluations). 1-based element_at mirrors the
+    * oracle's generate_series formulation exactly. */
   val shingleExpr: String =
-    "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
 
-  /** MinHash signature: minPerms seeded xxhash64 minima over the shingle set.
-    * xxhash64(shingle, seed) is the seeded family; array_min the row-wise min. */
+  /** MinHash signature over pre-hashed shingles. Each shingle string is
+    * hashed to a long ONCE (`shash`); the seeded permutation family then
+    * re-hashes the fixed-width long — 32 string traversals per shingle
+    * becomes 1 string + 32 word hashes. Same MinHash guarantees (the family
+    * only needs pairwise-independent-ish permutations of the shingle ids). */
+  val shingleHashExpr: String = "transform(shingles, sh -> xxhash64(sh))"
   def minhashSig(minPerms: Int): String =
     s"transform(sequence(0, ${minPerms - 1}), " +
-      "s -> array_min(transform(shingles, sh -> xxhash64(sh, s))))"
+      "s -> array_min(transform(shash, h -> xxhash64(h, s))))"
 
-  /** Exact shingle-set Jaccard between two shingle-array columns. */
+  /** Exact Jaccard between two shingle SETS (inputs must be distinct — which
+    * `shingleExpr` guarantees; |A∪B| = |A|+|B|-|A∩B| avoids building the
+    * union array). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
-    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
-    inter / union
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
   }
 
   /** LSH banding: explode the signature into (band_id, band_hash) keys;
@@ -56,13 +63,24 @@ object Dedup {
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", expr(shingleExpr))
+      .withColumn("shash", expr(shingleHashExpr))
       .withColumn("sig", expr(minhashSig(bands * rowsPerBand)))
     val banded = bandedSignatures(withSig, bands, rowsPerBand)
-    val l = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("a"))
-    val r = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("b"))
-    l.join(r, Seq("band_id", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Bucket-local pair generation via groupBy + combinations — ONE pass over
+    // the signature pipeline and one shuffle on the bucket key. (A self-join
+    // formulation recomputes the whole signature pipeline for each side:
+    // Spark does not reuse the exchange across differently-aliased branches.)
+    banded
+      .groupBy("band_id", "band_hash")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    x -> struct(element_at(ids, i) AS a, x AS b))))""".stripMargin))
+        .as("pair"))
+      .select(col("pair.a").as("a"), col("pair.b").as("b"))
+      .distinct()
   }
 
   /** 64-bit SimHash over the distinct token set (xxhash64 bit votes). */
@@ -110,8 +128,16 @@ object Dedup {
     // recall/precision are pinned by DedupSpec instead.
     Q("x_dedup_minhash_lsh",
       (s, dir) => {
-        val cands = minhashCandidates(s, dir)
+        // Candidate pairs are tiny (bucket collisions only) — materialize
+        // them once so the signature pipeline isn't replayed for every
+        // downstream use (candIds + pair assembly).
+        val cands = minhashCandidates(s, dir).localCheckpoint()
+        // Exact-verify only docs that appear in a candidate pair: semi-join
+        // the (small) candidate id set against the corpus ONCE, so the
+        // shingle arrays are built for candidates only — not 2× corpus-wide.
+        val candIds = cands.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
         val sh = docs(s, dir)
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .withColumn("toks", TextAnalysis.tokens(col("text")))
           .withColumn("shingles", expr(shingleExpr))
           .select(col("doc_id"), col("shingles"))
@@ -133,9 +159,12 @@ object Dedup {
           .withColumn("toks", TextAnalysis.tokens(col("text")))
           .withColumn("shingles", expr(shingleExpr))
           .select(col("doc_id"), col("shingles"))
-        val a = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+        // equi-ized bounded window: explode each doc's candidate ids so the
+        // pair generation is a shuffled equi join, not an O(n²) BNL join
+        val a = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
+            explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
         val b = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
-        a.join(b, col("b") > col("a") && col("b") <= col("a") + 20)
+        a.join(b, Seq("b"))
           .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
           .filter(col("jaccard") >= 0.5)
           .select("a", "b", "jaccard")

@@ -22,14 +22,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
-  /** Exact cosine between two Array[Float] columns, computed in DOUBLE.
-    * The fold is per-row and sequential — bit-deterministic. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two Array[Float] columns in DOUBLE. The fold is per-row
+    * and sequential — bit-deterministic. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine between two Array[Float] columns, computed in DOUBLE. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** L2 norm — precompute this per ROW before any pairwise join so each pair
+    * evaluates one dot product, not three. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Deterministic random hyperplanes for sign-projection LSH (fixed seed —
     * the "model" is part of the operator definition, reproducible across
@@ -118,10 +123,17 @@ object Similarity {
     Q("x_sim_neardup_pairs",
       (s, dir) => {
         val e = emb(s, dir)
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
-        a.join(b, col("b") > col("a") && col("b") <= col("a") + 50)
-          .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+        // equi-ized bounded window (explode the candidate id range) — a
+        // shuffled equi join instead of an O(n²) broadcast-nested-loop join.
+        // Norms are computed once per row, pre-join: one dot per pair.
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          norm(col("embedding")).as("na"),
+          explode(sequence(col("vec_id") + 1, col("vec_id") + 50)).as("b"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          norm(col("embedding")).as("nb"))
+        a.join(b, Seq("b"))
+          .withColumn("sim", round(
+            dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
           .filter(col("sim") >= 0.35)
           .select("a", "b", "sim")
           .orderBy("a", "b")
