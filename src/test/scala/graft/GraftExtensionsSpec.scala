@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-surface registration of graft's custom expressions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("clean_html is callable from SQL via SparkSessionExtensions") {
+    val shared = TestSpark.spark // ensure the shared context exists first
+    // getOrCreate returns any active session as-is; clear (not stop) so a new
+    // session with extensions is built over the same SparkContext.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import spark.implicits._
+      Seq("<p>Hello <b>World</b> &amp; co</p>").toDF("d")
+        .createOrReplaceTempView("docs_html")
+      val out = spark.sql("SELECT clean_html(d) AS t FROM docs_html")
+        .as[String].head()
+      assert(out == "Hello World & co")
+      // codegen'd path: over a real source the projection must sit inside a
+      // WholeStageCodegen span (a local relation would collapse to
+      // LocalTableScan and prove nothing)
+      Tables(spark, "/root/testdata/sf0.001", "documents")
+        .createOrReplaceTempView("docs_pq")
+      val codegenStages = spark.sql("SELECT clean_html(text) FROM docs_pq")
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+      assert(codegenStages.nonEmpty)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("approx_count_distinct stays within HLL error envelope") {
+    val spark = TestSpark.spark
+    val exact = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_partkey").distinct().count()
+    val approx = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct("l_partkey").as("a"))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
