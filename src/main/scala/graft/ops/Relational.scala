@@ -53,12 +53,12 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(28,6)")).as("sum_disc_price"),
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))).cast("decimal(28,6)")).as("sum_charge"),
+            * (lit(1.0) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             / count(col("l_quantity"))).as("avg_qty"),
           (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -66,10 +66,10 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-              sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
-              sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
               count(*) AS count_order
@@ -154,11 +154,11 @@ object Relational {
           .filter(col("r_name") === "ASIA")
           .groupBy("n_name")
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(28,6)")).as("revenue"))
+            .cast("decimal(28,6)")).cast("double").as("revenue"))
           .orderBy(desc("revenue"), asc("n_name"))
       },
       Some("""SELECT n_name,
-              sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS revenue
+              CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -281,15 +281,15 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .withColumn("running_qty",
-            sum(col("l_quantity").cast("decimal(18,2)")).over(w))
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
           .filter(col("l_orderkey") < 1000)
           .select("l_orderkey", "l_linenumber", "running_qty")
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                 PARTITION BY l_orderkey ORDER BY l_linenumber
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
               FROM lineitem WHERE l_orderkey < 1000
               ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
 
@@ -319,7 +319,7 @@ object Relational {
         .agg(grouping("o_orderstatus").cast("long").as("g_status"),
           grouping("o_orderpriority").cast("long").as("g_prio"),
           count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(col("o_orderstatus"), col("o_orderpriority"),
           col("g_status"), col("g_prio"), col("n"), col("total"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
@@ -327,7 +327,7 @@ object Relational {
               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
               count(*) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
               ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 

@@ -38,11 +38,11 @@ object Relational2 {
         .filter(col("c_acctbal") > 1000)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
         .filter(col("n") >= 50)
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, count(*) AS n,
-                sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
               FROM customer WHERE c_acctbal > 1000
               GROUP BY c_mktsegment HAVING count(*) >= 50
               ORDER BY c_mktsegment ASC NULLS FIRST""")),

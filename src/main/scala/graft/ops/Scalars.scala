@@ -43,10 +43,10 @@ object Scalars {
       (s, dir) => t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("month"),
       Some("""SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY 1 ORDER BY month ASC NULLS FIRST""")),
 
     Q("f_date_parts",
@@ -135,17 +135,17 @@ object Scalars {
       (s, dir) => t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_orderkey") % 7).as("mod7"),
-          (col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)").as("disc_amt"),
+          (col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)").cast("double").as("disc_amt"),
           floor(col("l_quantity")).cast("long").as("qty_floor"),
           ceil(col("l_quantity") / 2).cast("long").as("half_up"),
-          abs(col("l_discount") - 0.05).cast("decimal(10,6)").as("disc_dev"))
+          abs(col("l_discount") - 0.05).cast("decimal(10,6)").cast("double").as("disc_dev"))
         .filter(col("l_orderkey") <= 600)
         .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, l_orderkey % 7 AS mod7,
-              CAST(l_extendedprice * l_discount AS DECIMAL(18,4)) AS disc_amt,
+              CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_amt,
               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
               CAST(ceil(l_quantity / 2) AS BIGINT) AS half_up,
-              CAST(abs(l_discount - 0.05) AS DECIMAL(10,6)) AS disc_dev
+              CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(10,6)) AS DOUBLE) AS disc_dev
               FROM lineitem WHERE l_orderkey <= 600
               ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""))
   )

@@ -76,13 +76,13 @@ object Streams {
       (s, dir) => graft.Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy("window_start", "event_type"),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                 event_type, count(*) AS n,
-                sum(CAST(value AS DECIMAL(18,2))) AS total
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM events GROUP BY 1, 2
               ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
 
