@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Skew- and layout-aware join utilities (SURVEY.md §4 scale notes).
+  *
+  * `saltedJoin` is the manual skew-buster for when AQE's skew-join split
+  * cannot help (e.g. a shuffled hash join against a small-but-not-broadcast
+  * dim with a few hot keys): the probe side gets a random-but-deterministic
+  * salt in [0, n), the build side is replicated n ways, and the join key
+  * becomes (key, salt) — hot keys spread over n tasks. Result is exactly the
+  * plain join, so the oracle can check it with ordinary SQL.
+  */
+object SkewAndBuckets {
+
+  /** Inner equi-join with an n-way salt on `key`. `left` is the skewed probe
+    * side; `right` is replicated n ways (keep it small). The salt is
+    * deterministic (hash of the whole left row's key + a per-row uniform from
+    * xxhash — no rand(), so retries/replays stay stable). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, n: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(n - 1)))) // already int; cast would nest the generator
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Salted join over the events fan-in (user_id is the hot key: ~10 users
+    // per 1k events). Result == plain join — oracle-checkable.
+    Q("j6_salted_join",
+      (s, dir) => {
+        val events = Tables(s, dir, "events")
+        val users = events.groupBy("user_id")
+          .agg(count(lit(1)).as("user_events"))
+        saltedJoin(events, users, "user_id", n = 8)
+          .select(col("event_id"), col("user_id"), col("user_events"))
+          .orderBy("event_id")
+      },
+      Some("""WITH users AS (SELECT user_id, count(*) AS user_events
+                             FROM events GROUP BY user_id)
+              SELECT event_id, e.user_id, user_events
+              FROM events e JOIN users USING (user_id)
+              ORDER BY event_id ASC NULLS FIRST""")),
+
+    // Grouped array aggregation (BigQuery ARRAY_AGG shape) — joined to a
+    // string so the compare is engine-portable.
+    Q("a5_collect_set",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+                count(*) AS n
+              FROM orders GROUP BY o_custkey
+              ORDER BY o_custkey ASC NULLS FIRST""")),
+
+    // Percentiles (exact interpolated; rounded to absorb sub-ulp divergence).
+    Q("a6_percentiles",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag ASC NULLS FIRST"""))
+  )
+}

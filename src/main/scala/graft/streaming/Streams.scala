@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.ops.{Q, Upsert}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 /** Structured-Streaming tier (SURVEY.md §2.9). The reference is a scheduled,
   * re-runnable batch with an idempotent MERGE sink — exactly the
@@ -44,6 +44,33 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
+
+  /** Running last-write-wins state per key — the streaming form of the
+    * MERGE's "UPDATE SET all columns" semantics (main.py:354): arbitrary
+    * custom state via flatMapGroupsWithState, emitting one updated row per
+    * key per micro-batch. */
+  case class UserLatest(user_id: Long, last_ts: java.sql.Timestamp, n_events: Long)
+  def latestPerUser(events: DataFrame): Dataset[UserLatest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[UserLatest]) =>
+          val prev = state.getOption.getOrElse(UserLatest(uid, new java.sql.Timestamp(0), 0L))
+          var latest = prev.last_ts
+          var n = prev.n_events
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (ts.after(latest)) latest = ts
+          }
+          val next = UserLatest(uid, latest, n)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Streaming dedup on event_id within the watermark horizon — the
     * streaming analogue of the MERGE's idempotency on _id. */

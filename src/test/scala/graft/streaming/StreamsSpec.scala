@@ -44,6 +44,27 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == out.select("event_id").distinct().count())
   }
 
+  test("flatMapGroupsWithState: last-write-wins state equals batch max(ts)") {
+    val q = Streams.latestPerUser(Streams.eventsStream(spark, sf)).writeStream
+      .format("memory").queryName("latest_out").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest state row per user (the memory sink appends one row per update)
+    import org.apache.spark.sql.functions.{count, lit, max}
+    val streamed = spark.table("latest_out")
+      .groupBy("user_id")
+      .agg(max("last_ts").as("last_ts"), max("n_events").as("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = graft.Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("foreachBatch upsert sink lands a key-unique merged target") {
     val dir = tmpDir()
     val q = Streams.upsertSink(Streams.eventsStream(spark, sf),
