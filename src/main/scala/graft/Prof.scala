@@ -24,13 +24,7 @@ object Prof {
     time("shash")(shash.write.format("noop").mode("overwrite").save())
     val sig = shash.withColumn("sig", expr(Dedup.minhashSig(32))).select("doc_id","sig")
     time("sig32")(sig.write.format("noop").mode("overwrite").save())
-    val banded = Dedup.bandedSignatures(sig, 8, 4)
-    time("banded")(banded.write.format("noop").mode("overwrite").save())
-    val l = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("a"))
-    val r = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("b"))
-    val joined = l.join(r, Seq("band_id","band_hash")).filter(col("a") < col("b")).select("a","b").distinct()
-    time("bucket_join")(joined.write.format("noop").mode("overwrite").save())
-    time("full_query")(SparkEntry.queries("x_dedup_minhash_lsh")(spark, dir).write.format("noop").mode("overwrite").save())
+time("full_query")(SparkEntry.queries("x_dedup_minhash_lsh")(spark, dir).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

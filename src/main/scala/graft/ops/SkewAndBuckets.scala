@@ -63,15 +63,15 @@ object SkewAndBuckets {
 
     // Percentiles (exact interpolated; rounded to absorb sub-ulp divergence).
     Q("a6_percentiles",
-      (s, dir) => Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-                round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
-              FROM lineitem GROUP BY l_returnflag
-              ORDER BY l_returnflag ASC NULLS FIRST"""))
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority ASC NULLS FIRST"""))
   )
 }
