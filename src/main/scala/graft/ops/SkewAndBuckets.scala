@@ -61,6 +61,38 @@ object SkewAndBuckets {
               FROM orders GROUP BY o_custkey
               ORDER BY o_custkey ASC NULLS FIRST""")),
 
+    // GROUPING SETS through the SQL front door (spark.sql over registered
+    // views — the engine's second query surface next to the DataFrame API).
+    Q("g3_grouping_sets",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n
+                 FROM orders
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 ORDER BY o_orderstatus ASC NULLS FIRST,
+                          o_orderpriority ASC NULLS FIRST, n""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST, n ASC NULLS FIRST""")),
+
+    // PIVOT (status columns per priority) — oracle via FILTERed counts.
+    Q("a7_pivot",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                count(*) FILTER (o_orderstatus = 'F') AS "F",
+                count(*) FILTER (o_orderstatus = 'O') AS "O",
+                count(*) FILTER (o_orderstatus = 'P') AS "P"
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority ASC NULLS FIRST""")),
+
     // Percentiles (exact interpolated; rounded to absorb sub-ulp divergence).
     Q("a6_percentiles",
       (s, dir) => Tables(s, dir, "orders")
