@@ -56,6 +56,26 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
   }
 
+  /** Frame sampling: one row per sampled frame of each decoded video —
+    * explode-based fan-out (media_id, frame_idx, frame_sha). The per-frame
+    * "content" is a deterministic stub slice of the payload; the Spark shape
+    * (decode → explode → per-frame rows for a downstream embedder) is the
+    * real 100 TB pattern. */
+  def sampleFrames(s: SparkSession, dir: String, stride: Int = 5): DataFrame = {
+    import s.implicits._
+    decodeAll(s, dir)
+      .filter(_.kind == "video")
+      .toDF()
+      .join(mediaTable(s, dir), Seq("media_id", "kind"))
+      .select(col("media_id"), col("n_frames"), col("payload"),
+        explode(sequence(lit(0), expr(s"(n_frames - 1) div $stride"))).as("sample_i"))
+      .select(col("media_id"),
+        (col("sample_i") * stride).as("frame_idx"),
+        sha2(concat(col("payload"),
+          (col("sample_i") * stride).cast("string").cast("binary")), 256)
+          .as("frame_sha"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Metadata extraction over the binary payload — oracle-paired: byte

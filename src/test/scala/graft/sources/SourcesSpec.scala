@@ -39,6 +39,28 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("csv glob ingest: Overall_stats_*_*.csv pattern (README.md:110)") {
+    val dir = tmpDir()
+    val c = graft.Tables(spark, sf, "customer").select("c_custkey", "c_name")
+    // two dated drops, as the SFTP job would leave them, plus a decoy
+    CsvIo.export(c.limit(40), s"$dir/drop1", singleFile = true)
+    CsvIo.export(c.offset(40).limit(30), s"$dir/drop2", singleFile = true)
+    def place(src: String, name: String): Unit = {
+      val f = new java.io.File(src).listFiles().filter(_.getName.endsWith(".csv")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$dir/$name").toPath)
+    }
+    place(s"$dir/drop1", "Overall_stats_live_manual_20240101.csv")
+    place(s"$dir/drop2", "Overall_stats_live_manual_20240102.csv")
+    CsvIo.export(c.limit(5), s"$dir/decoy", singleFile = true)
+    place(s"$dir/decoy", "Other_stats_20240101.csv")
+
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType)))
+    val got = CsvIo.ingest(spark, s"$dir/Overall_stats_live_manual_*.csv", Some(schema))
+    assert(got.count() == 70) // decoy excluded by the glob
+    assert(got.select("c_custkey").distinct().count() == 70)
+  }
+
   test("multimodal: stub decode preserves cardinality and derives features") {
     val feats = graft.ext.Multimodal.decodeAll(spark, sf)
     val n = graft.Tables(spark, sf, "documents").count()
