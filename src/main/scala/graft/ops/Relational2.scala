@@ -23,13 +23,13 @@ object Relational2 {
         val avgPrice = o.agg((sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double") / count(col("o_totalprice"))).as("avg_price"))
         o.join(broadcast(avgPrice))
-          .filter(col("o_totalprice") > col("avg_price") * 2)
+          .filter(col("o_totalprice") > col("avg_price") * 1.8)
           .select("o_orderkey", "o_totalprice")
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                                          / count(o_totalprice) FROM orders) * 2
+                                          / count(o_totalprice) FROM orders) * 1.8
               ORDER BY o_orderkey ASC NULLS FIRST""")),
 
     // HAVING: segments with enough high-value customers.
