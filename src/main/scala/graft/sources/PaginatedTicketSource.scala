@@ -66,37 +66,51 @@ class PagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
 }
 
 class PagesScanBuilder(var pages: Int, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+  private var required: StructType = PaginatedTicketSource.schema
   /** LIMIT n ⇒ plan only ceil(n / pageSize) pages — the page-cap early stop. */
   override def pushLimit(limit: Int): Boolean = {
     pages = math.min(pages, (limit + pageSize - 1) / pageSize)
     true // partial: Spark still applies the exact limit on top
   }
-  override def build(): Scan = new PagesScan(pages, pageSize)
+  /** Column pruning: a projection-only query ships only those fields off the
+    * "API" (the live analogue: a fields= query parameter). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PagesScan(pages, pageSize, required)
 }
 
 case class PagePartition(page: Int, pageSize: Int) extends InputPartition
 
-class PagesScan(pages: Int, pageSize: Int) extends Scan with Batch {
-  override def readSchema(): StructType = PaginatedTicketSource.schema
+class PagesScan(pages: Int, pageSize: Int, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(p => PagePartition(p, pageSize): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fieldNames = required.fieldNames
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[PagePartition]
-      new PageReader(p.page, p.pageSize)
+      new PageReader(p.page, p.pageSize, fieldNames)
     }
+  }
 }
 
-/** Reads one page. On a live system `next()` walks the HTTP response items
-  * (30 s timeout, null-on-error per main.py:186-194); here it synthesizes. */
-class PageReader(page: Int, pageSize: Int) extends PartitionReader[InternalRow] {
+/** Reads one page, emitting only the pruned columns. On a live system
+  * `next()` walks the HTTP response items (30 s timeout, null-on-error per
+  * main.py:186-194); here it synthesizes. */
+class PageReader(page: Int, pageSize: Int, fields: Array[String])
+    extends PartitionReader[InternalRow] {
   private var i = -1
   override def next(): Boolean = { i += 1; i < pageSize }
   override def get(): InternalRow = {
     val (id, pg, ts, subj) = PaginatedTicketSource.row(page, pageSize, i)
-    InternalRow(UTF8String.fromString(id), pg, ts, UTF8String.fromString(subj))
+    InternalRow.fromSeq(fields.toIndexedSeq.map {
+      case "_id" => UTF8String.fromString(id)
+      case "page" => pg
+      case "createdTimestamp" => ts
+      case "subject" => UTF8String.fromString(subj)
+    })
   }
   override def close(): Unit = ()
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-quality gates: the properties that make these queries survive a
+  * 100× scale-up are asserted, not just eyeballed — filter pushdown, column
+  * pruning, broadcast selection, top-k physical operator, shuffle counts. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // AQE wraps subtrees; collect through the adaptive boundary
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).flatMap(_.collect(pf))
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val scans = collectAll(plan("p2_filter_project")) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(l_quantity") && pushed.contains("l_returnflag"),
+      s"pushed=$pushed")
+  }
+
+  test("projection prunes the scan schema to the selected columns") {
+    val scans = collectAll(plan("s1_scan_distinct")) { case s: FileSourceScanExec => s }
+    assert(scans.head.requiredSchema.fieldNames.toSeq == Seq("o_custkey"))
+  }
+
+  test("star join broadcasts every dimension") {
+    val bhj = collectAll(plan("j5_star_join")) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 4, s"expected 4 broadcast joins, got ${bhj.size}")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val tops = collectAll(plan("o1_topk")) { case t: TakeOrderedAndProjectExec => t }
+    assert(tops.nonEmpty)
+  }
+
+  test("grouped aggregation shuffles exactly once") {
+    val shuffles = collectAll(plan("a3_grouped_counts")) { case e: ShuffleExchangeExec => e }
+    // one exchange for the groupBy, one for the final orderBy — nothing more
+    assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles")
+  }
+
+  test("V2 source prunes columns and pages") {
+    val df = spark.read.format("ticket-pages")
+      .option("pages", "10").option("pageSize", "100").load()
+      .select("_id").limit(150)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.output.map(_.name) == Seq("_id"), s"got ${scan.output}")
+    assert(scan.inputRDD.getNumPartitions == 2) // limit 150 -> 2 pages planned
+  }
+}

@@ -39,6 +39,14 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("point lookup: distributed keyed fetch with null-on-error (S3)") {
+    val keys = Seq("T000001", "T000002", "garbage", "T000005").toDS()
+    val got = PointLookup.fetchAll(keys, PointLookup.stubFetch)
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("T000001", "T000002", "T000005")) // error dropped
+    assert(got.head._3 == "Ticket 1 detail")
+  }
+
   test("csv glob ingest: Overall_stats_*_*.csv pattern (README.md:110)") {
     val dir = tmpDir()
     val c = graft.Tables(spark, sf, "customer").select("c_custkey", "c_name")
