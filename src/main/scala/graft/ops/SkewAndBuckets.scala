@@ -61,6 +61,38 @@ object SkewAndBuckets {
               FROM orders GROUP BY o_custkey
               ORDER BY o_custkey ASC NULLS FIRST""")),
 
+    // As-of semantics, Spark-first: for every purchase, the most recent
+    // prior signup time of the same user — last(ignoreNulls) over an ordered
+    // window instead of a custom as-of join operator (compose built-ins
+    // before building physical operators, SURVEY.md §4.3).
+    Q("w4_asof_prior_signup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .withColumn("last_signup_ts",
+            last(when(col("event_type") === "signup", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_s"),
+            date_trunc("second", col("last_signup_ts")).as("signup_ts_s"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                date_trunc('second', ts) AS ts_s,
+                date_trunc('second', last_signup_ts) AS signup_ts_s
+              FROM (
+                SELECT event_id, user_id, ts, event_type,
+                  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+                FROM events)
+              WHERE event_type = 'purchase'
+              ORDER BY event_id ASC NULLS FIRST""")),
+
     // GROUPING SETS through the SQL front door (spark.sql over registered
     // views — the engine's second query surface next to the DataFrame API).
     Q("g3_grouping_sets",
