@@ -55,6 +55,23 @@ object TextAnalysis {
               CAST(length(text) AS BIGINT) AS n_chars_calc, n_chars
               FROM documents ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // BPE-ish sub-word segmentation: greedy class-based pieces (letters /
+    // digits / single punctuation), the regex approximation of a byte-pair
+    // pre-tokenizer. Counts per doc + a whitespace-token comparison column.
+    Q("x_text_bpe_tokens",
+      (s, dir) => t(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_bpe_pieces"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_pieces,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+              FROM documents ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Corpus-level term frequency: explode → count → top-50.
     // One shuffle on the token; top-k is TakeOrderedAndProject.
     Q("x_text_word_freq",
