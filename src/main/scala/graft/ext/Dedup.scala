@@ -83,15 +83,17 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over the distinct token set (xxhash64 bit votes). */
+  /** 64-bit SimHash over the distinct token set (xxhash64 bit votes). Each
+    * token is hashed ONCE (inner transform over precomputed hashes — not one
+    * xxhash64 call per bit position). */
   val simhashExpr: String =
     """aggregate(
       |  zip_with(
-      |    aggregate(array_distinct(toks),
+      |    aggregate(transform(array_distinct(toks), t -> xxhash64(t)),
       |      transform(sequence(0, 63), i -> CAST(0 AS BIGINT)),
-      |      (acc, t) -> zip_with(acc,
+      |      (acc, h) -> zip_with(acc,
       |        transform(sequence(0, 63),
-      |          i -> IF((shiftright(xxhash64(t), i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+      |          i -> IF((shiftright(h, i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
       |        (x, y) -> x + y)),
       |    sequence(0, 63),
       |    (c, i) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
@@ -160,10 +162,14 @@ object Dedup {
           .withColumn("shingles", expr(shingleExpr))
           .select(col("doc_id"), col("shingles"))
         // equi-ized bounded window: explode each doc's candidate ids so the
-        // pair generation is a shuffled equi join, not an O(n²) BNL join
-        val a = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
+        // pair generation is a shuffled equi join, not an O(n²) BNL join.
+        // The per-pair set ops run on xxhash64'd shingles — long equality
+        // instead of string equality; set sizes (and so Jaccard) are
+        // preserved short of a 2^-64 collision.
+        val hashed = sh.withColumn("shash", expr(shingleHashExpr))
+        val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
             explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
-        val b = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+        val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"))
         a.join(b, Seq("b"))
           .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
           .filter(col("jaccard") >= 0.5)
