@@ -158,6 +158,15 @@ object Similarity {
       (s, dir) => annTopK(s, dir, queryId = 0L, k = 10),
       None),
 
+    // IVF list sizes (k-means coarse quantizer, fixed seed) — the probe-side
+    // inventory of the IVF ANN path. Rows-only: centroid training is
+    // engine-internal; SimilaritySpec pins coverage and list count.
+    Q("x_sim_ivf_lists",
+      (s, dir) => ivfAssignments(s, dir, nLists = 8)
+        .groupBy("list_id").agg(count(lit(1)).as("n"))
+        .orderBy("list_id"),
+      None),
+
     // LSH bucket histogram — shows the partitioning the ANN path shuffles by.
     Q("x_sim_lsh_buckets",
       (s, dir) => {

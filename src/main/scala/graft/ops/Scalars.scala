@@ -88,6 +88,25 @@ object Scalars {
               count(*) AS n FROM events GROUP BY 1
               ORDER BY k_bucket ASC NULLS FIRST""")),
 
+    // MapType surface: JSON → map<string,string> → key/size/value access.
+    Q("f_map_funcs",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")).as("m"))
+        .select(col("event_id"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_str"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          element_at(col("m"), "k").cast("long").as("k_val"))
+        .filter(col("event_id") < 400)
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+              array_to_string(list_sort(json_keys(props)), ',') AS keys_str,
+              CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+              FROM events WHERE event_id < 400
+              ORDER BY event_id ASC NULLS FIRST""")),
+
     // String functions — upper/lower/substring/length/concat/regexp/trim
     // (F3/F12, main.py:116,122 + f-string concat shapes).
     Q("f_string_funcs",

@@ -33,6 +33,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
         }
       assert(codegenStages.nonEmpty)
+      // the injected optimizer rule collapses nested idempotent applications
+      val optimized = spark.sql("SELECT clean_html(clean_html(text)) AS t FROM docs_pq")
+        .queryExecution.optimizedPlan
+      val nCalls = optimized.expressions.map(_.collect {
+        case c: graft.functions.CleanHtml => c
+      }.size).sum
+      assert(nCalls == 1, s"expected collapsed clean_html, plan: $optimized")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
