@@ -30,14 +30,23 @@ object Dedup {
       "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
 
   /** MinHash signature over pre-hashed shingles. Each shingle string is
-    * hashed to a long ONCE (`shash`); the seeded permutation family then
-    * re-hashes the fixed-width long — 32 string traversals per shingle
-    * becomes 1 string + 32 word hashes. Same MinHash guarantees (the family
-    * only needs pairwise-independent-ish permutations of the shingle ids). */
+    * hashed to a long ONCE (`shash`); the permutation family is
+    * Carter-Wegman `(a*h31 + b) mod p` over the masked 31-bit hash —
+    * products stay under 2^62, so no wraparound (Spark 4's ANSI mode makes
+    * long overflow an error, ruling out the mod-2^64 multiply-shift form).
+    * One string traversal + 32 mult-add-mods per shingle, instead of 32
+    * string hashes. */
   val shingleHashExpr: String = "transform(shingles, sh -> xxhash64(sh))"
-  def minhashSig(minPerms: Int): String =
-    s"transform(sequence(0, ${minPerms - 1}), " +
-      "s -> array_min(transform(shash, h -> xxhash64(h, s))))"
+  private val mersennePrime = 2305843009213693951L // 2^61 - 1
+  def minhashSig(minPerms: Int): String = {
+    val rnd = new scala.util.Random(20240812L)
+    val perms = (0 until minPerms).map { _ =>
+      val a = rnd.nextInt(Int.MaxValue - 1).toLong + 1 // [1, 2^31)
+      val b = rnd.nextInt(Int.MaxValue).toLong
+      s"array_min(transform(shash, h -> (${a}L * (h & 2147483647L) + ${b}L) % ${mersennePrime}L))"
+    }
+    perms.mkString("array(", ", ", ")")
+  }
 
   /** Exact Jaccard between two shingle SETS (inputs must be distinct — which
     * `shingleExpr` guarantees; |A∪B| = |A|+|B|-|A∩B| avoids building the
