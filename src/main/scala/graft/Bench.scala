@@ -28,15 +28,21 @@ object Bench {
     // warm-up (untimed): JVM JIT, codegen compiler, parquet footer caches
     try runOne(SparkEntry.queries.head._2) catch { case _: Throwable => () }
 
+    // A query that throws is recorded as -1 (sentinel) and listed in
+    // "failed" — a broken inventory must not pass as a near-zero timing.
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try runOne(q.fn) catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runOne(q.fn); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); false
+      }
+      (q.name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

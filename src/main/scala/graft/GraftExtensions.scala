@@ -4,25 +4,20 @@ import graft.functions.CleanHtml
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.catalyst.rules.Rule
-
-/** Catalyst optimization law for graft's own expression: clean_html is
-  * idempotent on its output (property-tested in HtmlUtilsSpec), so nested
-  * applications collapse — one string traversal instead of two on a 100 TB
-  * text column when transform layers stack. */
-object CollapseCleanHtml extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case CleanHtml(inner @ CleanHtml(_)) => inner
-    }
-}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions (so `spark.sql("SELECT clean_html(col) ...")` works the
-  * same as the Column API) and graft's optimizer rules. Enable with
+  * same as the Column API). Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
+  *
+  * NOTE deliberately NO optimizer rule collapsing nested clean_html calls:
+  * clean_html (reference semantics, /root/reference/main.py:104-122) entity-
+  * unescapes BEFORE tag-stripping, so it is not idempotent — 'Tom &amp;amp;
+  * Jerry' unescapes once per application, and double-escaped tags
+  * ('&amp;lt;b&amp;gt;') materialize into strippable tags on the second pass.
+  * Collapsing clean_html(clean_html(x)) would silently change results for
+  * stacked transforms (HtmlUtilsSpec pins the counterexamples).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -30,6 +25,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("clean_html"),
       new ExpressionInfo(classOf[CleanHtml].getName, "clean_html"),
       (children: Seq[Expression]) => CleanHtml(children.head)))
-    e.injectOptimizerRule(_ => CollapseCleanHtml)
   }
 }

@@ -42,7 +42,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.sql.map(s => q.name -> normalize(s))).toMap
 
-  /** Collapse the triple-quoted indentation to a single-line SQL string. */
-  private def normalize(sql: String): String =
-    sql.replaceAll("\\s+", " ").trim
+  /** Collapse the triple-quoted indentation to a single-line SQL string —
+    * but ONLY outside single-quoted literals, so a literal containing
+    * consecutive spaces, a tab, or a newline (a regex, a format string)
+    * reaches DuckDB byte-exact. Standard SQL '' escaping inside literals is
+    * handled by the quote toggle (the escaped quote flips state twice). */
+  private[graft] def normalize(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var inLiteral = false
+    var pendingSpace = false
+    sql.foreach { c =>
+      if (inLiteral) {
+        out.append(c)
+        if (c == '\'') inLiteral = false
+      } else if (c.isWhitespace) {
+        pendingSpace = true
+      } else {
+        if (pendingSpace && out.nonEmpty) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+        if (c == '\'') inLiteral = true
+      }
+    }
+    out.result()
+  }
 }

@@ -24,10 +24,17 @@ object Dedup {
   /** 3-word shingle SET (distinct once at projection time — every downstream
     * pairwise op then works on sets, instead of re-distincting inside each of
     * the O(pairs) Jaccard evaluations). 1-based element_at mirrors the
-    * oracle's generate_series formulation exactly. */
+    * oracle's generate_series formulation exactly.
+    *
+    * Docs with <3 tokens get an explicit empty array: Spark's
+    * sequence(1, 0) yields the DESCENDING [1, 0], whose 0 index would make
+    * element_at throw (SQL arrays are 1-based) — unlike DuckDB's
+    * generate_series(1, 0), which is empty. The IF guard keeps the engines
+    * aligned on short/empty documents. */
   val shingleExpr: String =
-    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
+    "IF(size(toks) < 3, CAST(array() AS ARRAY<STRING>), " +
+      "array_distinct(transform(sequence(1, size(toks) - 2), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))))"
 
   /** MinHash signature over pre-hashed shingles. Each shingle string is
     * hashed to a long ONCE (`shash`); the permutation family is
@@ -152,12 +159,14 @@ object Dedup {
           .withColumn("toks", TextAnalysis.tokens(col("text")))
           .withColumn("shingles", expr(shingleExpr))
           .select(col("doc_id"), col("shingles"))
+        // threshold on the RAW metric; round only in the projection (a value
+        // in [0.4999995, 0.5) must not round its way past the cutoff)
         cands
           .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
           .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
-          .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("a", "b", "jaccard")
+          .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("j_raw") >= 0.5)
+          .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
           .orderBy("a", "b")
       },
       None),
@@ -179,10 +188,12 @@ object Dedup {
         val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
             explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
         val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"))
+        // raw-metric threshold, rounded projection — mirrors the oracle's
+        // WHERE (raw) / SELECT round(...) split exactly
         a.join(b, Seq("b"))
-          .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("a", "b", "jaccard")
+          .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("j_raw") >= 0.5)
+          .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
           .orderBy("a", "b")
       },
       Some("""WITH sh AS (

@@ -131,11 +131,13 @@ object Similarity {
           explode(sequence(col("vec_id") + 1, col("vec_id") + 50)).as("b"))
         val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
           norm(col("embedding")).as("nb"))
+        // threshold on the RAW cosine (matching the oracle's WHERE clause);
+        // round only in the projection
         a.join(b, Seq("b"))
-          .withColumn("sim", round(
-            dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-          .filter(col("sim") >= 0.35)
-          .select("a", "b", "sim")
+          .withColumn("sim_raw",
+            dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("sim_raw") >= 0.35)
+          .select(col("a"), col("b"), round(col("sim_raw"), 6).as("sim"))
           .orderBy("a", "b")
       },
       Some("""SELECT a.vec_id AS a, b.vec_id AS b,

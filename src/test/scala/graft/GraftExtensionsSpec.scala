@@ -33,13 +33,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
           case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
         }
       assert(codegenStages.nonEmpty)
-      // the injected optimizer rule collapses nested idempotent applications
+      // nested applications must NOT be collapsed by any optimizer rule:
+      // clean_html is not idempotent (unescape-before-strip), so both calls
+      // have to survive optimization
       val optimized = spark.sql("SELECT clean_html(clean_html(text)) AS t FROM docs_pq")
         .queryExecution.optimizedPlan
       val nCalls = optimized.expressions.map(_.collect {
         case c: graft.functions.CleanHtml => c
       }.size).sum
-      assert(nCalls == 1, s"expected collapsed clean_html, plan: $optimized")
+      assert(nCalls == 2, s"nested clean_html must not collapse, plan: $optimized")
+      // the concrete divergence a collapse would hide:
+      Seq("Tom &amp;amp; Jerry").toDF("d").createOrReplaceTempView("docs_dbl")
+      val (once, twice) = {
+        val r = spark.sql(
+          "SELECT clean_html(d) AS o, clean_html(clean_html(d)) AS t FROM docs_dbl")
+          .collect().head
+        (r.getString(0), r.getString(1))
+      }
+      assert(once == "Tom &amp; Jerry")
+      assert(twice == "Tom & Jerry")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -50,6 +50,21 @@ class DedupSpec extends SparkSpec {
     assert(hamming(hashed(1L), hashed(2L)) <= 16)
   }
 
+  test("shingleExpr yields empty set (not a crash) for docs with <3 tokens") {
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0]; an unguarded transform
+    // would evaluate element_at(toks, 0) and throw. The guard must make
+    // short/empty docs produce an empty shingle set, like DuckDB's
+    // generate_series(1, 0).
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "exactly three tokens"), (5L, "a b c d")).toDF("doc_id", "text")
+    val sh = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), expr(Dedup.shingleExpr).as("shingles"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).isEmpty)
+    assert(sh(4L) == Seq("exactly three tokens"))
+    assert(sh(5L) == Seq("a b c", "b c d"))
+  }
+
   test("exact dedup collapses identical texts") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     dup.createOrReplaceTempView("dup_docs")

@@ -69,6 +69,20 @@ class HtmlUtilsSpec extends AnyFunSuite {
     }
   }
 
+  test("clean is NOT idempotent when output contains entities or angle brackets") {
+    // unescape happens before stripping, so each application unescapes one
+    // more layer — no optimizer may collapse clean(clean(x)) to clean(x)
+    val doubleEscaped = "Tom &amp;amp; Jerry"
+    assert(HtmlUtils.clean(doubleEscaped) == "Tom &amp; Jerry")
+    assert(HtmlUtils.clean(HtmlUtils.clean(doubleEscaped)) == "Tom & Jerry")
+    // a double-escaped tag materializes into a real tag after one pass and
+    // is stripped by the second
+    val escapedTag = "&amp;lt;b&amp;gt;bold&amp;lt;/b&amp;gt;"
+    val once = HtmlUtils.clean(escapedTag)
+    assert(once == "&lt;b&gt;bold&lt;/b&gt;")
+    assert(HtmlUtils.clean(once) == "bold")
+  }
+
   test("property: collapseWhitespace is a fixpoint") {
     randomStrings(500).foreach { s =>
       val once = HtmlUtils.collapseWhitespace(s)
