@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{Q, Relational, Relational2, Scalars, SkewAndBuckets}
+import graft.ops.{Q, Relational, Relational2, Relational3, Scalars, SkewAndBuckets}
 import graft.sources.SourceQueries
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered inventory queries, in registration order. */
   def registry: Seq[Q] =
-    Relational.qs ++ Relational2.qs ++ Scalars.qs ++ SkewAndBuckets.qs ++
+    Relational.qs ++ Relational2.qs ++ Relational3.qs ++ Scalars.qs ++ SkewAndBuckets.qs ++
       TextAnalysis.qs ++ Dedup.qs ++ Similarity.qs ++ Multimodal.qs ++
       Streams.qs ++ SourceQueries.qs
 

@@ -186,11 +186,20 @@ object Dedup {
         // preserved short of a 2^-64 collision.
         val hashed = sh.withColumn("shash", expr(shingleHashExpr))
         val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
+            size(col("shash")).as("sa"),
             explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
-        val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"))
-        // raw-metric threshold, rounded projection — mirrors the oracle's
-        // WHERE (raw) / SELECT round(...) split exactly
+        val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"),
+            size(col("shash")).as("sb"))
+        // Size-ratio prefilter — a NECESSARY condition for J ≥ 0.5:
+        // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≤ min/max;
+        // J ≥ 0.5 therefore requires 2·min ≥ max. Sizes are precomputed
+        // per-row, so most pairs are rejected on two ints before the
+        // O(|A|+|B|) intersect ever runs. Cannot change results.
+        // Raw-metric threshold, rounded projection — mirrors the oracle's
+        // WHERE (raw) / SELECT round(...) split exactly.
         a.join(b, Seq("b"))
+          .filter(least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb"))
+            && col("sa") > 0)
           .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
           .filter(col("j_raw") >= 0.5)
           .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))

@@ -96,9 +96,17 @@ object Similarity {
     val e = emb(s, dir)
       .withColumn("features", array_to_vector(
         transform(col("embedding"), _.cast("double"))))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
-      .fit(e.select("features"))
-    model.transform(e).select(col("vec_id"), col("prediction").cast("long").as("list_id"))
+    // Lloyd's iterations each re-scan the input: cache the (tiny relative to
+    // corpus text) vector column for the fit, release it after. Random init
+    // (seeded, still deterministic) replaces kmeans||'s extra init passes —
+    // for a coarse quantizer the final assignment quality is equivalent.
+    val feats = e.select("features").cache()
+    try {
+      val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+        .setInitMode("random")
+        .fit(feats)
+      model.transform(e).select(col("vec_id"), col("prediction").cast("long").as("list_id"))
+    } finally feats.unpersist()
   }
 
   val qs: Seq[Q] = Seq(

@@ -1,0 +1,289 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Third relational batch (round 2): outer/cross/interval joins, EXISTS /
+  * NOT EXISTS subqueries, unpivot, explode-with-position, distribution and
+  * value window functions, filtered aggregation, array/regexp/bitwise scalar
+  * families, systematic sampling, sliding windows.
+  *
+  * Same determinism contract as Relational/Relational2: total-order sort with
+  * a unique tiebreak, NULLS FIRST/LAST spelled in the oracle, doubles through
+  * DECIMAL where summed, computed ints cast BIGINT on both sides.
+  */
+object Relational3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val qs: Seq[Q] = Seq(
+
+    // J: FULL OUTER join — per-customer F-order counts vs high-balance
+    // customers; unmatched rows survive on BOTH sides (the MERGE J4 shape
+    // before the coalesce step). Join key is unique per side, so the output
+    // order is total.
+    Q("j7_full_outer",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        val c = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+        o.join(c, o("o_custkey") === c("c_custkey"), "full_outer")
+          .select(coalesce(o("o_custkey"), c("c_custkey")).as("custkey"),
+            col("n_orders"), col("acctbal"))
+          .orderBy("custkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                         WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+                   c AS (SELECT c_custkey, c_acctbal AS acctbal FROM customer
+                         WHERE c_acctbal > 5000)
+              SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+                     o.n_orders, c.acctbal
+              FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+              ORDER BY custkey ASC NULLS FIRST""")),
+
+    // J: CROSS join — small dims only (5 regions × suppliers). At scale this
+    // shape is only ever legal when one side broadcasts; Spark plans
+    // BroadcastNestedLoopJoin here.
+    Q("j8_cross_join",
+      (s, dir) => t(s, dir, "region")
+        .crossJoin(t(s, dir, "supplier").select("s_suppkey", "s_name"))
+        .select("r_regionkey", "r_name", "s_suppkey")
+        .orderBy("r_regionkey", "s_suppkey"),
+      Some("""SELECT r_regionkey, r_name, s_suppkey
+              FROM region CROSS JOIN supplier
+              ORDER BY r_regionkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""")),
+
+    // J: interval (range) join with an equi key — signup→click attribution
+    // within 1 hour. The user_id equi key makes this a shuffled sort-merge
+    // join with the range as a residual predicate: the scalable form of a
+    // range join (pure theta would be an O(n²) nested loop). LEFT join keeps
+    // zero-click signups.
+    Q("j9_interval_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_uid"), col("event_id").as("signup_id"),
+            col("ts").as("s_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        signups.join(clicks,
+            col("s_uid") === col("c_uid") && col("c_ts") > col("s_ts") &&
+              col("c_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), "left")
+          .groupBy("signup_id")
+          .agg(count(col("c_ts")).as("n_clicks"))
+          .orderBy("signup_id")
+      },
+      Some("""SELECT s.event_id AS signup_id, count(c.ts) AS n_clicks
+              FROM events s LEFT JOIN events c
+                ON c.user_id = s.user_id AND c.event_type = 'click'
+                AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL '1 hour'
+              WHERE s.event_type = 'signup'
+              GROUP BY s.event_id
+              ORDER BY signup_id ASC NULLS FIRST""")),
+
+    // R: correlated EXISTS — Catalyst decorrelates to a left-semi join
+    // (RewritePredicateSubquery); SQL surface through the same session the
+    // oracle sees.
+    Q("r3_exists_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority = '1-URGENT')
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey ASC NULLS FIRST""")),
+
+    // R: correlated NOT EXISTS — decorrelates to a left-anti join (the
+    // null-safe way to spell NOT IN).
+    Q("r3_not_exists_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_totalprice > 300000)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_totalprice > 300000)
+              ORDER BY c_custkey ASC NULLS FIRST""")),
+
+    // U: UNPIVOT (wide→long melt) — Dataset.unpivot; value columns unify to
+    // DOUBLE. Oracle spelled as the equivalent UNION ALL (dialect-portable).
+    Q("u4_unpivot",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "val")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+              FROM part
+              UNION ALL
+              SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+              FROM part
+              ORDER BY p_partkey ASC NULLS FIRST, metric ASC NULLS FIRST""")),
+
+    // E: posexplode (generator with ordinal) — one row per token with its
+    // position; the Generate operator fans out inside the same stage (no
+    // shuffle).
+    Q("e1_posexplode",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy("p_partkey", "pos"),
+      Some("""SELECT p_partkey, CAST(i - 1 AS BIGINT) AS pos,
+                string_split(p_name, ' ')[i] AS word
+              FROM part, LATERAL (SELECT unnest(generate_series(1,
+                     len(string_split(p_name, ' ')))) AS i) u
+              ORDER BY p_partkey ASC NULLS FIRST, pos ASC NULLS FIRST""")),
+
+    // W: distribution window functions — ntile / percent_rank / cume_dist.
+    // The ORDER BY key (acctbal, custkey) is unique, so ranks are total on
+    // both engines. (Single-partition global window: inventory-scale only —
+    // at 100 TB rank globally via sort + zipWithIndex-style partitioned
+    // ranking or range partitioning.)
+    Q("w5_distribution",
+      (s, dir) => {
+        val w = Window.orderBy("c_acctbal", "c_custkey")
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+              FROM customer
+              WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_custkey ASC NULLS FIRST""")),
+
+    // W: value window functions — first/last/nth over an explicit full-frame
+    // (the default frame stops at CURRENT ROW, which would make last_value a
+    // running value on both engines).
+    Q("w6_value_windows",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            first(col("c_acctbal")).over(w).as("top_bal"),
+            last(col("c_acctbal")).over(w).as("bottom_bal"),
+            nth_value(col("c_acctbal"), 2).over(w).as("second_bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+                first_value(c_acctbal) OVER w AS top_bal,
+                last_value(c_acctbal) OVER w AS bottom_bal,
+                nth_value(c_acctbal, 2) OVER w AS second_bal
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY c_custkey ASC NULLS FIRST""")),
+
+    // A: conditional / filtered aggregation — CASE-gated counts and sums in
+    // one grouped pass (no per-condition scans).
+    Q("a8_filtered_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", lit(1))).as("n_o"),
+          sum(when(col("o_totalprice") > 200000,
+            col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("big_total"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                CAST(sum(CASE WHEN o_totalprice > 200000
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority ASC NULLS FIRST""")),
+
+    // F: array function family over the embedding column — size / index /
+    // min / max / slice+fold, all codegen'd higher-order expressions.
+    Q("f_array_funcs",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_v"),
+          round(array_min(col("embedding")).cast("double"), 6).as("min_v"),
+          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (a, x) => a + x.cast("double")), 6).as("head_sum"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+                round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+                round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
+                round(list_sum(list_transform(embedding[1:8],
+                  x -> CAST(x AS DOUBLE))), 6) AS head_sum
+              FROM embeddings ORDER BY vec_id ASC NULLS FIRST""")),
+
+    // F: regexp family — extract / replace-all / match predicate. (DuckDB
+    // needs the 'g' flag to match Spark's replace-ALL semantics.)
+    Q("f_regexp",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_name").rlike("widget|bolt"))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+              FROM part WHERE regexp_matches(p_name, 'widget|bolt')
+              ORDER BY p_partkey ASC NULLS FIRST""")),
+
+    // F: bitwise family on BIGINT keys.
+    Q("f_bitwise",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("and_lo"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("or_hi"),
+          col("o_orderkey").bitwiseXOR(lit(1L)).as("xor1"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 1).as("shr1"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                o_orderkey & 255 AS and_lo,
+                o_orderkey | 4096 AS or_hi,
+                xor(o_orderkey, 1) AS xor1,
+                o_orderkey << 2 AS shl2,
+                o_orderkey >> 1 AS shr1
+              FROM orders WHERE o_orderkey < 1000
+              ORDER BY o_orderkey ASC NULLS FIRST""")),
+
+    // X: systematic (deterministic) sampling — key-mod selection, the
+    // reproducible cluster-safe sample (seeded Bernoulli sampling is
+    // engine-RNG-specific, so it has no cross-engine oracle).
+    Q("x_sample_systematic",
+      (s, dir) => t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(20)) === 3)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 20 = 3
+              ORDER BY o_orderkey ASC NULLS FIRST"""))
+  )
+}

@@ -37,6 +37,14 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Watermarked sliding-window aggregation (10 min windows, 5 min slide):
+    * each event lands in window/slide = 2 overlapping windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Session windows per user (30 min gap). */
   def sessionCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
@@ -111,6 +119,25 @@ object Streams {
                 event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM events GROUP BY 1, 2
+              ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
+
+    // Sliding 10-min/5-min windows (batch shape of slidingCounts). Spark's
+    // window() explodes each event into its 2 covering windows; the oracle
+    // spells the same fan-out with unnest of the two epoch-aligned starts
+    // (every event is strictly inside both of its covering windows, so no
+    // residual containment filter is needed).
+    Q("st_sliding_window",
+      (s, dir) => graft.Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT s AS window_start, event_type, count(*) AS n
+              FROM (SELECT event_type,
+                      unnest([time_bucket(INTERVAL '5 minutes', ts),
+                              time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS s
+                    FROM events)
+              GROUP BY s, event_type
               ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
 
     // Sessionization as gaps-and-islands (30 min gap) — the SQL-expressible
