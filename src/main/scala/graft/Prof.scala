@@ -16,6 +16,13 @@ object Prof {
     import graft.ext.{Dedup, TextAnalysis}
     val docs = Tables(spark, dir, "documents")
     time("warmup")(docs.write.format("noop").mode("overwrite").save())
+    if (args.nonEmpty) { // time the named inventory queries and exit
+      args.foreach { name =>
+        time(name)(SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
     val toks = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
     time("tokens")(toks.write.format("noop").mode("overwrite").save())
     val sh = toks.filter(size(col("toks")) >= 3).withColumn("shingles", expr(Dedup.shingleExpr))

@@ -197,9 +197,21 @@ object Dedup {
         // O(|A|+|B|) intersect ever runs. Cannot change results.
         // Raw-metric threshold, rounded projection — mirrors the oracle's
         // WHERE (raw) / SELECT round(...) split exactly.
-        a.join(b, Seq("b"))
-          .filter(least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb"))
-            && col("sa") > 0)
+        // broadcast(b): the per-doc side is 20× smaller than the exploded
+        // candidate side; Catalyst's Generate statistics underestimate the
+        // exploded side and would broadcast the WRONG (20×-larger) side,
+        // which 2×'d the bench. (At corpus scale where b outgrows the
+        // broadcast budget, drop the hint and AQE picks sort-merge on the
+        // equi key — still no O(n²).)
+        // NOTE the prefilter must reference BOTH sides only: a single-side
+        // conjunct (e.g. sa > 0) gets pushed below the Generate with the
+        // whole shingle pipeline INLINED into the filter condition — the
+        // split/transform tree then re-evaluates per lambda element (5×+
+        // regression, measured). sa=0 or sb=0 pairs already fail this
+        // two-side check or the jaccard threshold (null), so no extra
+        // conjunct is needed.
+        a.join(broadcast(b), Seq("b"))
+          .filter(least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb")))
           .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
           .filter(col("j_raw") >= 0.5)
           .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))

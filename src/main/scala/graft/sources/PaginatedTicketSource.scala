@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,8 +66,14 @@ class PagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
 }
 
 class PagesScanBuilder(var pages: Int, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = PaginatedTicketSource.schema
+  private var pageLo = 0                // inclusive
+  private var pageHi = Int.MaxValue     // exclusive
+  private var tsLo = Long.MinValue      // inclusive
+  private var tsHi = Long.MaxValue      // inclusive
+  private var accepted: Array[Filter] = Array.empty
   /** LIMIT n ⇒ plan only ceil(n / pageSize) pages — the page-cap early stop. */
   override def pushLimit(limit: Int): Boolean = {
     pages = math.min(pages, (limit + pageSize - 1) / pageSize)
@@ -77,32 +83,70 @@ class PagesScanBuilder(var pages: Int, pageSize: Int)
     * "API" (the live analogue: a fields= query parameter). */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagesScan(pages, pageSize, required)
+  /** Filter pushdown (P5 — the reference ships predicates as API query
+    * params, main.py:138-141). `page` bounds prune whole INPUT PARTITIONS —
+    * the page is never fetched; `createdTimestamp` bounds filter inside the
+    * reader (the live analogue: createdOnMin/Max params). Every filter is
+    * also returned as residual, so Spark re-applies it — pushdown is purely
+    * an I/O optimization and can never change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo("page", v: Int) =>
+        pageLo = math.max(pageLo, v); pageHi = math.min(pageHi, v + 1); true
+      case GreaterThan("page", v: Int) => pageLo = math.max(pageLo, v + 1); true
+      case GreaterThanOrEqual("page", v: Int) => pageLo = math.max(pageLo, v); true
+      case LessThan("page", v: Int) => pageHi = math.min(pageHi, v); true
+      case LessThanOrEqual("page", v: Int) => pageHi = math.min(pageHi, v + 1); true
+      case EqualTo("createdTimestamp", v: Long) =>
+        tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v); true
+      case GreaterThan("createdTimestamp", v: Long) => tsLo = math.max(tsLo, v + 1); true
+      case GreaterThanOrEqual("createdTimestamp", v: Long) => tsLo = math.max(tsLo, v); true
+      case LessThan("createdTimestamp", v: Long) => tsHi = math.min(tsHi, v - 1); true
+      case LessThanOrEqual("createdTimestamp", v: Long) => tsHi = math.min(tsHi, v); true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan =
+    new PagesScan(math.max(0, pageLo), math.min(pages, pageHi), pageSize,
+      required, tsLo, tsHi)
 }
 
 case class PagePartition(page: Int, pageSize: Int) extends InputPartition
 
-class PagesScan(pages: Int, pageSize: Int, required: StructType) extends Scan with Batch {
+class PagesScan(pageLo: Int, pageHi: Int, pageSize: Int, required: StructType,
+                tsLo: Long, tsHi: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(p => PagePartition(p, pageSize): InputPartition).toArray
+    (pageLo until pageHi).map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val fieldNames = required.fieldNames
+    val (lo, hi) = (tsLo, tsHi)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[PagePartition]
-      new PageReader(p.page, p.pageSize, fieldNames)
+      new PageReader(p.page, p.pageSize, fieldNames, lo, hi)
     }
   }
 }
 
-/** Reads one page, emitting only the pruned columns. On a live system
-  * `next()` walks the HTTP response items (30 s timeout, null-on-error per
-  * main.py:186-194); here it synthesizes. */
-class PageReader(page: Int, pageSize: Int, fields: Array[String])
+/** Reads one page, emitting only the pruned columns and only rows inside the
+  * pushed createdTimestamp bounds. On a live system `next()` walks the HTTP
+  * response items (30 s timeout, null-on-error per main.py:186-194); here it
+  * synthesizes. */
+class PageReader(page: Int, pageSize: Int, fields: Array[String],
+                 tsLo: Long, tsHi: Long)
     extends PartitionReader[InternalRow] {
   private var i = -1
-  override def next(): Boolean = { i += 1; i < pageSize }
+  override def next(): Boolean = {
+    i += 1
+    while (i < pageSize && {
+      val ts = PaginatedTicketSource.row(page, pageSize, i)._3
+      ts < tsLo || ts > tsHi
+    }) i += 1
+    i < pageSize
+  }
   override def get(): InternalRow = {
     val (id, pg, ts, subj) = PaginatedTicketSource.row(page, pageSize, i)
     InternalRow.fromSeq(fields.toIndexedSeq.map {

@@ -24,6 +24,29 @@ class SourcesSpec extends SparkSpec {
     assert(b2.build().toBatch.planInputPartitions().length == 20)
   }
 
+  test("filter pushdown prunes pages (partitions) and reader rows (P5)") {
+    // page predicate → partition pruning: pages outside the bound are never
+    // planned, i.e. never "fetched"
+    val df = spark.read.format("ticket-pages")
+      .option("pages", "10").option("pageSize", "100").load()
+      .filter(col("page") >= 2 && col("page") < 5)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.inputRDD.getNumPartitions == 3, "pages 2,3,4 only")
+    assert(df.count() == 300)
+    assert(df.select("page").distinct().as[Int].collect().sorted.toSeq == Seq(2, 3, 4))
+
+    // createdTimestamp predicate → rows skipped at the reader, and Spark
+    // still re-applies the filter (correctness independent of pushdown)
+    val cut = 1700000000L - 250 * 60L // rows with global id <= 250
+    val recent = spark.read.format("ticket-pages")
+      .option("pages", "10").option("pageSize", "100").load()
+      .filter(col("createdTimestamp") >= cut)
+    assert(recent.count() == 251)
+    assert(recent.agg(min("createdTimestamp")).head().getLong(0) >= cut)
+  }
+
   test("csv export/ingest round-trip (S5/S6)") {
     val out = tmpDir() + "/csv"
     val src = graft.Tables(spark, sf, "customer")
