@@ -102,6 +102,31 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Kafka-shaped continuous source demo: the built-in `rate` source mapped
+    * to the (key, value, timestamp) triple a queue consumer yields. The
+    * downstream pipeline (watermark → window → agg) is byte-identical to the
+    * file-backed path — swapping in a real Kafka source changes ONLY this
+    * function (`format("kafka")` + deserialization). */
+  def rateEventsStream(spark: SparkSession, rowsPerSecond: Int = 1000): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        col("timestamp").as("ts"),
+        (col("value") % 150).as("user_id"),
+        element_at(typedLit(Seq("click", "view", "signup", "purchase", "error")),
+          (col("value") % 5).cast("int") + 1).as("event_type"),
+        (col("value") % 97).cast("double").as("value"))
+
+  /** RocksDB state store provider class — the large-state path: streaming
+    * dedup / sessionization state spills to local disk instead of living in
+    * executor heap, which is what lets a dedup-on-id stream hold billions of
+    * keys per executor at 100 TB ingest. Set on the session BEFORE starting
+    * the query:
+    * `spark.conf.set(StateStoreConfKey, RocksDBStateStoreProvider)`. */
+  val StateStoreConfKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDBStateStoreProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   // Batch-equivalent window queries for the oracle gate: identical semantics
   // to the streaming aggregations above at AvailableNow completion.
   val qs: Seq[Q] = Seq(

@@ -81,4 +81,41 @@ class StreamsSpec extends SparkSpec {
     q2.awaitTermination()
     assert(spark.read.parquet(s"$dir/target").count() == n)
   }
+
+  test("rate (kafka-shaped) source flows through the same windowed pipeline") {
+    val q = Streams.tumblingCounts(Streams.rateEventsStream(spark, rowsPerSecond = 2000))
+      .writeStream.format("memory").queryName("rate_out").outputMode("complete")
+      .start()
+    try {
+      // wait for at least one micro-batch with data to commit
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_out").isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+      }
+      val out = spark.table("rate_out")
+      assert(!out.isEmpty, "rate source produced no windows within 30s")
+      assert(out.columns.toSeq ==
+        Seq("window_start", "event_type", "n", "total"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup runs on the RocksDB state store (large-state path)") {
+    val prev = spark.conf.getOption(Streams.StateStoreConfKey)
+    spark.conf.set(Streams.StateStoreConfKey, Streams.RocksDBStateStoreProvider)
+    try {
+      val q = Streams.dedupedStream(Streams.eventsStream(spark, sf)).writeStream
+        .format("memory").queryName("dedup_rocks_out").outputMode("append")
+        .option("checkpointLocation", tmpDir() + "/ckpt_rocks")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table("dedup_rocks_out")
+      assert(out.count() > 0)
+      assert(out.count() == out.select("event_id").distinct().count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Streams.StateStoreConfKey, v)
+        case None => spark.conf.unset(Streams.StateStoreConfKey)
+      }
+    }
+  }
 }
