@@ -109,6 +109,37 @@ object Similarity {
     } finally feats.unpersist()
   }
 
+  /** IVF probe-time ANN top-k: train the coarse quantizer, pick the `nprobe`
+    * centroid lists nearest to the query vector, exact-rank only inside
+    * those lists. At corpus scale the assignments are precomputed and
+    * partitioned BY list_id, so a probe touches nprobe/nLists of the data —
+    * the standard IVF trade (recall vs fraction scanned). */
+  def ivfTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
+              nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+    val assignments = ivfAssignments(s, dir, nLists)
+    val e = emb(s, dir).join(assignments, "vec_id")
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    // Probe lists are chosen by CENTROID similarity to the query. Centroids
+    // are recovered as member means from the assignment table (= the k-means
+    // centroids at convergence), keeping everything in the DataFrame plane
+    // instead of shipping MLlib model state through closures.
+    val centroids = e.groupBy("list_id")
+      .agg(array((0 until 64).map(i =>
+        avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("centroid"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("c_sim", cosine(col("centroid"), col("q_embedding")))
+      .orderBy(desc("c_sim")).limit(nprobe)
+      .select("list_id")
+    e.join(broadcast(probed), "list_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .select("vec_id", "list_id", "sim")
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Exact brute-force cosine top-10 vs vec_id=0 — oracle-paired (the fold
@@ -175,6 +206,12 @@ object Similarity {
       (s, dir) => ivfAssignments(s, dir, nLists = 8)
         .groupBy("list_id").agg(count(lit(1)).as("n"))
         .orderBy("list_id"),
+      None),
+
+    // IVF probe-time ANN top-10 (rows-only: centroid training is engine-
+    // internal; recall vs brute force is pinned by SimilaritySpec).
+    Q("x_sim_ivf_topk",
+      (s, dir) => ivfTopK(s, dir, queryId = 0L, k = 10),
       None),
 
     // LSH bucket histogram — shows the partitioning the ANN path shuffles by.

@@ -49,4 +49,20 @@ class SimilaritySpec extends SparkSpec {
     val lists = assign.select("list_id").distinct().count()
     assert(lists == 8)
   }
+
+  test("IVF probe-time top-k carries exact scores and decent recall") {
+    val brute = Similarity.bruteTopK(spark, sf, 0L, 10)
+      .as[(Long, Double)].collect()
+    val bruteAll = Similarity.bruteTopK(spark, sf, 0L, 500)
+      .as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(spark, sf, 0L, 10, nLists = 8, nprobe = 4)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(ivf.length == 10)
+    // every IVF hit carries its true cosine score
+    ivf.foreach { case (id, s) => assert(math.abs(bruteAll(id) - s) < 1e-9) }
+    // recall@10 with half the lists probed: expect a sane overlap (the
+    // fixture's cosine landscape is flat, so demand >= 3/10, not perfection)
+    val overlap = ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    assert(overlap >= 3, s"recall@10 too low: $overlap/10")
+  }
 }
