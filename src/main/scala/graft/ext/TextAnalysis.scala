@@ -141,6 +141,52 @@ object TextAnalysis {
                      ELSE 'und' END AS pred_lang
               FROM d ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Corpus-trained bigram language model → per-doc average log-likelihood
+    // (the "perplexity-ish" quality signal a training-data pipeline uses to
+    // rank documents). P(w2|w1) = c(w1,w2)/c(w1·) from the corpus itself;
+    // per-doc score = mean ln P over its bigrams. Per-bigram log-probs pass
+    // through an exact DECIMAL sum so the aggregation is order-independent
+    // (both engines then agree bit-for-bit after the final double division).
+    // The bigram fan-out feeds 3 consumers uncheckpointed on purpose: the
+    // tokenize+explode recompute is CPU-cheap, while materializing the ~200×
+    // fan-out (10M rows at sf0.1) to disk measured 3× slower.
+    Q("x_text_bigram_lm",
+      (s, dir) => {
+        val bg = t(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          // IF guard: sequence(1, 0) is DESCENDING in Spark (see Dedup.shingleExpr)
+          .select(col("doc_id"), explode(expr(
+            "IF(size(toks) < 2, CAST(array() AS ARRAY<STRUCT<w1:STRING,w2:STRING>>), " +
+              "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2)))"))
+            .as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctxCounts = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val probs = bgCounts.join(ctxCounts, "w1")
+          .select(col("w1"), col("w2"), log(col("c12") / col("c1")).as("logp"))
+        bg.join(probs, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("logp").cast("decimal(28,12)")).cast("double")
+              / count(lit(1)), 6).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                            FROM documents),
+                   bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) u
+                          WHERE len(tk) >= 2),
+                   bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+                   cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+                   p AS (SELECT bc.w1, bc.w2, ln(c12 / c1) AS logp
+                         FROM bc JOIN cc ON bc.w1 = cc.w1)
+              SELECT bg.doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+              FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+              GROUP BY bg.doc_id
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Rolling-hash fingerprint (shift-invariant content id).
     Q("x_text_fingerprint",
       (s, dir) => t(s, dir)

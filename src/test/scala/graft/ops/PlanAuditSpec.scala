@@ -49,6 +49,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles")
   }
 
+  test("interval join plans as an equi join, never a nested loop") {
+    // the range predicate must ride as a residual condition on the user_id
+    // equi join — a BroadcastNestedLoop/Cartesian plan would be O(n²) at scale
+    val p = plan("j9_interval_join")
+    val bad = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"nested-loop join in interval-join plan: $bad")
+    val equi = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equi.nonEmpty, "expected an equi join on user_id")
+  }
+
+  test("posexplode generator stays in the scan stage (no extra shuffle)") {
+    val shuffles = collectAll(plan("e1_posexplode")) { case e: ShuffleExchangeExec => e }
+    // only the final orderBy may exchange; the Generate itself is pipelined
+    assert(shuffles.size <= 1, s"got ${shuffles.size} shuffles")
+  }
+
+  test("exists subquery decorrelates to a semi join (no subquery at runtime)") {
+    val p = plan("r3_exists_subquery")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.joinType.toString
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.joinType.toString
+      case j: BroadcastHashJoinExec => j.joinType.toString
+    }
+    assert(joins.exists(_.toLowerCase.contains("semi")), s"join types: $joins")
+  }
+
   test("V2 source prunes columns and pages") {
     val df = spark.read.format("ticket-pages")
       .option("pages", "10").option("pageSize", "100").load()
