@@ -52,6 +52,17 @@ object Demo {
     println(s"DEMO final: rows=${fin.count()} distinct=${fin.select("_id").distinct().count()}")
     println("DEMO sample:")
     fin.orderBy("_id").select("_id", "createdOn", "description").show(3, truncate = false)
+
+    // 6. the same two syncs against the manifest-committed SnapshotTable:
+    // atomic commits, versioned history, time travel
+    val snapRoot = target + "_snapshot"
+    val s1 = TicketPipeline.syncSnapshot(spark, tickets, snapRoot)
+    val s2 = TicketPipeline.syncSnapshot(spark, tickets2, snapRoot)
+    import graft.ops.SnapshotTable
+    println(s"DEMO snapshot sync: v=${SnapshotTable.currentVersion(spark, snapRoot).get} " +
+      s"rows=${SnapshotTable.read(spark, snapRoot).count()} " +
+      s"(v0 rows=${SnapshotTable.read(spark, snapRoot, Some(0L)).count()}) " +
+      s"inserted=${s1.inserted}+${s2.inserted} updated=${s2.updated}")
     spark.stop()
   }
 }

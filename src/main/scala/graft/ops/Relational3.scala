@@ -274,6 +274,48 @@ object Relational3 {
               FROM orders WHERE o_orderkey < 1000
               ORDER BY o_orderkey ASC NULLS FIRST""")),
 
+    // W: RANGE frame — the frame boundary is a VALUE offset (acctbal ± 500),
+    // not a row count; peer rows (ties) enter the frame together on both
+    // engines, so a bare value ordering stays deterministic.
+    Q("w7_range_frame",
+      (s, dir) => {
+        val w = Window.orderBy("c_acctbal").rangeBetween(-500, Window.currentRow)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).over(w)
+              .cast("double").as("nearby_sum"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+                  (ORDER BY c_acctbal RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS nearby_sum
+              FROM customer ORDER BY c_custkey ASC NULLS FIRST""")),
+
+    // A: median (interpolated) per group.
+    Q("a9_median",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(median(col("c_acctbal")), 6).as("med"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, round(median(c_acctbal), 6) AS med, count(*) AS n
+              FROM customer GROUP BY c_mktsegment
+              ORDER BY c_mktsegment ASC NULLS FIRST""")),
+
+    // A: ordered string aggregation (LISTAGG / string_agg) — spelled as
+    // sorted-distinct + join so the element order is total on both engines.
+    Q("a10_listagg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority ASC NULLS FIRST""")),
+
     // X: systematic (deterministic) sampling — key-mod selection, the
     // reproducible cluster-safe sample (seeded Bernoulli sampling is
     // engine-RNG-specific, so it has no cross-engine oracle).

@@ -53,6 +53,25 @@ object TicketPipeline {
     SyncReport(total = deduped.count(), inserted = nInserted, updated = nUpdated)
   }
 
+  /** Same sync against a manifest-committed SnapshotTable: commits are
+    * atomic (readers never see a half-written snapshot) and old versions
+    * stay readable until vacuum — the transactional MERGE the reference gets
+    * from BigQuery (main.py:349-363), recovered without a table-format jar. */
+  def syncSnapshot(spark: SparkSession, rawTickets: DataFrame, root: String): SyncReport = {
+    import graft.ops.SnapshotTable
+    val transformed = TicketTransform.transform(rawTickets)
+    val deduped = Upsert.latestPerKey(transformed, Seq("_id"), "updatedTimestamp")
+    val (nInserted, nUpdated) = SnapshotTable.currentVersion(spark, root) match {
+      case None => (deduped.count(), 0L)
+      case Some(v) =>
+        val target = SnapshotTable.read(spark, root, Some(v))
+        val updated = deduped.join(target.select("_id"), Seq("_id"), "left_semi").count()
+        (deduped.count() - updated, updated)
+    }
+    SnapshotTable.upsert(spark, root, deduped, Seq("_id"))
+    SyncReport(total = deduped.count(), inserted = nInserted, updated = nUpdated)
+  }
+
   /** Sync-report counters (main.py:323-329,502-507). */
   case class SyncReport(total: Long, inserted: Long, updated: Long)
 }
