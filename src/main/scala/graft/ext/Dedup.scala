@@ -64,11 +64,15 @@ object Dedup {
   }
 
   /** LSH banding: explode the signature into (band_id, band_hash) keys;
-    * docs colliding on any band become candidate pairs. */
+    * docs colliding on any band become candidate pairs. The band hash feeds
+    * xxhash64 the row longs DIRECTLY (multi-arg form) — no per-band string
+    * materialization (the concat_ws formulation rendered 4 longs to text per
+    * band per doc). */
   def bandedSignatures(withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     withSig.select(col("doc_id"), posexplode(
-      expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+      expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(" +
+        (1 to rowsPerBand).map(i => s"element_at(sig, b * $rowsPerBand + $i)").mkString(", ") +
+        "))"))
       .as(Seq("band_id", "band_hash")))
 
   /** Full MinHash-LSH near-dup candidate pipeline over `documents`:

@@ -102,6 +102,23 @@ object Multimodal {
           sum("byte_len").as("total_bytes"),
           max("n_frames").as("max_frames"))
         .orderBy("kind"),
-      None)
+      None),
+
+    // Frame sampling fan-out (decode → explode → per-frame rows). The stub
+    // decoder is deterministic (n_frames = byte_len % 24 + 1 for videos), so
+    // the whole typed-Dataset path IS oracle-expressible — the DuckDB twin
+    // re-derives the fan-out and per-frame hashes from first principles.
+    Q("x_mm_frame_sample",
+      (s, dir) => sampleFrames(s, dir, stride = 5)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_sha"))
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH v AS (SELECT doc_id AS media_id, text,
+                     CAST(octet_length(CAST(text AS BLOB)) % 24 + 1 AS INTEGER) AS n_frames
+                   FROM documents WHERE doc_id % 3 = 2)
+              SELECT media_id, CAST(i * 5 AS BIGINT) AS frame_idx,
+                     sha256(text || CAST(i * 5 AS VARCHAR)) AS frame_sha
+              FROM v, LATERAL (SELECT unnest(generate_series(0, (n_frames - 1) // 5)) AS i) u
+              ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST"""))
   )
 }
