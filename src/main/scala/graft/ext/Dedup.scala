@@ -145,6 +145,25 @@ object Dedup {
               FROM documents GROUP BY sha256(text)
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Canonicalized dedup: lowercase, strip non-alphanumerics, collapse
+    // whitespace, THEN group — catches trivially-reformatted duplicates that
+    // byte-exact dedup misses (the normalize-before-hash step of a real
+    // dedup pipeline; still a constant-width shuffle via the canonical key).
+    Q("x_dedup_canonical",
+      (s, dir) => docs(s, dir)
+        .withColumn("canon", regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +", " "))
+        .groupBy("canon")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_variants"))
+        .select("doc_id", "n_variants")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_variants
+              FROM (SELECT doc_id,
+                      regexp_replace(regexp_replace(lower(trim(text)),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS canon
+                    FROM documents)
+              GROUP BY canon ORDER BY doc_id ASC NULLS FIRST""")),
+
     // MinHash-LSH candidates verified by exact Jaccard ≥ 0.5. Rows-only in
     // the oracle gate (the seeded-hash family has no DuckDB equivalent);
     // recall/precision are pinned by DedupSpec instead.

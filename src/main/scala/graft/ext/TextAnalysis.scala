@@ -187,6 +187,75 @@ object TextAnalysis {
               GROUP BY bg.doc_id
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // TF-IDF top-terms per document — the classic feature-extraction op of a
+    // text pipeline: tf = c/len_d, idf = ln(N/df), top-3 terms per doc with
+    // a total (tfidf DESC, word ASC) tiebreak. All divisions and ln run on
+    // IEEE doubles identically on both engines; ranking happens on the RAW
+    // score (round only in the projection).
+    Q("x_text_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir).withColumn("toks", tokens(col("text")))
+        val lens = d.select(col("doc_id"), size(col("toks")).as("len_d"))
+        val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val n = t(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(lens, "doc_id").join(dfreq, "word").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            (col("c") / col("len_d")) * log(col("n_docs").cast("double") / col("df")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("word"), round(col("tfidf"), 6).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents),
+                   lens AS (SELECT doc_id, len(toks) AS len_d FROM d),
+                   tf AS (SELECT doc_id, word, count(*) AS c
+                          FROM (SELECT doc_id, unnest(toks) AS word FROM d)
+                          GROUP BY doc_id, word),
+                   dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+                   n AS (SELECT count(*) AS n_docs FROM documents),
+                   scored AS (SELECT tf.doc_id, tf.word,
+                       (c / len_d) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+                     FROM tf JOIN lens ON tf.doc_id = lens.doc_id
+                       JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n),
+                   ranked AS (SELECT doc_id, word, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, word ASC) AS rank
+                     FROM scored)
+              SELECT doc_id, CAST(rank AS BIGINT) AS rank, word,
+                     round(tfidf, 6) AS tfidf
+              FROM ranked WHERE rank <= 3
+              ORDER BY doc_id ASC NULLS FIRST, rank ASC NULLS FIRST""")),
+
+    // Median-gated quality filter: keep documents whose type-token ratio is
+    // above the corpus median — quantile + scalar subquery composed into the
+    // select-the-good-half shape a pretraining pipeline runs.
+    Q("x_text_quality_filter",
+      (s, dir) => {
+        val scored = t(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"),
+            (size(array_distinct(col("toks"))) / size(col("toks"))).as("ttr"))
+        val med = scored.agg(median(col("ttr")).as("med"))
+        scored.crossJoin(broadcast(med))
+          .filter(col("ttr") > col("med"))
+          .select(col("doc_id"), round(col("ttr"), 6).as("ttr"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+                SELECT doc_id,
+                  len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    / len(string_split_regex(trim(text), '\s+')) AS ttr
+                FROM documents)
+              SELECT doc_id, round(ttr, 6) AS ttr FROM scored
+              WHERE ttr > (SELECT median(ttr) FROM scored)
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Rolling-hash fingerprint (shift-invariant content id).
     Q("x_text_fingerprint",
       (s, dir) => t(s, dir)
