@@ -214,6 +214,43 @@ object Similarity {
       (s, dir) => ivfTopK(s, dir, queryId = 0L, k = 10),
       None),
 
+    // Per-label centroids (class prototypes) — grouped vector mean with
+    // scalar summaries (norm + first dim) so the oracle compares scalars,
+    // not nested lists. Per-dimension means and the norm accumulate through
+    // exact DECIMALs: grouped double sums are partition-order-dependent,
+    // decimal sums are not, so both engines agree bit-for-bit.
+    Q("x_sim_label_centroids",
+      (s, dir) => {
+        val dims = (0 until 64).map { i =>
+          (sum(element_at(col("embedding"), i + 1).cast("double")
+            .cast("decimal(18,12)")).cast("double") / count(lit(1))).as(s"m$i")
+        }
+        val normExpr = "sqrt(CAST(aggregate(array(" +
+          (0 until 64).map(i => s"m$i").mkString(", ") +
+          "), CAST(0 AS DECIMAL(38,18)), " +
+          "(acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(38,18)) AS DECIMAL(38,18))) AS DOUBLE))"
+        emb(s, dir).groupBy("label")
+          .agg(count(lit(1)).as("n"), dims: _*)
+          .select(col("label"), col("n"),
+            round(expr(normExpr), 6).as("centroid_norm"),
+            round(col("m0"), 6).as("dim1"))
+          .orderBy("label")
+      },
+      Some("""WITH dims AS (SELECT label, i,
+                     CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+                       / count(*) AS m
+                   FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+                   GROUP BY label, i),
+                agg AS (SELECT label,
+                     sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS centroid_norm,
+                     max(CASE WHEN i = 1 THEN m END) AS dim1
+                   FROM dims GROUP BY label),
+                cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+              SELECT cnt.label, n, round(centroid_norm, 6) AS centroid_norm,
+                     round(dim1, 6) AS dim1
+              FROM cnt JOIN agg ON cnt.label = agg.label
+              ORDER BY cnt.label ASC NULLS FIRST""")),
+
     // LSH bucket histogram — shows the partitioning the ANN path shuffles by.
     Q("x_sim_lsh_buckets",
       (s, dir) => {
