@@ -316,6 +316,22 @@ object Relational3 {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority ASC NULLS FIRST""")),
 
+    // A: approximate percentiles (quantile sketch — the partial-aggregable
+    // companion to a6's exact interpolation, like HLL is to count distinct).
+    // Rows-only: the sketch estimate is engine-specific; the error envelope
+    // vs the exact quantile is pinned by GraftExtensionsSpec.
+    Q("a11_approx_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("p"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("p"), 1).as("p50"),
+          element_at(col("p"), 2).as("p95"), col("n"))
+        .orderBy("l_returnflag"),
+      None),
+
     // X: systematic (deterministic) sampling — key-mod selection, the
     // reproducible cluster-safe sample (seeded Bernoulli sampling is
     // engine-RNG-specific, so it has no cross-engine oracle).

@@ -58,6 +58,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile stays within 1% of the exact quantile") {
+    val spark = TestSpark.spark
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val exact = li.agg(org.apache.spark.sql.functions
+      .expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    val approx = li.agg(org.apache.spark.sql.functions
+      .expr("percentile_approx(l_extendedprice, 0.5, 10000)")).head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.01, s"approx=$approx exact=$exact")
+  }
+
   test("approx_count_distinct stays within HLL error envelope") {
     val spark = TestSpark.spark
     val exact = Tables(spark, "/root/testdata/sf0.001", "lineitem")
