@@ -119,6 +119,56 @@ object Dedup {
       |    (c, i) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
 
+  /** Connected components over an undirected edge list (a, b) — the
+    * cluster-the-duplicates step after near-dup pair generation: every doc
+    * in a component gets the component's min id as its cluster label, so
+    * "keep one representative per cluster" is a trivial filter.
+    *
+    * Iterative min-label propagation (the Pregel shape): each round, every
+    * node takes the min label among itself and its neighbours; converges in
+    * O(component diameter) rounds. Per-round state is one (node, label)
+    * table — shuffled by node, localCheckpoint'ed to cut lineage — so the
+    * same loop runs on a billion-edge graph with executor-sized state. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Right-size the iteration state: the pair graph is orders of magnitude
+    // smaller than the corpus (only near-dup candidates survive), so carrying
+    // it at corpus partitioning would pay ~32 empty tasks per stage per
+    // round. One partition per ~100k edges keeps tasks meaningful at any
+    // scale (a billion-edge graph still gets 10k partitions).
+    val symWide = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val parts = math.max(1, math.min(symWide.rdd.getNumPartitions,
+      (symWide.count() / 100000L).toInt))
+    val sym = symWide.coalesce(parts).localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).coalesce(parts).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      // neighbour-min step
+      val nbrMin = labels.join(sym, col("node") === col("a"))
+        .groupBy(col("b").as("node")).agg(min("label").as("nlabel"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer-jumping (path halving): label <- label(label). Shrinks label
+      // chains geometrically, so rounds ~ O(log diameter), not O(diameter) —
+      // the difference between 5 and 50 shuffle rounds on a long chain.
+      val jump = stepped.select(col("node").as("jn"), col("label").as("jl"))
+      val updated = stepped.join(jump, col("label") === col("jn"), "left")
+        .select(col("node"), col("old"),
+          coalesce(col("jl"), col("label")).as("label"))
+        .coalesce(parts).localCheckpoint()
+      // convergence probe runs on the checkpointed (materialized) table —
+      // one cheap local scan, not a recompute
+      changed = updated.filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = updated.select("node", "label")
+      iter += 1
+    }
+    labels
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Exact dedup — one representative (min doc_id) per identical text.
@@ -257,6 +307,31 @@ object Dedup {
                   / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
                      - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) >= 0.5
               ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""")),
+
+    // Duplicate-cluster assembly: connected components over the embedding
+    // near-dup pair graph (cluster label = min vec_id in the component, so
+    // dedup = keep node == cluster). Spark side is iterative min-label
+    // propagation; the oracle re-derives the same components with a
+    // recursive CTE — both sides share the oracle-validated edge set.
+    Q("x_dedup_cc_clusters",
+      (s, dir) => connectedComponents(Similarity.neardupPairs(s, dir))
+        .select(col("node"), col("label").as("cluster"))
+        .orderBy("node"),
+      Some("""WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b
+                  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+                WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35),
+                sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+                reach(node, root) AS (
+                  SELECT a AS node, a AS root FROM sym
+                  UNION
+                  SELECT s.b AS node, r.root FROM reach r JOIN sym s ON r.node = s.a)
+              SELECT node, min(root) AS cluster FROM reach GROUP BY node
+              ORDER BY node ASC NULLS FIRST""")),
 
     // SimHash content signature (rows-only: seeded-hash family).
     Q("x_dedup_simhash",

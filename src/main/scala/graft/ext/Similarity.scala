@@ -140,6 +140,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding near-dup pair generation (unordered): equi-ized bounded id
+    * window (explode the candidate range) — a shuffled equi join instead of
+    * an O(n²) broadcast-nested-loop join. Norms are computed once per row,
+    * pre-join: one dot per pair. Threshold on the RAW cosine (matching the
+    * oracle's WHERE clause); round only in the projection. */
+  def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"),
+      explode(sequence(col("vec_id") + 1, col("vec_id") + 50)).as("b"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("nb"))
+    a.join(b, Seq("b"))
+      .withColumn("sim_raw",
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= 0.35)
+      .select(col("a"), col("b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Exact brute-force cosine top-10 vs vec_id=0 — oracle-paired (the fold
@@ -160,25 +179,7 @@ object Similarity {
     // oracle companion to the LSH path (threshold calibrated to the fixture's
     // cosine distribution, max ≈ 0.51).
     Q("x_sim_neardup_pairs",
-      (s, dir) => {
-        val e = emb(s, dir)
-        // equi-ized bounded window (explode the candidate id range) — a
-        // shuffled equi join instead of an O(n²) broadcast-nested-loop join.
-        // Norms are computed once per row, pre-join: one dot per pair.
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
-          norm(col("embedding")).as("na"),
-          explode(sequence(col("vec_id") + 1, col("vec_id") + 50)).as("b"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
-          norm(col("embedding")).as("nb"))
-        // threshold on the RAW cosine (matching the oracle's WHERE clause);
-        // round only in the projection
-        a.join(b, Seq("b"))
-          .withColumn("sim_raw",
-            dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .filter(col("sim_raw") >= 0.35)
-          .select(col("a"), col("b"), round(col("sim_raw"), 6).as("sim"))
-          .orderBy("a", "b")
-      },
+      (s, dir) => neardupPairs(s, dir).orderBy("a", "b"),
       Some("""SELECT a.vec_id AS a, b.vec_id AS b,
                 round(
                   list_sum(list_transform(list_zip(a.embedding, b.embedding),

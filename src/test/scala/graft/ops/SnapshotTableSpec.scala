@@ -49,6 +49,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(canon(SnapshotTable.read(spark, root)) == before)
   }
 
+  test("property: a random upsert sequence equals the in-memory merge fold") {
+    val rnd = new scala.util.Random(11)
+    val root = tmpDir() + "/tbl"
+    var expected: Map[Long, (String, Double)] = Map.empty
+    (1 to 5).foreach { batchNo =>
+      val keys = (1 to 25).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val batch = keys.map(k => (k, s"b$batchNo-v${rnd.nextInt(100)}", rnd.nextDouble()))
+      expected = expected ++ batch.map { case (k, v1, v2) => k -> (v1, v2) }.toMap
+      SnapshotTable.upsert(spark, root, batch.toDF("k", "v1", "v2"), Seq("k"))
+      val got = SnapshotTable.read(spark, root)
+        .as[(Long, String, Double)].collect()
+        .map { case (k, v1, v2) => k -> (v1, v2) }.toMap
+      assert(got == expected, s"diverged after batch $batchNo")
+    }
+    assert(SnapshotTable.currentVersion(spark, root).contains(4L))
+  }
+
   test("vacuum drops old snapshots but keeps the current one readable") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
