@@ -316,6 +316,21 @@ object Relational3 {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority ASC NULLS FIRST""")),
 
+    // O: keyset (seek) pagination — the scale-correct page loop: WHERE
+    // key > last-seen ORDER BY key LIMIT n. OFFSET pagination (o2) scans
+    // and discards `offset` rows per page (O(pages²) total work); keyset
+    // resumes from the index point, O(page) per page, and the predicate
+    // pushes into the scan.
+    Q("o3_keyset_pagination",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") > 5000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey > 5000
+              ORDER BY o_orderkey ASC NULLS FIRST LIMIT 100""")),
+
     // A: approximate percentiles (quantile sketch — the partial-aggregable
     // companion to a6's exact interpolation, like HLL is to count distinct).
     // Rows-only: the sketch estimate is engine-specific; the error envelope
