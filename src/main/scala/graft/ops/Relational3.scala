@@ -316,6 +316,32 @@ object Relational3 {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority ASC NULLS FIRST""")),
 
+    // W: top-k per group via the typed Aggregator UDAF — single pass,
+    // k-bounded heap per partition, heap-union merge: no per-group sort, no
+    // shuffle of anything but k rows per partition. The oracle is the
+    // window row_number formulation (identical semantics incl. the
+    // (price DESC, orderkey DESC) tiebreak the heap ordering implies), so
+    // the custom Aggregator is hash-checked against DuckDB, not just spec'd.
+    Q("w8_topk_udaf",
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKAggregator(3))
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "p")))
+          .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rank"),
+            col("p._1").as("o_orderkey"), col("p._2").as("o_totalprice"))
+          .orderBy("o_orderpriority", "rank")
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank,
+                     o_orderkey, o_totalprice
+              FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                    FROM orders)
+              WHERE rn <= 3
+              ORDER BY o_orderpriority ASC NULLS FIRST, rank ASC NULLS FIRST""")),
+
     // O: keyset (seek) pagination — the scale-correct page loop: WHERE
     // key > last-seen ORDER BY key LIMIT n. OFFSET pagination (o2) scans
     // and discards `offset` rows per page (O(pages²) total work); keyset
