@@ -373,6 +373,32 @@ object Relational3 {
         .orderBy("l_returnflag"),
       None),
 
+    // R: conversion funnel — per-user first-touch (min click ts) joined to
+    // subsequent purchases. Two grouped passes + one equi join with a
+    // residual time predicate; the funnel summary (step counts, conversion)
+    // is then a trivial rollup of this per-user table.
+    Q("r4_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val firstClick = e.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("first_click"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+        firstClick.join(purchases,
+            col("user_id") === col("p_uid") && col("p_ts") > col("first_click"), "left")
+          .groupBy("user_id", "first_click")
+          .agg(count(col("p_ts")).as("n_purchases_after"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, min(ts) AS first_click FROM events
+                         WHERE event_type = 'click' GROUP BY user_id)
+              SELECT c.user_id, c.first_click, count(e.ts) AS n_purchases_after
+              FROM c LEFT JOIN events e
+                ON e.user_id = c.user_id AND e.event_type = 'purchase'
+                AND e.ts > c.first_click
+              GROUP BY c.user_id, c.first_click
+              ORDER BY c.user_id ASC NULLS FIRST""")),
+
     // X: systematic (deterministic) sampling — key-mod selection, the
     // reproducible cluster-safe sample (seeded Bernoulli sampling is
     // engine-RNG-specific, so it has no cross-engine oracle).
