@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpec {
     assert(sh(5L) == Seq("a b c", "b c d"))
   }
 
+  test("connected components: chains, disjoint pairs, and tie shapes") {
+    // a 10-node chain (diameter 9 — exercises pointer-jumping past maxIter
+    // naive bounds), two disjoint pairs, and a triangle
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L), (300L, 301L), (301L, 302L), (300L, 302L)))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (1L to 10L).foreach(n => assert(labels(n) == 1L, s"chain node $n"))
+    assert(labels(100L) == 100L && labels(101L) == 100L)
+    assert(labels(200L) == 200L && labels(201L) == 200L)
+    Seq(300L, 301L, 302L).foreach(n => assert(labels(n) == 300L))
+    assert(labels.size == 17)
+  }
+
   test("exact dedup collapses identical texts") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     dup.createOrReplaceTempView("dup_docs")

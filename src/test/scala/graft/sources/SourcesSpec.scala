@@ -47,6 +47,23 @@ class SourcesSpec extends SparkSpec {
     assert(recent.agg(min("createdTimestamp")).head().getLong(0) >= cut)
   }
 
+  test("pushFilters page-bound arithmetic plans exactly the surviving pages") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
+    val b = new PagesScanBuilder(20, 100)
+    val residual = b.pushFilters(Array(GreaterThan("page", 2), LessThanOrEqual("page", 6)))
+    assert(residual.length == 2) // all filters come back as residual (re-applied by Spark)
+    assert(b.pushedFilters().length == 2)
+    assert(b.build().toBatch.planInputPartitions().length == 4) // pages 3,4,5,6
+
+    val b2 = new PagesScanBuilder(20, 100)
+    b2.pushFilters(Array(EqualTo("page", 7)))
+    assert(b2.build().toBatch.planInputPartitions().length == 1)
+
+    val b3 = new PagesScanBuilder(20, 100) // contradictory bounds -> zero pages
+    b3.pushFilters(Array(EqualTo("page", 7), EqualTo("page", 9)))
+    assert(b3.build().toBatch.planInputPartitions().isEmpty)
+  }
+
   test("csv export/ingest round-trip (S5/S6)") {
     val out = tmpDir() + "/csv"
     val src = graft.Tables(spark, sf, "customer")
