@@ -53,6 +53,23 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream join: clicks joined to purchases by the same user within
+    * 1 hour. Both sides are watermarked so Spark can bound the join state
+    * (a click older than watermark + 1 h can never match again and is
+    * evicted) — the state-bounded form of the batch interval join
+    * (j9/r4 funnel). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("c_uid = p_uid AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_uid").as("user_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Running last-write-wins state per key — the streaming form of the
     * MERGE's "UPDATE SET all columns" semantics (main.py:354): arbitrary
     * custom state via flatMapGroupsWithState, emitting one updated row per

@@ -82,6 +82,28 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/target").count() == n)
   }
 
+  test("stream-stream interval join equals the batch formulation") {
+    val q = Streams.clickPurchaseJoin(Streams.eventsStream(spark, sf)).writeStream
+      .format("memory").queryName("ssjoin_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssjoin_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+
+    val e = graft.Tables(spark, sf, "events")
+    import org.apache.spark.sql.functions._
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+        expr("c_uid = p_uid AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_uid"), col("c_ts"), col("p_ts"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture should contain click->purchase pairs within 1h")
+  }
+
   test("rate (kafka-shaped) source flows through the same windowed pipeline") {
     val q = Streams.tumblingCounts(Streams.rateEventsStream(spark, rowsPerSecond = 2000))
       .writeStream.format("memory").queryName("rate_out").outputMode("complete")
