@@ -182,6 +182,29 @@ object Streams {
               GROUP BY s, event_type
               ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
 
+    // Latest-event-per-user — the batch twin of latestPerUser's
+    // flatMapGroupsWithState (streaming last-write-wins = the MERGE's
+    // UPDATE-all-columns), so the stateful op's semantics are oracle-checked.
+    Q("st_latest_per_user",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        graft.Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("event_id").as("last_event_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id
+              FROM (SELECT user_id, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1
+              ORDER BY user_id ASC NULLS FIRST""")),
+
     // Sessionization as gaps-and-islands (30 min gap) — the SQL-expressible
     // twin of session_window, so the oracle can check it.
     Q("st_sessions",
