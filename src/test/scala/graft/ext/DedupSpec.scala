@@ -80,6 +80,26 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 17)
   }
 
+  test("hot-bucket cap: 1k identical docs yield linear pairs that stay connected") {
+    // 1000 byte-identical docs collide into one bucket per band; the
+    // uncapped pipeline would explode ~499,500 pairs in one task. The cap
+    // must keep output linear WITHOUT disconnecting the duplicate group.
+    val dir = tmpDir()
+    val boiler = "spark common boilerplate page content repeated verbatim across the mirror set"
+    val docs = ((1L to 1000L).map(i => (i, boiler)) ++
+      Seq((2001L, "a genuinely unique document about entirely different things and words")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashCandidates(spark, dir).localCheckpoint()
+    val n = pairs.count()
+    assert(n < 5000, s"expected linear pair count from capped buckets, got $n")
+    assert(n >= 999, s"the duplicate group must stay covered, got $n")
+    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    (1L to 1000L).foreach(i => assert(labels(i) == 1L, s"doc $i not in cluster 1"))
+    // the overflow is observable (what a production run would alert on)
+    assert(Dedup.minhashHotBuckets(spark, dir).count() > 0)
+  }
+
   test("exact dedup collapses identical texts") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     dup.createOrReplaceTempView("dup_docs")
