@@ -154,17 +154,25 @@ object Relational3 {
 
     // W: distribution window functions — ntile / percent_rank / cume_dist.
     // The ORDER BY key (acctbal, custkey) is unique, so ranks are total on
-    // both engines. (Single-partition global window: inventory-scale only —
-    // at 100 TB rank globally via sort + zipWithIndex-style partitioned
-    // ranking or range partitioning.)
+    // both engines AND the distribution functions decompose exactly over a
+    // global row number: rank = rn, percent_rank = (rn-1)/(n-1),
+    // cume_dist = rn/n (no peers), ntile from the standard bucket formula.
+    // The rn comes from GlobalWindows' range-partitioned two-pass rank — NO
+    // SinglePartition window exchange anywhere in the plan (gated by
+    // PlanAuditSpec), so the same plan ranks 100 TB across 32 (or 32,000)
+    // ordered partitions.
     Q("w5_distribution",
       (s, dir) => {
-        val w = Window.orderBy("c_acctbal", "c_custkey")
-        t(s, dir, "customer")
+        val cust = t(s, dir, "customer")
+        val ranked = GlobalWindows.withGlobalRowNumber(
+          cust.select("c_custkey", "c_acctbal"), 32, "rn",
+          col("c_acctbal"), col("c_custkey"))
+        val total = cust.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(total))
           .select(col("c_custkey"), col("c_acctbal"),
-            ntile(4).over(w).cast("long").as("quartile"),
-            round(percent_rank().over(w), 6).as("pr"),
-            round(cume_dist().over(w), 6).as("cd"))
+            GlobalWindows.ntileFromRank(col("rn"), col("__n"), 4).as("quartile"),
+            round((col("rn") - 1).cast("double") / (col("__n") - 1).cast("double"), 6).as("pr"),
+            round(col("rn").cast("double") / col("__n").cast("double"), 6).as("cd"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_acctbal,
@@ -274,16 +282,50 @@ object Relational3 {
               FROM orders WHERE o_orderkey < 1000
               ORDER BY o_orderkey ASC NULLS FIRST""")),
 
-    // W: RANGE frame — the frame boundary is a VALUE offset (acctbal ± 500),
+    // W: RANGE frame — the frame boundary is a VALUE offset (acctbal − 500),
     // not a row count; peer rows (ties) enter the frame together on both
     // engines, so a bare value ordering stays deterministic.
+    //
+    // De-globalized (VERDICT r2 #1): instead of one SinglePartition window,
+    // range-partition on the order value and REPLICATE boundary "ghost" rows
+    // downward — a row with value v is copied into every higher partition q
+    // whose min value lo_q satisfies v ≥ lo_q − 500, i.e. exactly the rows
+    // some frame in q can see across the boundary. The window then runs
+    // partition-locally (ghosts feed sums, originals produce output). Ghost
+    // traffic is O(parts × frame-width density), not O(table); equal values
+    // always land in one partition (range partitioning is a function of the
+    // key), so peers never split. The frame sum stays in exact DECIMAL, so
+    // re-partitioning cannot change it.
     Q("w7_range_frame",
       (s, dir) => {
-        val w = Window.orderBy("c_acctbal").rangeBetween(-500, Window.currentRow)
-        t(s, dir, "customer")
+        // localCheckpoint: three consumers (bounds, ghosts, originals) must
+        // agree on pids, and range-boundary sampling is rdd.id-seeded —
+        // materialize the narrow slice once (see GlobalWindows).
+        val parted = t(s, dir, "customer")
+          .select("c_custkey", "c_acctbal")
+          .repartitionByRange(32, col("c_acctbal"))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint()
+        val bounds = parted.groupBy(col("__pid").as("__gpid"))
+          .agg(min("c_acctbal").as("__lo"))
+        val ghosts = parted
+          .join(broadcast(bounds),
+            col("__gpid") > col("__pid") &&
+              col("c_acctbal") >= col("__lo") - 500)
           .select(col("c_custkey"), col("c_acctbal"),
+            col("__gpid").as("__tpid"), lit(true).as("__ghost"))
+        val all = parted
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("__pid").as("__tpid"), lit(false).as("__ghost"))
+          .unionByName(ghosts)
+        val w = Window.partitionBy("__tpid").orderBy("c_acctbal")
+          .rangeBetween(-500, Window.currentRow)
+        all
+          .withColumn("nearby_sum",
             sum(col("c_acctbal").cast("decimal(18,2)")).over(w)
-              .cast("double").as("nearby_sum"))
+              .cast("double"))
+          .filter(!col("__ghost"))
+          .select(col("c_custkey"), col("c_acctbal"), col("nearby_sum"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_acctbal,

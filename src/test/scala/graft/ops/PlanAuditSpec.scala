@@ -82,6 +82,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.exists(_.toLowerCase.contains("semi")), s"join types: $joins")
   }
 
+  test("global windows are de-globalized: no SinglePartition window exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.window.WindowExec
+    // w5's distribution functions are computed from a range-partitioned
+    // two-pass rank: NO window operator at all
+    assert(collectAll(plan("w5_distribution")) { case w: WindowExec => w }.isEmpty,
+      "w5 must rank without a window operator")
+    // w7's range frame runs partition-locally over ghost-replicated
+    // boundaries: every window is partitioned, never SinglePartition
+    val wins = collectAll(plan("w7_range_frame")) { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
+      "w7 plans a SinglePartition window exchange"))
+  }
+
   test("V2 source prunes columns and pages") {
     val df = spark.read.format("ticket-pages")
       .option("pages", "10").option("pageSize", "100").load()
