@@ -58,8 +58,14 @@ object SnapshotTable {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // minimal JSON: {"version":N,"files":["...","..."]}
-    raw""""([^"]*\.parquet)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    // Real JSON parse (jackson ships on the Spark classpath): commit()
+    // escapes backslashes/quotes, so a regex scrape would round-trip paths
+    // containing either to a WRONG path (ADVICE r2). Jackson reverses the
+    // escaping symmetrically.
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val files = node.get("files")
+    require(files != null && files.isArray, s"malformed manifest $p")
+    (0 until files.size).map(i => files.get(i).asText())
   }
 
   /** Read the table at its latest committed version (or a pinned `asOf`
@@ -77,6 +83,12 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val v = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     val snapDir = new Path(root, f"snap-$v%08d")
+    // Crash recovery (ADVICE r2): a snapshot dir with no manifest is
+    // INVISIBLE by the protocol (readers only follow manifests) — a commit
+    // that died between data write and manifest rename leaves one behind.
+    // Without this sweep every retry of the same version would fail forever
+    // on ErrorIfExists, bricking the table.
+    if (fs.exists(snapDir)) fs.delete(snapDir, true)
     df.write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
     val files = fs.listStatus(snapDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
@@ -95,19 +107,47 @@ object SnapshotTable {
 
   /** MERGE-upsert as a new snapshot: bootstrap on first commit (S7), else
     * source-wins merge against the current version. Old snapshots stay
-    * readable until vacuum. */
+    * readable until vacuum. After the commit, auto-compacts when the new
+    * version exceeds `maxFiles` files — without this, N tiny incremental
+    * upserts accrete N × shuffle-partitions small files and scan planning
+    * degrades (the classic streaming-ingest small-file problem). */
   def upsert(spark: SparkSession, root: String, source: DataFrame,
-             keys: Seq[String]): Long =
-    currentVersion(spark, root) match {
+             keys: Seq[String], maxFiles: Int = 64): Long = {
+    val committed = currentVersion(spark, root) match {
       case None => commit(spark, root, source)
       case Some(v) =>
         val merged = Upsert.merge(read(spark, root, Some(v)), source, keys)
           .localCheckpoint() // cut lineage: the plan must not re-read files vacuum may later drop
         commit(spark, root, merged)
     }
+    compact(spark, root, maxFiles).getOrElse(committed)
+  }
 
-  /** Drop all snapshots and manifests older than the latest `keep` versions. */
+  /** Bin-pack the CURRENT snapshot into at most `maxFiles` files of roughly
+    * `targetBytes` each, committed as a new version with identical rows
+    * (Delta's OPTIMIZE shape: compaction is just another commit, readers of
+    * older versions are undisturbed). No-op when already within bounds. */
+  def compact(spark: SparkSession, root: String, maxFiles: Int = 64,
+              targetBytes: Long = 128L << 20): Option[Long] =
+    currentVersion(spark, root).flatMap { v =>
+      val fs = fsOf(spark, root)
+      val files = readManifest(fs, manifestPath(root, v))
+      if (files.length <= maxFiles) None
+      else {
+        val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+        val n = math.max(1L, math.min(maxFiles.toLong,
+          (totalBytes + targetBytes - 1) / targetBytes)).toInt
+        // coalesce (not repartition): pure narrow bin-packing, no shuffle
+        val packed = spark.read.parquet(files: _*).coalesce(n)
+        Some(commit(spark, root, packed))
+      }
+    }
+
+  /** Drop all snapshots and manifests older than the latest `keep` versions.
+    * `keep >= 1` — vacuum(0) would delete the current version and leave the
+    * table permanently unreadable (the same guard Delta's retention has). */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"vacuum keep must be >= 1 (got $keep)")
     val fs = fsOf(spark, root)
     val mdir = new Path(root, ManifestDir)
     if (!fs.exists(mdir)) return

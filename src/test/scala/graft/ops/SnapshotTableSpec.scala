@@ -66,6 +66,58 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, root).contains(4L))
   }
 
+  test("commit recovers from an orphaned snapshot dir (crash before manifest)") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // simulate a commit that wrote snap-00000001 but died before the
+    // manifest rename: the dir exists, no manifest names it
+    Seq((99L, "junk")).toDF("k", "v").write.parquet(root + "/snap-00000001")
+    assert(SnapshotTable.currentVersion(spark, root).contains(0L))
+    // retrying the commit must succeed (the orphan is invisible by protocol)
+    val v = SnapshotTable.upsert(spark, root, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    assert(v == 1L)
+    assert(canon(SnapshotTable.read(spark, root)) ==
+      canon(Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+  }
+
+  test("manifest round-trips paths with JSON-escaped characters") {
+    // a quote in the table root exercises the escape path commit() applies:
+    // the regex scrape it replaces read such paths back WRONG
+    val root = tmpDir() + "/we\"ird tbl"
+    val df = Seq((1L, "a\"b"), (2L, "c")).toDF("k", "v")
+    SnapshotTable.commit(spark, root, df)
+    assert(canon(SnapshotTable.read(spark, root)) == canon(df))
+  }
+
+  test("vacuum refuses keep < 1 (would delete the current version)") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    intercept[IllegalArgumentException](SnapshotTable.vacuum(spark, root, keep = 0))
+    intercept[IllegalArgumentException](SnapshotTable.vacuum(spark, root, keep = -3))
+    assert(SnapshotTable.read(spark, root).count() == 1)
+  }
+
+  test("auto-compaction bounds the file count across many small upserts") {
+    val root = tmpDir() + "/tbl"
+    val maxFiles = 3
+    (1 to 8).foreach { i =>
+      // each batch lands in 4 shuffle partitions -> 4+ files uncompacted
+      SnapshotTable.upsert(spark, root,
+        (1 to 20).map(k => (k.toLong, s"b$i-$k")).toDF("k", "v")
+          .repartition(4), Seq("k"), maxFiles = maxFiles)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = SnapshotTable.currentVersion(spark, root).get
+    val current = SnapshotTable.read(spark, root)
+    assert(current.inputFiles.length <= maxFiles,
+      s"version $v has ${current.inputFiles.length} files")
+    // identical reads: last batch wins on every key
+    assert(canon(current) ==
+      canon((1 to 20).map(k => (k.toLong, s"b8-$k")).toDF("k", "v")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root))) // sanity
+  }
+
   test("vacuum drops old snapshots but keeps the current one readable") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
