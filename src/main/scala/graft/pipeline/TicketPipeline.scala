@@ -72,6 +72,27 @@ object TicketPipeline {
     SyncReport(total = deduped.count(), inserted = nInserted, updated = nUpdated)
   }
 
-  /** Sync-report counters (main.py:323-329,502-507). */
-  case class SyncReport(total: Long, inserted: Long, updated: Long)
+  /** Detail-fetch sync (the reference's real flow, main.py:443-453): the id
+    * list comes from the paginated listing; each id's DETAIL is fetched
+    * through the connector at task parallelism. A failed fetch drops that
+    * row — it never poisons the batch — and the drop is tallied in
+    * `SyncReport.failed` (main.py:186-194, 449-453). The failure count is
+    * exact (ids-in minus rows-fetched over the once-materialized fetch
+    * result), not an at-least-once accumulator. */
+  def syncWithDetails(spark: SparkSession, ids: org.apache.spark.sql.Dataset[String],
+                      fetch: String => Option[String], targetPath: String): SyncReport = {
+    import graft.sources.PointLookup
+    import spark.implicits._
+    val nIds = ids.count()
+    // localCheckpoint: the fetch runs ONCE; downstream counts and the upsert
+    // read the materialized batch instead of re-hitting the connector.
+    val lines = PointLookup.fetchAll(ids, fetch).toDF("value").localCheckpoint()
+    val base = sync(spark, ingestJson(spark, lines), targetPath)
+    base.copy(failed = nIds - lines.count())
+  }
+
+  /** Sync-report counters (main.py:323-329,502-507). `failed` = detail
+    * fetches that errored and were dropped (main.py:449-453). */
+  case class SyncReport(total: Long, inserted: Long, updated: Long,
+                        failed: Long = 0L)
 }

@@ -37,7 +37,19 @@ class PaginatedTicketSource extends TableProvider with DataSourceRegister {
       pages = Option(properties.get("pages")).map(_.toInt).getOrElse(20),
       pageSize = Option(properties.get("pagesize"))
         .orElse(Option(properties.get("pageSize"))) // getTable keeps option case
-        .map(_.toInt).getOrElse(100))
+        .map(_.toInt).getOrElse(100),
+      failEvery = Option(properties.get("failevery"))
+        .orElse(Option(properties.get("failEvery")))
+        .map(_.toInt).getOrElse(0))
+}
+
+/** Driver-visible metric: item-level fetch failures, summed across tasks —
+  * the success/failed tally the reference logs (main.py:186-194, 449-453),
+  * surfaced the DataSourceV2 way (SQL-metrics pane / listener bus) instead
+  * of a driver-side counter. */
+class FetchFailureMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "fetchFailed"
+  override def description(): String = "item fetch failures (rows dropped)"
 }
 
 object PaginatedTicketSource {
@@ -56,16 +68,17 @@ object PaginatedTicketSource {
   }
 }
 
-class PagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+class PagesTable(pages: Int, pageSize: Int, failEvery: Int = 0)
+    extends Table with SupportsRead {
   override def name(): String = s"ticket_pages($pages x $pageSize)"
   override def schema(): StructType = PaginatedTicketSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagesScanBuilder(pages, pageSize)
+    new PagesScanBuilder(pages, pageSize, failEvery)
 }
 
-class PagesScanBuilder(var pages: Int, pageSize: Int)
+class PagesScanBuilder(var pages: Int, pageSize: Int, failEvery: Int = 0)
     extends ScanBuilder with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = PaginatedTicketSource.schema
@@ -110,23 +123,26 @@ class PagesScanBuilder(var pages: Int, pageSize: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
     new PagesScan(math.max(0, pageLo), math.min(pages, pageHi), pageSize,
-      required, tsLo, tsHi)
+      required, tsLo, tsHi, failEvery)
 }
 
 case class PagePartition(page: Int, pageSize: Int) extends InputPartition
 
 class PagesScan(pageLo: Int, pageHi: Int, pageSize: Int, required: StructType,
-                tsLo: Long, tsHi: Long) extends Scan with Batch {
+                tsLo: Long, tsHi: Long, failEvery: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FetchFailureMetric)
   override def planInputPartitions(): Array[InputPartition] =
     (pageLo until pageHi).map(p => PagePartition(p, pageSize): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val fieldNames = required.fieldNames
-    val (lo, hi) = (tsLo, tsHi)
+    val (lo, hi, fe) = (tsLo, tsHi, failEvery)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[PagePartition]
-      new PageReader(p.page, p.pageSize, fieldNames, lo, hi)
+      new PageReader(p.page, p.pageSize, fieldNames, lo, hi, fe)
     }
   }
 }
@@ -134,19 +150,34 @@ class PagesScan(pageLo: Int, pageHi: Int, pageSize: Int, required: StructType,
 /** Reads one page, emitting only the pruned columns and only rows inside the
   * pushed createdTimestamp bounds. On a live system `next()` walks the HTTP
   * response items (30 s timeout, null-on-error per main.py:186-194); here it
-  * synthesizes. */
+  * synthesizes. Item-level fetch failures (modeled by `failEvery` — every
+  * Nth item's detail fetch "errors") follow the reference's contract: the
+  * row is DROPPED, never poisons the batch, and the drop is tallied
+  * (main.py:449-453) via the task metric. */
 class PageReader(page: Int, pageSize: Int, fields: Array[String],
-                 tsLo: Long, tsHi: Long)
+                 tsLo: Long, tsHi: Long, failEvery: Int = 0)
     extends PartitionReader[InternalRow] {
   private var i = -1
+  private var failed = 0L
+  private def fetchFails(i: Int): Boolean =
+    failEvery > 0 && (page * pageSize + i) % failEvery == failEvery - 1
   override def next(): Boolean = {
     i += 1
     while (i < pageSize && {
-      val ts = PaginatedTicketSource.row(page, pageSize, i)._3
-      ts < tsLo || ts > tsHi
+      if (fetchFails(i)) { failed += 1; true }
+      else {
+        val ts = PaginatedTicketSource.row(page, pageSize, i)._3
+        ts < tsLo || ts > tsHi
+      }
     }) i += 1
     i < pageSize
   }
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "fetchFailed"
+      override def value(): Long = failed
+    })
   override def get(): InternalRow = {
     val (id, pg, ts, subj) = PaginatedTicketSource.row(page, pageSize, i)
     InternalRow.fromSeq(fields.toIndexedSeq.map {

@@ -99,6 +99,18 @@ class TicketPipelineSpec extends SparkSpec {
     assert(fresh.select("_id").as[String].collect().toSeq == Seq("b2"))
   }
 
+  test("syncWithDetails: a failing fetch drops the row and increments failed") {
+    val target = tmpDir() + "/tickets3"
+    val byId = Map("a1" -> t1, "b2" -> t2) // "dead" has no detail -> fetch error
+    val fetch = (id: String) => byId.get(id)
+    val rep = TicketPipeline.syncWithDetails(
+      spark, Seq("a1", "b2", "dead").toDS(), fetch, target)
+    assert(rep.failed == 1, s"report: $rep")
+    assert(rep.total == 2 && rep.inserted == 2 && rep.updated == 0)
+    assert(spark.read.parquet(target).select("_id").as[String].collect().sorted.toSeq
+      == Seq("a1", "b2"))
+  }
+
   test("duplicate ids across pages: last-write-wins pre-dedup (SURVEY §7)") {
     val dup1 = t1
     val dup2 = t1.replace("\"priority\":\"high\"", "\"priority\":\"low\"")

@@ -24,6 +24,24 @@ class SourcesSpec extends SparkSpec {
     assert(b2.build().toBatch.planInputPartitions().length == 20)
   }
 
+  test("item-level fetch failures drop rows, never poison the batch") {
+    // failEvery=5: items with global index 4,9,14,19 "error" their detail
+    // fetch (main.py:186-194) -> dropped at the reader, everything else
+    // arrives intact
+    val df = spark.read.format("ticket-pages")
+      .option("pages", "2").option("pageSize", "10").option("failEvery", "5")
+      .load()
+    val ids = df.select("_id").as[String].collect().toSet
+    assert(ids.size == 16)
+    Seq(4, 9, 14, 19).foreach(g => assert(!ids.contains(f"T$g%06d"), s"item $g"))
+    Seq(0, 5, 13, 18).foreach(g => assert(ids.contains(f"T$g%06d"), s"item $g"))
+    // the drop is tallied as a DSv2 custom metric on the scan
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.supportedCustomMetrics().map(_.name).contains("fetchFailed"))
+  }
+
   test("filter pushdown prunes pages (partitions) and reader rows (P5)") {
     // page predicate → partition pruning: pages outside the bound are never
     // planned, i.e. never "fetched"
