@@ -18,11 +18,13 @@ case class CleanHtml(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(HtmlUtils.clean(v.asInstanceOf[UTF8String].toString))
+    HtmlUtils.cleanUtf8(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // byte-level scan; ASCII-clean rows (the corpus-dominant case) return
+    // the input UTF8String untouched — see HtmlUtils.cleanUtf8
     defineCodeGen(ctx, ev, c =>
-      s"UTF8String.fromString(graft.functions.HtmlUtils.clean($c.toString()))")
+      s"graft.functions.HtmlUtils.cleanUtf8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): CleanHtml =
     copy(child = newChild)

@@ -89,4 +89,33 @@ class HtmlUtilsSpec extends AnyFunSuite {
       assert(HtmlUtils.collapseWhitespace(once) == once, s"input: $s")
     }
   }
+
+  test("property: byte-level cleanUtf8 is equivalent to the String path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // alphabet exercising every branch boundary: tags, entities (named,
+    // decimal, hex, exotic non-ASCII-whitespace &#8232; -> fallback),
+    // script/style (mixed case), comments, control bytes, non-ASCII text,
+    // malformed fragments
+    val pieces = Gen.oneOf(
+      "<p>", "</p>", "<B>", "tag", " ", "  ", "\n", "\t", "", "",
+      "&amp;", "&bogus;", "&#65;", "&#x42;", "&#8232;", "&nbsp;", "&copy;",
+      "text", "<", ">", "&", ";", "#", "a", "é", "日本", "<!--", "-->",
+      "<SCRIPT>", "</script>", "<style>", "</STYLE>", "x=1;", "< notag",
+      "<weird attr='1'>", "&#xZZ;", "&#999999999;")
+    val gen = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, pieces).map(_.mkString))
+    var seed = Seed(20260812L)
+    (1 to 2000).foreach { i =>
+      val s = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val fast = HtmlUtils.cleanUtf8(UTF8String.fromString(s))
+      val slow = UTF8String.fromString(HtmlUtils.clean(s))
+      assert(fast == slow, s"case $i diverged for input: ${s.replace("\n", "\\n")}")
+    }
+    assert(HtmlUtils.cleanUtf8(null) == null)
+    // the zero-work triage: already-clean ASCII returns the SAME object
+    val clean = UTF8String.fromString("already clean ascii text")
+    assert(HtmlUtils.cleanUtf8(clean) eq clean)
+  }
 }
