@@ -201,6 +201,14 @@ object Dedup {
       labels = updated.select("node", "label")
       iter += 1
     }
+    // Truncated output is WRONG output (ADVICE r2): labels would still be
+    // mid-propagation. Surface it loudly — with pointer jumping, hitting
+    // maxIter=20 needs a component of diameter ~2^20, which in a near-dup
+    // graph means something upstream is broken.
+    if (changed)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exhausted maxIter=$maxIter without converging; " +
+          "cluster labels may be partially propagated")
     labels
   }
 

@@ -97,6 +97,35 @@ class PlanAuditSpec extends SparkSpec {
       "w7 plans a SinglePartition window exchange"))
   }
 
+  test("runtime bloom filter is injected into the fact scan of a star join") {
+    // The 100 TB star-join shape: a selective dim filter should cut fact
+    // I/O BEFORE the join via an injected bloom filter (runtime filtering).
+    // Local thresholds are tuned for TB-scale scans, so the gate pins the
+    // MECHANISM with test-scoped thresholds; on a cluster the defaults fire.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val fact = graft.Tables(spark, sf, "lineitem")
+      val dim = graft.Tables(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("bloom_filter") || planStr.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${planStr.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("V2 source prunes columns and pages") {
     val df = spark.read.format("ticket-pages")
       .option("pages", "10").option("pageSize", "100").load()
