@@ -1,66 +1,62 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scale-safe GLOBAL window primitives (VERDICT r2 "What's wrong" #1).
   *
   * A bare `Window.orderBy(...)` plans an `Exchange SinglePartition`: one task
-  * sorts the whole table — fine at sf0.1, fatal at 100 TB. The classic
-  * distributed answer is a range-partitioned two-pass rank:
+  * sorts the whole table — fine at sf0.1, fatal at 100 TB. The primitives
+  * here decompose global order over a DETERMINISTIC VALUE BUCKETING:
+  * `bucket = floor(v / W)` is a pure expression of the row, monotone in the
+  * ordering value, so
   *
-  *   1. `repartitionByRange` on the ordering key — partition p holds a
-  *      contiguous, globally-ordered key slice;
-  *   2. sort WITHIN each partition and take a partition-local row index;
-  *   3. per-partition counts (a `parts`-row aggregate, broadcast back) turn
-  *      the local index into the global rank: rank = local + offset(p).
+  *   - rows can be hash-shuffled by bucket and ranked partition-locally
+  *     (an ordinary partitioned window, never SinglePartition);
+  *   - per-bucket counts (a tiny aggregate, broadcast back) turn local
+  *     ranks into global ones: rank = local + Σ counts(lower buckets);
+  *   - nothing depends on physical partition ids, sampled range boundaries,
+  *     or evaluation order — every branch can recompute independently and
+  *     agree, so no materialization barrier is needed (the earlier
+  *     repartitionByRange + monotonically_increasing_id formulation needed a
+  *     localCheckpoint exactly because range boundaries are rdd.id-seeded).
   *
-  * The local index comes from `monotonically_increasing_id()` evaluated
-  * above the local sort — its value is (partitionIndex << 33) + rowIndex, so
-  * `mid - min(mid per partition)` IS the 0-based local row index, with zero
-  * extra data movement (no per-partition window, no second full shuffle; the
-  * only extra traffic is the `parts`-row stats table). The ordering key must
-  * be UNIQUE (callers pass a tiebreak column) — uniqueness also makes the
-  * post-shuffle local sort deterministic, so the nondeterministic-looking id
-  * is stable across retries.
+  * Bucket width W is a domain choice (from table stats or an `approxQuantile`
+  * build step at scale); value-density skew makes buckets uneven, which the
+  * usual salting/AQE answers handle — the point is the SHAPE: no single-task
+  * global sort anywhere.
   */
 object GlobalWindows {
 
-  /** Append `rnCol` = 1-based GLOBAL row number in `keys` order, without a
-    * SinglePartition exchange. `keys` must be a unique ordering. */
-  def withGlobalRowNumber(df: DataFrame, parts: Int, rnCol: String,
-                          keys: Column*): DataFrame = {
-    // localCheckpoint: the partitioned slice feeds TWO consumers (stats +
-    // final join) and range-exchange boundary sampling is seeded by rdd.id —
-    // two independent materializations could disagree on boundaries, which
-    // here would be a CORRECTNESS bug, not a perf one. Materializing the
-    // (projected, narrow) table once pins pids/ids; per-executor disk-backed
-    // state, no driver involvement — still the two-pass-rank shape at scale.
-    val parted = df.repartitionByRange(parts, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
-    // Per-partition stats: `parts` rows after a map-side partial agg over
-    // the materialized slice.
-    val stats = parted.groupBy("__pid")
-      .agg(min("__mid").as("__base"), count(lit(1)).as("__cnt"))
-    // Cumulative offsets via a tiny (parts × parts) broadcast self-join —
-    // a window here would itself be a SinglePartition exchange.
-    val offsets = stats.as("x")
-      .join(broadcast(stats.as("y")), col("y.__pid") < col("x.__pid"), "left")
-      .groupBy(col("x.__pid").as("__pid"), col("x.__base").as("__base"))
-      .agg(coalesce(sum(col("y.__cnt")), lit(0L)).as("__offset"))
-    parted.join(broadcast(offsets), "__pid")
-      .withColumn(rnCol, col("__mid") - col("__base") + 1L + col("__offset"))
-      .drop("__pid", "__mid", "__base", "__offset")
+  /** Append `rnCol` = 1-based GLOBAL row number in `keys` order.
+    * `bucket` must be monotone non-decreasing in the `keys` order (e.g.
+    * `floor(orderValue / W)`), and `keys` must be a unique ordering. */
+  def withBucketedGlobalRank(df: DataFrame, bucket: Column, rnCol: String,
+                             keys: Column*): DataFrame = {
+    val b = df.withColumn("__bkt", bucket)
+    val w = Window.partitionBy("__bkt").orderBy(keys: _*)
+    val local = b.withColumn("__lrn", row_number().over(w).cast("long"))
+    // Per-bucket counts: map-side partial agg → rows = #buckets (bounded by
+    // domain/W, thousands at most). The cumulative offset is a tiny
+    // broadcast self-join — a window over it would itself plan
+    // SinglePartition.
+    val counts = b.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("x")
+      .join(broadcast(counts.as("y")), col("y.__bkt") < col("x.__bkt"), "left")
+      .groupBy(col("x.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("y.__cnt")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(rnCol, col("__lrn") + col("__off"))
+      .drop("__bkt", "__lrn", "__off")
   }
 
   /** Standard-SQL NTILE(k) from a global row number `rn` over `n` rows:
-    * the first (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k). */
+    * the first (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k).
+    * Integer-exact for any table under 2^53 rows (double division of
+    * integers with an integral true quotient is exact). */
   def ntileFromRank(rn: Column, n: Column, k: Int): Column = {
-    val q = n.cast("long") / lit(k.toLong) // fractional; floor below
-    val qf = floor(q).cast("long")
+    val qf = floor(n.cast("long") / lit(k.toLong)).cast("long")
     val rem = n.cast("long") % lit(k.toLong)
     val bigRows = (qf + 1L) * rem // rows living in the (q+1)-sized buckets
     when(rn <= bigRows, ceil(rn.cast("double") / (qf + 1L).cast("double")))

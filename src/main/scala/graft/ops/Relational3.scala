@@ -157,15 +157,16 @@ object Relational3 {
     // both engines AND the distribution functions decompose exactly over a
     // global row number: rank = rn, percent_rank = (rn-1)/(n-1),
     // cume_dist = rn/n (no peers), ntile from the standard bucket formula.
-    // The rn comes from GlobalWindows' range-partitioned two-pass rank — NO
+    // The rn comes from GlobalWindows' value-bucketed two-pass rank — NO
     // SinglePartition window exchange anywhere in the plan (gated by
-    // PlanAuditSpec), so the same plan ranks 100 TB across 32 (or 32,000)
-    // ordered partitions.
+    // PlanAuditSpec), so the same plan ranks 100 TB across however many
+    // W-wide value buckets the domain spans.
     Q("w5_distribution",
       (s, dir) => {
         val cust = t(s, dir, "customer")
-        val ranked = GlobalWindows.withGlobalRowNumber(
-          cust.select("c_custkey", "c_acctbal"), 32, "rn",
+        val ranked = GlobalWindows.withBucketedGlobalRank(
+          cust.select("c_custkey", "c_acctbal"),
+          floor(col("c_acctbal") / 500).cast("long"), "rn",
           col("c_acctbal"), col("c_custkey"))
         val total = cust.agg(count(lit(1)).as("__n"))
         ranked.crossJoin(broadcast(total))
@@ -287,38 +288,32 @@ object Relational3 {
     // engines, so a bare value ordering stays deterministic.
     //
     // De-globalized (VERDICT r2 #1): instead of one SinglePartition window,
-    // range-partition on the order value and REPLICATE boundary "ghost" rows
-    // downward — a row with value v is copied into every higher partition q
-    // whose min value lo_q satisfies v ≥ lo_q − 500, i.e. exactly the rows
-    // some frame in q can see across the boundary. The window then runs
-    // partition-locally (ghosts feed sums, originals produce output). Ghost
-    // traffic is O(parts × frame-width density), not O(table); equal values
-    // always land in one partition (range partitioning is a function of the
-    // key), so peers never split. The frame sum stays in exact DECIMAL, so
-    // re-partitioning cannot change it.
+    // bucket rows by the DETERMINISTIC value expression floor(v / W) with
+    // W (2000) ≥ frame width (500) — a row's frame [v−500, v] then spans at
+    // most its own bucket and the one below, so replicating each row within
+    // 500 of its upper bucket boundary as a "ghost" into bucket+1 makes
+    // every frame computable bucket-locally (ghosts feed sums, originals
+    // produce output; a bucket's frames can never reach past the adjacent
+    // bucket because W > frame width). Pure expressions end to end: one
+    // hash shuffle on the bucket id, no range-boundary sampling, no
+    // partition-id capture, no materialization barrier. Ghost traffic is
+    // the frame/W fraction of rows (25% here). Equal values share a bucket
+    // by construction, so peers never split, and the frame sum stays in
+    // exact DECIMAL, so re-bucketing cannot change it.
     Q("w7_range_frame",
       (s, dir) => {
-        // localCheckpoint: three consumers (bounds, ghosts, originals) must
-        // agree on pids, and range-boundary sampling is rdd.id-seeded —
-        // materialize the narrow slice once (see GlobalWindows).
-        val parted = t(s, dir, "customer")
+        val b = t(s, dir, "customer")
           .select("c_custkey", "c_acctbal")
-          .repartitionByRange(32, col("c_acctbal"))
-          .withColumn("__pid", spark_partition_id())
-          .localCheckpoint()
-        val bounds = parted.groupBy(col("__pid").as("__gpid"))
-          .agg(min("c_acctbal").as("__lo"))
-        val ghosts = parted
-          .join(broadcast(bounds),
-            col("__gpid") > col("__pid") &&
-              col("c_acctbal") >= col("__lo") - 500)
+          .withColumn("__bkt", floor(col("c_acctbal") / 2000).cast("long"))
+        val ghosts = b
+          .filter(col("c_acctbal") >= (col("__bkt") + 1) * 2000 - 500)
           .select(col("c_custkey"), col("c_acctbal"),
-            col("__gpid").as("__tpid"), lit(true).as("__ghost"))
-        val all = parted
-          .select(col("c_custkey"), col("c_acctbal"),
-            col("__pid").as("__tpid"), lit(false).as("__ghost"))
+            (col("__bkt") + 1).as("__bkt"), lit(true).as("__ghost"))
+        val all = b
+          .select(col("c_custkey"), col("c_acctbal"), col("__bkt"),
+            lit(false).as("__ghost"))
           .unionByName(ghosts)
-        val w = Window.partitionBy("__tpid").orderBy("c_acctbal")
+        val w = Window.partitionBy("__bkt").orderBy("c_acctbal")
           .rangeBetween(-500, Window.currentRow)
         all
           .withColumn("nearby_sum",

@@ -85,16 +85,14 @@ class PlanAuditSpec extends SparkSpec {
   test("global windows are de-globalized: no SinglePartition window exchange") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.window.WindowExec
-    // w5's distribution functions are computed from a range-partitioned
-    // two-pass rank: NO window operator at all
-    assert(collectAll(plan("w5_distribution")) { case w: WindowExec => w }.isEmpty,
-      "w5 must rank without a window operator")
-    // w7's range frame runs partition-locally over ghost-replicated
-    // boundaries: every window is partitioned, never SinglePartition
-    val wins = collectAll(plan("w7_range_frame")) { case w: WindowExec => w }
-    assert(wins.nonEmpty)
-    wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
-      "w7 plans a SinglePartition window exchange"))
+    // both global-order queries decompose over deterministic value buckets:
+    // every window operator is bucket-partitioned, never SinglePartition
+    Seq("w5_distribution", "w7_range_frame").foreach { name =>
+      val wins = collectAll(plan(name)) { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name expected a bucket-partitioned window")
+      wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
+        s"$name plans a SinglePartition window exchange"))
+    }
   }
 
   test("runtime bloom filter is injected into the fact scan of a star join") {
