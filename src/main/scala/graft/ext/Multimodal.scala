@@ -93,8 +93,11 @@ object Multimodal {
                 sha256(text) AS content_sha
               FROM documents ORDER BY media_id ASC NULLS FIRST""")),
 
-    // Stubbed decode + per-kind feature aggregation (rows-only: the fake
-    // decoder is graft-internal; the aggregation shape is what matters).
+    // Stubbed decode + per-kind feature aggregation — oracle-paired: the
+    // stub decoder is deterministic ARITHMETIC over the payload bytes
+    // (byte_len, n_frames = len % 24 + 1 for video), so the DuckDB twin
+    // re-derives the same features and the whole typed mapPartitions path
+    // is hash-checked end to end.
     Q("x_mm_decode_features",
       (s, dir) => decodeAll(s, dir).toDF()
         .groupBy("kind")
@@ -102,7 +105,16 @@ object Multimodal {
           sum("byte_len").as("total_bytes"),
           max("n_frames").as("max_frames"))
         .orderBy("kind"),
-      None),
+      Some("""WITH m AS (SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+                   FROM documents)
+              SELECT kind, count(*) AS n,
+                     CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+                     max(CASE WHEN kind = 'video'
+                         THEN CAST(byte_len % 24 + 1 AS INTEGER) ELSE 1 END) AS max_frames
+              FROM m GROUP BY kind ORDER BY kind ASC NULLS FIRST""")),
 
     // Frame sampling fan-out (decode → explode → per-frame rows). The stub
     // decoder is deterministic (n_frames = byte_len % 24 + 1 for videos), so

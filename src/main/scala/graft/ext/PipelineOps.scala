@@ -1,0 +1,181 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.{GlobalWindows, Q}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data preparation operators beyond dedup/similarity/text-stats
+  * (SURVEY.md §2.11 extension tier, round 3): chunking, PII scrubbing,
+  * benchmark decontamination, stratified sampling, and sequence packing.
+  * Every operator is a declarative DataFrame program with a DuckDB oracle
+  * twin — no UDFs, no driver-side loops.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Fixed-size overlapping character chunks (context-window prep for
+    * RAG/training). stride = size − overlap; chunk i covers
+    * [i·stride + 1, i·stride + size]. One Generate per doc — fan-out stays
+    * in the scan stage, no shuffle until someone aggregates. */
+  def chunk(df: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    val stride = size - overlap
+    require(stride > 0, "overlap must be smaller than size")
+    // chunks = 1 + ceil((L − size) / stride) clamped at 1: the last chunk is
+    // the FIRST one reaching the end of the doc — no redundant tail chunk
+    // living entirely inside the previous chunk's overlap. The greatest(0,…)
+    // also guards empty docs against Spark's descending sequence(0, −1).
+    df.select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(greatest(0, ceil((length(text) - $size) / $stride.0)) AS INT)),
+           |  i -> substring(text, i * $stride + 1, $size))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"))
+  }
+
+  /** PII scrub: redact emails and US-phone shapes, counting redactions.
+    * Pure regexp expressions (codegen'd, linear scans) — the compliance
+    * pass every served corpus runs before training. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(email)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phone)))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"),
+          phone, "<PHONE>"))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Chunking with overlap — the Generate fans out ~L/stride rows per doc
+    // inside the scan stage; empty docs yield one empty chunk (guarded
+    // against Spark's descending sequence(0,-1)).
+    Q("x_text_chunks",
+      (s, dir) => chunk(docs(s, dir), size = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_id"), col("chunk"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+                substr(text, (i - 1) * 150 + 1, 200) AS chunk,
+                CAST(length(substr(text, (i - 1) * 150 + 1, 200)) AS BIGINT) AS chunk_len
+              FROM documents, LATERAL (SELECT unnest(generate_series(1,
+                     CAST(greatest(0, ceil((length(text) - 200) / 150.0)) AS BIGINT) + 1)) AS i) u
+              ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""")),
+
+    // PII scrubbing. The fixture corpus is synthetic, so PII is PLANTED
+    // deterministically (every 10th doc gets an email + phone tail) in both
+    // engines — the scrub then provably rewrites text and the counts are
+    // hash-checked, not vacuously zero.
+    Q("x_text_pii_scrub",
+      (s, dir) => {
+        val planted = docs(s, dir).withColumn("t2",
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com or 555-123-4567")))
+              .otherwise(lit(""))))
+        piiScrub(planted, "t2")
+          .select(col("doc_id"),
+            col("n_emails").cast("long").as("n_emails"),
+            col("n_phones").cast("long").as("n_phones"),
+            sha2(col("scrubbed"), 256).as("scrubbed_sha"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                     text || CASE WHEN doc_id % 10 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+                       ELSE '' END AS t2
+                   FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t2, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                sha256(regexp_replace(regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_sha
+              FROM p ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Benchmark decontamination: which corpus docs share any 3-gram with
+    // the "benchmark" set (docs 0–9 stand in for an eval set), and how many
+    // distinct 3-grams leak. Shape: explode shingles, broadcast the (small)
+    // benchmark shingle set, inner-join + grouped distinct count — at 100 TB
+    // the join key is the hashed shingle and the benchmark side is still
+    // broadcast-sized (eval sets are tiny). Strings kept here so the oracle
+    // shares the exact key.
+    Q("x_text_contamination",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("shingles", expr(Dedup.shingleExpr))
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+        sh.filter(col("doc_id") >= 10)
+          .join(broadcast(bench), "sh")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                  list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+                    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+2]))) AS s
+                FROM documents),
+              b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
+              SELECT doc_id, count(DISTINCT s) AS n_shared
+              FROM sh WHERE doc_id >= 10 AND s IN (SELECT s FROM b)
+              GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Stratified systematic sampling: every 4th vector per label in vec_id
+    // order — per-stratum quotas without a global pass (the window is
+    // label-partitioned, so it scales with the widest stratum, and the
+    // deterministic row_number keeps both engines and re-runs aligned).
+    Q("x_sample_stratified",
+      (s, dir) => {
+        val w = Window.partitionBy("label").orderBy("vec_id")
+        Tables(s, dir, "embeddings")
+          .withColumn("rn", row_number().over(w))
+          .filter(pmod(col("rn") - 1, lit(4)) === 0)
+          .select(col("label"), col("vec_id"), col("rn").cast("long").as("rn"))
+          .orderBy("label", "vec_id")
+      },
+      Some("""SELECT label, vec_id, CAST(rn AS BIGINT) AS rn
+              FROM (SELECT label, vec_id,
+                      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                    FROM embeddings)
+              WHERE (rn - 1) % 4 = 0
+              ORDER BY label ASC NULLS FIRST, vec_id ASC NULLS FIRST""")),
+
+    // Sequence packing: assign docs (in doc_id order) to 512-token training
+    // bins by exclusive running token count — bin = floor(prefix/512). The
+    // global prefix sum is GlobalWindows' bucketed two-pass decomposition:
+    // no SinglePartition window, exact long arithmetic end to end.
+    Q("x_pack_greedy_bins",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .select("doc_id", "n_tokens")
+        GlobalWindows.withBucketedPrefixSum(toks,
+            floor(col("doc_id") / 100).cast("long"), col("n_tokens"),
+            "cum", col("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / 512).cast("long").as("bin_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                   FROM documents),
+              c AS (SELECT doc_id, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM t)
+              SELECT doc_id, n_tokens,
+                     CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id
+              FROM c ORDER BY doc_id ASC NULLS FIRST"""))
+  )
+}

@@ -51,6 +51,27 @@ object GlobalWindows {
       .drop("__bkt", "__lrn", "__off")
   }
 
+  /** Append `outCol` = GLOBAL running sum of `value` in `keys` order
+    * (ROWS UNBOUNDED PRECEDING .. CURRENT ROW), same decomposition as
+    * [[withBucketedGlobalRank]]: bucket-local prefix sums + broadcast
+    * lower-bucket totals. `value` must be integral (the offset addition is
+    * exact); `bucket` monotone in `keys`; `keys` unique. */
+  def withBucketedPrefixSum(df: DataFrame, bucket: Column, value: Column,
+                            outCol: String, keys: Column*): DataFrame = {
+    val b = df.withColumn("__bkt", bucket).withColumn("__v", value)
+    val w = Window.partitionBy("__bkt").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b.withColumn("__lsum", sum(col("__v")).over(w))
+    val totals = b.groupBy("__bkt").agg(sum(col("__v")).as("__tot"))
+    val offsets = totals.as("x")
+      .join(broadcast(totals.as("y")), col("y.__bkt") < col("x.__bkt"), "left")
+      .groupBy(col("x.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("y.__tot")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(outCol, col("__lsum") + col("__off"))
+      .drop("__bkt", "__v", "__lsum", "__off")
+  }
+
   /** Standard-SQL NTILE(k) from a global row number `rn` over `n` rows:
     * the first (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k).
     * Integer-exact for any table under 2^53 rows (double division of

@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the round-3 pipeline ops (the oracle gate covers the
+  * corpus-level results; these pin the boundaries). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking: boundaries, overlap, and the empty/short-doc guard") {
+    val docs = Seq(
+      (1L, ""),                      // empty -> one empty chunk, no crash
+      (2L, "x" * 100),               // shorter than one chunk
+      (3L, "y" * 200),               // exactly one chunk
+      (4L, "z" * 201),               // one char past -> second chunk
+      (5L, "w" * 500)                // three chunks (stride 150)
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.chunk(docs, size = 200, overlap = 50)
+      .select("doc_id", "chunk_id", "chunk")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) == Seq(""))
+    assert(out(2L) == Seq("x" * 100))
+    assert(out(3L) == Seq("y" * 200))
+    assert(out(4L).size == 2 && out(4L)(0) == "z" * 200 && out(4L)(1) == "z" * 51)
+    assert(out(5L).size == 3)
+    // overlap: consecutive chunks share the 50-char tail/head
+    assert(out(5L)(0).takeRight(50) == out(5L)(1).take(50))
+    // full coverage: stitching chunks minus overlaps rebuilds the doc
+    assert(out(5L).head + out(5L).tail.map(_.drop(50)).mkString == "w" * 500)
+  }
+
+  test("pii scrub redacts and counts without touching clean text") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or call 415-555-1234 now"),
+      (2L, "no pii here, just text @ home with 123 numbers")
+    ).toDF("doc_id", "t")
+    val out = PipelineOps.piiScrub(df, "t")
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail me at <EMAIL> or call <PHONE> now")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0)
+    assert(out(2L)._4 == "no pii here, just text @ home with 123 numbers")
+  }
+
+  test("sequence packing: bins respect the running-token capacity formula") {
+    val out = graft.SparkEntry.queries("x_pack_greedy_bins")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // bins are non-decreasing in doc order and derived from the prefix sum
+    var cum = 0L
+    out.foreach { case (_, tok, bin) =>
+      assert(bin == cum / 512, s"bin mismatch at cum=$cum tok=$tok")
+      cum += tok
+    }
+    assert(out.map(_._3).distinct.length > 1, "expected multiple bins")
+  }
+}
