@@ -322,6 +322,33 @@ object Similarity {
               FROM cnt JOIN agg ON cnt.label = agg.label
               ORDER BY cnt.label ASC NULLS FIRST""")),
 
+    // Int8 scalar quantization (the storage/serving compression every
+    // embedding store runs): per-vector scale = max|x| / 127, values
+    // quantized by floor(x/scale + 0.5) — spelled as floor(+0.5) in BOTH
+    // engines so no library rounding mode can diverge. Compared via scalar
+    // summaries (scale, sum, max of the quantized vector).
+    Q("x_sim_quantize_int8",
+      (s, dir) => {
+        val e = emb(s, dir)
+          .withColumn("scale",
+            array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"))
+        e.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_max(col("qv")).as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH s AS (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                   FROM embeddings)
+              SELECT vec_id, round(scale, 6) AS scale,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+                CAST(list_max(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_max
+              FROM s ORDER BY vec_id ASC NULLS FIRST""")),
+
     // LSH bucket histogram — shows the partitioning the ANN path shuffles by.
     // Oracle-paired via the same embedded hyperplane literals.
     Q("x_sim_lsh_buckets",

@@ -242,6 +242,27 @@ object Streams {
                 FROM sessions GROUP BY user_id, session_id)
               SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
               FROM per_session GROUP BY user_id
-              ORDER BY user_id ASC NULLS FIRST"""))
+              ORDER BY user_id ASC NULLS FIRST""")),
+
+    // Watermarked stream dedup (dedupedStream's batch twin): duplicates are
+    // PLANTED (every 7th event re-appended, byte-identical rows) so the
+    // dedup provably fires; dropDuplicates on the key then collapses the
+    // union back to the original cardinality. StreamsSpec runs the same
+    // data through the streaming dropDuplicates (heap + RocksDB stores).
+    Q("st_stream_dedup",
+      (s, dir) => {
+        val e = graft.Tables(s, dir, "events")
+          .select("event_id", "event_type")
+        e.unionByName(e.filter(pmod(col("event_id"), lit(7)) === 0))
+          .dropDuplicates("event_id")
+          .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_unique
+              FROM (SELECT DISTINCT event_id, event_type
+                    FROM (SELECT event_id, event_type FROM events
+                          UNION ALL
+                          SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
+              GROUP BY event_type ORDER BY event_type ASC NULLS FIRST"""))
   )
 }

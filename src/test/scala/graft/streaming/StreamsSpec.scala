@@ -44,6 +44,25 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == out.select("event_id").distinct().count())
   }
 
+  test("streaming dedup over PLANTED duplicates equals batch distinct") {
+    // two byte-identical copies of the fixture in one stream dir: the
+    // watermarked dropDuplicates must collapse them to one row per event_id
+    val dir = tmpDir()
+    val e = graft.Tables(spark, sf, "events")
+    // copy the RAW fixture file twice (eventsStream reads the nanos schema)
+    val src = new java.io.File(s"$sf/events.parquet").toPath
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    Seq("events.parq-a.parquet", "events.parq-b.parquet").foreach(n =>
+      java.nio.file.Files.copy(src, new java.io.File(in, n).toPath))
+    val q = Streams.dedupedStream(Streams.eventsStream(spark, s"$dir/in"))
+      .writeStream.format("memory").queryName("dedup_planted_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_planted_out")
+    assert(out.count() == e.count(), "duplicates must collapse to fixture cardinality")
+    assert(out.count() == out.select("event_id").distinct().count())
+  }
+
   test("flatMapGroupsWithState: last-write-wins state equals batch max(ts)") {
     val q = Streams.latestPerUser(Streams.eventsStream(spark, sf)).writeStream
       .format("memory").queryName("latest_out").outputMode("update")
