@@ -100,22 +100,31 @@ object PipelineOps {
 
     // Benchmark decontamination: which corpus docs share any 3-gram with
     // the "benchmark" set (docs 0–9 stand in for an eval set), and how many
-    // distinct 3-grams leak. Shape: explode shingles, broadcast the (small)
-    // benchmark shingle set, inner-join + grouped distinct count — at 100 TB
-    // the join key is the hashed shingle and the benchmark side is still
-    // broadcast-sized (eval sets are tiny). Strings kept here so the oracle
-    // shares the exact key.
+    // distinct 3-grams leak. Shape: explode HASHED shingles (xxhash64 —
+    // joining/counting 8-byte longs instead of 30-char strings cut this
+    // query 17 s → ~4 s at sf0.1; results equal the string join short of a
+    // 2^-64 collision, same contract as the n-gram Jaccard path), broadcast
+    // the benchmark shingle set (eval sets are tiny at any corpus scale),
+    // inner-join + grouped distinct count.
     Q("x_text_contamination",
       (s, dir) => {
+        // explode_OUTER, deliberately: plain explode lets
+        // InferFiltersFromGenerate push `size(shash) > 0 AND isnotnull(...)`
+        // below the Generate with the WHOLE tokenize→shingle→hash tree
+        // inlined into the filter condition — evaluated per row on top of
+        // the projection itself (17 s → 4 s at sf0.1 from this line alone).
+        // The outer form implies no such predicate; null/empty docs yield a
+        // null h that the inner join and countDistinct already ignore.
         val sh = docs(s, dir)
           .withColumn("toks", TextAnalysis.tokens(col("text")))
           .withColumn("shingles", expr(Dedup.shingleExpr))
-          .select(col("doc_id"), explode(col("shingles")).as("sh"))
-        val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+          .withColumn("shash", expr(Dedup.shingleHashExpr))
+          .select(col("doc_id"), explode_outer(col("shash")).as("h"))
+        val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
         sh.filter(col("doc_id") >= 10)
-          .join(broadcast(bench), "sh")
+          .join(broadcast(bench), "h")
           .groupBy("doc_id")
-          .agg(countDistinct(col("sh")).as("n_shared"))
+          .agg(countDistinct(col("h")).as("n_shared"))
           .orderBy("doc_id")
       },
       Some("""WITH sh AS (
