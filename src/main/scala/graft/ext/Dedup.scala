@@ -376,11 +376,14 @@ object Dedup {
               SELECT node, min(root) AS cluster FROM reach GROUP BY node
               ORDER BY node ASC NULLS FIRST""")),
 
-    // SimHash content signature (rows-only: seeded-hash family).
+    // SimHash content signature (rows-only: seeded-hash family). Computed by
+    // the codegen'd SimHash64 expression — bit-identical to `simhashExpr`
+    // (DedupSpec parity test) without the two 64-element array allocations
+    // per token the HOF formulation pays.
     Q("x_dedup_simhash",
       (s, dir) => docs(s, dir)
         .withColumn("toks", TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+        .select(col("doc_id"), graft.functions.SimHash64(col("toks")).as("simhash"))
         .orderBy("doc_id"),
       None)
   )

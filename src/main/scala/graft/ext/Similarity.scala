@@ -22,11 +22,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
-  /** Dot product of two Array[Float] columns in DOUBLE. The fold is per-row
-    * and sequential — bit-deterministic. */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float/double array columns in DOUBLE — a codegen'd
+    * fused loop (graft.functions.ArrayDot) with bit-identical semantics to
+    * the `aggregate(zip_with(...))` formulation it replaced (same
+    * left-to-right double fold, so every oracle hash is unchanged; parity
+    * pinned by VectorMathSpec). The HOF shape allocated an intermediate
+    * array per PAIR, which dominated the pairwise similarity queries. */
+  def dot(x: Column, y: Column): Column = graft.functions.ArrayDot(x, y)
 
   /** Exact cosine between two Array[Float] columns, computed in DOUBLE. */
   def cosine(a: Column, b: Column): Column =
@@ -47,10 +49,7 @@ object Similarity {
   /** Sign-projection bucket id: bit j = sign(v · plane_j). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(
-        zip_with(vec, typedlit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(vec, typedlit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bit-parity of the native kernels vs the higher-order formulations they
+  * replaced: same fold order, same null semantics — every previously-green
+  * oracle hash must be unmovable by the swap. */
+class VectorMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("ArrayDot == aggregate(zip_with(...)) bit-for-bit on the corpus") {
+    val e = graft.Tables(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("b") === col("a") + 1)
+    val diffs = pairs
+      .select(ArrayDot(col("ea"), col("eb")).as("fast"),
+        hofDot(col("ea"), col("eb")).as("slow"))
+      .filter(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull)
+      .count()
+    assert(diffs == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("ArrayDot handles double arrays, mixed types, and null semantics") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0, 4.0)),   // float × double
+      (2L, Seq(0.5f, -1.5f), Seq(2.0, 2.0))
+    ).toDF("id", "f", "d")
+    val got = df.select(col("id"), ArrayDot(col("f"), col("d")).as("dot"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 11.0 && got(2L) == -2.0)
+    // length mismatch -> null (zip_with padding semantics)
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(1.0))).toDF("x", "y")
+      .select(ArrayDot(col("x"), col("y")).as("dot"))
+      .collect().head
+    assert(mismatch.isNullAt(0))
+    // null input array -> null
+    val nullIn = Seq((Option.empty[Seq[Float]], Some(Seq(1.0)))).toDF("x", "y")
+      .select(ArrayDot(col("x"), col("y")).as("dot")).collect().head
+    assert(nullIn.isNullAt(0))
+  }
+
+  test("SimHash64 == simhashExpr bit-for-bit on the corpus") {
+    val d = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+    val diffs = d
+      .select(SimHash64(col("toks")).as("fast"),
+        expr(graft.ext.Dedup.simhashExpr).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    assert(d.count() > 0)
+  }
+}
