@@ -45,12 +45,23 @@ object Dedup {
     * string hashes. */
   val shingleHashExpr: String = "transform(shingles, sh -> xxhash64(sh))"
   private val mersennePrime = 2305843009213693951L // 2^61 - 1
-  def minhashSig(minPerms: Int): String = {
+
+  /** Deterministic Carter-Wegman seed family (one fixed stream, so the HOF
+    * SQL form and the native kernel share identical constants). */
+  def minhashSeeds(minPerms: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(20240812L)
-    val perms = (0 until minPerms).map { _ =>
+    val ab = (0 until minPerms).map { _ =>
       val a = rnd.nextInt(Int.MaxValue - 1).toLong + 1 // [1, 2^31)
       val b = rnd.nextInt(Int.MaxValue).toLong
-      s"array_min(transform(shash, h -> (${a}L * (h & 2147483647L) + ${b}L) % ${mersennePrime}L))"
+      (a, b)
+    }
+    (ab.map(_._1).toArray, ab.map(_._2).toArray)
+  }
+
+  def minhashSig(minPerms: Int): String = {
+    val (as, bs) = minhashSeeds(minPerms)
+    val perms = (0 until minPerms).map { k =>
+      s"array_min(transform(shash, h -> (${as(k)}L * (h & 2147483647L) + ${bs(k)}L) % ${mersennePrime}L))"
     }
     perms.mkString("array(", ", ", ")")
   }
@@ -96,7 +107,8 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", expr(shingleExpr))
       .withColumn("shash", expr(shingleHashExpr))
-      .withColumn("sig", expr(minhashSig(bands * rowsPerBand)))
+      .withColumn("sig", { val (a, b) = minhashSeeds(bands * rowsPerBand)
+        graft.functions.MinHashSig(col("shash"), a, b) })
     val banded = bandedSignatures(withSig, bands, rowsPerBand)
     // Bucket-local pair generation via groupBy + combinations — ONE pass over
     // the signature pipeline and one shuffle on the bucket key. (A self-join
@@ -131,7 +143,8 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", expr(shingleExpr))
       .withColumn("shash", expr(shingleHashExpr))
-      .withColumn("sig", expr(minhashSig(bands * rowsPerBand)))
+      .withColumn("sig", { val (a, b) = minhashSeeds(bands * rowsPerBand)
+        graft.functions.MinHashSig(col("shash"), a, b) })
     bandedSignatures(withSig, bands, rowsPerBand)
       .groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("n"))

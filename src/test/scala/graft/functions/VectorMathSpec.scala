@@ -47,6 +47,21 @@ class VectorMathSpec extends SparkSpec {
     assert(nullIn.isNullAt(0))
   }
 
+  test("MinHashSig == generated-SQL signature bit-for-bit on the corpus") {
+    val (a, b) = graft.ext.Dedup.minhashSeeds(32)
+    val d = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(graft.ext.Dedup.shingleExpr))
+      .withColumn("shash", expr(graft.ext.Dedup.shingleHashExpr))
+    val diffs = d
+      .select(MinHashSig(col("shash"), a, b).as("fast"),
+        expr(graft.ext.Dedup.minhashSig(32)).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    assert(d.count() > 0)
+  }
+
   test("SimHash64 == simhashExpr bit-for-bit on the corpus") {
     val d = graft.Tables(spark, sf, "documents")
       .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
