@@ -64,4 +64,33 @@ class UpsertSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSeq
     assert(out == Seq((1L, 300L, "c"), (2L, 50L, "x")))
   }
+
+  test("withRetry: transient failures retried, exhaustion rethrows, upsert converges") {
+    // two transient failures then success
+    var calls = 0
+    val got = Upsert.withRetry(attempts = 3, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    // exhaustion rethrows the LAST failure
+    var n = 0
+    val e = intercept[RuntimeException](Upsert.withRetry(attempts = 2, backoffMs = 1) {
+      n += 1; throw new RuntimeException(s"boom $n")
+    })
+    assert(e.getMessage == "boom 2" && n == 2)
+    // retried MERGE is idempotent end-to-end: a failure AFTER a completed
+    // upsert (sink flake) triggers a re-run that must not change the table
+    val path = tmpDir() + "/target"
+    Upsert.upsertParquetWithRetry(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    var attempt = 0
+    Upsert.withRetry(attempts = 2, backoffMs = 1) {
+      attempt += 1
+      Upsert.upsertParquet(spark, path, Seq((1L, "A2"), (2L, "b")).toDF("k", "v"), Seq("k"))
+      if (attempt == 1) throw new RuntimeException("post-commit transient flake")
+    }
+    val after = spark.read.parquet(path).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(after == Seq((1L, "A2"), (2L, "b")))
+  }
 }
