@@ -105,8 +105,7 @@ object Dedup {
     val withSig = docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(shingleExpr))
-      .withColumn("shash", expr(shingleHashExpr))
+      .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
       .withColumn("sig", { val (a, b) = minhashSeeds(bands * rowsPerBand)
         graft.functions.MinHashSig(col("shash"), a, b) })
     val banded = bandedSignatures(withSig, bands, rowsPerBand)
@@ -141,8 +140,7 @@ object Dedup {
     val withSig = docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(shingleExpr))
-      .withColumn("shash", expr(shingleHashExpr))
+      .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
       .withColumn("sig", { val (a, b) = minhashSeeds(bands * rowsPerBand)
         graft.functions.MinHashSig(col("shash"), a, b) })
     bandedSignatures(withSig, bands, rowsPerBand)
@@ -286,7 +284,7 @@ object Dedup {
         val sh = docs(s, dir)
           .join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .withColumn("toks", TextAnalysis.tokens(col("text")))
-          .withColumn("shingles", expr(shingleExpr))
+          .withColumn("shingles", graft.functions.ShingleHashes(col("toks"), 3))
           .select(col("doc_id"), col("shingles"))
         // threshold on the RAW metric; round only in the projection (a value
         // in [0.4999995, 0.5) must not round its way past the cutoff)
@@ -304,16 +302,16 @@ object Dedup {
     // similarity metric itself an oracle pairing without an O(n²) join.
     Q("x_dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = docs(s, dir)
-          .withColumn("toks", TextAnalysis.tokens(col("text")))
-          .withColumn("shingles", expr(shingleExpr))
-          .select(col("doc_id"), col("shingles"))
         // equi-ized bounded window: explode each doc's candidate ids so the
         // pair generation is a shuffled equi join, not an O(n²) BNL join.
-        // The per-pair set ops run on xxhash64'd shingles — long equality
-        // instead of string equality; set sizes (and so Jaccard) are
-        // preserved short of a 2^-64 collision.
-        val hashed = sh.withColumn("shash", expr(shingleHashExpr))
+        // The per-pair set ops run on xxhash64'd shingles (fused
+        // ShingleHashes kernel — no shingle strings materialize) — long
+        // equality instead of string equality; set sizes (and so Jaccard)
+        // are preserved short of a 2^-64 collision.
+        val hashed = docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+          .select(col("doc_id"), col("shash"))
         val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
             size(col("shash")).as("sa"),
             explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))

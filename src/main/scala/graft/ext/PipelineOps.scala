@@ -117,8 +117,7 @@ object PipelineOps {
         // null h that the inner join and countDistinct already ignore.
         val sh = docs(s, dir)
           .withColumn("toks", TextAnalysis.tokens(col("text")))
-          .withColumn("shingles", expr(Dedup.shingleExpr))
-          .withColumn("shash", expr(Dedup.shingleHashExpr))
+          .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
           .select(col("doc_id"), explode_outer(col("shash")).as("h"))
         val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
         sh.filter(col("doc_id") >= 10)

@@ -47,6 +47,25 @@ class VectorMathSpec extends SparkSpec {
     assert(nullIn.isNullAt(0))
   }
 
+  test("ShingleHashes == composed shingle->distinct->xxhash64 on the corpus") {
+    val d = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+      .withColumn("shingles", expr(graft.ext.Dedup.shingleExpr))
+    val diffs = d
+      .select(ShingleHashes(col("toks"), 3).as("fast"),
+        expr(graft.ext.Dedup.shingleHashExpr).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    // edge shapes: <3 tokens -> empty; duplicate shingles dedup in order
+    val edge = Seq((1L, ""), (2L, "a b"), (3L, "a b c a b c a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), ShingleHashes(col("toks"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(edge(1L).isEmpty && edge(2L).isEmpty)
+    assert(edge(3L).size == 3 && edge(3L).distinct == edge(3L)) // a b c / b c a / c a b, repeats deduped
+  }
+
   test("MinHashSig == generated-SQL signature bit-for-bit on the corpus") {
     val (a, b) = graft.ext.Dedup.minhashSeeds(32)
     val d = graft.Tables(spark, sf, "documents")
