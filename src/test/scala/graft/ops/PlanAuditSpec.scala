@@ -85,9 +85,9 @@ class PlanAuditSpec extends SparkSpec {
   test("global windows are de-globalized: no SinglePartition window exchange") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.window.WindowExec
-    // both global-order queries decompose over deterministic value buckets:
+    // all global-order queries decompose over deterministic value buckets:
     // every window operator is bucket-partitioned, never SinglePartition
-    Seq("w5_distribution", "w7_range_frame").foreach { name =>
+    Seq("w5_distribution", "w7_range_frame", "x_pack_greedy_bins").foreach { name =>
       val wins = collectAll(plan(name)) { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$name expected a bucket-partitioned window")
       wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
