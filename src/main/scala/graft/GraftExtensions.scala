@@ -20,10 +20,33 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * stacked transforms (HtmlUtilsSpec pins the counterexamples).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.{ArrayDot, ShingleHashes, SimHash64}
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("clean_html"),
       new ExpressionInfo(classOf[CleanHtml].getName, "clean_html"),
       (children: Seq[Expression]) => CleanHtml(children.head)))
+    // round-3 native kernels, SQL-callable (each bit-parity-pinned against
+    // the composed built-in form by VectorMathSpec)
+    e.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes(toks, n): n must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, n)
+      }))
   }
 }

@@ -58,6 +58,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native kernels are callable from SQL via SparkSessionExtensions") {
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import spark.implicits._
+      Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0f, 0.5f, 1.0f), "the quick brown fox jumps"))
+        .toDF("a", "b", "t").createOrReplaceTempView("kern")
+      val row = spark.sql(
+        """SELECT array_dot(a, b) AS dot,
+                  simhash64(split(t, ' ')) AS sh,
+                  size(shingle_hashes(split(t, ' '), 3)) AS nsh
+           FROM kern""").collect().head
+      assert(row.getDouble(0) == 1.0 * 2 + 2 * 0.5 + 3 * 1)
+      assert(row.getLong(1) != 0L)
+      assert(row.getInt(2) == 3) // 5 tokens -> 3 trigrams
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("approx_percentile stays within 1% of the exact quantile") {
     val spark = TestSpark.spark
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
