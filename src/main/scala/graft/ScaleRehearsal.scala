@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (dev tool, like Prof/Explain): runs the dedup tier on a
+  * synthesized corpus ~21× sf0.1 — 100k docs in duplicate groups of 20
+  * (15 exact copies + 5 near-dup perturbations each) PLUS a 5k-copy
+  * boilerplate group that collides into one LSH bucket per band, far past
+  * the 64-id hot-bucket cap. Prints wall times and sanity counts; the point
+  * is evidence that the shapes hold when the data grows an order of
+  * magnitude past the bench SF: candidate generation stays linear in bucket
+  * size (chain capping), clustering rounds stay logarithmic, and nothing
+  * collects to the driver. Results recorded in SCALE.md.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale").getAbsolutePath
+    val docsPath = s"$dir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val base = Tables(spark, "/root/testdata/sf0.1", "documents")
+      val copies = (0 until 20).map { i =>
+        base.select(
+          (col("doc_id") * 100 + i).as("doc_id"),
+          // 15 of 20 copies byte-identical (exact-dup groups), 5 perturbed by
+          // one appended token (near-dups, jaccard ≈ (n-1)/(n+2) for long docs)
+          (if (i % 4 == 0) concat(col("text"), lit(s" perturbed$i")) else col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      val boiler = spark.range(5000).select(
+        (col("id") + 900000000L).as("doc_id"),
+        lit("common boilerplate footer text repeated verbatim across the entire mirror " +
+          "set of the crawl with enough tokens to shingle").as("text"),
+        lit("en").as("lang"), lit("mirror").as("source"), lit(120L).as("n_chars"))
+      copies.unionByName(boiler).write.mode("overwrite").parquet(docsPath)
+    }
+    val n = spark.read.parquet(docsPath).count()
+    println(s"SCALE corpus rows=$n (sf0.1 is 5,000)")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val exact = time("exact_hash_dedup") {
+      ext.Dedup.qs.find(_.name == "x_dedup_hash").get.fn(spark, dir).count()
+    }
+    println(s"SCALE   distinct texts=$exact")
+
+    val cands = time("minhash_candidates") {
+      ext.Dedup.minhashCandidates(spark, dir).localCheckpoint()
+    }
+    val nc = cands.count()
+    println(s"SCALE   candidate pairs=$nc (5k-id boilerplate bucket capped to linear chain)")
+
+    val hot = time("hot_buckets") {
+      ext.Dedup.minhashHotBuckets(spark, dir).count()
+    }
+    println(s"SCALE   hot buckets over cap=$hot")
+
+    val clusters = time("connected_components") {
+      ext.Dedup.connectedComponents(cands)
+        .agg(countDistinct(col("label"))).head().getLong(0)
+    }
+    println(s"SCALE   clusters=$clusters")
+
+    time("sequence_packing") {
+      ext.PipelineOps.qs.find(_.name == "x_pack_greedy_bins").get.fn(spark, dir)
+        .agg(max("bin_id")).head()
+    }
+    spark.stop()
+  }
+}
