@@ -101,8 +101,14 @@ object Dedup {
     * worst case degrades to a wide row, never a quadratic task. */
   def minhashCandidates(s: SparkSession, dir: String,
                         bands: Int = 8, rowsPerBand: Int = 4,
-                        maxBucket: Int = 64): DataFrame = {
-    val withSig = docs(s, dir)
+                        maxBucket: Int = 64): DataFrame =
+    minhashCandidatesFor(docs(s, dir), bands, rowsPerBand, maxBucket)
+
+  /** df-based form: `docsDf` needs (doc_id, text). */
+  def minhashCandidatesFor(docsDf: DataFrame,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           maxBucket: Int = 64): DataFrame = {
+    val withSig = docsDf
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
@@ -128,6 +134,60 @@ object Dedup {
         .otherwise(expr(chainPairs))).as("pair"))
       .select(col("pair.a").as("a"), col("pair.b").as("b"))
       .distinct()
+  }
+
+  /** LSH candidates EXACT-verified by n-gram Jaccard ≥ `threshold`: returns
+    * (a, b, j_raw). Candidate pairs are tiny (bucket collisions only) —
+    * materialized once so the signature pipeline isn't replayed for every
+    * downstream use; the verify builds shingle sets for candidate docs ONLY
+    * (broadcast-semi-join restriction), and thresholds on the RAW metric
+    * (a value in [0.4999995, 0.5) must not round its way past the cutoff). */
+  def verifiedNearDupPairs(docsDf: DataFrame, threshold: Double = 0.5,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           maxBucket: Int = 64): DataFrame = {
+    val cands = minhashCandidatesFor(docsDf, bands, rowsPerBand, maxBucket)
+      .localCheckpoint()
+    val candIds = cands.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val sh = docsDf
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingles", graft.functions.ShingleHashes(col("toks"), 3))
+      .select(col("doc_id"), col("shingles"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j_raw") >= threshold)
+  }
+
+  /** End-to-end corpus dedup with the PRODUCTION routing (SCALE.md): exact
+    * hash dedup FIRST — byte-identical mirror copies collapse to one
+    * representative before LSH ever sees them, which is what keeps
+    * degenerate boilerplate groups out of the buckets — then MinHash-LSH +
+    * exact verify over the distinct texts only, then connected components
+    * over the verified pair graph. Returns one row per input doc:
+    * (doc_id, cluster, keep) where keep marks the cluster representative
+    * (min doc_id), so "dedup the corpus" is `filter(keep)`. */
+  def dedupCorpus(s: SparkSession, dir: String,
+                  threshold: Double = 0.5): DataFrame =
+    dedupCorpusFor(docs(s, dir), threshold)
+
+  def dedupCorpusFor(docsDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val withHash = docsDf.withColumn("__h", sha2(col("text"), 256))
+    val reps = withHash.groupBy("__h").agg(min("doc_id").as("rep"))
+    val docToRep = withHash.select("doc_id", "__h").join(reps, "__h")
+      .select("doc_id", "rep").localCheckpoint()
+    val repDocs = docsDf.join(
+      docToRep.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val verified = verifiedNearDupPairs(repDocs, threshold)
+      .select(col("a"), col("b"))
+    val labels = connectedComponents(verified) // (node = rep, label = cluster)
+    docToRep
+      .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster"))
+      .withColumn("keep", col("doc_id") === col("cluster"))
   }
 
   /** Observability companion to the hot-bucket cap: the (band, bucket)s that
@@ -272,30 +332,9 @@ object Dedup {
     // the oracle gate (the seeded-hash family has no DuckDB equivalent);
     // recall/precision are pinned by DedupSpec instead.
     Q("x_dedup_minhash_lsh",
-      (s, dir) => {
-        // Candidate pairs are tiny (bucket collisions only) — materialize
-        // them once so the signature pipeline isn't replayed for every
-        // downstream use (candIds + pair assembly).
-        val cands = minhashCandidates(s, dir).localCheckpoint()
-        // Exact-verify only docs that appear in a candidate pair: semi-join
-        // the (small) candidate id set against the corpus ONCE, so the
-        // shingle arrays are built for candidates only — not 2× corpus-wide.
-        val candIds = cands.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-        val sh = docs(s, dir)
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-          .withColumn("toks", TextAnalysis.tokens(col("text")))
-          .withColumn("shingles", graft.functions.ShingleHashes(col("toks"), 3))
-          .select(col("doc_id"), col("shingles"))
-        // threshold on the RAW metric; round only in the projection (a value
-        // in [0.4999995, 0.5) must not round its way past the cutoff)
-        cands
-          .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
-          .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("j_raw") >= 0.5)
-          .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
-          .orderBy("a", "b")
-      },
+      (s, dir) => verifiedNearDupPairs(docs(s, dir))
+        .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
+        .orderBy("a", "b"),
       None),
 
     // Exact n-gram Jaccard over a bounded id window (|b-a| ≤ 20): gives the

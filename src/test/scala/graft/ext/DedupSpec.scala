@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashHotBuckets(spark, dir).count() > 0)
   }
 
+  test("dedupCorpus: exact-first routing collapses mirrors before LSH and clusters near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill quietly"
+    val docsDf = (
+      Seq((1L, base), (2L, base), (3L, base),               // exact-dup group
+        (4L, base + " tonight"), (5L, base + " tonight ok"), // near-dups of each other AND of base
+        (6L, "completely different content about spark engines and columnar parquet file formats")) ++
+      (100L to 199L).map(i => (i, "mirrored boilerplate footer appearing verbatim on every single page of the crawl")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupCorpusFor(docsDf).as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 106) // one row per input doc
+    // mirrors collapse through the exact stage; near-dups cluster through LSH
+    (1L to 5L).foreach(i => assert(out(i)._1 == 1L, s"doc $i -> ${out(i)}"))
+    assert(out(6L)._1 == 6L && out(6L)._2)
+    (100L to 199L).foreach(i => assert(out(i)._1 == 100L))
+    val kept = out.filter(_._2._2).keys.toSet
+    assert(kept == Set(1L, 6L, 100L), s"kept=$kept")
+  }
+
   test("exact dedup collapses identical texts") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     dup.createOrReplaceTempView("dup_docs")
