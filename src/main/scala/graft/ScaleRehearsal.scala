@@ -76,6 +76,15 @@ object ScaleRehearsal {
       ext.PipelineOps.qs.find(_.name == "x_pack_greedy_bins").get.fn(spark, dir)
         .agg(max("bin_id")).head()
     }
+
+    // The PRODUCTION routing (exact-first) on the same corpus: mirrors
+    // collapse before LSH, so the boilerplate group never reaches a bucket
+    // and the CC graph diameter stays group-sized.
+    val kept = time("dedup_corpus_routed") {
+      ext.Dedup.dedupCorpusFor(spark.read.parquet(docsPath))
+        .filter(col("keep")).count()
+    }
+    println(s"SCALE   routed pipeline kept=$kept representatives")
     spark.stop()
   }
 }

