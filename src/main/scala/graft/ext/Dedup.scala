@@ -249,23 +249,31 @@ object Dedup {
     val sym = symWide.coalesce(parts).localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).coalesce(parts).localCheckpoint()
+    // One propagation step = neighbour-min + pointer jumping (path halving:
+    // label <- label(label) shrinks label chains geometrically, so rounds ~
+    // O(log diameter), not O(diameter)). The `old` column rides through
+    // untouched for the convergence probe.
+    def step(lbl: DataFrame): DataFrame = {
+      val nbrMin = lbl.join(sym, col("node") === col("a"))
+        .groupBy(col("b").as("node")).agg(min("label").as("nlabel"))
+      val stepped = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val jump = stepped.select(col("node").as("jn"), col("label").as("jl"))
+      stepped.join(jump, col("label") === col("jn"), "left")
+        .select(col("node"), col("old"),
+          coalesce(col("jl"), col("label")).as("label"))
+    }
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // neighbour-min step
-      val nbrMin = labels.join(sym, col("node") === col("a"))
-        .groupBy(col("b").as("node")).agg(min("label").as("nlabel"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer-jumping (path halving): label <- label(label). Shrinks label
-      // chains geometrically, so rounds ~ O(log diameter), not O(diameter) —
-      // the difference between 5 and 50 shuffle rounds on a long chain.
-      val jump = stepped.select(col("node").as("jn"), col("label").as("jl"))
-      val updated = stepped.join(jump, col("label") === col("jn"), "left")
-        .select(col("node"), col("old"),
-          coalesce(col("jl"), col("label")).as("label"))
-        .coalesce(parts).localCheckpoint()
+      // TWO propagation steps per materialization: the checkpoint + driver
+      // probe are the per-round fixed cost on an iterative graph job, and
+      // labels are monotone non-increasing, so a double-step fixed point IS
+      // a single-step fixed point (no oscillation to miss) — halving the
+      // materializations at the price of a 2-step lineage per stage set.
+      val seeded = labels.select(col("node"), col("label").as("old"), col("label"))
+      val updated = step(step(seeded)).coalesce(parts).localCheckpoint()
       // convergence probe runs on the checkpointed (materialized) table —
       // one cheap local scan, not a recompute
       changed = updated.filter(col("label") =!= col("old")).limit(1).count() > 0
