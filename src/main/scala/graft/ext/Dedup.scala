@@ -38,33 +38,59 @@ object Dedup {
 
   /** MinHash signature over pre-hashed shingles. Each shingle string is
     * hashed to a long ONCE (`shash`); the permutation family is
-    * Carter-Wegman `(a*h31 + b) mod p` over the masked 31-bit hash —
-    * products stay under 2^62, so no wraparound (Spark 4's ANSI mode makes
-    * long overflow an error, ruling out the mod-2^64 multiply-shift form).
-    * One string traversal + 32 mult-add-mods per shingle, instead of 32
-    * string hashes. */
+    * Carter-Wegman `(a·(h & p) + b) mod p`, p = 2^61−1, with a, b drawn from
+    * the FULL field [1, p). One string traversal + 32 mult-add-mods per
+    * shingle, instead of 32 string hashes. */
   val shingleHashExpr: String = "transform(shingles, sh -> xxhash64(sh))"
   private val mersennePrime = 2305843009213693951L // 2^61 - 1
 
   /** Deterministic Carter-Wegman seed family (one fixed stream, so the HOF
-    * SQL form and the native kernel share identical constants). */
+    * SQL form, the native kernel and the DuckDB twin share identical
+    * constants).
+    *
+    * a, b span the full field [1, p): an earlier revision drew a, b < 2^31
+    * (so products stayed under 2^62 without 128-bit arithmetic) — but with a
+    * small multiplier, a small base hash stays small under EVERY
+    * permutation, so the per-perm argmins CORRELATE across the family. One
+    * unlucky low-hash shingle in the symmetric difference of two
+    * high-jaccard docs then drags signature agreement far below j (measured
+    * on the fixture: a j=0.97 pair at 13/32 agreement — missed by every
+    * band, i.e. a systematically invisible near-dup). Full-range
+    * multipliers restore per-perm independence; the 128-bit products are
+    * reduced mod p by `Math.multiplyHigh` + Mersenne folds (kernel),
+    * DECIMAL(38,0) arithmetic (HOF form), and HUGEINT (DuckDB oracle). */
   def minhashSeeds(minPerms: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(20240812L)
     val ab = (0 until minPerms).map { _ =>
-      val a = rnd.nextInt(Int.MaxValue - 1).toLong + 1 // [1, 2^31)
-      val b = rnd.nextInt(Int.MaxValue).toLong
+      val a = (rnd.nextLong() & Long.MaxValue) % (mersennePrime - 1) + 1 // [1, p)
+      val b = (rnd.nextLong() & Long.MaxValue) % mersennePrime           // [0, p)
       (a, b)
     }
     (ab.map(_._1).toArray, ab.map(_._2).toArray)
   }
 
+  /** HOF/SQL form of the signature — bit-identical to the MinHashSig kernel
+    * (parity spec). DECIMAL(38,0) keeps the a·x product exact: a, x < 2^61 so
+    * a·x+b < 2^122 ≈ 5.3e36, inside 38 digits — no precision loss, and no
+    * ANSI long-overflow (which rules out 64-bit wraparound tricks in SQL). */
   def minhashSig(minPerms: Int): String = {
     val (as, bs) = minhashSeeds(minPerms)
     val perms = (0 until minPerms).map { k =>
-      s"array_min(transform(shash, h -> (${as(k)}L * (h & 2147483647L) + ${bs(k)}L) % ${mersennePrime}L))"
+      s"array_min(transform(shash, h -> CAST((CAST(${as(k)} AS DECIMAL(38,0)) * (h & ${mersennePrime}L) + ${bs(k)}) % ${mersennePrime}L AS BIGINT)))"
     }
     perms.mkString("array(", ", ", ")")
   }
+
+  /** Engine-portable 60-bit base hash: first 15 hex chars of md5, as a long.
+    * DuckDB computes the SAME value (`('0x'||substr(md5(s),1,15))::BIGINT`),
+    * which is what lets a full MinHash-LSH / SimHash pipeline run under the
+    * DuckDB hash gate: every downstream step (Carter-Wegman permutations,
+    * banding, bucket join, exact verify, bit votes) is plain arithmetic both
+    * engines share. The production queries keep the native xxhash64 kernels
+    * (faster, parity-spec'd); the `_md5` twins verify the pipeline MATH
+    * end-to-end against the oracle. */
+  def md5Hash60(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
   /** Exact Jaccard between two shingle SETS (inputs must be distinct — which
     * `shingleExpr` guarantees; |A∪B| = |A|+|B|-|A∩B| avoids building the
@@ -104,6 +130,14 @@ object Dedup {
                         maxBucket: Int = 64): DataFrame =
     minhashCandidatesFor(docs(s, dir), bands, rowsPerBand, maxBucket)
 
+  private val allPairs =
+    """flatten(transform(sequence(1, size(ids) - 1),
+      |  i -> transform(slice(ids, i + 1, size(ids) - i),
+      |    x -> struct(element_at(ids, i) AS a, x AS b))))""".stripMargin
+  private val chainPairs = // sorted-consecutive pairs: linear, connectivity-preserving
+    """transform(sequence(1, size(ids) - 1),
+      |  i -> struct(element_at(ids, i) AS a, element_at(ids, i + 1) AS b))""".stripMargin
+
   /** df-based form: `docsDf` needs (doc_id, text). */
   def minhashCandidatesFor(docsDf: DataFrame,
                            bands: Int = 8, rowsPerBand: Int = 4,
@@ -119,13 +153,6 @@ object Dedup {
     // the signature pipeline and one shuffle on the bucket key. (A self-join
     // formulation recomputes the whole signature pipeline for each side:
     // Spark does not reuse the exchange across differently-aliased branches.)
-    val allPairs =
-      """flatten(transform(sequence(1, size(ids) - 1),
-        |  i -> transform(slice(ids, i + 1, size(ids) - i),
-        |    x -> struct(element_at(ids, i) AS a, x AS b))))""".stripMargin
-    val chainPairs = // sorted-consecutive pairs: linear, connectivity-preserving
-      """transform(sequence(1, size(ids) - 1),
-        |  i -> struct(element_at(ids, i) AS a, element_at(ids, i + 1) AS b))""".stripMargin
     banded
       .groupBy("band_id", "band_hash")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -159,6 +186,128 @@ object Dedup {
       .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j_raw") >= threshold)
   }
+
+  /** Oracle twin of `verifiedNearDupPairs` on the portable md5-60 base hash:
+    * identical shingle → Carter-Wegman signature → band → bucket-join →
+    * exact-verify pipeline, but every hash is reproducible in DuckDB SQL, so
+    * the whole LSH computation (not just its row count) sits under the
+    * driver's hash gate. Differences from the production query, both
+    * deliberate: band keys are the signature values themselves (concat_ws)
+    * instead of an xxhash64 of them — DuckDB has no xxhash64 — and there is
+    * no hot-bucket cap (the cap changes which candidate pairs materialize;
+    * the twin must enumerate all bucket pairs to be SQL-reproducible).
+    *
+    * 16 bands (vs the production 8): the twin exists to verify, so it buys
+    * recall with bands — at j=0.9 the miss probability per pair drops from
+    * (1-0.9⁴)⁸ ≈ 2e-4 (one observed frozen miss on the fixture) to ≈ 4e-8,
+    * which is what lets the bridge spec assert strong-pair equality with the
+    * production family. */
+  def md5VerifiedNearDupPairs(docsDf: DataFrame, threshold: Double = 0.5,
+                              bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // Native kernels on the Spark side (Md5Hash60 + MinHashSig — both
+    // bit-parity-pinned against their SQL forms): what the oracle verifies is
+    // the cross-ENGINE result, not which implementation computed it. The
+    // first registered cut used the conv(substring(md5)) + DECIMAL(38,0) HOF
+    // forms directly and cost 20.6 s at sf0.1; the kernels bring the twin to
+    // production-shaped cost with the identical output hash.
+    val withSig = docsDf
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("shash", transform(col("shingles"), sh => graft.functions.Md5Hash60(sh)))
+      .withColumn("sig", { val (a, b) = minhashSeeds(bands * rowsPerBand)
+        graft.functions.MinHashSig(col("shash"), a, b) })
+    val banded = withSig.select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', " +
+          (1 to rowsPerBand).map(i => s"element_at(sig, b * $rowsPerBand + $i)").mkString(", ") +
+          "))"))
+        .as(Seq("band_id", "band_key")))
+    val cands = banded.groupBy("band_id", "band_key")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(allPairs)).as("pair"))
+      .select(col("pair.a").as("a"), col("pair.b").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cands.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val sh = docsDf
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingles", expr(shingleExpr))
+      .select(col("doc_id"),
+        transform(col("shingles"), s => graft.functions.Md5Hash60(s)).as("shash"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("shash").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shash").as("sh_b")), "b")
+      .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j_raw") >= threshold)
+  }
+
+  /** DuckDB mirror of `md5VerifiedNearDupPairs` — the Carter-Wegman seeds are
+    * plan-time literals, interpolated into the SQL the same way the LSH
+    * hyperplane constants are in Similarity. */
+  def md5MinhashOracleSql(bands: Int = 16, rowsPerBand: Int = 4): String = {
+    val (as, bs) = minhashSeeds(bands * rowsPerBand)
+    val sigEntries = (0 until bands * rowsPerBand).map { k =>
+      // HUGEINT: the full-field a·x product is 122-bit; int128 holds it exactly
+      s"list_min(list_transform(shash, h -> ((${as(k)}::HUGEINT * (h & $mersennePrime) + ${bs(k)}) % $mersennePrime)::BIGINT))"
+    }.mkString("[", ", ", "]")
+    val bandKey = (1 to rowsPerBand)
+      .map(i => s"sig[b * $rowsPerBand + $i]::VARCHAR").mkString(" || ',' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |shg AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shash
+       |  FROM shg),
+       |sig AS (SELECT doc_id, $sigEntries AS sig FROM hs),
+       |banded AS (
+       |  SELECT doc_id, g.b AS band_id, $bandKey AS band_key
+       |  FROM sig, generate_series(0, ${bands - 1}) AS g(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND y.doc_id > x.doc_id)
+       |SELECT c.a, c.b,
+       |  round(len(list_intersect(ha.shash, hb.shash))
+       |    / (len(ha.shash) + len(hb.shash) - len(list_intersect(ha.shash, hb.shash))), 6) AS jaccard
+       |FROM cand c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+       |WHERE len(list_intersect(ha.shash, hb.shash))
+       |    / (len(ha.shash) + len(hb.shash) - len(list_intersect(ha.shash, hb.shash))) >= 0.5
+       |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin
+  }
+
+  /** SimHash on the md5-60 base hash — 60 bit positions (the hash is 60-bit,
+    * so bits 60..63 can never win a vote; omitting them keeps both engines
+    * off the 1<<63 sign edge entirely). Same vote math as `simhashExpr`. */
+  val simhashMd5Expr: String =
+    """aggregate(
+      |  zip_with(
+      |    aggregate(transform(array_distinct(toks), t -> HASH60),
+      |      transform(sequence(0, 59), i -> CAST(0 AS BIGINT)),
+      |      (acc, h) -> zip_with(acc,
+      |        transform(sequence(0, 59),
+      |          i -> IF((shiftright(h, i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+      |        (x, y) -> x + y)),
+      |    sequence(0, 59),
+      |    (c, i) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+      |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+      .replace("HASH60", md5Hash60("t"))
+
+  val md5SimhashOracleSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
+      |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hv
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 60), b ->
+      |    CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> b) & 1)) > len(hv)
+      |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM hs ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   /** End-to-end corpus dedup with the PRODUCTION routing (SCALE.md): exact
     * hash dedup FIRST — byte-identical mirror copies collapse to one
@@ -345,6 +494,17 @@ object Dedup {
         .orderBy("a", "b"),
       None),
 
+    // Portable-hash twin of the LSH pipeline: md5-60 base hash, so shingling,
+    // all 64 Carter-Wegman permutations, banding, the bucket join AND the
+    // exact verify are hash-compared against DuckDB. This is the oracle
+    // pairing for the MinHash family; the production query above keeps the
+    // (faster, parity-spec'd) xxhash64 kernels and stays rows-only.
+    Q("x_dedup_minhash_md5",
+      (s, dir) => md5VerifiedNearDupPairs(docs(s, dir))
+        .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
+        .orderBy("a", "b"),
+      Some(md5MinhashOracleSql())),
+
     // Exact n-gram Jaccard over a bounded id window (|b-a| ≤ 20): gives the
     // similarity metric itself an oracle pairing without an O(n²) join.
     Q("x_dedup_ngram_jaccard",
@@ -443,6 +603,15 @@ object Dedup {
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"), graft.functions.SimHash64(col("toks")).as("simhash"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // Portable-hash twin for the SimHash family — same bit-vote math as the
+    // production query, md5-60 base hash, fully under the DuckDB hash gate.
+    Q("x_dedup_simhash_md5",
+      (s, dir) => docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), graft.functions.SimHashMd5(col("toks")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(md5SimhashOracleSql))
   )
 }

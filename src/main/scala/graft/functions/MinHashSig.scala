@@ -7,15 +7,28 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Static MinHash kernel: Carter-Wegman permutations `(a·(h & 2^31−1) + b)
-  * mod (2^61−1)` over pre-hashed shingles, min per permutation. Bit-identical
-  * to the HOF formulation in `Dedup.minhashSig` (parity spec): products stay
-  * under 2^62 so `%` semantics match SQL's remainder on positives. The HOF
-  * shape evaluates one `transform` + `array_min` (two array allocations) PER
-  * PERMUTATION per doc; this is one fused perms × shingles loop. */
+/** Static MinHash kernel: Carter-Wegman permutations `(a·(h & p) + b) mod p`,
+  * p = 2^61−1, a, b ∈ [1, p) (full field — see `Dedup.minhashSeeds` for why a
+  * restricted multiplier range correlates the permutations and silently
+  * loses near-dup pairs). Bit-identical to the DECIMAL(38,0) HOF formulation
+  * in `Dedup.minhashSig` (parity spec); here the 128-bit a·x product is
+  * reduced with `Math.multiplyHigh` + Mersenne folds (2^64 ≡ 8, 2^61 ≡ 1
+  * mod p) — no BigDecimal per element. The HOF shape evaluates one
+  * `transform` + `array_min` (two array allocations) PER PERMUTATION per
+  * doc; this is one fused perms × shingles loop. */
 object MinHashKernel {
-  private final val Mask = 2147483647L            // 2^31 − 1
   private final val Prime = 2305843009213693951L  // 2^61 − 1
+
+  /** (a·x) mod (2^61−1) for a, x ∈ [0, p): full 128-bit product via
+    * multiplyHigh (operands positive, so the signed high word IS the
+    * unsigned one), folded with 2^64 ≡ 8 and 2^61 ≡ 1 (mod p). */
+  private def mulmodP(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)      // product = hi·2^64 + unsigned(lo)
+    val lo = a * x
+    var z = hi * 8 + (lo & Prime) + (lo >>> 61) // < 2^62: hi < 2^58
+    z = (z & Prime) + (z >>> 61)
+    if (z >= Prime) z - Prime else z
+  }
 
   def sig(h: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val n = h.numElements()
@@ -27,7 +40,8 @@ object MinHashKernel {
         var i = 0
         while (i < n) {
           if (!h.isNullAt(i)) {
-            val v = (as(k) * (h.getLong(i) & Mask) + bs(k)) % Prime
+            val m = mulmodP(as(k), h.getLong(i) & Prime) + bs(k) // < 2p, no overflow
+            val v = if (m >= Prime) m - Prime else m
             if (v < min) min = v
           }
           i += 1

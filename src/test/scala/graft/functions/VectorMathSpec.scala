@@ -81,6 +81,29 @@ class VectorMathSpec extends SparkSpec {
     assert(d.count() > 0)
   }
 
+  test("Md5Hash60 == conv(substring(md5)) SQL form bit-for-bit on the corpus") {
+    val d = graft.Tables(spark, sf, "documents")
+    val diffs = d
+      .select(Md5Hash60(col("text")).as("fast"),
+        expr(graft.ext.Dedup.md5Hash60("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    // known value: md5('hello') = 5d41402abc4b2a76... -> 0x5d41402abc4b2a7
+    val hello = Seq("hello").toDF("s").select(Md5Hash60(col("s"))).as[Long].head()
+    assert(hello == 419982666956583591L)
+  }
+
+  test("SimHashMd5 == simhashMd5Expr bit-for-bit on the corpus") {
+    val d = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+    val diffs = d
+      .select(SimHashMd5(col("toks")).as("fast"),
+        expr(graft.ext.Dedup.simhashMd5Expr).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    assert(d.count() > 0)
+  }
+
   test("SimHash64 == simhashExpr bit-for-bit on the corpus") {
     val d = graft.Tables(spark, sf, "documents")
       .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
