@@ -158,6 +158,90 @@ object PipelineOps {
               WHERE (rn - 1) % 4 = 0
               ORDER BY label ASC NULLS FIRST, vec_id ASC NULLS FIRST""")),
 
+    // Repetition quality signals (the Gopher-rules shape): fraction of
+    // 2-gram slots taken by the single most frequent 2-gram, and fraction of
+    // 3-gram slots whose 3-gram occurs more than once — the two signals that
+    // catch boilerplate/looping text that length/stopword stats miss.
+    // Pure per-row HOF work (no shuffle, one scan): the inner count is
+    // O(n²) in TOKENS-PER-DOC, which is bounded by chunking upstream — it
+    // does not grow with corpus size, so the query stays scan-shaped at
+    // 100 TB.
+    Q("x_text_repetition",
+      (s, dir) => docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g2", expr(
+          """IF(size(toks) < 2, CAST(array() AS ARRAY<STRING>),
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1))))""".stripMargin))
+        .withColumn("g3", expr(
+          """IF(size(toks) < 3, CAST(array() AS ARRAY<STRING>),
+            |  transform(sequence(1, size(toks) - 2),
+            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))""".stripMargin))
+        .select(col("doc_id"),
+          round(expr(
+            """IF(size(g2) = 0, CAST(0.0 AS DOUBLE),
+              |  CAST(array_max(transform(array_distinct(g2),
+              |    g -> size(filter(g2, x -> x = g)))) AS DOUBLE) / size(g2))""".stripMargin), 6)
+            .as("top_bigram_frac"),
+          round(expr(
+            """IF(size(g3) = 0, CAST(0.0 AS DOUBLE),
+              |  CAST(size(filter(g3, g -> size(filter(g3, x -> x = g)) > 1)) AS DOUBLE)
+              |    / size(g3))""".stripMargin), 6)
+            .as("dup_trigram_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+              g AS (SELECT doc_id,
+                      CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                           ELSE list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1]) END AS g2,
+                      CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                           ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3
+                    FROM t)
+              SELECT doc_id,
+                round(CASE WHEN len(g2) = 0 THEN 0.0
+                      ELSE list_max(list_transform(list_distinct(g2),
+                             g -> len(list_filter(g2, x -> x = g))))::DOUBLE / len(g2) END, 6)
+                  AS top_bigram_frac,
+                round(CASE WHEN len(g3) = 0 THEN 0.0
+                      ELSE len(list_filter(g3,
+                             g -> len(list_filter(g3, x -> x = g)) > 1))::DOUBLE / len(g3) END, 6)
+                  AS dup_trigram_frac
+              FROM g ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Domain mixing / weighted source sampling: keep each doc with a
+    // per-source probability, decided by a DETERMINISTIC portable hash of
+    // the doc id (md5-60, the same primitive the `_md5` dedup twins verify)
+    // — so the sample is reproducible across engines, re-runs and
+    // partitionings, and the comparison is pure integer (parts-per-million
+    // vs rate×1e6: no float anywhere). The production use: downsample
+    // over-represented domains (src0 keeps all, the long tail keeps 25%)
+    // before training. Linear, no shuffle — a scan-stage filter at any
+    // corpus size.
+    Q("x_sample_weighted",
+      (s, dir) => docs(s, dir)
+        .withColumn("u_ppm",
+          pmod(graft.functions.Md5Hash60(
+            concat(col("doc_id").cast("string"), lit(":mix"))), lit(1000000L)))
+        .withColumn("rate_ppm",
+          when(col("source") === "src0", 1000000L)
+            .when(col("source") === "src1", 750000L)
+            .when(col("source") === "src2", 500000L)
+            .otherwise(250000L))
+        .filter(col("u_ppm") < col("rate_ppm"))
+        .select(col("doc_id"), col("source"), col("u_ppm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, u_ppm
+              FROM (SELECT doc_id, source,
+                      ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 1000000 AS u_ppm
+                    FROM documents)
+              WHERE u_ppm < CASE source WHEN 'src0' THEN 1000000
+                                        WHEN 'src1' THEN 750000
+                                        WHEN 'src2' THEN 500000
+                                        ELSE 250000 END
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Sequence packing: assign docs (in doc_id order) to 512-token training
     // bins by exclusive running token count — bin = floor(prefix/512). The
     // global prefix sum is GlobalWindows' bucketed two-pass decomposition:

@@ -45,6 +45,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L)._4 == "no pii here, just text @ home with 123 numbers")
   }
 
+  test("repetition signals: hand-computed fractions on known shapes") {
+    val df = Seq(
+      (1L, "a b a b a b"),            // 2-grams: [a b, b a, a b, b a, a b] -> top 'a b' 3/5; 3-grams: [aba,bab,aba,bab] all dup -> 4/4
+      (2L, "w x y z"),                // all 2-/3-grams unique -> 1/3, 0
+      (3L, "solo"),                   // <2 tokens -> both 0
+      (4L, "q q q q q"))              // single repeated token -> 4/4, 3/3
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x_text_repetition")(spark, dir)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0.6, 1.0))
+    assert(out(2L) == (math.BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.0))
+    assert(out(3L) == (0.0, 0.0))
+    assert(out(4L) == (1.0, 1.0))
+  }
+
+  test("weighted sampling: deterministic, integer-exact, rate-ordered") {
+    val out = graft.SparkEntry.queries("x_sample_weighted")(spark, sf)
+      .as[(Long, String, Long)].collect()
+    // every kept row satisfies its own source's threshold
+    val rate = Map("src0" -> 1000000L, "src1" -> 750000L, "src2" -> 500000L)
+      .withDefaultValue(250000L)
+    out.foreach { case (id, src, u) => assert(u < rate(src), s"doc $id u=$u src=$src") }
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // src0 keeps ALL its docs (rate 1.0); the 25% tail keeps fewer than src1
+    val total = graft.Tables(spark, sf, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == total("src0"))
+    assert(bySrc("src1") < total("src1") && bySrc("src1") > bySrc("src3"))
+    // determinism: a re-run yields the identical sample
+    val again = graft.SparkEntry.queries("x_sample_weighted")(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("sequence packing: bins respect the running-token capacity formula") {
     val out = graft.SparkEntry.queries("x_pack_greedy_bins")(spark, sf)
       .as[(Long, Long, Long)].collect()
