@@ -440,6 +440,55 @@ object Dedup {
     labels
   }
 
+  /** Exact-Jaccard near-dup edges over a bounded id window (|b−a| ≤ window):
+    * the oracle-expressible companion to the LSH path, and the edge set the
+    * cluster/representative stages build on.
+    *
+    * Shape notes (each measured, see git history):
+    * - equi-ized bounded window: each doc EXPLODES its candidate ids so the
+    *   pair generation is a shuffled equi join, not an O(n²) BNL join.
+    * - per-pair set ops run on xxhash64'd shingles (fused ShingleHashes
+    *   kernel — no shingle strings materialize): long equality instead of
+    *   string equality; set sizes (and so Jaccard) are preserved short of a
+    *   2^-64 collision.
+    * - size-ratio prefilter — a NECESSARY condition for J ≥ 0.5:
+    *   |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≤ min/max;
+    *   J ≥ 0.5 therefore requires 2·min ≥ max. Sizes are precomputed
+    *   per-row, so most pairs are rejected on two ints before the
+    *   O(|A|+|B|) intersect ever runs. Cannot change results.
+    * - broadcast(b): the per-doc side is `window`× smaller than the exploded
+    *   candidate side; Catalyst's Generate statistics underestimate the
+    *   exploded side and would broadcast the WRONG (window×-larger) side,
+    *   which 2×'d the bench. (At corpus scale where b outgrows the broadcast
+    *   budget, drop the hint and AQE picks sort-merge on the equi key —
+    *   still no O(n²).)
+    * - the prefilter must reference BOTH sides only: a single-side conjunct
+    *   (e.g. sa > 0) gets pushed below the Generate with the whole shingle
+    *   pipeline INLINED into the filter condition — the split/transform tree
+    *   then re-evaluates per lambda element (5×+ regression, measured).
+    *   sa=0 or sb=0 pairs already fail the two-side check or the jaccard
+    *   threshold (null), so no extra conjunct is needed.
+    *
+    * Returns (a, b, j_raw) with a < b and j_raw ≥ threshold (un-rounded). */
+  def ngramJaccardEdges(docsDf: DataFrame, threshold: Double = 0.5,
+      window: Int = 20): DataFrame = {
+    require(threshold >= 0.5, "size-ratio prefilter assumes threshold >= 0.5")
+    val hashed = docsDf
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+      .select(col("doc_id"), col("shash"))
+    val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
+        size(col("shash")).as("sa"),
+        explode(sequence(col("doc_id") + 1, col("doc_id") + window)).as("b"))
+    val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"),
+        size(col("shash")).as("sb"))
+    a.join(broadcast(b), Seq("b"))
+      .filter(least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb")))
+      .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("a"), col("b"), col("j_raw"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Exact dedup — one representative (min doc_id) per identical text.
@@ -507,50 +556,12 @@ object Dedup {
 
     // Exact n-gram Jaccard over a bounded id window (|b-a| ≤ 20): gives the
     // similarity metric itself an oracle pairing without an O(n²) join.
+    // Raw-metric threshold inside the edge def, rounded projection here —
+    // mirrors the oracle's WHERE (raw) / SELECT round(...) split exactly.
     Q("x_dedup_ngram_jaccard",
-      (s, dir) => {
-        // equi-ized bounded window: explode each doc's candidate ids so the
-        // pair generation is a shuffled equi join, not an O(n²) BNL join.
-        // The per-pair set ops run on xxhash64'd shingles (fused
-        // ShingleHashes kernel — no shingle strings materialize) — long
-        // equality instead of string equality; set sizes (and so Jaccard)
-        // are preserved short of a 2^-64 collision.
-        val hashed = docs(s, dir)
-          .withColumn("toks", TextAnalysis.tokens(col("text")))
-          .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
-          .select(col("doc_id"), col("shash"))
-        val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
-            size(col("shash")).as("sa"),
-            explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
-        val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"),
-            size(col("shash")).as("sb"))
-        // Size-ratio prefilter — a NECESSARY condition for J ≥ 0.5:
-        // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≤ min/max;
-        // J ≥ 0.5 therefore requires 2·min ≥ max. Sizes are precomputed
-        // per-row, so most pairs are rejected on two ints before the
-        // O(|A|+|B|) intersect ever runs. Cannot change results.
-        // Raw-metric threshold, rounded projection — mirrors the oracle's
-        // WHERE (raw) / SELECT round(...) split exactly.
-        // broadcast(b): the per-doc side is 20× smaller than the exploded
-        // candidate side; Catalyst's Generate statistics underestimate the
-        // exploded side and would broadcast the WRONG (20×-larger) side,
-        // which 2×'d the bench. (At corpus scale where b outgrows the
-        // broadcast budget, drop the hint and AQE picks sort-merge on the
-        // equi key — still no O(n²).)
-        // NOTE the prefilter must reference BOTH sides only: a single-side
-        // conjunct (e.g. sa > 0) gets pushed below the Generate with the
-        // whole shingle pipeline INLINED into the filter condition — the
-        // split/transform tree then re-evaluates per lambda element (5×+
-        // regression, measured). sa=0 or sb=0 pairs already fail this
-        // two-side check or the jaccard threshold (null), so no extra
-        // conjunct is needed.
-        a.join(broadcast(b), Seq("b"))
-          .filter(least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb")))
-          .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("j_raw") >= 0.5)
-          .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
-          .orderBy("a", "b")
-      },
+      (s, dir) => ngramJaccardEdges(docs(s, dir))
+        .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
+        .orderBy("a", "b"),
       Some("""WITH sh AS (
                 SELECT doc_id,
                   list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
@@ -593,6 +604,56 @@ object Dedup {
                   SELECT s.b AS node, r.root FROM reach r JOIN sym s ON r.node = s.a)
               SELECT node, min(root) AS cluster FROM reach GROUP BY node
               ORDER BY node ASC NULLS FIRST""")),
+
+    // Per-cluster representative selection — the end-stage of near-dedup:
+    // assemble TEXT near-dup clusters (connected components over the exact
+    // n-gram Jaccard edge set), then keep ONE doc per cluster — the longest
+    // (max n_chars), ties to the smallest doc_id. Docs in no cluster keep
+    // themselves. The argmax is a PARTITIONED window (cluster key): the plan
+    // is shuffle-by-cluster + local sort — no global ordering anywhere, so
+    // the selection step scales with cluster count, not corpus size. The
+    // oracle re-derives the same clusters with a recursive CTE over the
+    // identical (oracle-validated) edge set.
+    Q("x_dedup_keep_best",
+      (s, dir) => {
+        val cc = connectedComponents(
+          ngramJaccardEdges(docs(s, dir)).select("a", "b"))
+        val clustered = docs(s, dir).select(col("doc_id"), col("n_chars"))
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster"), col("n_chars"))
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        clustered.withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+                    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+2]) AS shingles
+                FROM documents),
+              edges AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b
+                  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+                WHERE len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))
+                    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) >= 0.5),
+              sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+              reach(node, root) AS (
+                SELECT a AS node, a AS root FROM sym
+                UNION
+                SELECT s.b AS node, r.root FROM reach r JOIN sym s ON r.node = s.a),
+              cc AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node),
+              cl AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster, d.n_chars
+                     FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+              SELECT doc_id, cluster,
+                row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+              FROM cl
+              ORDER BY doc_id ASC NULLS FIRST""")),
 
     // SimHash content signature (rows-only: seeded-hash family). Computed by
     // the codegen'd SimHash64 expression — bit-identical to `simhashExpr`

@@ -242,6 +242,32 @@ object PipelineOps {
                                         ELSE 250000 END
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Train/val/test holdout assignment (80/10/10): the same deterministic
+    // md5-60 primitive as weighted sampling, but partitioning instead of
+    // filtering — every doc lands in exactly one split, the assignment is a
+    // pure function of doc_id (stable under re-runs, repartitioning, and
+    // corpus growth: adding docs never moves an existing doc's split, which
+    // is the property that keeps eval sets uncontaminated across dataset
+    // versions). Scan-stage projection, no shuffle.
+    Q("x_split_assign",
+      (s, dir) => docs(s, dir)
+        .withColumn("bucket",
+          pmod(graft.functions.Md5Hash60(
+            concat(col("doc_id").cast("string"), lit(":split"))), lit(100L)))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 AS b
+                    FROM documents)
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Sequence packing: assign docs (in doc_id order) to 512-token training
     // bins by exclusive running token count — bin = floor(prefix/512). The
     // global prefix sum is GlobalWindows' bucketed two-pass decomposition:

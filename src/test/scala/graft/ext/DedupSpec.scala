@@ -158,6 +158,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 6L, 100L), s"kept=$kept")
   }
 
+  test("keep-best picks the longest doc per near-dup cluster, ties to min id") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // j=6/7 with doc 1, longer
+      (3L, "totally different words about columnar storage engines and formats"),
+      (10L, "mirror mirror on the wall identical boilerplate text here"),
+      (11L, "mirror mirror on the wall identical boilerplate text here")) // j=1 with doc 10, same length
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir()
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x_dedup_keep_best")(spark, dir)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 5)
+    assert(out(1L) == (1L, false) && out(2L) == (1L, true)) // longer doc wins the cluster
+    assert(out(3L) == (3L, true))                           // singleton keeps itself
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false)) // tie -> smallest doc_id
+  }
+
   test("exact dedup collapses identical texts") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     dup.createOrReplaceTempView("dup_docs")

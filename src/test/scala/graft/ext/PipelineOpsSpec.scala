@@ -81,6 +81,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("split assignment: exhaustive, disjoint, stable, ~80/10/10") {
+    val out = graft.SparkEntry.queries("x_split_assign")(spark, sf)
+      .as[(Long, String)].collect()
+    val total = graft.Tables(spark, sf, "documents").count()
+    assert(out.length == total)                          // every doc assigned
+    assert(out.map(_._1).distinct.length == out.length)  // exactly one split each
+    val frac = out.groupBy(_._2).view.mapValues(_.length.toDouble / total).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"frac=$frac")
+    assert(frac("val") > 0.04 && frac("val") < 0.16, s"frac=$frac")
+    assert(frac("test") > 0.04 && frac("test") < 0.16, s"frac=$frac")
+    // stability: pure function of doc_id — a re-run reproduces the assignment
+    val again = graft.SparkEntry.queries("x_split_assign")(spark, sf)
+      .as[(Long, String)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("sequence packing: bins respect the running-token capacity formula") {
     val out = graft.SparkEntry.queries("x_pack_greedy_bins")(spark, sf)
       .as[(Long, Long, Long)].collect()

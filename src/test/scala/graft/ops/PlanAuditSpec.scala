@@ -87,7 +87,9 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     // all global-order queries decompose over deterministic value buckets:
     // every window operator is bucket-partitioned, never SinglePartition
-    Seq("w5_distribution", "w7_range_frame", "x_pack_greedy_bins").foreach { name =>
+    // (x_dedup_keep_best's argmax window is partitioned by cluster key)
+    Seq("w5_distribution", "w7_range_frame", "x_pack_greedy_bins",
+        "x_dedup_keep_best").foreach { name =>
       val wins = collectAll(plan(name)) { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$name expected a bucket-partitioned window")
       wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
