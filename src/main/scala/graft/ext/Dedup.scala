@@ -655,6 +655,83 @@ object Dedup {
               FROM cl
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Incremental (batch-vs-corpus) dedup — the production ingest shape: a
+    // new shard is NEVER deduped by re-clustering the whole corpus; it is
+    // probed against the existing index. Two probes, exact-first: (a) the
+    // batch doc's sha256 against the corpus content-hash index — a
+    // constant-width equi join; (b) a bounded near-dup probe (|corpus_id −
+    // batch_id| ≤ 20, jaccard ≥ 0.5) against the corpus shingle index. At
+    // 100 TB both indexes are persisted SnapshotTables maintained by the
+    // ingest job (only the NEW shard is shingled per run); here both sides
+    // derive from the same table (corpus = even ids, batch = odd) so the
+    // whole decision is under the DuckDB hash gate. A dropped doc reports
+    // its duplicate target and which probe fired, exact taking precedence.
+    Q("x_dedup_incremental",
+      (s, dir) => {
+        val all = docs(s, dir)
+        val corpus = all.filter(col("doc_id") % 2 === 0)
+        val batch = all.filter(col("doc_id") % 2 === 1)
+        // exact probe: hash equi join, min matching corpus id per batch doc
+        val exact = batch.select(col("doc_id").as("b"), sha2(col("text"), 256).as("h"))
+          .join(corpus.select(sha2(col("text"), 256).as("h"), col("doc_id").as("c")), Seq("h"))
+          .groupBy("b").agg(min("c").as("exact_dup"))
+        // near probe: the ngram-jaccard edge shape, batch side exploded over
+        // the ±20 candidate window, corpus shingle index on the build side
+        // (same Generate-statistics broadcast correction as the pair query)
+        def shingled(df: DataFrame, id: String, sh: String, n: String) = df
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+          .select(col("doc_id").as(id), col("shash").as(sh), size(col("shash")).as(n))
+        val cands = shingled(batch, "b", "sh_b", "sb")
+          .select(col("b"), col("sh_b"), col("sb"),
+            explode(sequence(col("b") - 20, col("b") + 20)).as("c"))
+        val near = cands.join(broadcast(shingled(corpus, "c", "sh_c", "sc")), Seq("c"))
+          .filter(least(col("sb"), col("sc")) * 2 >= greatest(col("sb"), col("sc")))
+          .filter(jaccard(col("sh_b"), col("sh_c")) >= 0.5)
+          .groupBy("b").agg(min("c").as("near_dup"))
+        batch.select(col("doc_id"))
+          .join(exact, col("doc_id") === exact("b"), "left").drop("b")
+          .join(near, col("doc_id") === near("b"), "left").drop("b")
+          .select(col("doc_id"),
+            (col("exact_dup").isNull && col("near_dup").isNull).as("keep"),
+            coalesce(col("exact_dup"), col("near_dup")).as("dup_of"),
+            when(col("exact_dup").isNotNull, "exact")
+              .when(col("near_dup").isNotNull, "near").as("reason"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+              ex AS (SELECT b.doc_id AS b, min(c.doc_id) AS exact_dup
+                     FROM batch b JOIN corpus c ON sha256(b.text) = sha256(c.text)
+                     GROUP BY b.doc_id),
+              shb AS (SELECT doc_id,
+                        list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+                          i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                               string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                               string_split_regex(trim(text), '\s+')[i+2]) AS shingles
+                      FROM batch),
+              shc AS (SELECT doc_id,
+                        list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+                          i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                               string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                               string_split_regex(trim(text), '\s+')[i+2]) AS shingles
+                      FROM corpus),
+              nr AS (SELECT a.doc_id AS b, min(c.doc_id) AS near_dup
+                     FROM shb a JOIN shc c ON abs(c.doc_id - a.doc_id) <= 20
+                     WHERE len(list_intersect(list_distinct(a.shingles), list_distinct(c.shingles)))
+                         / (len(list_distinct(a.shingles)) + len(list_distinct(c.shingles))
+                            - len(list_intersect(list_distinct(a.shingles), list_distinct(c.shingles)))) >= 0.5
+                     GROUP BY a.doc_id)
+              SELECT bt.doc_id,
+                (ex.exact_dup IS NULL AND nr.near_dup IS NULL) AS keep,
+                coalesce(ex.exact_dup, nr.near_dup) AS dup_of,
+                CASE WHEN ex.exact_dup IS NOT NULL THEN 'exact'
+                     WHEN nr.near_dup IS NOT NULL THEN 'near' END AS reason
+              FROM batch bt
+              LEFT JOIN ex ON bt.doc_id = ex.b
+              LEFT JOIN nr ON bt.doc_id = nr.b
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // SimHash content signature (rows-only: seeded-hash family). Computed by
     // the codegen'd SimHash64 expression — bit-identical to `simhashExpr`
     // (DedupSpec parity test) without the two 64-element array allocations

@@ -177,6 +177,25 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) == (10L, true) && out(11L) == (10L, false)) // tie -> smallest doc_id
   }
 
+  test("incremental dedup probes batch docs against the corpus index") {
+    val df = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 2 (and near) -> exact wins
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"), // j=8/9 with 4
+      (7L, "entirely unrelated content discussing columnar execution engines"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x_dedup_incremental")(spark, dir)
+      .as[(Long, Boolean, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.keySet == Set(3L, 5L, 7L)) // only batch (odd) docs are decided
+    assert(out(3L) == (false, Some(2L), Some("exact")))
+    assert(out(5L) == (false, Some(4L), Some("near")))
+    assert(out(7L) == (true, None, None))
+  }
+
   test("exact dedup collapses identical texts") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     dup.createOrReplaceTempView("dup_docs")
