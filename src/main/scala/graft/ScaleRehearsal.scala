@@ -85,6 +85,17 @@ object ScaleRehearsal {
         .filter(col("keep")).count()
     }
     println(s"SCALE   routed pipeline kept=$kept representatives")
+
+    // Incremental ingest probe on the same corpus (odd ids = new shard,
+    // even ids = corpus): every odd doc sits inside a 20-strong duplicate
+    // group whose even siblings are within the ±20 id window, so the probe
+    // is maximally loaded — every batch doc generates exact AND near
+    // candidates.
+    val dropped = time("incremental_probe") {
+      ext.Dedup.qs.find(_.name == "x_dedup_incremental").get.fn(spark, dir)
+        .filter(!col("keep")).count()
+    }
+    println(s"SCALE   incremental probe dropped=$dropped batch docs")
     spark.stop()
   }
 }
