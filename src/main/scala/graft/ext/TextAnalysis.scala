@@ -86,6 +86,36 @@ object TextAnalysis {
               GROUP BY word
               ORDER BY n DESC NULLS LAST, word ASC NULLS FIRST LIMIT 50""")),
 
+    // Vocabulary construction (tokenizer prep): top-K corpus tokens by
+    // frequency with contiguous rank ids. Candidate selection is fully
+    // distributed — one token shuffle, then TakeOrderedAndProject (no
+    // global sort). The rank window that follows runs over AT MOST K rows
+    // (a design constant, not a data-sized set), so its single partition is
+    // bounded and deliberate — the exception that proves the
+    // no-SinglePartition-window rule, not a violation of it.
+    Q("x_text_vocab",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("token"))
+          .limit(1000)
+          .withColumn("token_id", row_number()
+            .over(Window.orderBy(desc("n"), asc("token"))).cast("long"))
+          .select("token_id", "token", "n")
+          .orderBy("token_id")
+      },
+      Some("""WITH f AS (SELECT token, count(*) AS n
+                   FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+                         FROM documents)
+                   GROUP BY token
+                   ORDER BY n DESC NULLS LAST, token ASC NULLS FIRST LIMIT 1000)
+              SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id,
+                     token, n
+              FROM f
+              ORDER BY token_id ASC NULLS FIRST""")),
+
     // Quality scoring: type-token ratio, stopword ratio, mean token length.
     // All ratios are int/int IEEE divisions — bit-deterministic both engines.
     Q("x_text_quality",

@@ -102,6 +102,28 @@ object Streams {
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  private val docsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Micro-batch source over a documents shard directory (file source; at
+    * scale a queue of crawled shards with identical downstream code). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsRawSchema)
+      .parquet(s"$dir/documents.parq*") // glob: FileStreamSource needs a dir/glob, not a bare file
+
+  /** Stream-static ANTI join — the streaming face of incremental ingest
+    * dedup (`x_dedup_incremental`'s exact probe): each micro-batch hashes
+    * its docs and probes the STATIC corpus content-hash index; only unseen
+    * content flows on. Stream-static joins keep NO state and need no
+    * watermark — the static side re-resolves per micro-batch, so the ingest
+    * job can swap the index (a SnapshotTable at scale) between batches;
+    * Spark broadcasts it when small, else plans a per-batch shuffled join. */
+  def newDocsStream(docs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    docs.withColumn("content_hash", sha2(col("text"), 256))
+      .join(corpusIndex, Seq("content_hash"), "left_anti")
+
   /** The reference's sink: every micro-batch MERGE-upserted into the target
     * (idempotent on the key, late/duplicate data folded by upsert). */
   def upsertSink(events: DataFrame, targetPath: String,
@@ -263,6 +285,28 @@ object Streams {
                     FROM (SELECT event_id, event_type FROM events
                           UNION ALL
                           SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
-              GROUP BY event_type ORDER BY event_type ASC NULLS FIRST"""))
+              GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")),
+
+    // Stream-static anti join (newDocsStream's batch twin): the corpus
+    // content-hash index is built from the even-id docs; everything whose
+    // content is absent from it counts as new, tallied per source.
+    // StreamsSpec runs the identical probe through readStream +
+    // AvailableNow and asserts row-set equality with the batch form.
+    Q("st_static_anti_join",
+      (s, dir) => {
+        val all = graft.Tables(s, dir, "documents")
+        val idx = all.filter(col("doc_id") % 2 === 0)
+          .select(sha2(col("text"), 256).as("content_hash")).distinct()
+        all.withColumn("content_hash", sha2(col("text"), 256))
+          .join(idx, Seq("content_hash"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("n_new"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_new
+              FROM documents b
+              WHERE NOT EXISTS (SELECT 1 FROM documents c
+                                WHERE c.doc_id % 2 = 0
+                                  AND sha256(c.text) = sha256(b.text))
+              GROUP BY source ORDER BY source ASC NULLS FIRST"""))
   )
 }

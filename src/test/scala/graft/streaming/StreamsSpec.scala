@@ -63,6 +63,24 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == out.select("event_id").distinct().count())
   }
 
+  test("stream-static anti join passes only content absent from the corpus index") {
+    import org.apache.spark.sql.functions.sha2
+    val all = graft.Tables(spark, sf, "documents")
+    val idx = all.filter($"doc_id" % 2 === 0)
+      .select(sha2($"text", 256).as("content_hash")).distinct()
+    val q = Streams.newDocsStream(Streams.docsStream(spark, sf), idx)
+      .writeStream.format("memory").queryName("static_anti_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("static_anti_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = all.withColumn("content_hash", sha2($"text", 256))
+      .join(idx, Seq("content_hash"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState: last-write-wins state equals batch max(ts)") {
     val q = Streams.latestPerUser(Streams.eventsStream(spark, sf)).writeStream
       .format("memory").queryName("latest_out").outputMode("update")
