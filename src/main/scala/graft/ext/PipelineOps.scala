@@ -282,6 +282,34 @@ object PipelineOps {
                     FROM documents)
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Adaptive (data-derived) length filter: keep docs whose token count is
+    // at or above the CORPUS MEAN — the threshold comes from the data, not a
+    // constant, which is the general shape of adaptive quality cutoffs
+    // (percentile gates, mean±k·sd bands). Two passes over the scan: a
+    // single-row global aggregate, broadcast back as a scalar, then a
+    // scan-stage filter. The comparison is CROSS-MULTIPLIED integer
+    // arithmetic (n_toks·n ≥ total) — no division, no float, so membership
+    // can never flip on a sub-ulp threshold divergence between engines.
+    Q("x_text_adaptive_filter",
+      (s, dir) => {
+        val t = docs(s, dir)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        val stats = t.agg(sum("n_toks").as("tot"), count(lit(1)).as("n"))
+        t.crossJoin(broadcast(stats))
+          .filter(col("n_toks") * col("n") >= col("tot"))
+          .select("doc_id", "n_toks")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n_toks
+                   FROM documents),
+              s AS (SELECT sum(n_toks) AS tot, count(*) AS n FROM t)
+              SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks
+              FROM t, s
+              WHERE n_toks * n >= tot
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Sequence packing: assign docs (in doc_id order) to 512-token training
     // bins by exclusive running token count — bin = floor(prefix/512). The
     // global prefix sum is GlobalWindows' bucketed two-pass decomposition:

@@ -177,6 +177,16 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) == (10L, true) && out(11L) == (10L, false)) // tie -> smallest doc_id
   }
 
+  test("keep-best invariants on the corpus: one keep per cluster, labels are member ids") {
+    val out = graft.SparkEntry.queries("x_dedup_keep_best")(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == graft.Tables(spark, sf, "documents").count())
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.count(_._3) == 1, s"cluster $c must keep exactly one doc")
+      assert(rows.exists(_._1 == c), s"cluster label $c must be a member id")
+    }
+  }
+
   test("incremental dedup probes batch docs against the corpus index") {
     val df = Seq(
       (2L, "the quick brown fox jumps over the lazy dog today"),

@@ -97,6 +97,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("adaptive mean filter keeps exactly the at-or-above-average docs") {
+    val df = Seq(
+      (1L, "one"),                       // 1 token
+      (2L, "two words"),                 // 2
+      (3L, "three tokens right here"),   // 4 -> mean (1+2+4+9)/4 = 4
+      (4L, "a b c d e f g h i"))         // 9
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x_text_adaptive_filter")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 4L, 4L -> 9L)) // 4*4 >= 16 keeps the boundary doc
+  }
+
   test("sequence packing: bins respect the running-token capacity formula") {
     val out = graft.SparkEntry.queries("x_pack_greedy_bins")(spark, sf)
       .as[(Long, Long, Long)].collect()
