@@ -310,6 +310,52 @@ object PipelineOps {
               WHERE n_toks * n >= tot
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // The corpus-prep pipeline as ONE declarative plan — rule filter →
+    // exact dedup → split assignment → per-split report. Each stage is the
+    // registered operator's exact shape (length gate; min-id-per-sha256 via
+    // a hash-partitioned window; md5-60 holdout buckets; grouped agg), but
+    // composed, Catalyst sees the whole DAG at once: the filter pushes to
+    // the scan, the dedup window and the final groupBy are the only
+    // shuffles, and column pruning rides through every stage. This is the
+    // materialization-free shape of a production prep run — stages are
+    // plans, not intermediate tables, until a sink asks for bytes.
+    Q("x_pipeline_corpus_prep",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        val filtered = base.filter(col("n_toks").between(5, 2000))
+        val w = Window.partitionBy(sha2(col("text"), 256))
+          .orderBy(col("doc_id").asc)
+        val deduped = filtered.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val split = deduped.withColumn("bucket",
+            pmod(graft.functions.Md5Hash60(
+              concat(col("doc_id").cast("string"), lit(":split"))), lit(100L)))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+        split.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, text,
+                     len(string_split_regex(trim(text), '\s+')) AS n_toks
+                   FROM documents),
+              f AS (SELECT * FROM t WHERE n_toks BETWEEN 5 AND 2000),
+              d AS (SELECT * FROM (SELECT *, row_number() OVER (
+                       PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+                     FROM f) WHERE rn = 1),
+              sp AS (SELECT doc_id, lang, n_toks,
+                       CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+                     FROM (SELECT *,
+                             ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 AS b
+                           FROM d))
+              SELECT split, lang, count(*) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS n_tokens
+              FROM sp GROUP BY split, lang
+              ORDER BY split ASC NULLS FIRST, lang ASC NULLS FIRST""")),
+
     // Sequence packing: assign docs (in doc_id order) to 512-token training
     // bins by exclusive running token count — bin = floor(prefix/512). The
     // global prefix sum is GlobalWindows' bucketed two-pass decomposition:
