@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * stacked transforms (HtmlUtilsSpec pins the counterexamples).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{ArrayDot, ShingleHashes, SimHash64}
+  import graft.functions.{ArrayDot, RepetitionStats, ShingleHashes, SimHash64}
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ShingleHashes(children.head, n)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (children: Seq[Expression]) => RepetitionStats(children.head)))
   }
 }

@@ -162,45 +162,25 @@ object PipelineOps {
     // 2-gram slots taken by the single most frequent 2-gram, and fraction of
     // 3-gram slots whose 3-gram occurs more than once — the two signals that
     // catch boilerplate/looping text that length/stopword stats miss.
-    // Pure per-row HOF work (no shuffle, one scan). The counts are computed
-    // on SORTED xxhash64'd grams — max run length (one aggregate pass) and
-    // sorted-neighbor equality — so the per-doc cost is O(n log n) in
-    // tokens, not the O(n²) count-each-distinct-gram formulation (which
-    // measured 5 s at sf0.1, the slowest query in the bench; this shape is
-    // ~0.3 s). Counts are preserved short of a 2^-64 hash collision — the
-    // same argument the shingle-hash dedup tier rests on; the oracle keeps
-    // the direct string-counting formulation, so the gate re-proves value
-    // equality every run.
+    // One scan, no shuffle: the gram counting is the native RepetitionStats
+    // kernel (open-addressed counting over buffer-reused xxhash64 grams,
+    // O(tokens) per doc — it replaced an O(n²) count-each-distinct HOF that
+    // measured 5 s at sf0.1, then an O(n log n) sort-based HOF at ~1.5 s;
+    // VectorMathSpec pins bit parity against the sorted-HOF form on the
+    // real corpus). The oracle keeps the direct string-counting
+    // formulation, so the gate re-proves value equality every run.
     Q("x_text_repetition",
       (s, dir) => docs(s, dir)
-        .withColumn("toks", TextAnalysis.tokens(col("text")))
-        .withColumn("h2", expr(
-          """IF(size(toks) < 2, CAST(array() AS ARRAY<BIGINT>),
-            |  array_sort(transform(sequence(1, size(toks) - 1),
-            |    i -> xxhash64(concat_ws(' ', element_at(toks, i), element_at(toks, i+1))))))""".stripMargin))
-        .withColumn("h3", expr(
-          """IF(size(toks) < 3, CAST(array() AS ARRAY<BIGINT>),
-            |  array_sort(transform(sequence(1, size(toks) - 2),
-            |    i -> xxhash64(concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))))""".stripMargin))
+        .withColumn("st", graft.functions.RepetitionStats(
+          TextAnalysis.tokens(col("text"))))
         .select(col("doc_id"),
-          // longest run in the sorted array == count of the most frequent gram
           round(expr(
-            """IF(size(h2) = 0, CAST(0.0 AS DOUBLE),
-              |  CAST(aggregate(h2,
-              |    named_struct('run', 0L, 'best', 0L, 'prev', CAST(NULL AS BIGINT)),
-              |    (acc, x) -> named_struct(
-              |      'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
-              |      'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L)),
-              |      'prev', x),
-              |    acc -> acc.best) AS DOUBLE) / size(h2))""".stripMargin), 6)
+            """IF(element_at(st, 2) = 0, CAST(0.0 AS DOUBLE),
+              |  CAST(element_at(st, 1) AS DOUBLE) / element_at(st, 2))""".stripMargin), 6)
             .as("top_bigram_frac"),
-          // a sorted element occurs >1 times iff it equals a sorted neighbour
           round(expr(
-            """IF(size(h3) = 0, CAST(0.0 AS DOUBLE),
-              |  CAST(size(filter(sequence(1, size(h3)), i ->
-              |    (i > 1 AND element_at(h3, i) = element_at(h3, i - 1)) OR
-              |    (i < size(h3) AND element_at(h3, i) = element_at(h3, i + 1)))) AS DOUBLE)
-              |    / size(h3))""".stripMargin), 6)
+            """IF(element_at(st, 4) = 0, CAST(0.0 AS DOUBLE),
+              |  CAST(element_at(st, 3) AS DOUBLE) / element_at(st, 4))""".stripMargin), 6)
             .as("dup_trigram_frac"))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -114,4 +114,47 @@ class VectorMathSpec extends SparkSpec {
     assert(diffs == 0)
     assert(d.count() > 0)
   }
+
+  test("RepetitionStats == sorted-HOF gram counts bit-for-bit on the corpus") {
+    val d = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+      .withColumn("st", RepetitionStats(col("toks")))
+      .withColumn("h2", expr(
+        """IF(size(toks) < 2, CAST(array() AS ARRAY<BIGINT>),
+          |  array_sort(transform(sequence(1, size(toks) - 1),
+          |    i -> xxhash64(concat_ws(' ', element_at(toks, i), element_at(toks, i+1))))))""".stripMargin))
+      .withColumn("h3", expr(
+        """IF(size(toks) < 3, CAST(array() AS ARRAY<BIGINT>),
+          |  array_sort(transform(sequence(1, size(toks) - 2),
+          |    i -> xxhash64(concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))))""".stripMargin))
+      // max run length in the sorted array == top gram count; sorted-neighbour
+      // equality == duplicated-gram membership (both IF-guarded: sequence(1,0)
+      // is DESCENDING, the round-1 trap)
+      .withColumn("top2", expr(
+        """IF(size(h2) = 0, 0L, aggregate(h2,
+          |  named_struct('run', 0L, 'best', 0L, 'prev', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L)),
+          |    'prev', x),
+          |  acc -> acc.best))""".stripMargin))
+      .withColumn("dup3", expr(
+        """IF(size(h3) = 0, 0L, CAST(size(filter(sequence(1, size(h3)), i ->
+          |  (i > 1 AND element_at(h3, i) = element_at(h3, i - 1)) OR
+          |  (i < size(h3) AND element_at(h3, i) = element_at(h3, i + 1)))) AS BIGINT))""".stripMargin))
+    val diffs = d.filter(col("st") =!= array(col("top2"),
+        size(col("h2")).cast("long"), col("dup3"), size(col("h3")).cast("long")))
+      .count()
+    assert(diffs == 0)
+    assert(d.count() > 0)
+    // edge shapes by hand
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "a a a"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), RepetitionStats(col("toks")).as("st"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(edge(2L) == Seq(0L, 0L, 0L, 0L))
+    assert(edge(3L) == Seq(1L, 1L, 0L, 0L))      // one unique 2-gram, no 3-gram
+    assert(edge(4L) == Seq(2L, 2L, 0L, 1L))      // 'a a' twice; single 3-gram not duplicated
+  }
 }
