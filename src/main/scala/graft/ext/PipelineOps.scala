@@ -290,6 +290,45 @@ object PipelineOps {
               WHERE n_toks * n >= tot
               ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Per-source z-score normalization of document length — the feature-
+    // engineering shape (standardize a signal within its domain before
+    // cross-domain thresholds). Group moments come from INTEGER sums
+    // (Σx, Σx², n — exact in both engines), broadcast back; every double op
+    // after that is the same IEEE expression tree on both sides, so the
+    // rounded z-scores hash-match. Degenerate groups (σ = 0) map to z = 0 on
+    // both sides rather than dividing by zero.
+    Q("x_feat_zscore",
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("x"))
+        val g = t.groupBy("source").agg(
+          sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("n"))
+        t.join(broadcast(g), Seq("source"))
+          .withColumn("mu", col("sx").cast("double") / col("n"))
+          .withColumn("variance",
+            (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
+              / (col("n") - 1))
+          .withColumn("z",
+            when(col("variance") <= 0, 0.0)
+              .otherwise((col("x").cast("double") - col("mu")) / sqrt(col("variance"))))
+          .select(col("doc_id"), col("source"), round(col("z"), 6).as("z"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x
+                   FROM documents),
+              g AS (SELECT source, sum(x) AS sx, sum(x * x) AS sxx, count(*) AS n
+                    FROM t GROUP BY source)
+              SELECT t.doc_id, t.source,
+                round(CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) <= 0
+                           THEN 0.0
+                           ELSE (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                                / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                      END, 6) AS z
+              FROM t JOIN g ON t.source = g.source
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // The corpus-prep pipeline as ONE declarative plan — rule filter →
     // exact dedup → split assignment → per-split report. Each stage is the
     // registered operator's exact shape (length gate; min-id-per-sha256 via

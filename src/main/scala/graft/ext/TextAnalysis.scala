@@ -116,6 +116,24 @@ object TextAnalysis {
               FROM f
               ORDER BY token_id ASC NULLS FIRST""")),
 
+    // Token-length histogram (corpus reporting): fixed-width buckets of the
+    // per-doc token count. One scan + one bucket-keyed shuffle whose
+    // cardinality is the bucket count, not the corpus — the report stays
+    // KB-sized at any corpus size. Integer floor-division bucketing, no
+    // float anywhere.
+    Q("x_text_length_hist",
+      (s, dir) => t(s, dir)
+        .select((floor(size(tokens(col("text"))) / 50) * 50)
+          .cast("long").as("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo"),
+      Some("""SELECT CAST((len(string_split_regex(trim(text), '\s+')) // 50) * 50 AS BIGINT) AS bucket_lo,
+                     count(*) AS n_docs
+              FROM documents
+              GROUP BY 1
+              ORDER BY bucket_lo ASC NULLS FIRST""")),
+
     // Quality scoring: type-token ratio, stopword ratio, mean token length.
     // All ratios are int/int IEEE divisions — bit-deterministic both engines.
     Q("x_text_quality",
