@@ -76,6 +76,33 @@ object Multimodal {
           .as("frame_sha"))
   }
 
+  /** Resized-media record: original + target dims and the transformed
+    * payload's digest (the payload itself would flow on in production). */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          new_width: Int, new_height: Int, resized_sha: String)
+
+  /** STUB resize — the binary→binary image-preprocessing shape: payloads
+    * are transformed WHERE THEY SIT (partition-local typed map, no shuffle;
+    * a real JNI codec slots into this exact signature). Deterministic:
+    * target dims fit the stub-decoded frame into a 224-box with integer
+    * arithmetic, and the "resized payload" stands in as
+    * sha256(payload ++ ":WxH" tag) — so the whole path is oracle-checkable. */
+  def resizeAll(s: SparkSession, dir: String): Dataset[ResizedMedia] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions(_.filter(_.kind == "image").map { r =>
+        val f = decodeStub(r)
+        val (nw, nh) =
+          if (f.width >= f.height) (224, math.max(1, f.height * 224 / f.width))
+          else (math.max(1, f.width * 224 / f.height), 224)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(r.payload)
+        md.update(s":${nw}x$nh".getBytes("UTF-8"))
+        ResizedMedia(r.media_id, f.width, f.height, nw, nh,
+          md.digest().map("%02x".format(_)).mkString)
+      })
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Metadata extraction over the binary payload — oracle-paired: byte
@@ -131,6 +158,35 @@ object Multimodal {
               SELECT media_id, CAST(i * 5 AS BIGINT) AS frame_idx,
                      sha256(text || CAST(i * 5 AS VARCHAR)) AS frame_sha
               FROM v, LATERAL (SELECT unnest(generate_series(0, (n_frames - 1) // 5)) AS i) u
-              ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST"""))
+              ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""")),
+
+    // Resize (aspect-preserving fit into a 224 box) through the typed
+    // partition-local path — like the decode, the deterministic stub makes
+    // the binary→binary transform oracle-expressible: the DuckDB twin
+    // re-derives dims from first principles and hashes the same
+    // payload+tag bytes.
+    Q("x_mm_resize",
+      (s, dir) => resizeAll(s, dir).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("new_width"), col("new_height"), col("resized_sha"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len
+                   FROM documents WHERE doc_id % 3 = 0),
+              d AS (SELECT media_id, text,
+                     CAST(len % 640 + 1 AS INTEGER) AS width,
+                     CAST(len % 480 + 1 AS INTEGER) AS height
+                   FROM m),
+              r AS (SELECT media_id, text, width, height,
+                     CASE WHEN width >= height THEN 224
+                          ELSE greatest(1, (width * 224) // height) END AS nw,
+                     CASE WHEN width >= height THEN greatest(1, (height * 224) // width)
+                          ELSE 224 END AS nh
+                   FROM d)
+              SELECT media_id, width, height,
+                     CAST(nw AS INTEGER) AS new_width,
+                     CAST(nh AS INTEGER) AS new_height,
+                     sha256(text || ':' || CAST(nw AS VARCHAR) || 'x' || CAST(nh AS VARCHAR)) AS resized_sha
+              FROM r ORDER BY media_id ASC NULLS FIRST"""))
   )
 }
