@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, PipelineOps, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Enrich, Multimodal, PipelineOps, Similarity, TextAnalysis}
 import graft.ops.{Q, Relational, Relational2, Relational3, Scalars, SkewAndBuckets}
 import graft.sources.SourceQueries
 import graft.streaming.Streams
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.qs ++ Relational2.qs ++ Relational3.qs ++ Scalars.qs ++ SkewAndBuckets.qs ++
       TextAnalysis.qs ++ Dedup.qs ++ Similarity.qs ++ Multimodal.qs ++ PipelineOps.qs ++
-      Streams.qs ++ SourceQueries.qs
+      Enrich.qs ++ Streams.qs ++ SourceQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: existing-ids scan + anti-join + MERGE shape
