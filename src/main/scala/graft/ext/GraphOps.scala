@@ -1,0 +1,201 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Graph analytics and sketch membership over the warehouse tables
+  * (SURVEY.md §2.11 extension tier).
+  *
+  *  - PageRank over the supplier↔part co-occurrence graph, in integer ppm
+  *    arithmetic so the iterative result is bit-exact in any engine (floor
+  *    division on positive BIGINTs — Spark `div` ≡ DuckDB `//`). The Spark
+  *    side is the bounded-shuffle iterative shape (join + grouped sum per
+  *    round, materialized roots like connected components); the oracle
+  *    unrolls the same three iterations as chained CTEs.
+  *  - A Bloom-filter membership sketch built FROM a corpus and probed BY a
+  *    batch — the runtime-filter/dedup-prefilter primitive at 100 TB: the
+  *    built bit set is ≤ m rows (broadcast-sized by construction) no matter
+  *    how large the corpus, and the probe is one broadcast join. Hash
+  *    positions use the portable md5-60 primitive shared with the sampling /
+  *    split operators, so the whole sketch is oracle-expressible.
+  */
+object GraphOps {
+
+  /** Bloom parameters: m = 4096 bit positions, k = 3 salted hashes. */
+  private val BloomM = 4096L
+  private val BloomSalts = Seq(0, 1, 2)
+
+  private def bloomPos(text: Column, salt: Int): Column =
+    pmod(graft.functions.Md5Hash60(concat(text, lit(s":b$salt"))), lit(BloomM))
+
+  /** Unrolled 3-iteration integer-ppm PageRank oracle (chained CTEs — a
+    * fixed iteration count needs no recursion, which keeps the oracle in
+    * plain DuckDB SQL; recursive CTE terms disallow aggregates anyway). */
+  private def pagerankOracle: String = {
+    val steps = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(r${i - 1}.r // o.outdeg) AS BIGINT) AS sc
+         |        FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |        JOIN outdeg o ON e.src = o.src
+         |        GROUP BY e.dst),
+         | r$i AS (SELECT n.node, CAST(150000 + (850000 * coalesce(c$i.sc, 0)) // 1000000 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH base AS (SELECT DISTINCT l_suppkey AS sn, l_partkey + 1000000 AS pn FROM lineitem),
+       | edges AS (SELECT sn AS src, pn AS dst FROM base
+       |           UNION ALL SELECT pn AS src, sn AS dst FROM base),
+       | outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       | nodes AS (SELECT DISTINCT src AS node FROM edges),
+       | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       | $steps
+       |SELECT node, r AS rank_ppm FROM r3 ORDER BY node ASC NULLS FIRST""".stripMargin
+  }
+
+  /** Three integer-ppm PageRank rounds over the (bidirected) supplier↔part
+    * graph. Per round: one equi join rank⋈edges (+ broadcast-sized outdeg),
+    * one grouped sum — bounded shuffles keyed by node id, no driver-side
+    * state. Edge derivation is materialized once (localCheckpoint, the same
+    * lineage-cut idiom as connected components) so the three rounds reuse it
+    * instead of re-scanning lineitem. */
+  def pagerank(s: SparkSession, dir: String, iterations: Int = 3): DataFrame = {
+    val base = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey").as("sn"), (col("l_partkey") + lit(1000000L)).as("pn"))
+      .distinct()
+    val edges = base.select(col("sn").as("src"), col("pn").as("dst"))
+      .unionByName(base.select(col("pn").as("src"), col("sn").as("dst")))
+      .localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      rank = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (850000 * coalesce(sc, CAST(0 AS BIGINT))) div 1000000 AS BIGINT)").as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_ppm")).orderBy("node")
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    Q("x_graph_pagerank",
+      (s, dir) => pagerank(s, dir),
+      Some(pagerankOracle)),
+
+    // Triangle counting over the SIGNIFICANT part co-occurrence graph
+    // (edge ⟺ two parts share ≥2 distinct orders — the market-basket
+    // significance filter that keeps a co-occurrence graph sparse as the
+    // corpus grows; raw single-co-occurrence edges densify toward the
+    // complete graph and triangle counts become meaningless), with
+    // DEGREE-DEGENERACY ORIENTATION — the trick that makes triangle
+    // counting survive skewed graphs at scale: orient every undirected edge
+    // from its (degree, id)-smaller endpoint to the larger, producing a DAG
+    // where each triangle has exactly one source→mid→sink path, and
+    // out-degrees are bounded by the graph degeneracy (a hub of degree 1M
+    // contributes wedges only through its LOW-degree neighbours, never
+    // C(1M,2) pairs). Three equi joins, all shuffle-keyed by node id.
+    Q("x_graph_triangles",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val und = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(countDistinct(col("a.l_orderkey")).as("w"))
+          .filter(col("w") >= 2)
+          .select("u", "v")
+        val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val oriented = und
+          .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+          .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("dst"))
+          .localCheckpoint()
+        val tri = oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+          .join(oriented.as("e3"),
+            col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+          .agg(count(lit(1)).as("n_triangles"))
+        oriented.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      },
+      Some("""WITH und AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                     FROM lineitem a JOIN lineitem b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                     GROUP BY a.l_partkey, b.l_partkey
+                     HAVING count(DISTINCT a.l_orderkey) >= 2),
+              deg AS (SELECT n, count(*) AS d FROM (
+                        SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+                      GROUP BY n),
+              oriented AS (SELECT
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+                   FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+              tri AS (SELECT count(*) AS n_triangles
+                   FROM oriented e1
+                   JOIN oriented e2 ON e1.dst = e2.src
+                   JOIN oriented e3 ON e1.src = e3.src AND e2.dst = e3.dst)
+              SELECT (SELECT count(*) FROM oriented) AS n_edges, n_triangles
+              FROM tri""")),
+
+    // Bloom membership: build the bit set from the 90% corpus slice, probe
+    // EVERY doc with k salted md5-60 positions. bloom_hit=1 ⟺ all k
+    // positions set; actual=1 ⟺ the text really occurs in the corpus. The
+    // spec pins the defining guarantee (no false negatives); false
+    // positives are expected and visible in the output. The built set is
+    // ≤ m=4096 rows regardless of corpus size → always broadcastable, and
+    // the probe side never shuffles (scan → explode → broadcast join →
+    // constant-width doc_id re-agg).
+    Q("x_sketch_bloom",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val corpusText = d.filter(pmod(col("doc_id"), lit(10)) =!= 0).select("text")
+        def positions(c: Column): Column =
+          array(BloomSalts.map(t => bloomPos(c, t)): _*)
+        val bits = corpusText
+          .select(explode(positions(col("text"))).as("pos"))
+          .distinct()
+          .withColumn("present", lit(1))
+        val hits = d.select(col("doc_id"), explode(positions(col("text"))).as("pos"))
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy("doc_id")
+          .agg(min(coalesce(col("present"), lit(0))).as("bloom_hit"))
+        val actual = d.select(col("doc_id"), col("text"))
+          .join(corpusText.distinct().withColumn("in_corpus", lit(1)),
+            Seq("text"), "left")
+          .select(col("doc_id"),
+            when(col("in_corpus").isNotNull, lit(1)).otherwise(lit(0)).as("actual"))
+        hits.join(actual, "doc_id")
+          .select("doc_id", "bloom_hit", "actual")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+              b AS (SELECT DISTINCT
+                      ('0x' || substr(md5(text || ':b' || t), 1, 15))::BIGINT % $BloomM AS pos
+                    FROM corpus, LATERAL (SELECT unnest([0, 1, 2]) AS t) u),
+              probe AS (SELECT doc_id,
+                      ('0x' || substr(md5(text || ':b' || t), 1, 15))::BIGINT % $BloomM AS pos
+                    FROM documents, LATERAL (SELECT unnest([0, 1, 2]) AS t) u),
+              hit AS (SELECT doc_id,
+                        min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit
+                      FROM probe LEFT JOIN b ON probe.pos = b.pos
+                      GROUP BY doc_id),
+              act AS (SELECT d.doc_id,
+                        CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END AS actual
+                      FROM documents d
+                      LEFT JOIN (SELECT DISTINCT text FROM corpus) c ON d.text = c.text)
+              SELECT h.doc_id, bloom_hit, actual
+              FROM hit h JOIN act a ON h.doc_id = a.doc_id
+              ORDER BY h.doc_id ASC NULLS FIRST"""))
+  )
+}

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -320,6 +321,52 @@ object Similarity {
                      round(dim1, 6) AS dim1
               FROM cnt JOIN agg ON cnt.label = agg.label
               ORDER BY cnt.label ASC NULLS FIRST""")),
+
+    // Nearest-centroid assignment (centroid classification / the ASSIGN half
+    // of one k-means step): label centroids from exact decimal per-dim sums
+    // (bit-identical in both engines), then every vector scores 10 centroids
+    // via the same left-to-right double cosine fold as cosine_topk and keeps
+    // the argmax (label-ascending tiebreak). The centroid set is broadcast
+    // (rows = |labels|, never data-sized); per-vector work is O(labels·dim)
+    // in the scan stage; the only shuffle is the centroid aggregation.
+    Q("x_sim_centroid_assign",
+      (s, dir) => {
+        val dims = (0 until 64).map { i =>
+          (sum(element_at(col("embedding"), i + 1).cast("double")
+            .cast("decimal(18,12)")).cast("double") / count(lit(1))).as(s"m$i")
+        }
+        val cent = emb(s, dir).groupBy("label")
+          .agg(dims.head, dims.tail: _*)
+          .select(col("label").as("c_label"),
+            array((0 until 64).map(i => col(s"m$i")): _*).as("cvec"))
+        val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("c_label"))
+        emb(s, dir).crossJoin(broadcast(cent))
+          .withColumn("sim", cosine(col("embedding"), col("cvec")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"),
+            col("c_label").as("assigned_label"), round(col("sim"), 6).as("sim"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH dims AS (SELECT label AS c_label, i,
+                     CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+                       / count(*) AS m
+                   FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+                   GROUP BY label, i),
+              cent AS (SELECT c_label, list(m ORDER BY i) AS cvec FROM dims GROUP BY c_label),
+              scored AS (SELECT e.vec_id, e.label, c.c_label,
+                     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                   FROM embeddings e, cent c),
+              r AS (SELECT vec_id, label, c_label AS assigned_label, sim,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, c_label ASC) AS rn
+                    FROM scored)
+              SELECT vec_id, label, assigned_label, round(sim, 6) AS sim
+              FROM r WHERE rn = 1
+              ORDER BY vec_id ASC NULLS FIRST""")),
 
     // Int8 scalar quantization (the storage/serving compression every
     // embedding store runs): per-vector scale = max|x| / 127, values

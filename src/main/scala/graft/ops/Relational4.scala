@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fourth relational tier: statistical moments, argmin/argmax aggregates,
+  * bool/bit aggregates, an AS-OF join in the scalable union-merge shape, and
+  * the LATERAL correlated-subquery SQL surface.
+  *
+  * The float-determinism contract matches the rest of the engine: any value
+  * the DuckDB hash gate compares is either integer/decimal-exact, or a
+  * DOUBLE produced by the IDENTICAL IEEE expression tree over decimal-exact
+  * inputs in both engines (the x_feat_zscore / label-centroid idiom), so the
+  * hashes cannot move with partitioning, parallelism, or corpus size.
+  */
+object Relational4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact-sum moment kernel shared VERBATIM by the Spark side and the
+    * oracle text: per-group n, Σx, Σy, Σx², Σxy, Σy² over decimal casts —
+    * exact at any row count — surfaced as DOUBLE for the final closed-form
+    * expressions. One partial→final aggregation pass; no second scan, no
+    * variance-of-differences numerical trap.
+    *
+    * The asymmetric DECIMAL(19,6) × DECIMAL(18,6) product cast is load-
+    * bearing in BOTH engines: the 19-wide operand pushes DuckDB onto its
+    * INT128 multiply (int64-backed × int64-backed is overflow-checked at
+    * width 18 there), while keeping Spark's result precision at
+    * 19+18+1 = 38 — exactly the cap, so Spark does NOT invoke its
+    * precision-loss scale adjustment and the product stays a lossless
+    * DECIMAL(38,12). */
+  private val momentAggs = Seq(
+    "count(*) AS n",
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx",
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy",
+    "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx",
+    "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy",
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy")
+
+  private val momentFinal = Seq(
+    "round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty",
+    "round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price",
+    "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price")
+
+  val qs: Seq[Q] = Seq(
+
+    // Per-group standard deviation and Pearson correlation from ONE
+    // aggregation pass of exact decimal sums (n, Σx, Σy, Σx², Σxy, Σy²).
+    // The partial aggregates are map-side combinable constant-width state —
+    // the shape that scales to any corpus — and the closed-form finals run
+    // on exact inputs, so there is no catastrophic cancellation drift and
+    // no summation-order dependence for the gate to trip on.
+    Q("a12_stats_moments",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(momentAggs.head), momentAggs.tail.map(expr): _*)
+        .select(col("l_returnflag") +: col("n") +: momentFinal.map(expr): _*)
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, n, ${momentFinal.mkString(", ")}
+              FROM (SELECT l_returnflag, ${momentAggs.mkString(", ")}
+                    FROM lineitem GROUP BY l_returnflag)
+              ORDER BY l_returnflag ASC NULLS FIRST""")),
+
+    // Argmin/argmax (max_by/min_by) + deterministic mode. The struct-valued
+    // ordering key (value, unique id) removes tie nondeterminism — the same
+    // trick makes the mode deterministic: mode = max_by over (count, value).
+    // Both are single partial→final aggregations (constant state per group);
+    // the oracle spells the identical semantics with rank windows.
+    Q("a13_argminmax",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val mm = o.groupBy("o_orderpriority").agg(
+          expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("top_okey"),
+          expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("bottom_okey"))
+        val md = o.groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("o_orderpriority")
+          .agg(expr("max_by(o_orderstatus, struct(cnt, o_orderstatus))").as("mode_status"))
+        mm.join(md, "o_orderpriority").orderBy("o_orderpriority")
+      },
+      Some("""WITH ranked AS (
+                SELECT o_orderpriority, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rt,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rb
+                FROM orders),
+              mm AS (SELECT o_orderpriority,
+                       max(CASE WHEN rt = 1 THEN o_orderkey END) AS top_okey,
+                       max(CASE WHEN rb = 1 THEN o_orderkey END) AS bottom_okey
+                     FROM ranked GROUP BY o_orderpriority),
+              c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+                    FROM orders GROUP BY o_orderpriority, o_orderstatus),
+              m AS (SELECT o_orderpriority, o_orderstatus AS mode_status,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY cnt DESC, o_orderstatus DESC) AS r
+                    FROM c)
+              SELECT mm.o_orderpriority, top_okey, bottom_okey, mode_status
+              FROM mm JOIN m ON mm.o_orderpriority = m.o_orderpriority AND m.r = 1
+              ORDER BY mm.o_orderpriority ASC NULLS FIRST""")),
+
+    // bool_and / bool_or / bit_and / bit_or / bit_xor — integer- and
+    // boolean-exact grouped aggregates, all partial→final combinable.
+    Q("a14_bool_bit_aggs",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("bool_and(value > 50)").as("all_gt50"),
+          expr("bool_or(value > 900)").as("any_gt900"),
+          expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+                bool_and(value > 50) AS all_gt50,
+                bool_or(value > 900) AS any_gt900,
+                bit_and(event_id) AS band,
+                bit_or(event_id) AS bor,
+                bit_xor(event_id) AS bxor
+              FROM events GROUP BY event_type
+              ORDER BY event_type ASC NULLS FIRST""")),
+
+    // AS-OF join (each event matched to the latest order of the same
+    // customer at or before the event time) in the union-merge shape: tag
+    // both streams, ONE shuffle on the key, one ordered window pass carrying
+    // the last order id forward — never a per-event range probe. At 100 TB
+    // this is a sort-merge over (key, ts): O(n log n) with no pair blowup,
+    // while the oracle spells the same semantics as a declarative
+    // inequality join + rank. Ties resolve deterministically: orders sort
+    // before events at equal ts (<= semantics) and the max orderkey wins
+    // among same-timestamp orders.
+    Q("j10_asof_join",
+      (s, dir) => {
+        val ord = t(s, dir, "orders").select(
+          col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+          col("o_orderkey").as("okey"), lit(0).as("side"),
+          lit(null).cast("bigint").as("event_id"))
+        val ev = t(s, dir, "events").select(
+          col("user_id").as("k"), col("ts"),
+          lit(null).cast("bigint").as("okey"), lit(1).as("side"),
+          col("event_id"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("ts"), col("side"), col("okey"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord.unionByName(ev)
+          .withColumn("asof_okey", last("okey", ignoreNulls = true).over(w))
+          .filter(col("side") === 1 && col("asof_okey").isNotNull)
+          .select(col("event_id"), col("k").as("user_id"), col("asof_okey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS r
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+              SELECT event_id, user_id, o_orderkey AS asof_okey
+              FROM m WHERE r = 1
+              ORDER BY event_id ASC NULLS FIRST""")),
+
+    // LATERAL correlated subquery through the SQL front door: per-nation
+    // top-2 customers by balance. Catalyst decorrelates the LIMIT'd lateral
+    // into a rank-filter window (WindowGroupLimit — partial per-partition
+    // top-k before the full sort), i.e. the same plan the DataFrame
+    // formulation would produce: no per-row re-execution anywhere.
+    Q("j11_lateral_topn",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+                 FROM nation n JOIN LATERAL (
+                   SELECT c_custkey, c_acctbal FROM customer
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+                 ORDER BY n.n_name ASC NULLS FIRST, t.c_acctbal DESC,
+                          t.c_custkey ASC""")
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+              FROM nation n JOIN LATERAL (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_nationkey = n.n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t ON true
+              ORDER BY n.n_name ASC NULLS FIRST, t.c_acctbal DESC,
+                       t.c_custkey ASC"""))
+  )
+}

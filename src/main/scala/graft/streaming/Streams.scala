@@ -70,6 +70,39 @@ object Streams {
       .select(col("c_uid").as("user_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Events micro-batch source over an arbitrary glob with a bounded batch
+    * size — lets tests split the fixture across files so the watermark
+    * ADVANCES BETWEEN micro-batches (the condition under which outer-join
+    * state actually finalizes and null-padded rows emit). */
+  def eventsStreamFrom(spark: SparkSession, glob: String,
+                       maxFilesPerTrigger: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(glob)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** LEFT OUTER stream-stream join: every click emits, null-padded when no
+    * purchase follows within the hour. Spark holds the click in state until
+    * the watermark proves no match can still arrive (watermark + join
+    * bound), THEN emits the null row — so unmatched results trail the data
+    * by the state horizon, which is the correct (and only bounded-state)
+    * semantics for outer joins over unbounded streams. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("c_eid"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("c_uid = p_uid AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_uid").as("user_id"), col("c_eid"), col("c_ts"), col("p_ts"))
+  }
+
   /** Running last-write-wins state per key — the streaming form of the
     * MERGE's "UPDATE SET all columns" semantics (main.py:354): arbitrary
     * custom state via flatMapGroupsWithState, emitting one updated row per
@@ -307,6 +340,31 @@ object Streams {
               WHERE NOT EXISTS (SELECT 1 FROM documents c
                                 WHERE c.doc_id % 2 = 0
                                   AND sha256(c.text) = sha256(b.text))
-              GROUP BY source ORDER BY source ASC NULLS FIRST"""))
+              GROUP BY source ORDER BY source ASC NULLS FIRST""")),
+
+    // LEFT OUTER interval join (clickPurchaseLeftJoin's batch twin): clicks
+    // with every qualifying purchase, or one null-padded row when none —
+    // row-level output (not an aggregate) so the oracle also checks the
+    // null-padding semantics; c_eid gives rows a deterministic identity.
+    Q("st_left_outer_join",
+      (s, dir) => {
+        val e = graft.Tables(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_uid"), col("event_id").as("c_eid"),
+            col("ts").as("c_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+        clicks.join(purchases,
+            expr("c_uid = p_uid AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("c_uid").as("user_id"), col("c_eid"), col("c_ts"), col("p_ts"))
+          .orderBy("c_eid", "p_ts")
+      },
+      Some("""SELECT c.user_id, c.event_id AS c_eid, c.ts AS c_ts, p.ts AS p_ts
+              FROM events c LEFT JOIN events p
+                ON p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+              WHERE c.event_type = 'click'
+              ORDER BY c_eid ASC NULLS FIRST, p_ts ASC NULLS FIRST"""))
   )
 }

@@ -141,6 +141,54 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture should contain click->purchase pairs within 1h")
   }
 
+  test("stream-stream LEFT OUTER join: matched rows exact, finalized nulls emitted") {
+    import org.apache.spark.sql.functions._
+    // Split the raw fixture into two time-ordered files so the watermark
+    // advances between micro-batches — the condition for outer-join state
+    // to finalize and emit its null-padded rows.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val midNanos = raw.agg(expr("approx_percentile(ts, 0.5)")).as[Long].head()
+    val dir = tmpDir()
+    raw.filter(col("ts") <= midNanos).coalesce(1).write.mode("append").parquet(dir)
+    raw.filter(col("ts") > midNanos).coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.clickPurchaseLeftJoin(
+        Streams.eventsStreamFrom(spark, dir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("ssloj_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("ssloj_out")
+      .select("c_eid", "c_ts", "p_ts")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp])].collect()
+    val batch = graft.SparkEntry.queries("st_left_outer_join")(spark, sf)
+      .select("c_eid", "c_ts", "p_ts")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp])].collect()
+
+    // Matched (inner) rows emit immediately and must agree exactly.
+    val sInner = streamed.filter(_._3.isDefined).toSet
+    val bInner = batch.filter(_._3.isDefined).toSet
+    assert(sInner == bInner)
+    assert(sInner.nonEmpty)
+
+    // Null-padded rows: never spurious…
+    val sNull = streamed.filter(_._3.isEmpty).map(_._1).toSet
+    val bNullRows = batch.filter(_._3.isEmpty)
+    assert(sNull.subsetOf(bNullRows.map(_._1).toSet))
+    // …and complete within the watermark-finalized region: a click from the
+    // first file with no purchase, older than (file-1 max ts − delay −
+    // join window), MUST have its null row by stream end.
+    // watermark after file 1 = maxTs(file1) − 1h delay; a click finalizes
+    // strictly when c_ts + 1h < watermark ⇒ c_ts < maxTs(file1) − 2h
+    // (minus a second of slack for internal ms truncation).
+    val w1MaxMs = midNanos / 1000000L
+    val horizonMs = w1MaxMs - 2L * 3600 * 1000 - 1000L
+    val finalized = bNullRows.filter(_._2.getTime < horizonMs).map(_._1).toSet
+    assert(finalized.nonEmpty, "fixture should contain finalized unmatched clicks")
+    assert(finalized.subsetOf(sNull),
+      s"${(finalized -- sNull).size} finalized null rows were never emitted")
+  }
+
   test("rate (kafka-shaped) source flows through the same windowed pipeline") {
     val q = Streams.tumblingCounts(Streams.rateEventsStream(spark, rowsPerSecond = 2000))
       .writeStream.format("memory").queryName("rate_out").outputMode("complete")
