@@ -320,6 +320,48 @@ object Enrich {
                        ORDER BY h ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
                      hv IS NULL AS is_gap
               FROM j
-              ORDER BY user_id ASC NULLS FIRST, h ASC NULLS FIRST"""))
+              ORDER BY user_id ASC NULLS FIRST, h ASC NULLS FIRST""")),
+
+    // Leave-one-out + smoothed target encoding of a categorical feature
+    // (o_orderpriority) against a numeric target (o_totalprice) — the
+    // leakage-safe categorical encoder: each row's own target is excluded
+    // from its category mean, and the smoothed variant shrinks sparse
+    // categories toward the global mean (m = 10 pseudo-observations).
+    // Numerators are DECIMAL-exact category/global sums broadcast back to
+    // the row level; every double op after that is the same IEEE tree in
+    // both engines, rounded at the surface. One grouped agg + one broadcast
+    // join — no window, no per-category scan, scales to any cardinality.
+    Q("x_feat_target_encode",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("cat"),
+          col("o_totalprice").cast("decimal(18,2)").as("y"))
+        val byCat = o.groupBy("cat").agg(sum("y").as("sy"), count(lit(1)).as("n"))
+        val glob = o.agg(sum("y").as("gy"), count(lit(1)).as("gn"))
+        val gmean = col("gy").cast("double") / col("gn").cast("double")
+        // Singleton categories have no leave-one-out peers: LOO is NULL
+        // (not a 0/0 whose IEEE result the engines may disagree on), and
+        // the smoothed form falls back to pure shrinkage toward the global
+        // mean — the m pseudo-observations still give it a defined value.
+        o.join(broadcast(byCat), "cat").crossJoin(broadcast(glob))
+          .select(col("o_orderkey"), col("cat"),
+            round(when(col("n") > 1, (col("sy") - col("y")).cast("double") /
+              (col("n") - 1).cast("double")), 6).as("loo_mean"),
+            round(((col("sy") - col("y")).cast("double") + lit(10.0) * gmean) /
+              (col("n") - 1 + 10).cast("double"), 6).as("smoothed_mean"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders),
+              c AS (SELECT cat, sum(y) AS sy, count(*) AS n FROM o GROUP BY cat),
+              g AS (SELECT sum(y) AS gy, count(*) AS gn FROM o)
+              SELECT o_orderkey, o.cat,
+                round(CASE WHEN n > 1
+                      THEN CAST(sy - y AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 6) AS loo_mean,
+                round((CAST(sy - y AS DOUBLE)
+                       + 10.0 * (CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE)))
+                      / CAST(n - 1 + 10 AS DOUBLE), 6) AS smoothed_mean
+              FROM o JOIN c ON o.cat = c.cat CROSS JOIN g
+              ORDER BY o_orderkey ASC NULLS FIRST"""))
   )
 }

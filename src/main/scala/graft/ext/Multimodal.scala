@@ -103,6 +103,41 @@ object Multimodal {
       })
   }
 
+  /** 60-bit dHash over a string payload: bit j ⟺ char at stride position j
+    * is binary-collation-greater than the char at position j+1, positions
+    * spread evenly over the content (1 + j·(len−1) div 60). A pure
+    * scan-stage expression — one constant-width signature per row. */
+  def phash60(payload: String): org.apache.spark.sql.Column = {
+    def at(j: Int) = expr(
+      s"substring($payload, CAST(1 + ($j * (length($payload) - 1)) div 60 AS INT), 1)")
+    (0 until 60).map { j =>
+      when(at(j) > at(j + 1), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** EXACT Hamming-≤3 pairs from (id, phash) rows via 4×15-bit LSH bands:
+    * pigeonhole guarantees every pair within 3 flipped bits shares an
+    * untouched band, so banding is a pure optimization over the quadratic
+    * all-pairs scan — band-keyed shuffle, candidate-only bit_count verify,
+    * the MinHash-dedup shape at image scale. */
+  def phashNearDupPairs(hashed: DataFrame, threshold: Int = 3): DataFrame = {
+    require(threshold <= 3, "4 bands of 15 bits are only exact up to hamming 3")
+    val banded = hashed.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), 15 * b).bitwiseAND(lit(32767L))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .filter(col("hamming") <= threshold)
+      .distinct()
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Metadata extraction over the binary payload — oracle-paired: byte
@@ -187,6 +222,48 @@ object Multimodal {
                      CAST(nw AS INTEGER) AS new_width,
                      CAST(nh AS INTEGER) AS new_height,
                      sha256(text || ':' || CAST(nw AS VARCHAR) || 'x' || CAST(nh AS VARCHAR)) AS resized_sha
-              FROM r ORDER BY media_id ASC NULLS FIRST"""))
+              FROM r ORDER BY media_id ASC NULLS FIRST""")),
+
+    // Perceptual hashing over the image corpus: a 60-bit dHash — bit j set
+    // iff "pixel" j compares above pixel j+1 along a fixed 61-point stride
+    // across the decoded content (here the stub pixels are the payload's
+    // characters, compared under binary collation, which both engines
+    // define identically; 60 bits, not 64, because DuckDB's checked BIGINT
+    // shift overflows at 1<<63 — same width convention as the md5-60
+    // primitive). The query emits each image's signature plus its 4×15-bit
+    // Hamming-band keys — the join keys [[phashNearDupPairs]] buckets on.
+    // The banded pair join itself is EXACT at threshold ≤3 (pigeonhole: 3
+    // flipped bits cannot touch all 4 bands) and is pinned by
+    // MultimodalSpec against brute force; on this text-backed fixture the
+    // planted near-duplicates are token-level rewrites (min pairwise
+    // hamming 12), so the pair set at ≤3 is legitimately empty and the
+    // signature+bands surface is the oracle-gated query.
+    Q("x_mm_phash",
+      (s, dir) => {
+        val images = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("media_id"), col("text"))
+        images.select(col("media_id"), phash60("text").as("phash"))
+          .select(col("media_id"), col("phash"),
+            shiftrightunsigned(col("phash"), 0).bitwiseAND(lit(32767L)).as("b0"),
+            shiftrightunsigned(col("phash"), 15).bitwiseAND(lit(32767L)).as("b1"),
+            shiftrightunsigned(col("phash"), 30).bitwiseAND(lit(32767L)).as("b2"),
+            shiftrightunsigned(col("phash"), 45).bitwiseAND(lit(32767L)).as("b3"))
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (SELECT doc_id AS media_id, text FROM documents
+                   WHERE doc_id % 3 = 0),
+              ph AS (SELECT media_id,
+                       CAST(list_sum(list_transform(range(0, 60), j ->
+                         CASE WHEN substring(text, CAST(1 + (j * (length(text) - 1)) // 60 AS INT), 1)
+                                 > substring(text, CAST(1 + ((j + 1) * (length(text) - 1)) // 60 AS INT), 1)
+                              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS phash
+                     FROM img)
+              SELECT media_id, phash,
+                     (phash >> 0) & 32767 AS b0,
+                     (phash >> 15) & 32767 AS b1,
+                     (phash >> 30) & 32767 AS b2,
+                     (phash >> 45) & 32767 AS b3
+              FROM ph ORDER BY media_id ASC NULLS FIRST"""))
   )
 }

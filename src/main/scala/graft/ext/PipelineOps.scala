@@ -401,6 +401,68 @@ object PipelineOps {
                     FROM t)
               SELECT doc_id, n_tokens,
                      CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id
-              FROM c ORDER BY doc_id ASC NULLS FIRST"""))
+              FROM c ORDER BY doc_id ASC NULLS FIRST""")),
+
+    // Curriculum assignment + deterministic epoch shuffle — the last mile of
+    // a training-data pipeline: order the corpus easy→hard, but randomize
+    // WITHIN each difficulty stage so batches aren't length-sorted.
+    //  - Stage: quartiles of the integer token count, via data-derived
+    //    thresholds from a cumulative histogram over DISTINCT scores (the
+    //    x_text_adaptive_filter idiom — the window runs on |distinct scores|
+    //    rows, never on the corpus; membership is integer-exact cross-
+    //    multiplied arithmetic, so no percentile-interpolation divergence).
+    //  - Shuffle: md5-60 of doc_id sharded mod 16, rank within (stage,
+    //    shard) — 64 bounded windows instead of one global sort, and the
+    //    (stage, shard, rank) triple is a total epoch order that is a pure
+    //    function of the corpus (stable under re-runs and repartitioning).
+    Q("x_pipeline_curriculum",
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("score"))
+        val hist = t.groupBy("score").agg(count(lit(1)).as("c"))
+        val wc = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum("c").over(wc))
+          .crossJoin(broadcast(t.agg(count(lit(1)).as("n"))))
+        val thresholds = cum.agg(
+          min(when(col("cum") * 4 >= col("n"), col("score"))).as("t1"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("score"))).as("t2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("score"))).as("t3"))
+        val keyed = t.crossJoin(broadcast(thresholds))
+          .withColumn("stage",
+            lit(1) + (col("score") > col("t1")).cast("int") +
+              (col("score") > col("t2")).cast("int") +
+              (col("score") > col("t3")).cast("int"))
+          .withColumn("k", graft.functions.Md5Hash60(
+            concat(col("doc_id").cast("string"), lit(":shuf"))))
+          .withColumn("shard", pmod(col("k"), lit(16L)))
+        val wr = Window.partitionBy("stage", "shard").orderBy("k", "doc_id")
+        keyed.select(col("doc_id"), col("stage"), col("shard"),
+            row_number().over(wr).as("rank_in_shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS score
+                   FROM documents),
+              hist AS (SELECT score, count(*) AS c FROM t GROUP BY score),
+              cum AS (SELECT score, sum(c) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                        (SELECT count(*) FROM t) AS n
+                      FROM hist),
+              th AS (SELECT
+                       min(CASE WHEN cum * 4 >= n THEN score END) AS t1,
+                       min(CASE WHEN cum * 4 >= n * 2 THEN score END) AS t2,
+                       min(CASE WHEN cum * 4 >= n * 3 THEN score END) AS t3
+                     FROM cum),
+              keyed AS (SELECT doc_id,
+                       1 + CAST(score > t1 AS INT) + CAST(score > t2 AS INT)
+                         + CAST(score > t3 AS INT) AS stage,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':shuf'), 1, 15))::BIGINT AS k
+                     FROM t, th)
+              SELECT doc_id, stage, k % 16 AS shard,
+                     CAST(row_number() OVER (PARTITION BY stage, k % 16
+                       ORDER BY k ASC, doc_id ASC) AS INT) AS rank_in_shard
+              FROM keyed
+              ORDER BY doc_id ASC NULLS FIRST"""))
   )
 }

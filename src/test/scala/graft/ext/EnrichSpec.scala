@@ -145,4 +145,31 @@ class EnrichSpec extends SparkSpec {
       }
     }
   }
+
+  test("target encoding: LOO mean matches a direct per-row recomputation") {
+    val r = graft.SparkEntry.queries("x_feat_target_encode")(spark, sf).cache()
+    val o = graft.Tables(spark, sf, "orders")
+    assert(r.count() == o.count(), "one encoded row per order")
+    // Direct recomputation for a handful of rows: mean of the category's
+    // OTHER rows.
+    val sample = r.limit(5).collect()
+    sample.foreach { row =>
+      val (okey, cat, loo) = (row.getLong(0), row.getString(1), row.getDouble(2))
+      val others = o.filter(col("o_orderpriority") === cat && col("o_orderkey") =!= okey)
+        .select(col("o_totalprice").cast("decimal(18,2)"))
+        .collect().map(_.getDecimal(0))
+      val expect = others.map(BigDecimal(_)).sum / others.length
+      assert(math.abs(loo - expect.toDouble) < 1e-4,
+        s"order $okey: loo=$loo direct=$expect")
+    }
+    // Smoothing shrinks toward the global mean: smoothed lies between the
+    // LOO mean and the global mean for every row.
+    val gmean = o.agg(avg("o_totalprice")).head.getDouble(0)
+    val outside = r.filter(col("loo_mean").isNotNull)
+      .filter(!((col("smoothed_mean") >= least(col("loo_mean"), lit(gmean)) - 1e-4) &&
+        (col("smoothed_mean") <= greatest(col("loo_mean"), lit(gmean)) + 1e-4)))
+      .count()
+    assert(outside == 0, "smoothed mean escaped the [loo, global] interval")
+    r.unpersist()
+  }
 }

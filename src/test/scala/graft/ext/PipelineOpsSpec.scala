@@ -122,4 +122,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(out.map(_._3).distinct.length > 1, "expected multiple bins")
   }
+
+  test("curriculum: quartile stages balanced, shard ranks dense, epoch order total") {
+    val r = graft.SparkEntry.queries("x_pipeline_curriculum")(spark, sf).cache()
+    val n = r.count()
+    assert(n == graft.Tables(spark, sf, "documents").count())
+    // Stage thresholds are <=-quartiles: each cumulative prefix {1},{1,2},
+    // {1,2,3} must reach at least its quarter of the corpus.
+    val byStage = r.groupBy("stage").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byStage.keySet.subsetOf(Set(1, 2, 3, 4)), s"stages: ${byStage.keySet}")
+    (1 to 3).foreach { k =>
+      val cumK = (1 to k).map(byStage.getOrElse(_, 0L)).sum
+      assert(cumK * 4 >= n * k, s"stage prefix 1..$k covers $cumK of $n")
+    }
+    // rank_in_shard is dense 1..count within every (stage, shard).
+    val bad = r.groupBy("stage", "shard")
+      .agg(count(lit(1)).as("c"), max("rank_in_shard").as("m"),
+        min("rank_in_shard").as("lo"))
+      .filter(col("c") =!= col("m") || col("lo") =!= 1)
+      .count()
+    assert(bad == 0, "rank_in_shard not dense")
+    // Deterministic: a second evaluation is identical.
+    val again = graft.SparkEntry.queries("x_pipeline_curriculum")(spark, sf)
+    assert(r.except(again).count() == 0 && again.except(r).count() == 0)
+    r.unpersist()
+  }
 }
