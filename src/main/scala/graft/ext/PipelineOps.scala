@@ -408,8 +408,10 @@ object PipelineOps {
     // WITHIN each difficulty stage so batches aren't length-sorted.
     //  - Stage: quartiles of the integer token count, via data-derived
     //    thresholds from a cumulative histogram over DISTINCT scores (the
-    //    x_text_adaptive_filter idiom — the window runs on |distinct scores|
-    //    rows, never on the corpus; membership is integer-exact cross-
+    //    x_text_adaptive_filter idiom — the prefix sum runs on |distinct
+    //    scores| rows, never on the corpus, and goes through GlobalWindows'
+    //    bucketed two-pass decomposition so even that stage plans no
+    //    SinglePartition window; membership is integer-exact cross-
     //    multiplied arithmetic, so no percentile-interpolation divergence).
     //  - Shuffle: md5-60 of doc_id sharded mod 16, rank within (stage,
     //    shard) — 64 bounded windows instead of one global sort, and the
@@ -420,9 +422,8 @@ object PipelineOps {
         val t = docs(s, dir).select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("score"))
         val hist = t.groupBy("score").agg(count(lit(1)).as("c"))
-        val wc = Window.orderBy("score")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = hist.withColumn("cum", sum("c").over(wc))
+        val cum = GlobalWindows.withBucketedPrefixSum(hist,
+            floor(col("score") / 64), col("c"), "cum", col("score"))
           .crossJoin(broadcast(t.agg(count(lit(1)).as("n"))))
         val thresholds = cum.agg(
           min(when(col("cum") * 4 >= col("n"), col("score"))).as("t1"),

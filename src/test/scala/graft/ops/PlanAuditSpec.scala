@@ -89,11 +89,31 @@ class PlanAuditSpec extends SparkSpec {
     // every window operator is bucket-partitioned, never SinglePartition
     // (x_dedup_keep_best's argmax window is partitioned by cluster key)
     Seq("w5_distribution", "w7_range_frame", "x_pack_greedy_bins",
-        "x_dedup_keep_best").foreach { name =>
+        "x_dedup_keep_best", "x_pipeline_curriculum").foreach { name =>
       val wins = collectAll(plan(name)) { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$name expected a bucket-partitioned window")
       wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
         s"$name plans a SinglePartition window exchange"))
+    }
+  }
+
+  test("batch-4 plans: broadcast side-tables, no nested-loop pair joins") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Target encoding: category and global stats join back as broadcasts
+    // (they are |categories|- and 1-row-sized at any corpus size) — the row
+    // table must never shuffle for them.
+    val te = plan("x_feat_target_encode")
+    assert(collectAll(te) { case b: BroadcastHashJoinExec => b }.size >= 1,
+      "target-encode category join should broadcast")
+    // Perceptual-hash banding: signature join keys by (band, bucket) — an
+    // equi hash join, never a nested-loop/cartesian pair scan. (a15's
+    // 1-row grand-total crossJoin IS a broadcast nested loop — that one is
+    // constant-sized by construction, so only the pair joins are gated.)
+    Seq("x_mm_phash", "w9_transition_counts").foreach { name =>
+      val p = plan(name)
+      assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        collectAll(p) { case j: CartesianProductExec => j }.isEmpty,
+        s"$name plans a nested-loop or cartesian join")
     }
   }
 
