@@ -580,6 +580,49 @@ object Dedup {
                      - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) >= 0.5
               ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""")),
 
+    // n-gram CONTAINMENT — the asymmetric Jaccard that catches excerpts:
+    // c = |A∩B| / min(|A|,|B|) is high when the smaller document sits
+    // inside the larger one, exactly the case the size-ratio-prefiltered
+    // symmetric Jaccard is designed to SKIP. Same bounded-window probe and
+    // hashed-shingle kernel as the jaccard edges (no all-pairs scan), but
+    // deliberately NO size prefilter, and the zero-shingle guard is the
+    // same expression on both sides so the result sets cannot diverge.
+    Q("x_dedup_containment",
+      (s, dir) => {
+        val hashed = docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+          .select(col("doc_id"), col("shash"))
+        val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
+          size(col("shash")).as("sa"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
+        val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"),
+          size(col("shash")).as("sb"))
+        a.join(broadcast(b), Seq("b"))
+          .filter(col("sa") > 0 && col("sb") > 0)
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("c_raw", col("inter") / least(col("sa"), col("sb")))
+          .filter(col("c_raw") >= 0.8)
+          .select(col("a"), col("b"), round(col("c_raw"), 6).as("containment"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+                    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                         string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+                FROM documents)
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                round(len(list_intersect(a.shingles, b.shingles))
+                  / least(len(a.shingles), len(b.shingles)), 6) AS containment
+              FROM sh a JOIN sh b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+              WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+                AND len(list_intersect(a.shingles, b.shingles))
+                    / least(len(a.shingles), len(b.shingles)) >= 0.8
+              ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""")),
+
     // Duplicate-cluster assembly: connected components over the embedding
     // near-dup pair graph (cluster label = min vec_id in the component, so
     // dedup = keep node == cluster). Spark side is iterative min-label

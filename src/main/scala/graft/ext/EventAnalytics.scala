@@ -170,6 +170,55 @@ object EventAnalytics {
               FROM w
               ORDER BY user_id ASC NULLS FIRST, h ASC NULLS FIRST""")),
 
+    // Session path mining: sessionize (same 30-min gaps-and-islands as
+    // st_sessions), concatenate each session's ordered event types into a
+    // path string, count sessions per path, keep the top 20. The
+    // session-id window and the path aggregation share ONE user-keyed
+    // shuffle; path counts are |distinct paths|-sized; the final top-k is
+    // TakeOrderedAndProject. Path assembly is order-deterministic on both
+    // sides: Spark sorts (ts, event_id, type) structs before joining,
+    // DuckDB orders string_agg the same way.
+    Q("x_session_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = ev(s, dir)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy("user_id", "session_id")
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+              " x -> x.event_type)"), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(desc("n_sessions"), asc("path"))
+          .limit(20)
+      },
+      Some("""WITH marked AS (
+                SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+              sessions AS (
+                SELECT user_id, ts, event_id, event_type,
+                  sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked),
+              paths AS (
+                SELECT user_id, session_id,
+                  string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+                FROM sessions GROUP BY user_id, session_id)
+              SELECT path, count(*) AS n_sessions
+              FROM paths GROUP BY path
+              ORDER BY n_sessions DESC, path ASC
+              LIMIT 20""")),
+
     // Contingency table event_type × value-quartile-bucket with expected
     // counts and per-cell chi-square contributions — the independence
     // diagnostic, emitted PER CELL (each cell is an independent double

@@ -213,4 +213,43 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter(col("n") === 2).select("keep").as[Long].head() == 1L)
   }
+
+  test("containment detects a planted excerpt that symmetric jaccard skips") {
+    // A 60-token document and its 12-token excerpt: containment = 1.0 but
+    // jaccard ≈ 10/58 — far below the 0.5 near-dup bar. The synthetic pair
+    // goes through the SAME expressions as the registered query.
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (20 until 32).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, big), (2L, excerpt)).toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+    val a = df.select(col("doc_id").as("a"), col("shash").as("sh_a"),
+      size(col("shash")).as("sa"))
+    val b = df.select(col("doc_id").as("b"), col("shash").as("sh_b"),
+      size(col("shash")).as("sb"))
+    val pair = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select((col("inter") / least(col("sa"), col("sb"))).as("c"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .as[(Double, Double)].head()
+    assert(pair._1 == 1.0, s"excerpt containment should be 1.0, got ${pair._1}")
+    assert(pair._2 < 0.5, s"jaccard should miss the excerpt, got ${pair._2}")
+  }
+
+  test("containment query: scores within [0.8, 1], always >= symmetric jaccard") {
+    val r = graft.SparkEntry.queries("x_dedup_containment")(spark, sf).cache()
+    assert(r.filter(col("containment") < 0.8 || col("containment") > 1.0).count() == 0)
+    // c = |∩|/min >= |∩|/|∪| = j for every pair, so re-deriving jaccard on
+    // the returned pairs can never exceed the reported containment.
+    val docs = graft.Tables(spark, sf, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+      .select(col("doc_id"), col("shash"))
+    val joined = r
+      .join(docs.select(col("doc_id").as("a"), col("shash").as("sh_a")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shash").as("sh_b")), "b")
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+    assert(joined.filter(col("j") > col("containment") + 1e-6).count() == 0)
+    r.unpersist()
+  }
 }

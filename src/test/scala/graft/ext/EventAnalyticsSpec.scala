@@ -74,6 +74,32 @@ class EventAnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("session paths: counts bounded by session totals, order deterministic") {
+    val r = q("x_session_paths").cache()
+    assert(r.count() > 0 && r.count() <= 20)
+    // Path mass cannot exceed the total session count from the
+    // sessionization twin (same 30-min gap rule).
+    val totalSessions = q("st_sessions")
+      .agg(sum("n_sessions")).head.getLong(0)
+    val pathMass = r.agg(sum("n_sessions")).head.getLong(0)
+    assert(pathMass <= totalSessions,
+      s"top-20 path mass $pathMass exceeds total sessions $totalSessions")
+    // Descending count order with path tiebreak; every path is a chain of
+    // known event types.
+    val rows = r.collect().map(x => (x.getString(0), x.getLong(1)))
+    rows.sliding(2).foreach {
+      case Array(p, n) =>
+        assert(p._2 > n._2 || (p._2 == n._2 && p._1 < n._1), s"order: $p then $n")
+      case _ => ()
+    }
+    val types = graft.Tables(spark, sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (path, _) =>
+      assert(path.split(">").forall(types.contains), s"unknown type in $path")
+    }
+    r.unpersist()
+  }
+
   test("contingency: observed sums match marginals, chi contributions non-negative") {
     val r = q("a15_contingency_chi").cache()
     val n = graft.Tables(spark, sf, "events").count()
