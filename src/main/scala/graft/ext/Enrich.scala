@@ -4,7 +4,7 @@ import graft.Tables
 import graft.ops.Q
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Second tier of training-data / warehouse operators (SURVEY.md §2.11
   * extension tier): corpus boilerplate removal, k-NN join, fuzzy entity
@@ -224,40 +224,35 @@ object Enrich {
               GROUP BY doc_id, bucket
               ORDER BY doc_id ASC NULLS FIRST, bucket ASC NULLS FIRST""")),
 
-    // Column profiling (ANALYZE-style data quality report): one scan, one
-    // aggregate computing count / nulls / distinct / min / max for four
-    // columns at once (Catalyst plans the multi-distinct through a single
-    // Expand), then a fan-out to long form. The report is O(columns) rows
-    // regardless of table size. Numeric min/max are rendered through
-    // DECIMAL(18,2) so both engines print identical strings.
+    // Column profiling (ANALYZE-style data quality report): one PRUNED scan
+    // per column, each a two-phase pre-aggregate on the column's VALUES
+    // (groupBy value → count, then a constant-width rollup) — deliberately
+    // NOT the four-countDistinct single aggregate, which Catalyst plans as
+    // a ×5 Expand of every full-width row: at 100 TB that multiplies
+    // shuffle volume by the distinct-column count, while this shape
+    // shuffles only each column's distinct values. The report is
+    // O(columns) rows regardless of table size. Numeric min/max are
+    // rendered through DECIMAL(18,2) so both engines print identical
+    // strings.
     Q("x_stats_profile",
       (s, dir) => {
-        val a = Tables(s, dir, "lineitem").agg(
-          count(lit(1)).as("n"),
-          count("l_quantity").as("c1"), countDistinct("l_quantity").as("d1"),
-          min("l_quantity").as("mn1"), max("l_quantity").as("mx1"),
-          count("l_extendedprice").as("c2"), countDistinct("l_extendedprice").as("d2"),
-          min("l_extendedprice").as("mn2"), max("l_extendedprice").as("mx2"),
-          count("l_returnflag").as("c3"), countDistinct("l_returnflag").as("d3"),
-          min("l_returnflag").as("mn3"), max("l_returnflag").as("mx3"),
-          count("l_shipdate").as("c4"), countDistinct("l_shipdate").as("d4"),
-          min("l_shipdate").as("mn4"), max("l_shipdate").as("mx4"))
-        def num(c: String) = col(c).cast("decimal(18,2)").cast("string")
-        def ts(c: String) = date_format(col(c), "yyyy-MM-dd HH:mm:ss")
-        a.select(explode(array(
-            struct(lit("l_quantity").as("col_name"), col("n").as("n_rows"),
-              (col("n") - col("c1")).as("n_nulls"), col("d1").as("n_distinct"),
-              num("mn1").as("min_s"), num("mx1").as("max_s")),
-            struct(lit("l_extendedprice").as("col_name"), col("n").as("n_rows"),
-              (col("n") - col("c2")).as("n_nulls"), col("d2").as("n_distinct"),
-              num("mn2").as("min_s"), num("mx2").as("max_s")),
-            struct(lit("l_returnflag").as("col_name"), col("n").as("n_rows"),
-              (col("n") - col("c3")).as("n_nulls"), col("d3").as("n_distinct"),
-              col("mn3").as("min_s"), col("mx3").as("max_s")),
-            struct(lit("l_shipdate").as("col_name"), col("n").as("n_rows"),
-              (col("n") - col("c4")).as("n_nulls"), col("d4").as("n_distinct"),
-              ts("mn4").as("min_s"), ts("mx4").as("max_s")))).as("p"))
-          .select(col("p.*"))
+        val li = Tables(s, dir, "lineitem")
+        def prof(c: String, render: Column => Column): DataFrame =
+          li.select(col(c))
+            .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+            .agg(
+              sum("__cnt").as("n_rows"),
+              coalesce(sum(when(col(c).isNull, col("__cnt"))), lit(0L)).as("n_nulls"),
+              count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
+              render(min(col(c))).as("min_s"), render(max(col(c))).as("max_s"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        def num(c: Column) = c.cast("decimal(18,2)").cast("string")
+        def ts(c: Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+        prof("l_quantity", num)
+          .unionByName(prof("l_extendedprice", num))
+          .unionByName(prof("l_returnflag", c => c.cast("string")))
+          .unionByName(prof("l_shipdate", ts))
           .orderBy("col_name")
       },
       Some("""WITH a AS (SELECT count(*) AS n,
