@@ -410,6 +410,69 @@ object Similarity {
         s"""SELECT bucket, count(*) AS n
             FROM (SELECT $bucket AS bucket FROM embeddings)
             GROUP BY bucket ORDER BY bucket ASC NULLS FIRST"""
+      }),
+
+    // ANN recall evaluation — the measurement every retrieval pipeline runs
+    // before trusting an index: recall@10 of the LSH-bucketed ANN against
+    // the exact brute-force top-10, over 20 query points in one pass. Both
+    // ranking legs are the broadcast-queries + rank-filter shape (the
+    // WindowGroupLimit partial top-k that scales the knn join); hits and
+    // recall_ppm are INTEGERS, so the whole evaluation is hash-exact. At
+    // 100 TB the brute leg is the expensive audit you run on a sampled
+    // query set — exactly what the 20-point sample models.
+    Q("x_sim_recall_eval",
+      (s, dir) => {
+        val planes = hyperplanes(4, 64)
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding"), planes).as("bucket"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("bucket").as("qb"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+        def top10(cand: DataFrame) = cand
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(cosine(col("embedding"), col("qe")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("q_id", "vec_id")
+        val brute = top10(e.crossJoin(broadcast(q)))
+        val ann = top10(e.join(broadcast(q), col("bucket") === col("qb")))
+        val hits = brute.join(ann, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        q.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            expr("coalesce(n_hits, 0L) * 1000000L div 10").as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some {
+        val bucket = duckLshBucket(hyperplanes(4, 64), "embedding")
+        def cos(a: String, b: String) =
+          s"""round(list_sum(list_transform(list_zip($a, $b),
+             |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)""".stripMargin
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+                  FROM b WHERE vec_id < 20),
+            brute AS (SELECT q_id, vec_id FROM (
+                SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY ${cos("b.embedding", "q.qe")} DESC, b.vec_id ASC) AS rn
+                FROM b, q WHERE b.vec_id <> q.q_id)
+              WHERE rn <= 10),
+            ann AS (SELECT q_id, vec_id FROM (
+                SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY ${cos("b.embedding", "q.qe")} DESC, b.vec_id ASC) AS rn
+                FROM b JOIN q ON b.bucket = q.qb WHERE b.vec_id <> q.q_id)
+              WHERE rn <= 10),
+            hits AS (SELECT brute.q_id, count(*) AS n_hits
+                     FROM brute JOIN ann USING (q_id, vec_id)
+                     GROUP BY brute.q_id)
+            SELECT q.q_id, coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                   coalesce(n_hits, 0) * 1000000 // 10 AS recall_ppm
+            FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+            ORDER BY q.q_id ASC NULLS FIRST"""
       })
   )
 }

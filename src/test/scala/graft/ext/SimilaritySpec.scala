@@ -65,4 +65,22 @@ class SimilaritySpec extends SparkSpec {
     val overlap = ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
     assert(overlap >= 3, s"recall@10 too low: $overlap/10")
   }
+
+  test("recall eval: bounded, ppm-consistent, and q0 agrees with the ANN/brute queries") {
+    val r = graft.SparkEntry.queries("x_sim_recall_eval")(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.length == 20, "one row per query point")
+    r.foreach { case (q, hits, ppm) =>
+      assert(hits >= 0 && hits <= 10, s"q$q hits=$hits")
+      assert(ppm == hits * 100000L, s"q$q ppm=$ppm for hits=$hits")
+    }
+    // Cross-check query 0 against the independently registered single-query
+    // formulations: hits(0) == |ann_lsh top-10 ∩ brute top-10|.
+    val ann = graft.SparkEntry.queries("x_sim_ann_lsh")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val brute0 = Similarity.bruteTopK(spark, sf, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r.head._1 == 0L && r.head._2 == ann.intersect(brute0).size,
+      s"q0 hits ${r.head._2} != |ann ∩ brute| = ${ann.intersect(brute0).size}")
+  }
 }
