@@ -470,9 +470,11 @@ object Dedup {
     *   threshold (null), so no extra conjunct is needed.
     *
     * Returns (a, b, j_raw) with a < b and j_raw ≥ threshold (un-rounded). */
-  def ngramJaccardEdges(docsDf: DataFrame, threshold: Double = 0.5,
-      window: Int = 20): DataFrame = {
-    require(threshold >= 0.5, "size-ratio prefilter assumes threshold >= 0.5")
+  /** Shared candidate-pair scaffold for the exact set-similarity family:
+    * hashed 3-gram shingle sets, bounded-window probe (each doc vs the next
+    * `window` ids — no all-pairs scan), columns (a, b, sh_a, sh_b, sa, sb).
+    * Metric + prefilter layer on top (jaccard edges, containment). */
+  def boundedShinglePairs(docsDf: DataFrame, window: Int = 20): DataFrame = {
     val hashed = docsDf
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
@@ -483,6 +485,12 @@ object Dedup {
     val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"),
         size(col("shash")).as("sb"))
     a.join(broadcast(b), Seq("b"))
+  }
+
+  def ngramJaccardEdges(docsDf: DataFrame, threshold: Double = 0.5,
+      window: Int = 20): DataFrame = {
+    require(threshold >= 0.5, "size-ratio prefilter assumes threshold >= 0.5")
+    boundedShinglePairs(docsDf, window)
       .filter(least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb")))
       .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j_raw") >= threshold)
@@ -588,24 +596,13 @@ object Dedup {
     // deliberately NO size prefilter, and the zero-shingle guard is the
     // same expression on both sides so the result sets cannot diverge.
     Q("x_dedup_containment",
-      (s, dir) => {
-        val hashed = docs(s, dir)
-          .withColumn("toks", TextAnalysis.tokens(col("text")))
-          .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
-          .select(col("doc_id"), col("shash"))
-        val a = hashed.select(col("doc_id").as("a"), col("shash").as("sh_a"),
-          size(col("shash")).as("sa"),
-          explode(sequence(col("doc_id") + 1, col("doc_id") + 20)).as("b"))
-        val b = hashed.select(col("doc_id").as("b"), col("shash").as("sh_b"),
-          size(col("shash")).as("sb"))
-        a.join(broadcast(b), Seq("b"))
-          .filter(col("sa") > 0 && col("sb") > 0)
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("c_raw", col("inter") / least(col("sa"), col("sb")))
-          .filter(col("c_raw") >= 0.8)
-          .select(col("a"), col("b"), round(col("c_raw"), 6).as("containment"))
-          .orderBy("a", "b")
-      },
+      (s, dir) => boundedShinglePairs(docs(s, dir))
+        .filter(col("sa") > 0 && col("sb") > 0)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("c_raw", col("inter") / least(col("sa"), col("sb")))
+        .filter(col("c_raw") >= 0.8)
+        .select(col("a"), col("b"), round(col("c_raw"), 6).as("containment"))
+        .orderBy("a", "b"),
       Some("""WITH sh AS (
                 SELECT doc_id,
                   list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),

@@ -18,6 +18,22 @@ object Enrich {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Per-user hourly value sums (decimal-exact, surfaced as DOUBLE) left-
+    * joined onto each user's DENSE hourly grid — the shared substrate of the
+    * gap-fill (LOCF) and linear-interpolation queries: (user_id, h, hv) with
+    * hv NULL on grid slots with no observations. Grid size is span-bounded
+    * per entity; the sequence() fan-out is a Generate in the scan stage. */
+  def hourlyGridJoined(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir, "events").filter(col("user_id") < 50)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("hv"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+  }
+
   /** Ten-token boilerplate planted at the head of every 5th doc, so the
     * removal operator is provably non-vacuous on the synthetic corpus (same
     * planting idiom as the PII scrub). Exactly 10 tokens = exactly the first
@@ -241,7 +257,7 @@ object Enrich {
           li.select(col(c))
             .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
             .agg(
-              sum("__cnt").as("n_rows"),
+              coalesce(sum("__cnt"), lit(0L)).as("n_rows"),
               coalesce(sum(when(col(c).isNull, col("__cnt"))), lit(0L)).as("n_nulls"),
               count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
               render(min(col(c))).as("min_s"), render(max(col(c))).as("max_s"))
@@ -288,14 +304,8 @@ object Enrich {
     // at each entity's first hour), so filled is never NULL.
     Q("x_ts_gapfill",
       (s, dir) => {
-        val hourly = Tables(s, dir, "events").filter(col("user_id") < 50)
-          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("hv"))
-        val grid = hourly.groupBy("user_id")
-          .agg(min("h").as("h0"), max("h").as("h1"))
-          .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
         val w = Window.partitionBy("user_id").orderBy("h")
-        grid.join(hourly, Seq("user_id", "h"), "left")
+        hourlyGridJoined(s, dir)
           .withColumn("filled", last(col("hv"), ignoreNulls = true).over(w))
           .select(col("user_id"), col("h"), col("filled"), col("hv").isNull.as("is_gap"))
           .orderBy("user_id", "h")

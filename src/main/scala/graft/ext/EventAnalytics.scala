@@ -48,7 +48,7 @@ object EventAnalytics {
       },
       Some("""WITH s AS (SELECT user_id, event_type AS from_t,
                      lead(event_type) OVER (PARTITION BY user_id
-                       ORDER BY ts ASC, event_id ASC) AS to_t
+                       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS to_t
                    FROM events),
               n AS (SELECT from_t, to_t, count(*) AS n FROM s
                     WHERE to_t IS NOT NULL GROUP BY from_t, to_t),
@@ -103,18 +103,11 @@ object EventAnalytics {
     // tail with no next observation falls back to LOCF.
     Q("x_ts_interpolate",
       (s, dir) => {
-        val hourly = ev(s, dir).filter(col("user_id") < 50)
-          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("hv"))
-        val grid = hourly.groupBy("user_id")
-          .agg(min("h").as("h0"), max("h").as("h1"))
-          .select(col("user_id"),
-            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
         val wb = Window.partitionBy("user_id").orderBy("h")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wf = Window.partitionBy("user_id").orderBy("h")
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        grid.join(hourly, Seq("user_id", "h"), "left")
+        Enrich.hourlyGridJoined(s, dir)
           .withColumn("eh", unix_timestamp(col("h")))
           .withColumn("pv", last(col("hv"), ignoreNulls = true).over(wb))
           .withColumn("ph", last(when(col("hv").isNotNull, col("eh")),
@@ -212,7 +205,8 @@ object EventAnalytics {
                 FROM marked),
               paths AS (
                 SELECT user_id, session_id,
-                  string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+                  string_agg(event_type, '>'
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS path
                 FROM sessions GROUP BY user_id, session_id)
               SELECT path, count(*) AS n_sessions
               FROM paths GROUP BY path

@@ -119,7 +119,14 @@ object Multimodal {
     * pigeonhole guarantees every pair within 3 flipped bits shares an
     * untouched band, so banding is a pure optimization over the quadratic
     * all-pairs scan — band-keyed shuffle, candidate-only bit_count verify,
-    * the MinHash-dedup shape at image scale. */
+    * the MinHash-dedup shape at image scale.
+    *
+    * Degenerate corpora (a crawl with one image mirrored N times) make the
+    * hamming-0 pair set legitimately quadratic — N identical signatures in
+    * one bucket. Route through exact content-hash dedup FIRST (the
+    * [[Dedup.dedupCorpus]] pattern: byte-identical payloads collapse to one
+    * representative before any banding), so the pair join only ever sees
+    * distinct payloads. */
   def phashNearDupPairs(hashed: DataFrame, threshold: Int = 3): DataFrame = {
     require(threshold <= 3, "4 bands of 15 bits are only exact up to hamming 3")
     val banded = hashed.select(col("media_id"), col("phash"),

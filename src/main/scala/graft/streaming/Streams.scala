@@ -21,13 +21,10 @@ object Streams {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Micro-batch source over the events fixture (file source; at scale this
-    * is a Kafka/queue source with identical downstream code). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(s"$dir/events.parq*") // glob: FileStreamSource needs a dir/glob, not a bare file
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * is a Kafka/queue source with identical downstream code).
+    * Glob, not bare file: FileStreamSource needs a dir/glob. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStreamFrom(spark, s"$dir/events.parq*", maxFilesPerTrigger = 0)
 
   /** Watermarked tumbling-window aggregation (1 h windows, 10 min lateness). */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -70,16 +67,18 @@ object Streams {
       .select(col("c_uid").as("user_id"), col("c_ts"), col("p_ts"))
   }
 
-  /** Events micro-batch source over an arbitrary glob with a bounded batch
-    * size — lets tests split the fixture across files so the watermark
-    * ADVANCES BETWEEN micro-batches (the condition under which outer-join
-    * state actually finalizes and null-padded rows emit). */
+  /** Events micro-batch source over an arbitrary glob, optionally with a
+    * bounded batch size (maxFilesPerTrigger > 0) — the bounded form lets
+    * tests split the fixture across files so the watermark ADVANCES BETWEEN
+    * micro-batches (the condition under which outer-join state actually
+    * finalizes and null-padded rows emit). */
   def eventsStreamFrom(spark: SparkSession, glob: String,
                        maxFilesPerTrigger: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(glob)
+    val reader = spark.readStream.schema(eventsRawSchema)
+    val bounded = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
+    bounded.parquet(glob)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

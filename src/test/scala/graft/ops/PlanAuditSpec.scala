@@ -105,12 +105,20 @@ class PlanAuditSpec extends SparkSpec {
     val te = plan("x_feat_target_encode")
     assert(collectAll(te) { case b: BroadcastHashJoinExec => b }.size >= 1,
       "target-encode category join should broadcast")
-    // Perceptual-hash banding: signature join keys by (band, bucket) — an
-    // equi hash join, never a nested-loop/cartesian pair scan. (a15's
-    // 1-row grand-total crossJoin IS a broadcast nested loop — that one is
+    // Perceptual-hash banding: the PAIR JOIN (phashNearDupPairs, the op the
+    // x_mm_phash band keys feed) must key by (band, bucket) — an equi hash
+    // join, never a nested-loop/cartesian pair scan. (a15's 1-row
+    // grand-total crossJoin IS a broadcast nested loop — that one is
     // constant-sized by construction, so only the pair joins are gated.)
-    Seq("x_mm_phash", "w9_transition_counts").foreach { name =>
-      val p = plan(name)
+    val hashed = graft.Tables(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("media_id"),
+        graft.ext.Multimodal.phash60("text").as("phash"))
+    val pairPlans = Seq(
+      "phashNearDupPairs" ->
+        graft.ext.Multimodal.phashNearDupPairs(hashed).queryExecution.executedPlan,
+      "w9_transition_counts" -> plan("w9_transition_counts"))
+    pairPlans.foreach { case (name, p) =>
       assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
         collectAll(p) { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a nested-loop or cartesian join")

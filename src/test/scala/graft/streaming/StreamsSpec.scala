@@ -151,6 +151,13 @@ class StreamsSpec extends SparkSpec {
     val midNanos = raw.agg(expr("approx_percentile(ts, 0.5)")).as[Long].head()
     val dir = tmpDir()
     raw.filter(col("ts") <= midNanos).coalesce(1).write.mode("append").parquet(dir)
+    // FileStreamSource orders files by modification time; force the first
+    // half strictly earlier so the two sequential writes can never land in
+    // the same mtime tick and process out of order (watermark would jump
+    // past the first half's clicks).
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.setLastModified(f.lastModified() - 60000L))
     raw.filter(col("ts") > midNanos).coalesce(1).write.mode("append").parquet(dir)
     val q = Streams.clickPurchaseLeftJoin(
         Streams.eventsStreamFrom(spark, dir, maxFilesPerTrigger = 1))
