@@ -163,6 +163,51 @@ object EventAnalytics {
               FROM w
               ORDER BY user_id ASC NULLS FIRST, h ASC NULLS FIRST""")),
 
+    // RFM (recency / frequency / monetary) customer scoring over purchase
+    // events — the classic segmentation every commerce pipeline computes.
+    // One grouped aggregation per user (constant-width combinable state)
+    // plus a broadcast 1-row reference timestamp; recency is an exact
+    // integer day-diff against the corpus max, monetary a decimal-exact sum
+    // surfaced as DOUBLE, and the segment rule is a fixed integer CASE —
+    // every output hash-stable.
+    Q("x_events_rfm",
+      (s, dir) => {
+        val p = ev(s, dir).filter(col("event_type") === "purchase")
+        val ref = p.agg(max("ts").as("ref_ts"))
+        p.groupBy("user_id")
+          .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
+            sum(col("value").cast("decimal(18,2)")).as("mon"))
+          .crossJoin(broadcast(ref))
+          .select(col("user_id"),
+            datediff(col("ref_ts"), col("last_ts")).cast("long").as("recency_days"),
+            col("frequency"),
+            col("mon").cast("double").as("monetary"),
+            when(datediff(col("ref_ts"), col("last_ts")) <= 7 &&
+              col("frequency") >= 10, "champion")
+              .when(col("frequency") >= 10, "loyal")
+              .when(datediff(col("ref_ts"), col("last_ts")) <= 7, "recent")
+              .otherwise("at_risk").as("segment"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+              ref AS (SELECT max(ts) AS ref_ts FROM p),
+              g AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                      sum(CAST(value AS DECIMAL(18,2))) AS mon
+                    FROM p GROUP BY user_id)
+              SELECT user_id,
+                     date_diff('day', CAST(last_ts AS DATE), CAST(ref_ts AS DATE))
+                       AS recency_days,
+                     frequency,
+                     CAST(mon AS DOUBLE) AS monetary,
+                     CASE WHEN date_diff('day', CAST(last_ts AS DATE), CAST(ref_ts AS DATE)) <= 7
+                            AND frequency >= 10 THEN 'champion'
+                          WHEN frequency >= 10 THEN 'loyal'
+                          WHEN date_diff('day', CAST(last_ts AS DATE), CAST(ref_ts AS DATE)) <= 7
+                            THEN 'recent'
+                          ELSE 'at_risk' END AS segment
+              FROM g CROSS JOIN ref
+              ORDER BY user_id ASC NULLS FIRST""")),
+
     // Session path mining: sessionize (same 30-min gaps-and-islands as
     // st_sessions), concatenate each session's ordered event types into a
     // path string, count sessions per path, keep the top 20. The

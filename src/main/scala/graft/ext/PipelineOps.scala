@@ -403,6 +403,32 @@ object PipelineOps {
                      CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id
               FROM c ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Per-source min-max normalization — x_feat_zscore's bounded sibling
+    // (rescale to [0,1] within each domain). Group extrema come from
+    // INTEGER min/max (exact in both engines), broadcast back; the single
+    // double division is the same IEEE expression both sides; degenerate
+    // groups (max = min) map to 0 rather than dividing by zero.
+    Q("x_feat_minmax",
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars").as("x"))
+        val g = t.groupBy("source").agg(min("x").as("lo"), max("x").as("hi"))
+        t.join(broadcast(g), Seq("source"))
+          .select(col("doc_id"), col("source"),
+            round(when(col("hi") === col("lo"), 0.0)
+              .otherwise((col("x") - col("lo")).cast("double") /
+                (col("hi") - col("lo")).cast("double")), 6).as("scaled"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT source, min(n_chars) AS lo, max(n_chars) AS hi
+                   FROM documents GROUP BY source)
+              SELECT doc_id, d.source,
+                round(CASE WHEN hi = lo THEN 0.0
+                      ELSE CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+                      END, 6) AS scaled
+              FROM documents d JOIN g ON d.source = g.source
+              ORDER BY doc_id ASC NULLS FIRST""")),
+
     // Curriculum assignment + deterministic epoch shuffle — the last mile of
     // a training-data pipeline: order the corpus easy→hard, but randomize
     // WITHIN each difficulty stage so batches aren't length-sorted.

@@ -163,6 +163,55 @@ object Relational4 {
               FROM m WHERE r = 1
               ORDER BY event_id ASC NULLS FIRST""")),
 
+    // Rolling 7-row median of daily revenue — the robust moving statistic
+    // built-in window aggregates don't give you (Spark has no median-over-
+    // frame). Spelled as the IDENTICAL element selection in both engines —
+    // sort the frame's list, take element (n+1) div 2 — rather than a
+    // native median() whose even-count averaging differs; the picked
+    // element is a decimal-exact daily sum, so the result is hash-exact.
+    // NO global window: the series is OVERLAP-PARTITIONED by month — each
+    // month's last 6 rows are replicated into the next month's partition as
+    // frame-feed helpers, the 7-row frame runs inside each bounded
+    // partition, and helper rows are dropped on output. This is the
+    // distributed rolling-window idiom (assumes ≥6 observed days per month,
+    // i.e. any realistic daily series; the first month's short frames are
+    // the series' own warm-up, identical in both engines).
+    Q("w10_rolling_median",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          .withColumn("m", date_trunc("month", col("d")).cast("date"))
+        val tail6 = Window.partitionBy("m").orderBy(desc("d"))
+        val helpers = daily
+          .withColumn("rdesc", row_number().over(tail6))
+          .filter(col("rdesc") <= 6).drop("rdesc")
+          .withColumn("m", add_months(col("m"), 1))
+          .withColumn("helper", lit(true))
+        val main = daily.withColumn("helper", lit(false))
+        val w = Window.partitionBy("m").orderBy("d")
+          .rowsBetween(-6, Window.currentRow)
+        main.unionByName(helpers)
+          .withColumn("meds", array_sort(collect_list(col("total")).over(w)))
+          .filter(!col("helper"))
+          .select(col("d"),
+            col("total").cast("double").as("daily_total"),
+            element_at(col("meds"), ((size(col("meds")) + 1) / 2).cast("int"))
+              .cast("double").as("rolling_median_7"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                   FROM orders GROUP BY 1),
+              m AS (SELECT d, total,
+                      list_sort(list(total) OVER (ORDER BY d ASC NULLS FIRST
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS meds
+                    FROM daily)
+              SELECT d, CAST(total AS DOUBLE) AS daily_total,
+                     CAST(meds[(CAST(len(meds) AS INT) + 1) // 2] AS DOUBLE)
+                       AS rolling_median_7
+              FROM m ORDER BY d ASC NULLS FIRST""")),
+
     // LATERAL correlated subquery through the SQL front door: per-nation
     // top-2 customers by balance. Catalyst decorrelates the LIMIT'd lateral
     // into a rank-filter window (WindowGroupLimit — partial per-partition

@@ -74,6 +74,25 @@ class EventAnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("rfm: totals reconcile with raw purchases, segment rules hold row-wise") {
+    val r = q("x_events_rfm").cache()
+    val p = graft.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+    assert(r.count() == p.select("user_id").distinct().count())
+    assert(r.agg(sum("frequency")).head.getLong(0) == p.count())
+    assert(r.filter(col("recency_days") < 0).count() == 0)
+    // Segment is a pure function of (recency, frequency).
+    val bad = r.filter(
+      (col("segment") === "champion") =!=
+        (col("recency_days") <= 7 && col("frequency") >= 10) ||
+      (col("segment") === "loyal") =!=
+        (col("recency_days") > 7 && col("frequency") >= 10) ||
+      (col("segment") === "recent") =!=
+        (col("recency_days") <= 7 && col("frequency") < 10)).count()
+    assert(bad == 0, "segment rule violated")
+    r.unpersist()
+  }
+
   test("session paths: counts bounded by session totals, order deterministic") {
     val r = q("x_session_paths").cache()
     assert(r.count() > 0 && r.count() <= 20)

@@ -123,6 +123,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._3).distinct.length > 1, "expected multiple bins")
   }
 
+  test("minmax: range [0,1], extrema map to endpoints within every source") {
+    val r = graft.SparkEntry.queries("x_feat_minmax")(spark, sf).cache()
+    assert(r.filter(col("scaled") < 0 || col("scaled") > 1).count() == 0)
+    val d = graft.Tables(spark, sf, "documents")
+    val ex = d.groupBy("source")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val joined = d.join(ex, "source").join(r, Seq("doc_id"))
+    assert(joined.filter(col("n_chars") === col("lo") && col("scaled") =!= 0.0)
+      .count() == 0, "per-source min must scale to 0")
+    assert(joined.filter(col("n_chars") === col("hi") && col("lo") =!= col("hi") &&
+      col("scaled") =!= 1.0).count() == 0, "per-source max must scale to 1")
+    r.unpersist()
+  }
+
   test("curriculum: quartile stages balanced, shard ranks dense, epoch order total") {
     val r = graft.SparkEntry.queries("x_pipeline_curriculum")(spark, sf).cache()
     val n = r.count()

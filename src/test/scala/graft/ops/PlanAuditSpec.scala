@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkSpec {
     // every window operator is bucket-partitioned, never SinglePartition
     // (x_dedup_keep_best's argmax window is partitioned by cluster key)
     Seq("w5_distribution", "w7_range_frame", "x_pack_greedy_bins",
-        "x_dedup_keep_best", "x_pipeline_curriculum").foreach { name =>
+        "x_dedup_keep_best", "x_pipeline_curriculum",
+        "w10_rolling_median").foreach { name =>
       val wins = collectAll(plan(name)) { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$name expected a bucket-partitioned window")
       wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,

@@ -71,4 +71,26 @@ class Relational4Spec extends SparkSpec {
       .select("n_name", "c_custkey").as[(String, Long)].collect().toSet
     assert(lat.nonEmpty && lat == win)
   }
+
+  test("rolling median: overlap-partitioned result equals the naive global window") {
+    val fast = graft.SparkEntry.queries("w10_rolling_median")(spark, sf)
+      .select("d", "rolling_median_7")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    // Naive single-partition recompute (fine at test scale, the thing the
+    // production plan avoids): same frame, same element selection.
+    val daily = graft.Tables(spark, sf, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    val w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    val naive = daily
+      .withColumn("meds", array_sort(collect_list(col("total")).over(w)))
+      .select(col("d"),
+        element_at(col("meds"), ((size(col("meds")) + 1) / 2).cast("int"))
+          .cast("double").as("m"))
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(fast.size == naive.size && fast.nonEmpty)
+    naive.foreach { case (d, m) =>
+      assert(fast(d) == m, s"divergence at $d: fast=${fast(d)} naive=$m")
+    }
+  }
 }
