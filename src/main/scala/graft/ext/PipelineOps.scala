@@ -403,6 +403,28 @@ object PipelineOps {
                      CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id
               FROM c ORDER BY doc_id ASC NULLS FIRST""")),
 
+    // Fixed-SIZE uniform sample (the reservoir-sampling contract, made
+    // deterministic and distributed): rank every row by a content-free
+    // md5-60 key and keep the 100 smallest. Plans as TakeOrderedAndProject
+    // — each partition keeps its local top-100, the driver merges — so a
+    // fixed-size sample never needs a global sort, and the sample is a pure
+    // function of doc ids (stable across re-runs and partitionings; adding
+    // docs perturbs membership only at the key boundary, the classic
+    // bottom-k sketch property).
+    Q("x_sample_fixed_k",
+      (s, dir) => docs(s, dir)
+        .withColumn("k", graft.functions.Md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":res"))))
+        .select(col("doc_id"), col("source"), col("k"))
+        .orderBy("k", "doc_id")
+        .limit(100),
+      Some("""SELECT doc_id, source, k
+              FROM (SELECT doc_id, source,
+                      ('0x' || substr(md5(doc_id::VARCHAR || ':res'), 1, 15))::BIGINT AS k
+                    FROM documents)
+              ORDER BY k ASC NULLS FIRST, doc_id ASC NULLS FIRST
+              LIMIT 100""")),
+
     // Per-source min-max normalization — x_feat_zscore's bounded sibling
     // (rescale to [0,1] within each domain). Group extrema come from
     // INTEGER min/max (exact in both engines), broadcast back; the single

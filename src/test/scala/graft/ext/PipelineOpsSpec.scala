@@ -123,6 +123,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._3).distinct.length > 1, "expected multiple bins")
   }
 
+  test("fixed-k sample: exactly the bottom-100 hash keys, stable under re-run") {
+    val r = graft.SparkEntry.queries("x_sample_fixed_k")(spark, sf)
+      .select("doc_id", "k").as[(Long, Long)].collect()
+    assert(r.length == 100)
+    // Exactly the 100 smallest keys of the full corpus.
+    val all = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.Md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":res"))).as("k"))
+      .as[(Long, Long)].collect()
+    val expect = all.sortBy(x => (x._2, x._1)).take(100).map(_._1).toSet
+    assert(r.map(_._1).toSet == expect)
+    val again = graft.SparkEntry.queries("x_sample_fixed_k")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == expect)
+  }
+
   test("minmax: range [0,1], extrema map to endpoints within every source") {
     val r = graft.SparkEntry.queries("x_feat_minmax")(spark, sf).cache()
     assert(r.filter(col("scaled") < 0 || col("scaled") > 1).count() == 0)

@@ -39,8 +39,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
-    val tops = collectAll(plan("o1_topk")) { case t: TakeOrderedAndProjectExec => t }
-    assert(tops.nonEmpty)
+    Seq("o1_topk", "x_sample_fixed_k").foreach { name =>
+      val tops = collectAll(plan(name)) { case t: TakeOrderedAndProjectExec => t }
+      assert(tops.nonEmpty, s"$name should plan TakeOrderedAndProject")
+    }
   }
 
   test("grouped aggregation shuffles exactly once") {
