@@ -217,6 +217,40 @@ object Streams {
               FROM events GROUP BY 1, 2
               ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
 
+    // Per-window top-k: the leaderboard every streaming dashboard keeps —
+    // tumbling 1 h windows, top-2 event types by count within each closed
+    // window (count-desc, type-asc tiebreak). The rank window partitions by
+    // window_start (bounded per-partition rows = |event types|), so the
+    // plan is shuffle-keyed by window like any streaming state; in the
+    // streaming form the same rank runs in foreachBatch over each batch of
+    // FINALIZED windows (append mode emits a window exactly once past the
+    // watermark, so the rank sees complete counts — StreamsSpec pins
+    // streaming == this twin).
+    Q("st_window_topk",
+      (s, dir) => {
+        val counts = graft.Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(desc("n"), asc("event_type"))
+        counts.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 2)
+          .select(col("window_start"), col("event_type"), col("n"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("window_start", "rnk")
+      },
+      Some("""WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                     event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+              r AS (SELECT window_start, event_type, n,
+                      row_number() OVER (PARTITION BY window_start
+                        ORDER BY n DESC, event_type ASC) AS rnk
+                    FROM c)
+              SELECT window_start, event_type, n, CAST(rnk AS BIGINT) AS rnk
+              FROM r WHERE rnk <= 2
+              ORDER BY window_start ASC NULLS FIRST, rnk ASC NULLS FIRST""")),
+
     // Sliding 10-min/5-min windows (batch shape of slidingCounts). Spark's
     // window() explodes each event into its 2 covering windows; the oracle
     // spells the same fan-out with unnest of the two epoch-aligned starts

@@ -26,6 +26,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming windowed top-k: ranking finalized stream windows == batch twin") {
+    import org.apache.spark.sql.functions._
+    val q = Streams.tumblingCounts(Streams.eventsStream(spark, sf)).writeStream
+      .format("memory").queryName("wtopk_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Rank the finalized windows exactly as the foreachBatch leaderboard
+    // would: top-2 per window, count-desc / type-asc.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(desc("n"), asc("event_type"))
+    val streamed = spark.table("wtopk_out")
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("st_window_topk")(spark, sf)
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows produce per-user sessions") {
     val q = Streams.sessionCounts(Streams.eventsStream(spark, sf)).writeStream
       .format("memory").queryName("sessions_out").outputMode("complete")
