@@ -46,6 +46,35 @@ object Relational4 {
     "round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price",
     "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price")
 
+  /** Daily-revenue series overlap-partitioned for bounded rolling windows:
+    * fixed 128-row BLOCKS from the bucketed global rank (GlobalWindows —
+    * no SinglePartition exchange), with each block's last `carry` rows
+    * replicated into the NEXT block as frame-feed helpers (helper = true
+    * rows are dropped on output). Count-based blocks — unlike calendar
+    * buckets — make the carry precondition unconditional: every non-first
+    * block's predecessor has exactly 128 ≥ carry rows, no matter how
+    * sparse the series (a month-bucketed first cut broke at sf0.001, where
+    * months routinely observe fewer than 19 days). A window over
+    * (partitionBy "blk", orderBy "rn") with a ≤ carry-row preceding frame
+    * then equals the global-window formulation exactly. */
+  private val RollBlock = 128
+
+  private def overlapPartitionedDaily(s: SparkSession, dir: String,
+                                      carry: Int): DataFrame = {
+    require(carry < RollBlock, s"carry must be < block size $RollBlock")
+    val daily = t(s, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    val ranked = GlobalWindows.withBucketedGlobalRank(daily,
+      date_trunc("month", col("d")).cast("timestamp").cast("long"), "rn", col("d"))
+      .withColumn("blk", expr(s"(rn - 1) div $RollBlock"))
+    val helpers = ranked
+      .filter(expr(s"(rn - 1) % $RollBlock >= ${RollBlock - carry}"))
+      .withColumn("blk", col("blk") + 1)
+      .withColumn("helper", lit(true))
+    ranked.withColumn("helper", lit(false)).unionByName(helpers)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Per-group standard deviation and Pearson correlation from ONE
@@ -169,29 +198,17 @@ object Relational4 {
     // sort the frame's list, take element (n+1) div 2 — rather than a
     // native median() whose even-count averaging differs; the picked
     // element is a decimal-exact daily sum, so the result is hash-exact.
-    // NO global window: the series is OVERLAP-PARTITIONED by month — each
-    // month's last 6 rows are replicated into the next month's partition as
-    // frame-feed helpers, the 7-row frame runs inside each bounded
-    // partition, and helper rows are dropped on output. This is the
-    // distributed rolling-window idiom (assumes ≥6 observed days per month,
-    // i.e. any realistic daily series; the first month's short frames are
-    // the series' own warm-up, identical in both engines).
+    // NO global window: the series is OVERLAP-PARTITIONED into fixed-size
+    // blocks — each block's last 6 rows are replicated into the next block
+    // as frame-feed helpers, the 7-row frame runs inside each bounded
+    // partition, and helper rows are dropped on output
+    // (see overlapPartitionedDaily; the first rows' short frames are the
+    // series' own warm-up, identical in both engines).
     Q("w10_rolling_median",
       (s, dir) => {
-        val daily = t(s, dir, "orders")
-          .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
-          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
-          .withColumn("m", date_trunc("month", col("d")).cast("date"))
-        val tail6 = Window.partitionBy("m").orderBy(desc("d"))
-        val helpers = daily
-          .withColumn("rdesc", row_number().over(tail6))
-          .filter(col("rdesc") <= 6).drop("rdesc")
-          .withColumn("m", add_months(col("m"), 1))
-          .withColumn("helper", lit(true))
-        val main = daily.withColumn("helper", lit(false))
-        val w = Window.partitionBy("m").orderBy("d")
+        val w = Window.partitionBy("blk").orderBy("rn")
           .rowsBetween(-6, Window.currentRow)
-        main.unionByName(helpers)
+        overlapPartitionedDaily(s, dir, carry = 6)
           .withColumn("meds", array_sort(collect_list(col("total")).over(w)))
           .filter(!col("helper"))
           .select(col("d"),
@@ -211,6 +228,52 @@ object Relational4 {
                      CAST(meds[(CAST(len(meds) AS INT) + 1) // 2] AS DOUBLE)
                        AS rolling_median_7
               FROM m ORDER BY d ASC NULLS FIRST""")),
+
+    // Truncated EWMA (decay 0.75, 20-row horizon) of daily revenue over the
+    // SAME overlap-partitioned substrate as the rolling median (carry = 19
+    // helper rows). The smoothing weight α cancels between numerator and
+    // denominator of the normalized form, so ewma = Σ xᵢ·λ^eᵢ / Σ λ^eᵢ with
+    // λ = 0.75 and eᵢ = rows-from-current — both engines build the weighted
+    // lists with an INDEXED lambda over the identical frame list and fold
+    // left-to-right, then the floor(x·1e6+0.5)/1e6 surface kills any
+    // half-ulp rounding divergence. Bounded per-row state (20 values); no
+    // global window anywhere.
+    Q("w11_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("blk").orderBy("rn")
+          .rowsBetween(-19, Window.currentRow)
+        overlapPartitionedDaily(s, dir, carry = 19)
+          .withColumn("lst", collect_list(col("total").cast("double")).over(w))
+          .filter(!col("helper"))
+          .withColumn("num", expr(
+            """aggregate(transform(lst,
+              |  (x, i) -> x * pow(0.75D, CAST(size(lst) - 1 - i AS DOUBLE))),
+              |  0D, (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("den", expr(
+            """aggregate(transform(lst,
+              |  (x, i) -> pow(0.75D, CAST(size(lst) - 1 - i AS DOUBLE))),
+              |  0D, (acc, v) -> acc + v)""".stripMargin))
+          .select(col("d"),
+            col("total").cast("double").as("daily_total"),
+            (floor(col("num") / col("den") * 1000000.0 + 0.5) / 1000000.0)
+              .as("ewma_20"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                   FROM orders GROUP BY 1),
+              l AS (SELECT d, total,
+                      list(CAST(total AS DOUBLE)) OVER (ORDER BY d ASC NULLS FIRST
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+                    FROM daily)
+              SELECT d, CAST(total AS DOUBLE) AS daily_total,
+                     floor(
+                       list_sum(list_transform(lst,
+                         (x, i) -> x * pow(0.75, CAST(len(lst) - i AS DOUBLE))))
+                       / list_sum(list_transform(lst,
+                         (x, i) -> pow(0.75, CAST(len(lst) - i AS DOUBLE))))
+                       * 1000000.0 + 0.5) / 1000000.0 AS ewma_20
+              FROM l ORDER BY d ASC NULLS FIRST""")),
 
     // LATERAL correlated subquery through the SQL front door: per-nation
     // top-2 customers by balance. Catalyst decorrelates the LIMIT'd lateral

@@ -92,7 +92,7 @@ class PlanAuditSpec extends SparkSpec {
     // (x_dedup_keep_best's argmax window is partitioned by cluster key)
     Seq("w5_distribution", "w7_range_frame", "x_pack_greedy_bins",
         "x_dedup_keep_best", "x_pipeline_curriculum",
-        "w10_rolling_median").foreach { name =>
+        "w10_rolling_median", "w11_ewma").foreach { name =>
       val wins = collectAll(plan(name)) { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$name expected a bucket-partitioned window")
       wins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,

@@ -93,4 +93,34 @@ class Relational4Spec extends SparkSpec {
       assert(fast(d) == m, s"divergence at $d: fast=${fast(d)} naive=$m")
     }
   }
+
+  test("ewma: overlap-partitioned result equals the naive global window") {
+    val fast = graft.SparkEntry.queries("w11_ewma")(spark, sf)
+      .select("d", "ewma_20")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    val daily = graft.Tables(spark, sf, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    val w = Window.orderBy("d").rowsBetween(-19, Window.currentRow)
+    val naive = daily
+      .withColumn("lst", collect_list(col("total").cast("double")).over(w))
+      .withColumn("num", expr(
+        """aggregate(transform(lst,
+          |  (x, i) -> x * pow(0.75D, CAST(size(lst) - 1 - i AS DOUBLE))),
+          |  0D, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("den", expr(
+        """aggregate(transform(lst,
+          |  (x, i) -> pow(0.75D, CAST(size(lst) - 1 - i AS DOUBLE))),
+          |  0D, (acc, v) -> acc + v)""".stripMargin))
+      .select(col("d"),
+        (floor(col("num") / col("den") * 1000000.0 + 0.5) / 1000000.0).as("e"))
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(fast.size == naive.size && fast.nonEmpty)
+    naive.foreach { case (d, e) =>
+      assert(fast(d) == e, s"divergence at $d: fast=${fast(d)} naive=$e")
+    }
+    // EWMA stays within the frame's value envelope (convex combination).
+    val vals = daily.select(col("total").cast("double")).as[Double].collect()
+    assert(fast.values.forall(v => v >= vals.min - 1e-6 && v <= vals.max + 1e-6))
+  }
 }
