@@ -39,9 +39,13 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted entries get a rows-only check. */
+    * the same parquet tables. Omitted entries get a rows-only check.
+    * The IVF pair's oracles are data-dependent (centroids trained on the
+    * corpus under test) and so are generated AFTER the queries have run —
+    * Verify evaluates `queries` first, then dumps this map. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.sql.map(s => q.name -> normalize(s))).toMap
+    (registry.flatMap(q => q.sql.map(s => q.name -> normalize(s))) ++
+      ext.Similarity.ivfOracles.map { case (k, v) => k -> normalize(v) }).toMap
 
   /** Collapse the triple-quoted indentation to a single-line SQL string —
     * but ONLY outside single-quoted literals, so a literal containing

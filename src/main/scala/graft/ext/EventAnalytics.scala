@@ -53,7 +53,10 @@ object EventAnalytics {
               n AS (SELECT from_t, to_t, count(*) AS n FROM s
                     WHERE to_t IS NOT NULL GROUP BY from_t, to_t),
               tot AS (SELECT from_t, sum(n) AS row_n FROM n GROUP BY from_t)
-              SELECT n.from_t, to_t, n, n * 1000000 // row_n AS p_ppm
+              -- DuckDB sum(n) is HUGEINT, so the ppm quotient inherits HUGEINT
+              -- and the harness renders it float64 against Spark's BIGINT;
+              -- the terminal CAST restores the shared integer type.
+              SELECT n.from_t, to_t, n, CAST(n * 1000000 // row_n AS BIGINT) AS p_ppm
               FROM n JOIN tot ON n.from_t = tot.from_t
               ORDER BY n.from_t ASC NULLS FIRST, to_t ASC NULLS FIRST""")),
 

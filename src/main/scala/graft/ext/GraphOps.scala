@@ -74,9 +74,18 @@ object GraphOps {
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      // Overflow-safe damping: 850000 * sc wraps int64 once sc exceeds
+      // ~1e13 (a hub with ~1e7 in-degree at full rank) and Spark's non-ANSI
+      // mode would wrap SILENTLY. Split sc = q*1e6 + m: 850000*q*1e6 is
+      // exactly divisible, so floor((850000*sc)/1e6) = 850000*q +
+      // floor(850000*m/1e6) with every intermediate < 8.5e11 per unit of q.
+      // Value-identical to the oracle's HUGEINT arithmetic.
       rank = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          expr("CAST(150000 + (850000 * coalesce(sc, CAST(0 AS BIGINT))) div 1000000 AS BIGINT)").as("r"))
+          expr("""CAST(150000
+                  + 850000 * (coalesce(sc, CAST(0 AS BIGINT)) div 1000000)
+                  + (850000 * (coalesce(sc, CAST(0 AS BIGINT)) % 1000000)) div 1000000
+                  AS BIGINT)""").as("r"))
     }
     rank.select(col("node"), col("r").as("rank_ppm")).orderBy("node")
   }
@@ -170,9 +179,14 @@ object GraphOps {
           .join(broadcast(bits), Seq("pos"), "left")
           .groupBy("doc_id")
           .agg(min(coalesce(col("present"), lit(0))).as("bloom_hit"))
-        val actual = d.select(col("doc_id"), col("text"))
-          .join(corpusText.distinct().withColumn("in_corpus", lit(1)),
-            Seq("text"), "left")
+        // The exact-membership leg joins on sha2(text,256), NOT the raw text:
+        // identical equality semantics, but a constant 64-char shuffle key —
+        // keying this join by full document bodies would shuffle the whole
+        // corpus text at scale (the exact trap x_dedup_hash exists to avoid).
+        val actual = d.select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+          .join(corpusText.select(sha2(col("text"), 256).as("tkey")).distinct()
+              .withColumn("in_corpus", lit(1)),
+            Seq("tkey"), "left")
           .select(col("doc_id"),
             when(col("in_corpus").isNotNull, lit(1)).otherwise(lit(0)).as("actual"))
         hits.join(actual, "doc_id")
@@ -191,9 +205,10 @@ object GraphOps {
                       FROM probe LEFT JOIN b ON probe.pos = b.pos
                       GROUP BY doc_id),
               act AS (SELECT d.doc_id,
-                        CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END AS actual
+                        CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END AS actual
                       FROM documents d
-                      LEFT JOIN (SELECT DISTINCT text FROM corpus) c ON d.text = c.text)
+                      LEFT JOIN (SELECT DISTINCT sha256(text) AS k FROM corpus) c
+                        ON sha256(d.text) = c.k)
               SELECT h.doc_id, bloom_hit, actual
               FROM hit h JOIN act a ON h.doc_id = a.doc_id
               ORDER BY h.doc_id ASC NULLS FIRST"""))

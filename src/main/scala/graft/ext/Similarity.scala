@@ -108,6 +108,16 @@ object Similarity {
     * per JVM; across JVMs the committed SnapshotTable is reused. */
   private val ivfRoots = new scala.collection.concurrent.TrieMap[(String, Int), String]()
 
+  /** Fitted centroids per (dir, nLists), for dynamic oracle generation:
+    * by the time Verify dumps oracle_sql.json the IVF queries have run, so
+    * the quantizer trained on THAT corpus is in hand and its centroids can
+    * be embedded in the oracle as double literals — the same trick
+    * `duckLshBucket` plays with the (data-independent) hyperplanes, made
+    * corpus-aware. */
+  private val ivfCentroidCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[(Long, Array[Double])]]()
+  @volatile private var ivfLastKey: Option[(String, Int)] = None
+
   /** BUILD step of the IVF index — run once per corpus, OFFLINE, like any
     * ANN system (the quantizer is trained before serving, never per query).
     * Fits the k-means coarse quantizer (MLlib, fixed seed) and persists two
@@ -143,18 +153,44 @@ object Similarity {
           try new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
             .setInitMode("random").fit(feats)
           finally feats.unpersist()
-        val assignments = model.transform(e)
-          .select(col("vec_id"), col("prediction").cast("long").as("list_id"))
+        // Assignment is OUR expression, not MLlib's internal labels: nearest
+        // centroid by ROUNDED squared L2 (dot-product expansion, the same
+        // left-to-right fold the oracle spells), list_id-ascending tiebreak.
+        // MLlib's fastSquaredDistance uses a norm-trick fold the oracle
+        // can't reproduce bit-for-bit; recomputing the assignment from the
+        // FINAL centroids with a shared expression tree makes the quantizer
+        // cross-engine-deterministic (and is the more standard IVF
+        // definition anyway: assign = argmin over the published centroids).
+        val cents = model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+          (i.toLong, c.toArray)
+        }
+        val x = col("embedding")
+        val candidates = cents.map { case (id, cv) =>
+          val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+          struct(
+            round(dot(x, x) - lit(2.0) * dot(x, typedlit(cv.toSeq)) + lit(cc), 6)
+              .as("dist"),
+            lit(id).as("list_id"))
+        }
+        val assignments = emb(s, dir)
+          .select(col("vec_id"), least(candidates: _*).getField("list_id").as("list_id"))
           .repartition(col("list_id")).sortWithinPartitions("list_id")
         SnapshotTable.commit(s, aRoot, assignments)
         import s.implicits._
-        val centroids = model.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i.toLong, c.toArray) }
-          .toDF("list_id", "centroid")
-        SnapshotTable.commit(s, cRoot, centroids)
+        SnapshotTable.commit(s, cRoot, cents.toDF("list_id", "centroid"))
       }
       root
     })
+    if (!ivfCentroidCache.contains((dir, nLists))) {
+      import graft.ops.SnapshotTable
+      val cents = SnapshotTable.read(s, s"${ivfRoots((dir, nLists))}/centroids")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      ivfCentroidCache.put((dir, nLists), cents)
+    }
+    ivfLastKey = Some((dir, nLists))
+    ivfRoots((dir, nLists))
   }
 
   /** IVF coarse assignments (vec_id, list_id) — reads the build artifact
@@ -181,9 +217,12 @@ object Similarity {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
+    // Probe selection ranks on the ROUNDED centroid similarity with a
+    // list_id tiebreak — raw-double ranking near a tie is the cross-engine
+    // argmax flip the centroid-assign fix closed (ADVICE r3).
     val probed = ivfCentroids(s, dir, nLists).crossJoin(broadcast(q))
-      .withColumn("c_sim", cosine(col("centroid"), col("q_embedding")))
-      .orderBy(desc("c_sim")).limit(nprobe)
+      .withColumn("c_sim", round(cosine(col("centroid"), col("q_embedding")), 6))
+      .orderBy(desc("c_sim"), asc("list_id")).limit(nprobe)
       .select("list_id")
     ivfAssignments(s, dir, nLists)
       .join(broadcast(probed), "list_id")
@@ -194,6 +233,60 @@ object Similarity {
       .select("vec_id", "list_id", "sim")
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** DuckDB cosine over two list expressions — the module's standard fold. */
+  private def duckCosine(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)""".stripMargin
+
+  /** Dynamic oracles for the IVF pair, generated from the centroids fitted
+    * during THIS run (Verify runs every query before dumping oracle_sql, so
+    * the cache is populated for the corpus under test). The quantizer's
+    * centroids become double literals — Double.toString round-trips the
+    * bits — and the assignment argmin is the identical rounded dot-product
+    * expansion the Spark side computes, so both IVF queries hash-check.
+    * Empty until an IVF query has run (rows-only fallback, the r3 status). */
+  def ivfOracles: Map[String, String] = ivfLastKey.flatMap(ivfCentroidCache.get) match {
+    case None => Map.empty
+    case Some(cents) =>
+      val values = cents.map { case (id, cv) =>
+        val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+        s"(CAST($id AS BIGINT), [${cv.mkString(", ")}], CAST($cc AS DOUBLE))"
+      }.mkString(", ")
+      // round(xx - 2.0*xc + cc, 6): the same association and fold as the
+      // Spark-side `least` candidates in ivfBuild.
+      val dist =
+        """round(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          |  - 2.0 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+          |      p -> CAST(p[1] AS DOUBLE) * p[2]))
+          |  + c.cc, 6)""".stripMargin
+      val assign =
+        s"""a AS (SELECT vec_id, list_id FROM (
+           |    SELECT e.vec_id, c.list_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $dist ASC, c.list_id ASC) AS rn
+           |    FROM embeddings e, c) WHERE rn = 1)""".stripMargin
+      val lists =
+        s"""WITH c(list_id, cv, cc) AS (VALUES $values),
+           |$assign
+           |SELECT list_id, count(*) AS n FROM a
+           |GROUP BY list_id ORDER BY list_id ASC NULLS FIRST""".stripMargin
+      val topk =
+        s"""WITH c(list_id, cv, cc) AS (VALUES $values),
+           |$assign,
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probed AS (SELECT list_id FROM (
+           |    SELECT c.list_id, row_number() OVER (
+           |        ORDER BY ${duckCosine("c.cv", "q.qe")} DESC, c.list_id ASC) AS rn
+           |    FROM c, q) WHERE rn <= 2)
+           |SELECT e.vec_id, a.list_id, ${duckCosine("e.embedding", "q.qe")} AS sim
+           |FROM embeddings e JOIN a USING (vec_id) JOIN probed USING (list_id), q
+           |WHERE e.vec_id <> 0
+           |ORDER BY sim DESC NULLS LAST, e.vec_id ASC NULLS FIRST LIMIT 10""".stripMargin
+      Map("x_sim_ivf_lists" -> lists, "x_sim_ivf_topk" -> topk)
   }
 
   /** Embedding near-dup pair generation (unordered): equi-ized bounded id
@@ -271,16 +364,19 @@ object Similarity {
       }),
 
     // IVF list sizes (k-means coarse quantizer, fixed seed) — the probe-side
-    // inventory of the IVF ANN path. Rows-only: centroid training is
-    // engine-internal; SimilaritySpec pins coverage and list count.
+    // inventory of the IVF ANN path. Oracle-paired DYNAMICALLY: `ivfOracles`
+    // embeds the fitted centroids as literals after the query has run
+    // (SparkEntry.oracleSql merges it in), so the assignment argmin is
+    // recomputed independently by DuckDB and hash-checked.
     Q("x_sim_ivf_lists",
       (s, dir) => ivfAssignments(s, dir, nLists = 8)
         .groupBy("list_id").agg(count(lit(1)).as("n"))
         .orderBy("list_id"),
       None),
 
-    // IVF probe-time ANN top-10 (rows-only: centroid training is engine-
-    // internal; recall vs brute force is pinned by SimilaritySpec).
+    // IVF probe-time ANN top-10 — oracle-paired dynamically via `ivfOracles`
+    // (see x_sim_ivf_lists); recall vs brute force additionally pinned by
+    // SimilaritySpec.
     Q("x_sim_ivf_topk",
       (s, dir) => ivfTopK(s, dir, queryId = 0L, k = 10),
       None),
@@ -340,12 +436,16 @@ object Similarity {
           .select(col("label").as("c_label"),
             array((0 until 64).map(i => col(s"m$i")): _*).as("cvec"))
         val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("c_label"))
+        // Rank on the ROUNDED similarity (the recall-eval idiom): ranking the
+        // raw double lets a half-ulp cross-engine fold difference near a tie
+        // flip the argmax and change assigned_label; at 6 decimals both
+        // engines see the identical ordering key.
         emb(s, dir).crossJoin(broadcast(cent))
-          .withColumn("sim", cosine(col("embedding"), col("cvec")))
+          .withColumn("sim", round(cosine(col("embedding"), col("cvec")), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("label"),
-            col("c_label").as("assigned_label"), round(col("sim"), 6).as("sim"))
+            col("c_label").as("assigned_label"), col("sim"))
           .orderBy("vec_id")
       },
       Some("""WITH dims AS (SELECT label AS c_label, i,
@@ -355,16 +455,16 @@ object Similarity {
                    GROUP BY label, i),
               cent AS (SELECT c_label, list(m ORDER BY i) AS cvec FROM dims GROUP BY c_label),
               scored AS (SELECT e.vec_id, e.label, c.c_label,
-                     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                     round(list_sum(list_transform(list_zip(e.embedding, c.cvec),
                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                      * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
                    FROM embeddings e, cent c),
               r AS (SELECT vec_id, label, c_label AS assigned_label, sim,
                       row_number() OVER (PARTITION BY vec_id
                         ORDER BY sim DESC, c_label ASC) AS rn
                     FROM scored)
-              SELECT vec_id, label, assigned_label, round(sim, 6) AS sim
+              SELECT vec_id, label, assigned_label, sim
               FROM r WHERE rn = 1
               ORDER BY vec_id ASC NULLS FIRST""")),
 

@@ -41,10 +41,14 @@ object Relational4 {
     "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy",
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy")
 
+  // Degenerate groups guarded IDENTICALLY in both engines: Spark (non-ANSI)
+  // yields NULL on x/0 while DuckDB yields IEEE inf/NaN, so an unguarded
+  // single-row or zero-variance group would hash-diverge. CASE + nullif are
+  // spelled once and shared, keeping both sides on the same NULL.
   private val momentFinal = Seq(
-    "round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty",
-    "round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price",
-    "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price")
+    "CASE WHEN n > 1 THEN round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) END AS stddev_qty",
+    "CASE WHEN n > 1 THEN round(sqrt((syy - sy * sy / n) / (n - 1)), 6) END AS stddev_price",
+    "round((n * sxy - sx * sy) / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 6) AS corr_qty_price")
 
   /** Daily-revenue series overlap-partitioned for bounded rolling windows:
     * fixed 128-row BLOCKS from the bucketed global rank (GlobalWindows —

@@ -128,6 +128,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bloom-sketch membership never shuffles raw document text") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // The exact-membership leg keys on sha2(text,256): no Exchange in the
+    // plan may hash-partition on a raw `text` attribute — a text-keyed
+    // shuffle moves whole document bodies and dominates the query at scale.
+    val shuffles = collectAll(plan("x_sketch_bloom")) { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      e.outputPartitioning match {
+        case h: HashPartitioning =>
+          val keyed = h.expressions.flatMap(_.references.toSeq).map(_.name)
+          assert(!keyed.contains("text"),
+            s"exchange hash-partitions on raw text: ${h.expressions}")
+        case _ => ()
+      }
+    }
+  }
+
   test("runtime bloom filter is injected into the fact scan of a star join") {
     // The 100 TB star-join shape: a selective dim filter should cut fact
     // I/O BEFORE the join via an injected bloom filter (runtime filtering).
