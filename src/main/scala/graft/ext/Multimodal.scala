@@ -271,6 +271,64 @@ object Multimodal {
                      (phash >> 15) & 32767 AS b1,
                      (phash >> 30) & 32767 AS b2,
                      (phash >> 45) & 32767 AS b3
-              FROM ph ORDER BY media_id ASC NULLS FIRST"""))
+              FROM ph ORDER BY media_id ASC NULLS FIRST""")),
+
+    // The documented routing contract on [[phashNearDupPairs]], composed
+    // end-to-end: byte-identical payloads collapse FIRST through exact
+    // content-hash dedup (constant-width sha key — the degenerate
+    // mirrored-image corpus never reaches the band join), then the banded
+    // Hamming-≤3 pair join runs over REPRESENTATIVES only. Output is the
+    // per-representative routing summary (copies collapsed, near-pairs
+    // found), so both routes are visible to the hash gate. Every shuffle is
+    // constant-width (sha-256 key, 15-bit band keys) — no payload bytes and
+    // no quadratic blowup at any corpus shape.
+    Q("x_mm_phash_routed",
+      (s, dir) => {
+        val images = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("media_id"), col("text"))
+        val groups = images
+          .groupBy(sha2(col("text"), 256).as("content_sha"))
+          .agg(min("media_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        val reps = images
+          .join(groups.select(col("rep_id").as("media_id")), "media_id")
+        val pairs = phashNearDupPairs(
+          reps.select(col("media_id"), phash60("text").as("phash")))
+        val pairCounts = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("rep_id"))
+          .groupBy("rep_id").agg(count(lit(1)).as("n_near"))
+        groups.join(pairCounts, Seq("rep_id"), "left")
+          .select(col("rep_id"), col("n_copies"),
+            coalesce(col("n_near"), lit(0L)).as("n_near_pairs"))
+          .orderBy("rep_id")
+      },
+      Some("""WITH img AS (SELECT doc_id AS media_id, text FROM documents
+                   WHERE doc_id % 3 = 0),
+              g AS (SELECT sha256(text) AS content_sha, min(media_id) AS rep_id,
+                      count(*) AS n_copies
+                    FROM img GROUP BY sha256(text)),
+              reps AS (SELECT i.media_id, i.text
+                       FROM img i JOIN g ON i.media_id = g.rep_id),
+              ph AS (SELECT media_id,
+                       CAST(list_sum(list_transform(range(0, 60), j ->
+                         CASE WHEN substring(text, CAST(1 + (j * (length(text) - 1)) // 60 AS INT), 1)
+                                 > substring(text, CAST(1 + ((j + 1) * (length(text) - 1)) // 60 AS INT), 1)
+                              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS phash
+                     FROM reps),
+              banded AS (SELECT media_id, phash, bd,
+                           (phash >> (15 * bd)) & 32767 AS bv
+                         FROM ph, LATERAL (SELECT unnest([0, 1, 2, 3]) AS bd) u),
+              pairs AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+                        FROM banded a JOIN banded b
+                          ON a.bd = b.bd AND a.bv = b.bv AND a.media_id < b.media_id
+                        WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+              pc AS (SELECT rep_id, count(*) AS n_near FROM (
+                       SELECT id_a AS rep_id FROM pairs
+                       UNION ALL SELECT id_b AS rep_id FROM pairs) e
+                     GROUP BY rep_id)
+              SELECT g.rep_id, g.n_copies,
+                     coalesce(pc.n_near, CAST(0 AS BIGINT)) AS n_near_pairs
+              FROM g LEFT JOIN pc ON g.rep_id = pc.rep_id
+              ORDER BY g.rep_id ASC NULLS FIRST"""))
   )
 }

@@ -24,14 +24,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * because N's files are immutable until `vacuum`.
   *
   * This is the snapshot-isolation core of a table format (Delta/Iceberg),
-  * sized to what an offline single-writer pipeline needs; no compaction or
-  * writer-writer conflict detection (single-writer assumption, like the
-  * reference's one scheduled Cloud Function).
+  * sized to what an offline pipeline needs. Writer-writer conflicts are
+  * DETECTED, not silently merged (round-3 roadmap item): every attempt
+  * writes its data under a unique `snap-<v>-<token>/` dir (two racing
+  * writers can never touch each other's files), and the manifest rename is
+  * the single compare-and-swap — exactly one writer per version wins; the
+  * loser's commit throws [[SnapshotTable.ConcurrentWriteException]] after
+  * cleaning up its own orphan. `upsert` catches the conflict and REDOES the
+  * merge against the winner's version (bounded retries) — the
+  * read-merge-commit loop is serializable, not last-write-wins.
   */
 object SnapshotTable {
 
+  /** Another writer committed the version this commit targeted. The table is
+    * intact (the winner's version is fully committed; this writer's partial
+    * data was removed). Re-read and retry to serialize after the winner. */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
   private val ManifestDir = "_manifests"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
+  private val SnapRe = raw"snap-(\d{8})(-[0-9a-f]{8})?".r
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,17 +90,22 @@ object SnapshotTable {
     spark.read.parquet(files: _*)
   }
 
-  /** Commit `df` as the next version; returns the committed version. */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+  /** Commit `df` as the next version; returns the committed version.
+    * Throws [[ConcurrentWriteException]] if another writer commits the same
+    * version first (the manifest rename is the CAS). */
+  def commit(spark: SparkSession, root: String, df: DataFrame): Long =
+    commitAt(spark, root, currentVersion(spark, root).map(_ + 1).getOrElse(0L), df)
+
+  /** Commit targeting an explicit version — the CAS core. A crash between
+    * data write and manifest rename leaves an INVISIBLE orphan dir (readers
+    * only follow manifests) which vacuum eventually sweeps; the unique
+    * per-attempt token means a retry or a concurrent writer never collides
+    * with it on ErrorIfExists. */
+  private[ops] def commitAt(spark: SparkSession, root: String, v: Long,
+                            df: DataFrame): Long = {
     val fs = fsOf(spark, root)
-    val v = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    val snapDir = new Path(root, f"snap-$v%08d")
-    // Crash recovery (ADVICE r2): a snapshot dir with no manifest is
-    // INVISIBLE by the protocol (readers only follow manifests) — a commit
-    // that died between data write and manifest rename leaves one behind.
-    // Without this sweep every retry of the same version would fail forever
-    // on ErrorIfExists, bricking the table.
-    if (fs.exists(snapDir)) fs.delete(snapDir, true)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val snapDir = new Path(root, f"snap-$v%08d-$token")
     df.write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
     val files = fs.listStatus(snapDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
@@ -97,11 +114,19 @@ object SnapshotTable {
       .mkString(s"""{"version":$v,"files":[""", ",", "]}")
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, f".manifest-$v%08d.json.tmp")
+    val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, manifestPath(root, v)))
-      throw new IllegalStateException(s"manifest rename failed for version $v (concurrent writer?)")
+    val dest = manifestPath(root, v)
+    // CAS: Hadoop rename refuses an existing destination, so exactly one
+    // writer's manifest lands for version v. The loser removes its own
+    // (never the winner's) data before surfacing the conflict.
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      fs.delete(snapDir, true)
+      throw new ConcurrentWriteException(
+        s"version $v at $root was committed by a concurrent writer")
+    }
     v
   }
 
@@ -113,12 +138,27 @@ object SnapshotTable {
     * degrades (the classic streaming-ingest small-file problem). */
   def upsert(spark: SparkSession, root: String, source: DataFrame,
              keys: Seq[String], maxFiles: Int = 64): Long = {
-    val committed = currentVersion(spark, root) match {
-      case None => commit(spark, root, source)
-      case Some(v) =>
-        val merged = Upsert.merge(read(spark, root, Some(v)), source, keys)
-          .localCheckpoint() // cut lineage: the plan must not re-read files vacuum may later drop
-        commit(spark, root, merged)
+    // Serializable read-merge-commit: on a writer-writer conflict the merge
+    // is REDONE against the winner's version (never blind-retried — a lost
+    // update would silently drop the winner's rows). Bounded attempts.
+    var attempt = 0
+    var committed = -1L
+    var done = false
+    while (!done) {
+      try {
+        committed = currentVersion(spark, root) match {
+          case None => commit(spark, root, source)
+          case Some(v) =>
+            val merged = Upsert.merge(read(spark, root, Some(v)), source, keys)
+              .localCheckpoint() // cut lineage: the plan must not re-read files vacuum may later drop
+            commit(spark, root, merged)
+        }
+        done = true
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
     }
     compact(spark, root, maxFiles).getOrElse(committed)
   }
@@ -156,8 +196,23 @@ object SnapshotTable {
       case _ => None
     }).sorted
     versions.dropRight(keep).foreach { v =>
-      fs.delete(new Path(root, f"snap-$v%08d"), true)
+      // Resolve the data dirs FROM the manifest (dir names carry per-attempt
+      // tokens, so they can't be reconstructed from the version alone).
+      readManifest(fs, manifestPath(root, v))
+        .map(f => new Path(f).getParent).distinct
+        .foreach(d => fs.delete(d, true))
       fs.delete(manifestPath(root, v), false)
+    }
+    // Orphan sweep: losing-writer / crashed-commit dirs are invisible to
+    // readers; once their target version is older than every kept manifest
+    // no reader can be pinned to them — reclaim the space.
+    versions.takeRight(keep).headOption.foreach { minKept =>
+      fs.listStatus(new Path(root)).foreach { st =>
+        st.getPath.getName match {
+          case SnapRe(v, _) if v.toLong < minKept => fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
     }
   }
 }

@@ -118,6 +118,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root))) // sanity
   }
 
+  test("losing writer detects the conflict, cleans up, leaves the winner intact") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    // A CAS loss = targeting a version someone else already committed.
+    intercept[SnapshotTable.ConcurrentWriteException](
+      SnapshotTable.commitAt(spark, root, 0L, Seq((9L, "x")).toDF("k", "v")))
+    // Winner untouched; loser's data fully removed (no orphan dirs).
+    assert(canon(SnapshotTable.read(spark, root)) ==
+      canon(Seq((1L, "a")).toDF("k", "v")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("snap-"))
+    assert(snapDirs.length == 1, s"loser left orphans: ${snapDirs.mkString(",")}")
+    // The table is not bricked: the next commit serializes after the winner.
+    assert(SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v")) == 1L)
+  }
+
+  test("vacuum sweeps invisible orphan dirs once their version is unpinned") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // crashed-commit orphan for version 0 (unique-token naming, no manifest)
+    Seq((99L, "junk")).toDF("k", "v").write.parquet(root + "/snap-00000000-deadbeef")
+    SnapshotTable.upsert(spark, root, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    SnapshotTable.vacuum(spark, root, keep = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/snap-00000000-deadbeef")))
+    assert(SnapshotTable.read(spark, root).count() == 2)
+  }
+
   test("vacuum drops old snapshots but keeps the current one readable") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
