@@ -1,0 +1,225 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+/** File-level column statistics for [[SnapshotTable]] data skipping.
+  *
+  * At commit time the driver reads each written parquet FOOTER (a metadata
+  * read, no row data touched) and folds the row-group statistics into one
+  * (min, max, nullCount, rowCount) per top-level atomic column per file.
+  * The result rides in the snapshot manifest, so a reader can decide which
+  * files a predicate can possibly match WITHOUT opening them — the same
+  * design as Delta's per-file stats / Iceberg's manifest metrics, sized to
+  * this table format. At 100 TB this is the difference between "scan every
+  * file and let row-group filters save you" and "plan only the files whose
+  * range intersects the predicate": the former still pays per-file open +
+  * footer decode across thousands of executors; the latter prunes on the
+  * driver from KB-sized metadata.
+  *
+  * Bounds live in one of three total-order domains, tagged in the manifest:
+  *   - `long`   — INT32/INT64 (plain or signed-int annotated), DATE (days),
+  *                TIMESTAMP micros/millis (normalized to micros), BOOLEAN
+  *                (0/1)
+  *   - `double` — FLOAT/DOUBLE
+  *   - `string` — BINARY with a UTF8 annotation
+  * Anything else (INT96 timestamps, decimals, nested/repeated columns) gets
+  * no bounds and is never pruned on. Columns with incomplete row-group
+  * stats (e.g. parquet drops binary bounds past the truncation limit) keep
+  * their null counts only. Missing information always degrades to "keep the
+  * file" — pruning is an optimization, never a correctness dependency (the
+  * full predicate still runs as the scan's data filter).
+  */
+object SnapshotStats {
+
+  /** Bounds + null accounting for one column in one file. `nulls == -1`
+    * means the writer could not establish a null count (treat as unknown). */
+  final case class ColStats(kind: String, min: Option[Any], max: Option[Any],
+                            nulls: Long)
+
+  /** Stats for one data file. `cols` keys are top-level column names. */
+  final case class FileStats(path: String, bytes: Long, rows: Long,
+                             cols: Map[String, ColStats])
+
+  /** Read one file's footer and fold its row-group stats. `fileLen` is the
+    * file's REAL length (from the directory listing): it lands in the
+    * manifest so readers can build `FileStatus` entries without a second
+    * round of namenode calls, and scan planning needs the true length, not
+    * the compressed-data sum. */
+  def fromFooter(conf: Configuration, file: Path, fileLen: Long): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val bytes = fileLen
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.size == 1) // top-level leaves only; nested stay unpruned
+        .groupBy(_.getPath.toDotString)
+      val cols = byCol.flatMap { case (name, chunks) =>
+        val prim = chunks.head.getPrimitiveType
+        domainOf(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation).map { dom =>
+          val stats = chunks.map(_.getStatistics)
+          val nulls =
+            if (stats.exists(s => s == null || s.getNumNulls < 0)) -1L
+            else stats.map(_.getNumNulls).sum
+          // Every row group must report usable stats for the file to carry
+          // bounds; an all-null group is usable but contributes no values.
+          val (mn, mx) =
+            if (stats.exists(s => s == null || s.isEmpty)) (None, None)
+            else {
+              val withVals = stats.filter(_.hasNonNullValue)
+              if (withVals.isEmpty) (None, None)
+              else {
+                val mins = withVals.map(s => dom.toDomain(s.genericGetMin))
+                val maxs = withVals.map(s => dom.toDomain(s.genericGetMax))
+                if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) (None, None)
+                else (Some(mins.flatten.min(dom.ord)), Some(maxs.flatten.max(dom.ord)))
+              }
+            }
+          name -> ColStats(dom.kind, mn, mx, nulls)
+        }
+      }
+      FileStats(file.toString, bytes, rows, cols)
+    } finally reader.close()
+  }
+
+  /** A comparison domain: how raw parquet stat values and Catalyst literals
+    * both map into one totally ordered space. */
+  sealed trait Domain {
+    def kind: String
+    def ord: Ordering[Any]
+    /** Parquet footer value → domain value. */
+    def toDomain(v: Any): Option[Any]
+  }
+  private object LongDomain extends Domain {
+    val kind = "long"
+    val ord: Ordering[Any] = Ordering.by(_.asInstanceOf[Long])
+    def toDomain(v: Any): Option[Any] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case b: java.lang.Boolean => Some(if (b) 1L else 0L)
+      case _ => None
+    }
+  }
+  private object MillisDomain extends Domain {
+    val kind = "long"
+    val ord: Ordering[Any] = LongDomain.ord
+    // millis → micros so bounds and Catalyst TimestampType literals (micros)
+    // share a domain; epoch millis × 1000 stays well inside int64
+    def toDomain(v: Any): Option[Any] = v match {
+      case l: java.lang.Long => Some(l * 1000L)
+      case _ => None
+    }
+  }
+  private object DoubleDomain extends Domain {
+    val kind = "double"
+    val ord: Ordering[Any] = Ordering.by(_.asInstanceOf[Double])
+    def toDomain(v: Any): Option[Any] = v match {
+      case f: java.lang.Float =>
+        val d = f.doubleValue; if (d.isNaN) None else Some(d)
+      case d: java.lang.Double => if (d.isNaN) None else Some(d.doubleValue)
+      case _ => None
+    }
+  }
+  private object StringDomain extends Domain {
+    val kind = "string"
+    val ord: Ordering[Any] = Ordering.by(_.asInstanceOf[String])
+    def toDomain(v: Any): Option[Any] = v match {
+      case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+  }
+
+  /** Which domain (if any) a parquet primitive + logical annotation maps to. */
+  private def domainOf(p: PrimitiveTypeName,
+                       logical: LogicalTypeAnnotation): Option[Domain] = {
+    import LogicalTypeAnnotation._
+    (p, logical) match {
+      case (PrimitiveTypeName.BOOLEAN, _) => Some(LongDomain)
+      case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, null) => Some(LongDomain)
+      case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, i: IntLogicalTypeAnnotation)
+        if i.isSigned => Some(LongDomain)
+      case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => Some(LongDomain)
+      case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+        t.getUnit match {
+          case TimeUnit.MICROS => Some(LongDomain)
+          case TimeUnit.MILLIS => Some(MillisDomain)
+          case _ => None // nanos: graft.Tables normalizes those reads separately
+        }
+      case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) => Some(DoubleDomain)
+      case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) => Some(StringDomain)
+      case _ => None
+    }
+  }
+
+  // --- manifest JSON (de)serialization -----------------------------------
+
+  private val mapper = new ObjectMapper()
+
+  /** Serialize the full manifest: `files` stays a plain path array (the
+    * pre-stats manifest shape, so older manifests and newer readers agree),
+    * `stats` carries the per-file column bounds. */
+  def manifestJson(version: Long, stats: Seq[FileStats]): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", version)
+    val files = root.putArray("files")
+    stats.foreach(f => files.add(f.path))
+    val arr = root.putArray("stats")
+    stats.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path); o.put("bytes", f.bytes); o.put("rows", f.rows)
+      val cols = o.putObject("cols")
+      f.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+        val cn = cols.putObject(name)
+        cn.put("kind", c.kind)
+        cn.put("nulls", c.nulls)
+        (c.min, c.max) match {
+          case (Some(mn), Some(mx)) => putVal(cn, "min", mn); putVal(cn, "max", mx)
+          case _ => ()
+        }
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def putVal(o: ObjectNode, field: String, v: Any): Unit = v match {
+    case l: Long => o.put(field, l)
+    case d: Double => o.put(field, d)
+    case s: String => o.put(field, s)
+    case other => o.put(field, other.toString)
+  }
+
+  /** Parse the `stats` array back; empty when the manifest predates stats. */
+  def statsFromManifest(body: String): Seq[FileStats] = {
+    val root = mapper.readTree(body)
+    val arr = root.get("stats")
+    if (arr == null || !arr.isArray) Seq.empty
+    else arr.asScala.toSeq.map { f =>
+      val cols = Option(f.get("cols")).filter(_.isObject).map { cn =>
+        cn.fields().asScala.map { e =>
+          val c = e.getValue
+          val kind = c.get("kind").asText
+          val mn = Option(c.get("min")).map(readVal(_, kind))
+          val mx = Option(c.get("max")).map(readVal(_, kind))
+          e.getKey -> ColStats(kind, mn, mx, c.get("nulls").asLong)
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStats])
+      FileStats(f.get("path").asText, f.get("bytes").asLong, f.get("rows").asLong, cols)
+    }
+  }
+
+  private def readVal(n: JsonNode, kind: String): Any = kind match {
+    case "long" => n.asLong
+    case "double" => n.asDouble
+    case _ => n.asText
+  }
+}

@@ -66,28 +66,65 @@ object SnapshotTable {
   private def manifestPath(root: String, v: Long): Path =
     new Path(new Path(root, ManifestDir), f"manifest-$v%08d.json")
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+  private def readManifestBody(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // Real JSON parse (jackson ships on the Spark classpath): commit()
-    // escapes backslashes/quotes, so a regex scrape would round-trip paths
-    // containing either to a WRONG path (ADVICE r2). Jackson reverses the
-    // escaping symmetrically.
+  }
+
+  // Real JSON parse (jackson ships on the Spark classpath): the writer
+  // escapes backslashes/quotes, so a regex scrape would round-trip paths
+  // containing either to a WRONG path (ADVICE r2). Jackson reverses the
+  // escaping symmetrically.
+  private def filesFromBody(body: String, p: Path): Seq[String] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
     val files = node.get("files")
     require(files != null && files.isArray, s"malformed manifest $p")
     (0 until files.size).map(i => files.get(i).asText())
   }
 
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] =
+    filesFromBody(readManifestBody(fs, p), p)
+
   /** Read the table at its latest committed version (or a pinned `asOf`
-    * version — time travel falls out of immutable manifests for free). */
-  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    * version — time travel falls out of immutable manifests for free).
+    *
+    * When the manifest carries file stats (every commit since they were
+    * introduced), the scan is served through a [[SnapshotFileIndex]]: any
+    * `.filter` the caller adds prunes whole files at PLANNING time from the
+    * manifest's (min, max, nulls) bounds — write-side clustering
+    * ([[commitClustered]]) plus this read path is the Delta/Iceberg
+    * data-skipping loop. Pre-stats manifests fall back to a plain
+    * multi-path parquet read (identical rows, no skipping). */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
+    readTracked(spark, root, asOf)._1
+
+  /** [[read]], also returning the file index when one is in play — the
+    * `lastSelected`/`totalFiles` counters make skipping observable (specs,
+    * scan reports). */
+  def readTracked(spark: SparkSession, root: String,
+                  asOf: Option[Long] = None): (DataFrame, Option[SnapshotFileIndex]) = {
     val v = asOf.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsOf(spark, root)
-    val files = readManifest(fs, manifestPath(root, v))
-    spark.read.parquet(files: _*)
+    val body = readManifestBody(fs, manifestPath(root, v))
+    val files = filesFromBody(body, manifestPath(root, v))
+    val stats = SnapshotStats.statsFromManifest(body)
+    if (stats.isEmpty || stats.map(_.path).sorted != files.sorted)
+      (spark.read.parquet(files: _*), None)
+    else {
+      val index = new SnapshotFileIndex(spark, new Path(root), stats)
+      // Snapshot files share one writer schema; one footer is authoritative.
+      val dataSchema = spark.read.parquet(files.head).schema
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index,
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        options = Map.empty)(spark)
+      (spark.baseRelationToDataFrame(relation), Some(index))
+    }
   }
 
   /** Commit `df` as the next version; returns the committed version.
@@ -95,6 +132,21 @@ object SnapshotTable {
     * version first (the manifest rename is the CAS). */
   def commit(spark: SparkSession, root: String, df: DataFrame): Long =
     commitAt(spark, root, currentVersion(spark, root).map(_ + 1).getOrElse(0L), df)
+
+  /** Commit with the rows range-clustered on `clusterBy`: each output file
+    * owns a disjoint key range (`repartitionByRange` + an in-file sort), so
+    * the manifest's per-file bounds become TIGHT and a later
+    * `read(...).filter(key ...)` skips every non-overlapping file. This is
+    * the write-side half of data skipping (Delta OPTIMIZE's clustering,
+    * minus multi-dimension Z-ordering — range-cluster on the dominant
+    * filter column). */
+  def commitClustered(spark: SparkSession, root: String, df: DataFrame,
+                      clusterBy: Seq[String], numFiles: Int = 32): Long = {
+    require(clusterBy.nonEmpty, "commitClustered needs at least one cluster column")
+    val cols = clusterBy.map(df.col)
+    commit(spark, root,
+      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
 
   /** Commit targeting an explicit version — the CAS core. A crash between
     * data write and manifest rename leaves an INVISIBLE orphan dir (readers
@@ -107,11 +159,14 @@ object SnapshotTable {
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val snapDir = new Path(root, f"snap-$v%08d-$token")
     df.write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
-    val files = fs.listStatus(snapDir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).sorted
-    val body = files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    // Harvest per-file column bounds from the just-written footers (metadata
+    // reads only) so the manifest enables data skipping at read planning.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = fs.listStatus(snapDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.toString)
+      .map(st => SnapshotStats.fromFooter(conf, st.getPath, st.getLen))
+    val body = SnapshotStats.manifestJson(v, stats.toSeq)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
