@@ -237,10 +237,15 @@ object Similarity {
 
   /** DuckDB cosine over two list expressions — the module's standard fold. */
   private def duckCosine(a: String, b: String): String =
-    s"""round(list_sum(list_transform(list_zip($a, $b),
+    s"round(${duckCosineRaw(a, b)}, 6)"
+
+  /** The same cosine UNROUNDED — for WHERE thresholds that must mirror the
+    * Spark side's raw comparison (the neardup-pairs idiom). */
+  private def duckCosineRaw(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)""".stripMargin
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
   /** Dynamic oracles for the IVF pair, generated from the centroids fitted
     * during THIS run (Verify runs every query before dumping oracle_sql, so
@@ -286,7 +291,19 @@ object Similarity {
            |FROM embeddings e JOIN a USING (vec_id) JOIN probed USING (list_id), q
            |WHERE e.vec_id <> 0
            |ORDER BY sim DESC NULLS LAST, e.vec_id ASC NULLS FIRST LIMIT 10""".stripMargin
-      Map("x_sim_ivf_lists" -> lists, "x_sim_ivf_topk" -> topk)
+      val semdedup =
+        s"""WITH c(list_id, cv, cc) AS (VALUES $values),
+           |$assign,
+           |v AS (SELECT e.vec_id, a.list_id, e.embedding
+           |      FROM embeddings e JOIN a USING (vec_id)),
+           |dropped AS (SELECT DISTINCT y.vec_id
+           |  FROM v x JOIN v y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+           |  WHERE ${duckCosineRaw("x.embedding", "y.embedding")} >= 0.4)
+           |SELECT v.vec_id, v.list_id, (d.vec_id IS NULL) AS kept
+           |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+           |ORDER BY v.vec_id ASC NULLS FIRST""".stripMargin
+      Map("x_sim_ivf_lists" -> lists, "x_sim_ivf_topk" -> topk,
+        "x_sim_semantic_dedup" -> semdedup)
   }
 
   /** Embedding near-dup pair generation (unordered): equi-ized bounded id
@@ -306,6 +323,37 @@ object Similarity {
         dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim_raw") >= 0.35)
       .select(col("a"), col("b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with the IVF coarse quantizer, then inside each
+    * cluster drop every vector that has a LOWER-id neighbour with cosine
+    * ≥ `tau` (greedy min-id representative — deterministic, no iteration).
+    * Pairwise work never crosses clusters: the candidate join is keyed by
+    * `list_id`, so the cost is Σ |cluster|², not N² — at corpus scale
+    * `nLists` grows with N (SemDeDup runs ~10k clusters for 100M+ docs) to
+    * keep cluster sizes, and therefore per-key join fan-out, bounded; the
+    * assignment table is the same clustered SnapshotTable the IVF probe
+    * reads. Threshold compares the RAW cosine with the identical
+    * left-to-right fold on both engines (the neardup-pairs idiom); rounding
+    * happens only in projections. */
+  def semanticDedup(s: SparkSession, dir: String, nLists: Int = 8,
+                    tau: Double = 0.4): DataFrame = {
+    val v = emb(s, dir).join(ivfAssignments(s, dir, nLists), "vec_id")
+      .select(col("vec_id"), col("list_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val a = v.select(col("list_id"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("list_id"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    v.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("is_dup"), lit(false)) === lit(false) as "kept")
+      .orderBy("vec_id")
   }
 
   val qs: Seq[Q] = Seq(
@@ -379,6 +427,15 @@ object Similarity {
     // SimilaritySpec.
     Q("x_sim_ivf_topk",
       (s, dir) => ivfTopK(s, dir, queryId = 0L, k = 10),
+      None),
+
+    // SemDeDup-style semantic dedup: IVF clusters bound the pairwise work,
+    // min-id representatives survive. Oracle-paired dynamically via
+    // `ivfOracles` (the assignment CTE is shared with the IVF pair;
+    // threshold 0.4 sits above the fixture's typical cosine, below its
+    // near-dup tail, so both routes are exercised).
+    Q("x_sim_semantic_dedup",
+      (s, dir) => semanticDedup(s, dir, nLists = 8, tau = 0.4),
       None),
 
     // Per-label centroids (class prototypes) — grouped vector mean with

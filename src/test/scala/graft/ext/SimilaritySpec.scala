@@ -50,6 +50,41 @@ class SimilaritySpec extends SparkSpec {
     assert(lists == 8)
   }
 
+  test("semantic dedup equals a brute-force recompute of the keep rule") {
+    val tau = 0.4
+    val got = Similarity.semanticDedup(spark, sf, nLists = 8, tau = tau)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val assign = Similarity.ivfAssignments(spark, sf, nLists = 8)
+      .as[(Long, Long)].collect().toMap
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    val wantKept = vecs.map { case (id, v) =>
+      id -> !vecs.exists { case (oid, _) =>
+        oid < id && assign(oid) == assign(id) && cos(byId(oid), v) >= tau
+      }
+    }.toMap
+    assert(got.length == vecs.length)
+    got.foreach { case (id, list, kept) =>
+      assert(list == assign(id))
+      assert(kept == wantKept(id), s"vec $id kept=$kept want=${wantKept(id)}")
+    }
+    // The threshold sits inside the fixture's cosine range: both routes fire.
+    assert(got.exists(!_._3), "no duplicates dropped — tau too high for fixture")
+    assert(got.count(_._3) > got.length / 2, "most vectors should survive")
+  }
+
   test("IVF probe-time top-k carries exact scores and decent recall") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10)
       .as[(Long, Double)].collect()
