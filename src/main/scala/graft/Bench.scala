@@ -53,7 +53,13 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Ambient-load disclosure: this container shares its host, and r3's
+    // artifact read ~2.5× hot because of it. The 1-minute load average at
+    // the end of the run lets a reader judge whether the numbers were taken
+    // on a quiet box without re-running them.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load_avg":$loadAvg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

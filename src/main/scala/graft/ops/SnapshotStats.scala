@@ -167,10 +167,17 @@ object SnapshotStats {
 
   /** Serialize the full manifest: `files` stays a plain path array (the
     * pre-stats manifest shape, so older manifests and newer readers agree),
-    * `stats` carries the per-file column bounds. */
-  def manifestJson(version: Long, stats: Seq[FileStats]): String = {
+    * `stats` carries the per-file column bounds, `txn` (optional) records
+    * the (appId, batchId) that produced this version — the idempotent-
+    * replay marker for exactly-once streaming appends. */
+  def manifestJson(version: Long, stats: Seq[FileStats],
+                   txn: Option[(String, Long)] = None): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
+    txn.foreach { case (appId, batchId) =>
+      val t = root.putObject("txn")
+      t.put("appId", appId); t.put("batchId", batchId)
+    }
     val files = root.putArray("files")
     stats.foreach(f => files.add(f.path))
     val arr = root.putArray("stats")
@@ -221,5 +228,12 @@ object SnapshotStats {
     case "long" => n.asLong
     case "double" => n.asDouble
     case _ => n.asText
+  }
+
+  /** The (appId, batchId) transaction marker, if this manifest has one. */
+  def txnFromManifest(body: String): Option[(String, Long)] = {
+    val t = mapper.readTree(body).get("txn")
+    if (t == null || !t.isObject) None
+    else Some((t.get("appId").asText, t.get("batchId").asLong))
   }
 }

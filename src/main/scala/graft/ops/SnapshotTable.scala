@@ -148,13 +148,85 @@ object SnapshotTable {
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
   }
 
+  /** Current version's file entries, reconstructing bytes-only entries when
+    * the manifest predates stats (bounds stay empty → those files are never
+    * pruned, the usual degrade-to-keep). */
+  private def currentEntries(spark: SparkSession, root: String,
+                             v: Long): Seq[SnapshotStats.FileStats] = {
+    val fs = fsOf(spark, root)
+    val body = readManifestBody(fs, manifestPath(root, v))
+    val files = filesFromBody(body, manifestPath(root, v))
+    val stats = SnapshotStats.statsFromManifest(body)
+    if (stats.map(_.path).sorted == files.sorted) stats
+    else files.map { f =>
+      val st = fs.getFileStatus(new Path(f))
+      SnapshotStats.FileStats(f, st.getLen, 0L, Map.empty)
+    }
+  }
+
+  /** Highest batchId committed for `appId`, scanning manifests newest-first
+    * (driver-side KB reads; versions are bounded by vacuum). */
+  def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) return None
+    fs.listStatus(mdir).toSeq
+      .flatMap(_.getPath.getName match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }).sorted.reverse
+      .iterator
+      .map(v => SnapshotStats.txnFromManifest(readManifestBody(fs, manifestPath(root, v))))
+      .collectFirst { case Some((a, b)) if a == appId => b }
+  }
+
+  /** Exactly-once APPEND for streaming `foreachBatch` sinks — the Delta
+    * `txn` pattern. Appends `df` as a new version whose manifest is the old
+    * file list PLUS the new files (nothing rewritten), stamped with
+    * (appId, batchId). A replay of an already-committed batchId (sink wrote,
+    * crash before the streaming checkpoint advanced — the classic at-least-
+    * once window; or an operator re-running a stream from an older
+    * checkpoint) is detected from the stamp and SKIPPED, making the sink
+    * exactly-once end to end. Writer-writer races resolve through the
+    * manifest CAS: the loser re-reads (the winner may have BEEN this
+    * batch's retry) and re-appends on top. */
+  def appendOnce(spark: SparkSession, root: String, df: DataFrame,
+                 appId: String, batchId: Long): Long = {
+    var attempt = 0
+    while (true) {
+      if (lastTxn(spark, root, appId).exists(_ >= batchId))
+        return currentVersion(spark, root).get // replay: already applied
+      val target = currentVersion(spark, root)
+      try {
+        return target match {
+          case None => commitAt(spark, root, 0L, df, Nil, Some((appId, batchId)))
+          case Some(v) =>
+            commitAt(spark, root, v + 1, df,
+              currentEntries(spark, root, v), Some((appId, batchId)))
+        }
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 5) throw e // loop re-checks lastTxn before retrying
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Commit targeting an explicit version — the CAS core. A crash between
     * data write and manifest rename leaves an INVISIBLE orphan dir (readers
     * only follow manifests) which vacuum eventually sweeps; the unique
     * per-attempt token means a retry or a concurrent writer never collides
-    * with it on ErrorIfExists. */
+    * with it on ErrorIfExists.
+    *
+    * `carry` prepends existing file entries to the new manifest (the append
+    * path: the new version = old files + this commit's files — no data is
+    * rewritten); `txn` stamps the manifest with an (appId, batchId)
+    * idempotence marker. */
   private[ops] def commitAt(spark: SparkSession, root: String, v: Long,
-                            df: DataFrame): Long = {
+                            df: DataFrame,
+                            carry: Seq[SnapshotStats.FileStats] = Nil,
+                            txn: Option[(String, Long)] = None): Long = {
     val fs = fsOf(spark, root)
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val snapDir = new Path(root, f"snap-$v%08d-$token")
@@ -166,7 +238,7 @@ object SnapshotTable {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
       .map(st => SnapshotStats.fromFooter(conf, st.getPath, st.getLen))
-    val body = SnapshotStats.manifestJson(v, stats.toSeq)
+    val body = SnapshotStats.manifestJson(v, carry ++ stats.toSeq, txn)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
@@ -250,21 +322,30 @@ object SnapshotTable {
       case ManifestRe(v) => Some(v.toLong)
       case _ => None
     }).sorted
+    // Append commits make manifests SHARE data dirs (version N+1 references
+    // version N's files), so deletion is reference-counted at dir
+    // granularity: a dir dies only when no KEPT manifest references it.
+    val live: Set[Path] = versions.takeRight(keep)
+      .flatMap(v => readManifest(fs, manifestPath(root, v))
+        .map(f => new Path(f).getParent)).toSet
     versions.dropRight(keep).foreach { v =>
       // Resolve the data dirs FROM the manifest (dir names carry per-attempt
       // tokens, so they can't be reconstructed from the version alone).
       readManifest(fs, manifestPath(root, v))
         .map(f => new Path(f).getParent).distinct
+        .filterNot(live.contains)
         .foreach(d => fs.delete(d, true))
       fs.delete(manifestPath(root, v), false)
     }
     // Orphan sweep: losing-writer / crashed-commit dirs are invisible to
     // readers; once their target version is older than every kept manifest
-    // no reader can be pinned to them — reclaim the space.
+    // no reader can be pinned to them — reclaim the space (skipping dirs a
+    // kept append manifest still references).
     versions.takeRight(keep).headOption.foreach { minKept =>
       fs.listStatus(new Path(root)).foreach { st =>
         st.getPath.getName match {
-          case SnapRe(v, _) if v.toLong < minKept => fs.delete(st.getPath, true)
+          case SnapRe(v, _) if v.toLong < minKept && !live.contains(st.getPath) =>
+            fs.delete(st.getPath, true)
           case _ => ()
         }
       }

@@ -136,6 +136,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v")) == 1L)
   }
 
+  test("appendOnce appends new batches and skips replayed batchIds") {
+    val root = tmpDir() + "/tbl"
+    val v0 = SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "app1", 0L)
+    assert(v0 == 0L)
+    // Replay of batch 0 — even with DIFFERENT data (an at-least-once rerun
+    // recomputes the batch): must be a no-op.
+    val vReplay = SnapshotTable.appendOnce(spark, root,
+      Seq((9L, "ghost")).toDF("k", "v"), "app1", 0L)
+    assert(vReplay == 0L)
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    // Next batch appends WITHOUT rewriting: version 1 = v0 files + new.
+    val v1 = SnapshotTable.appendOnce(spark, root,
+      Seq((3L, "c")).toDF("k", "v"), "app1", 1L)
+    assert(v1 == 1L)
+    assert(canon(SnapshotTable.read(spark, root)) ==
+      canon(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")))
+    // A different appId has its own batch sequence.
+    SnapshotTable.appendOnce(spark, root, Seq((4L, "d")).toDF("k", "v"), "app2", 0L)
+    assert(SnapshotTable.read(spark, root).count() == 4)
+    assert(SnapshotTable.lastTxn(spark, root, "app1") == Some(1L))
+    assert(SnapshotTable.lastTxn(spark, root, "app2") == Some(0L))
+  }
+
+  test("vacuum reference-counts dirs shared by append manifests") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.appendOnce(spark, root, Seq((1L, "a")).toDF("k", "v"), "app", 0L)
+    SnapshotTable.appendOnce(spark, root, Seq((2L, "b")).toDF("k", "v"), "app", 1L)
+    SnapshotTable.appendOnce(spark, root, Seq((3L, "c")).toDF("k", "v"), "app", 2L)
+    // keep=1: versions 0/1's manifests drop, but their data dirs are still
+    // referenced by version 2's manifest — all rows must survive.
+    SnapshotTable.vacuum(spark, root, keep = 1)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    // A full rewrite commit releases the old dirs; the next vacuum reclaims.
+    SnapshotTable.commit(spark, root,
+      SnapshotTable.read(spark, root).localCheckpoint())
+    SnapshotTable.vacuum(spark, root, keep = 1)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("snap-"))
+    assert(snapDirs.length == 1, s"stale dirs survived: ${snapDirs.mkString(",")}")
+  }
+
   test("vacuum sweeps invisible orphan dirs once their version is unpinned") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.upsert(spark, root, Seq((1L, "a")).toDF("k", "v"), Seq("k"))

@@ -140,6 +140,23 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/target").count() == n)
   }
 
+  test("appendOnce sink is exactly-once across a checkpoint-lost rerun") {
+    val dir = tmpDir()
+    val root = s"$dir/captured"
+    val q = Streams.appendOnceSink(Streams.eventsStream(spark, sf),
+      root, "capture-app", s"$dir/ckpt").start()
+    q.awaitTermination()
+    val n = graft.ops.SnapshotTable.read(spark, root).count()
+    val expected = graft.Tables(spark, sf, "events").count()
+    assert(n == expected, s"captured $n of $expected events")
+    // Lose the checkpoint (operator error / relocation): the rerun replays
+    // every batch from 0 — the txn stamps must swallow ALL of them.
+    val q2 = Streams.appendOnceSink(Streams.eventsStream(spark, sf),
+      root, "capture-app", s"$dir/ckpt-fresh").start()
+    q2.awaitTermination()
+    assert(graft.ops.SnapshotTable.read(spark, root).count() == n)
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val q = Streams.clickPurchaseJoin(Streams.eventsStream(spark, sf)).writeStream
       .format("memory").queryName("ssjoin_out").outputMode("append")
