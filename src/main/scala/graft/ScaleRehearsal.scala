@@ -96,6 +96,28 @@ object ScaleRehearsal {
         .filter(!col("keep")).count()
     }
     println(s"SCALE   incremental probe dropped=$dropped batch docs")
+
+    // Data-skipping rehearsal: the 105k-doc corpus committed range-clustered
+    // on doc_id into 64 files, then a narrow id-range probe. The skipped
+    // scan must plan ~1 file while the unclustered baseline scans all of
+    // them — the manifest-stats pruning loop at an order of magnitude past
+    // the bench SF.
+    val skipRoot = s"$dir/skiptable"
+    if (graft.ops.SnapshotTable.currentVersion(spark, skipRoot).isEmpty) {
+      time("clustered_commit") {
+        graft.ops.SnapshotTable.commitClustered(spark, skipRoot,
+          spark.read.parquet(docsPath), Seq("doc_id"), numFiles = 64)
+      }
+    }
+    val probe = col("doc_id").between(250000L, 251000L)
+    val full = time("probe_full_scan") {
+      spark.read.parquet(docsPath).filter(probe).count()
+    }
+    val (skDf, skIdx) = graft.ops.SnapshotTable.readTracked(spark, skipRoot)
+    val pruned = time("probe_skipped_scan") { skDf.filter(probe).count() }
+    assert(pruned == full, s"skipped probe returned $pruned, full scan $full")
+    println(s"SCALE   skip probe planned ${skIdx.get.lastSelected} of " +
+      s"${skIdx.get.totalFiles} files ($pruned rows)")
     spark.stop()
   }
 }
