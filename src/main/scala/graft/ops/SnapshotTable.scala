@@ -290,6 +290,30 @@ object SnapshotTable {
     compact(spark, root, maxFiles).getOrElse(committed)
   }
 
+  /** Incremental change feed between two versions, as the rows in files
+    * ADDED after `fromVersion` (exclusive) up to `toVersion` (inclusive,
+    * default current). For append-written tables (appendOnce) this is the
+    * EXACT set of appended rows at file granularity — a downstream
+    * incremental consumer reads only the new files, never rescans the
+    * table, which is what keeps a 100 TB source → derived-table chain
+    * incremental end to end. Rewrite commits (upsert/compact) replace the
+    * whole file set; their "changes" are the full new snapshot, and the
+    * caller should treat that as a reprocess signal, exactly as Delta's
+    * change feed treats non-append commits without CDC files. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    require(fromVersion <= to, s"changes($fromVersion, $to) is inverted")
+    val fs = fsOf(spark, root)
+    val before = readManifest(fs, manifestPath(root, fromVersion)).toSet
+    val after = readManifest(fs, manifestPath(root, to))
+    val added = after.filterNot(before)
+    if (added.isEmpty)
+      read(spark, root, Some(to)).limit(0)
+    else spark.read.parquet(added: _*)
+  }
+
   /** Bin-pack the CURRENT snapshot into at most `maxFiles` files of roughly
     * `targetBytes` each, committed as a new version with identical rows
     * (Delta's OPTIMIZE shape: compaction is just another commit, readers of

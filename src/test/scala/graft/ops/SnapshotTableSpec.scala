@@ -160,6 +160,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.lastTxn(spark, root, "app2") == Some(0L))
   }
 
+  test("changes() between append versions yields exactly the appended rows") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.appendOnce(spark, root, Seq((1L, "a")).toDF("k", "v"), "app", 0L)
+    SnapshotTable.appendOnce(spark, root, Seq((2L, "b"), (3L, "c")).toDF("k", "v"), "app", 1L)
+    SnapshotTable.appendOnce(spark, root, Seq((4L, "d")).toDF("k", "v"), "app", 2L)
+    assert(canon(SnapshotTable.changes(spark, root, 0L, Some(1L))) ==
+      canon(Seq((2L, "b"), (3L, "c")).toDF("k", "v")))
+    assert(canon(SnapshotTable.changes(spark, root, 0L)) ==
+      canon(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")))
+    assert(SnapshotTable.changes(spark, root, 2L).count() == 0)
+    // A rewrite commit replaces the file set: changes = full reprocess.
+    SnapshotTable.upsert(spark, root, Seq((1L, "A!")).toDF("k", "v"), Seq("k"))
+    assert(SnapshotTable.changes(spark, root, 2L).count() == 4)
+  }
+
   test("vacuum reference-counts dirs shared by append manifests") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.appendOnce(spark, root, Seq((1L, "a")).toDF("k", "v"), "app", 0L)
