@@ -148,6 +148,56 @@ object SnapshotTable {
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
   }
 
+  /** Commit with MULTI-dimension clustering: each row maps to a z-value —
+    * the bit-interleave of per-column bucket ids (10 bits each, buckets
+    * uniform over the column's [min, max]) — and files are range-partitioned
+    * + sorted by it. Along a space-filling curve every file covers a SMALL
+    * range in EVERY z-ordered dimension, so the manifest's per-file bounds
+    * prune on a filter over ANY of them (range-clustering on one column
+    * only serves that column). This is Delta's OPTIMIZE ZORDER BY shape
+    * with uniform rather than quantile buckets: one extra min/max
+    * aggregation on the write path, no driver-side data.
+    *
+    * Skew note: heavily skewed columns waste z-resolution under uniform
+    * buckets (most rows share few bucket ids); range-cluster on the
+    * dominant column instead, or pre-transform (log, hash) the skewed
+    * dimension. */
+  def commitZOrdered(spark: SparkSession, root: String, df: DataFrame,
+                     zorderBy: Seq[String], numFiles: Int = 32): Long = {
+    require(zorderBy.size >= 2 && zorderBy.size <= 3,
+      s"z-order needs 2-3 columns (got ${zorderBy.size}); use commitClustered for 1")
+    import org.apache.spark.sql.functions._
+    val bits = 10
+    // One pass for global [min, max] per dimension (doubles: z-order cares
+    // about ORDER, so the double image of ints/dates/timestamps is fine).
+    val aggs = zorderBy.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketCols = zorderBy.zipWithIndex.map { case (c, i) =>
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) lit(0L) // all-null column
+      else {
+        val (mn, mx) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        if (mx <= mn) lit(0L) // constant column: contributes nothing
+        else least(lit(((1 << bits) - 1).toLong), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(1 << bits))
+            .cast("long")))
+      }
+    }
+    // Interleave: bit j of dimension d lands at position j*D + d, keeping
+    // high-order bits of all dimensions adjacent — the Morton curve.
+    val d = zorderBy.size
+    val zval = (0 until bits).flatMap { j =>
+      bucketCols.zipWithIndex.map { case (b, dim) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * d + dim)
+      }
+    }.reduce(_ + _)
+    commit(spark, root,
+      df.withColumn("__z", zval)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"))
+  }
+
   /** Current version's file entries, reconstructing bytes-only entries when
     * the manifest predates stats (bounds stay empty → those files are never
     * pruned, the usual degrade-to-keep). */

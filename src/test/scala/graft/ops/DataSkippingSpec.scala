@@ -139,6 +139,39 @@ class DataSkippingSpec extends SparkSpec {
     assert(rows(df) == Set("[1,a]"))
   }
 
+  test("z-order clustering prunes on EITHER dimension") {
+    val root = tmpDir() + "/tbl"
+    // Two independent uniform dimensions: 64x64 grid, one row per cell.
+    val df = spark.range(4096).toDF("id")
+      .withColumn("x", col("id") % 64)
+      .withColumn("y", floor(col("id") / 64))
+      .withColumn("payload", concat(lit("p"), col("id")))
+    SnapshotTable.commitZOrdered(spark, root, df, Seq("x", "y"), numFiles = 16)
+    val (zdf, idxOpt) = SnapshotTable.readTracked(spark, root)
+    val idx = idxOpt.get
+    assert(idx.totalFiles >= 8, s"expected a multi-file snapshot, got ${idx.totalFiles}")
+    // A narrow slice in x alone:
+    val gx = rows(zdf.filter(col("x") < 8))
+    assert(gx.size == 8 * 64)
+    val sx = idx.lastSelected
+    assert(sx <= idx.totalFiles / 2,
+      s"x-slice planned $sx of ${idx.totalFiles} files — z-order not pruning on x")
+    // ...and the SAME table prunes a narrow slice in y:
+    val gy = rows(zdf.filter(col("y") < 8))
+    assert(gy.size == 8 * 64)
+    val sy = idx.lastSelected
+    assert(sy <= idx.totalFiles / 2,
+      s"y-slice planned $sy of ${idx.totalFiles} files — z-order not pruning on y")
+    // Single-column range clustering CANNOT do this: cluster on x and the
+    // y-slice degrades to a full scan (the contrast that motivates z-order).
+    val rootX = tmpDir() + "/tblx"
+    SnapshotTable.commitClustered(spark, rootX, df, Seq("x"), numFiles = 16)
+    val (xdf, xIdx) = SnapshotTable.readTracked(spark, rootX)
+    rows(xdf.filter(col("y") < 8))
+    assert(xIdx.get.lastSelected == xIdx.get.totalFiles,
+      "control: x-clustered table should not prune a y-filter")
+  }
+
   test("time-travel reads skip within the pinned version") {
     val (root, _) = clusteredTable()
     val df2 = spark.range(2000, 2100).toDF("k")
