@@ -1,0 +1,231 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.Md5Hash60
+import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-curation tier beyond pairwise dedup (SURVEY.md §2.11): exact
+  * duplicated-substring spans (the ExactSubstr semantics of "Deduplicating
+  * Training Data Makes Language Models Better", Lee et al. 2022 — find every
+  * maximal run of ≥K consecutive tokens shared with another document),
+  * per-document n-gram novelty scoring, and temperature-weighted data-mixture
+  * allocation (the sqrt-upsampling used for low-resource sources in
+  * multilingual corpus mixing).
+  *
+  * Scale design: token n-grams are hashed to 60-bit longs at the projection
+  * that creates them (`Md5Hash60`, portable to the oracle via DuckDB `md5`),
+  * so only (doc_id, pos, long) rows ever shuffle — never gram strings, never
+  * document bodies. Span merging is a per-document interval union: one
+  * doc_id-partitioned window, no global state. The mixture query reduces 20
+  * sources to one broadcast totals row — integer-exact ppm arithmetic end to
+  * end (sqrt is IEEE-correctly-rounded in both engines, then floored to
+  * integer milli-weights, so no float sum order-dependence anywhere).
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** (doc_id, pos, g): every K-token window of every document, position
+    * 1-based, gram hashed to a 60-bit long before it leaves the stage.
+    * Gram strings materialize only transiently inside the projection —
+    * the shuffle key is constant-width. */
+  private def gramPositions(d: DataFrame, k: Int): DataFrame =
+    d.withColumn("toks", TextAnalysis.tokens(col("text")))
+      // Guard: sequence(1, n) with n <= 0 is DESCENDING in Spark (unlike
+      // DuckDB's empty generate_series) — same trap as Dedup.shingleExpr.
+      .filter(size(col("toks")) >= k)
+      .withColumn("pg", expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $k)) AS gs))"))
+      .select(col("doc_id"), explode(col("pg")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        Md5Hash60(col("pg.gs")).as("g"))
+
+  /** Exact duplicated-substring span inventory, K=8. A position is
+    * "duplicated" when its 8-gram occurs in ≥2 distinct documents; per doc,
+    * duplicated positions cover token intervals [pos, pos+7], and adjacent /
+    * overlapping intervals merge into maximal spans (interval union: a new
+    * span starts when pos > prev_pos + K, i.e. the gap exceeds one token).
+    * Per doc: span count, covered-token total, longest span, coverage ppm.
+    *
+    * This is what ExactSubstr dedup removes at crawl scale: boilerplate and
+    * licensing blocks that near-dup metrics dilute below threshold. The
+    * doc-frequency aggregation shuffles one long per gram occurrence; the
+    * span pass is a doc-partitioned window over the (small) duplicated
+    * subset only. */
+  def substringSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val d = docs(s, dir)
+    val grams = gramPositions(d, k)
+    val dupHashes = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("dfreq"))
+      .filter(col("dfreq") > 1)
+      .select("g")
+    val dupPos = grams.join(dupHashes, Seq("g"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("ns",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + k), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("covered"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("covered")).as("dup_toks"),
+      max(col("covered")).as("max_span"))
+    d.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        expr("coalesce(dup_toks, 0L) * 1000000L div n_toks").as("cov_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private def substringSpansOracle(k: Int): String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(list_aggregate(t[i:i+${k - 1}], 'string_agg', ' ')), 1, 15))::BIGINT AS g
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) u
+       |  WHERE len(t) >= $k),
+       |dup AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+       |d AS (SELECT doc_id, pos FROM ng WHERE g IN (SELECT g FROM dup)),
+       |mark AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+       |      THEN 1 ELSE 0 END AS ns
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |  FROM mark),
+       |spans AS (
+       |  SELECT doc_id, sid, max(pos) - min(pos) + $k AS covered
+       |  FROM sp GROUP BY doc_id, sid),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(covered) AS BIGINT) AS dup_toks,
+       |    CAST(max(covered) AS BIGINT) AS max_span
+       |  FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
+       |  coalesce(n_spans, 0) AS n_spans,
+       |  coalesce(dup_toks, 0) AS dup_toks,
+       |  coalesce(max_span, 0) AS max_span,
+       |  CAST(coalesce(dup_toks, 0) * 1000000 // len(t.t) AS BIGINT) AS cov_ppm
+       |FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id
+       |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** Per-document novelty: the fraction of a doc's DISTINCT 5-grams that
+    * appear in no other document (corpus doc-frequency 1). Low novelty =
+    * template/boilerplate-heavy doc — the memorization-pressure signal used
+    * to downweight duplicated content that survives document-level dedup.
+    * Per-doc distinct happens in the projection (array_distinct on hashed
+    * grams, no extra shuffle); doc-frequency is one count per gram hash. */
+  def noveltyScores(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val perDocGrams = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .withColumn("gh", array_distinct(transform(
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))"),
+        g => Md5Hash60(g))))
+      .select(col("doc_id"), explode(col("gh")).as("g"))
+    // After per-doc distinct, count(*) per gram IS its document frequency.
+    val dfreq = perDocGrams.groupBy("g").agg(count(lit(1)).as("dfreq"))
+    perDocGrams.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        expr("novel_grams * 1000000L div n_grams").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private def noveltyOracle(k: Int): String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |gh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t) - ${k - 1}),
+       |    i -> ('0x' || substr(md5(list_aggregate(t[i:i+${k - 1}], 'string_agg', ' ')), 1, 15))::BIGINT)) AS gs
+       |  FROM toks WHERE len(t) >= $k),
+       |g AS (SELECT doc_id, unnest(gs) AS g FROM gh),
+       |dfreq AS (SELECT g, count(*) AS dfreq FROM g GROUP BY g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       |  CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+       |FROM g JOIN dfreq USING (g)
+       |GROUP BY doc_id
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** Temperature-weighted mixture allocation over sources: token counts per
+    * source, α=0.5 temperature weights (w ∝ √tokens — the standard
+    * low-resource upsampling exponent), each source's sampling share in ppm,
+    * and its document quota out of a 100k-doc budget. Integer-exact: sqrt is
+    * correctly rounded IEEE-754 in both engines and is immediately floored
+    * to a BIGINT milli-weight, so shares are pure integer arithmetic — no
+    * order-dependent double summation. The totals frame is a 1-row broadcast
+    * (the repo's aggregate-crossJoin idiom), never a global window. */
+  def mixtureAllocation(s: SparkSession, dir: String,
+                        budgetDocs: Long = 100000L): DataFrame = {
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("toks"))
+      .withColumn("weight_milli",
+        expr("CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000) AS BIGINT)"))
+    val totals = perSource.agg(
+      sum(col("weight_milli")).as("tw"), sum(col("toks")).as("tt"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("toks"), col("weight_milli"),
+        expr("toks * 1000000L div tt").as("raw_ppm"),
+        expr("weight_milli * 1000000L div tw").as("share_ppm"),
+        expr(s"weight_milli * 1000000L div tw * ${budgetDocs}L div 1000000L")
+          .as("quota_docs"))
+      .orderBy("source")
+  }
+
+  private def mixtureOracle(budgetDocs: Long): String = {
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs, toks,
+       |    CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000) AS BIGINT) AS weight_milli
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(weight_milli) AS BIGINT) AS tw,
+       |    CAST(sum(toks) AS BIGINT) AS tt FROM w)
+       |SELECT source, n_docs, toks, weight_milli,
+       |  CAST(toks * 1000000 // tt AS BIGINT) AS raw_ppm,
+       |  CAST(weight_milli * 1000000 // tw AS BIGINT) AS share_ppm,
+       |  CAST(weight_milli * 1000000 // tw * $budgetDocs // 1000000 AS BIGINT) AS quota_docs
+       |FROM w CROSS JOIN tot
+       |ORDER BY source ASC NULLS FIRST""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("x_dedup_substring_spans",
+      (s, dir) => substringSpans(s, dir),
+      Some(substringSpansOracle(8))),
+    Q("x_text_novelty",
+      (s, dir) => noveltyScores(s, dir),
+      Some(noveltyOracle(5))),
+    Q("x_corpus_mixture",
+      (s, dir) => mixtureAllocation(s, dir),
+      Some(mixtureOracle(100000L))))
+}

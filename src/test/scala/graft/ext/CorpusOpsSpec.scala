@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-curation tier (substring spans / novelty /
+  * mixture). The DuckDB hash gate pins exact values; these pin the algebraic
+  * properties on planted fixtures, where a regression is diagnosable. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def withDocs(rows: (Long, String)*)(f: String => Unit): Unit = {
+    val dir = tmpDir()
+    docsDf(rows: _*).write.parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
+  private val words = (0 until 200).map(i => s"w$i")
+
+  test("substring spans: a planted shared 12-token block is one maximal span") {
+    val block = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val a = (words.slice(0, 20) :+ block).mkString(" ") + " " + words.slice(40, 60).mkString(" ")
+    val b = (words.slice(100, 120) :+ block).mkString(" ") + " " + words.slice(160, 180).mkString(" ")
+    val c = words.slice(60, 99).mkString(" ") // no overlap with anything
+    withDocs((1L, a), (2L, b), (3L, c)) { dir =>
+      val out = CorpusOps.substringSpans(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_toks"), r.getAs[Long]("max_span"))).toMap
+      // 12 shared tokens, K=8: positions p..p+4 duplicated, one merged span
+      // covering exactly the 12 planted tokens.
+      assert(out(1L) == (1L, 12L, 12L), s"doc 1: ${out(1L)}")
+      assert(out(2L) == (1L, 12L, 12L), s"doc 2: ${out(2L)}")
+      assert(out(3L) == (0L, 0L, 0L), s"doc 3: ${out(3L)}")
+    }
+  }
+
+  test("substring spans: two disjoint shared blocks stay two spans") {
+    val b1 = (0 until 9).map(i => s"x$i").mkString(" ")
+    val b2 = (0 until 9).map(i => s"y$i").mkString(" ")
+    val a = s"$b1 ${words.slice(0, 15).mkString(" ")} $b2"
+    val b = s"$b1 ${words.slice(50, 70).mkString(" ")} $b2"
+    withDocs((1L, a), (2L, b)) { dir =>
+      val r = CorpusOps.substringSpans(spark, dir)
+        .filter(col("doc_id") === 1).head()
+      assert(r.getAs[Long]("n_spans") == 2L)
+      assert(r.getAs[Long]("dup_toks") == 18L)
+      assert(r.getAs[Long]("max_span") == 9L)
+    }
+  }
+
+  test("novelty: fully-unique doc scores 1e6 ppm; a mirrored doc scores 0") {
+    val shared = words.slice(0, 30).mkString(" ")
+    val unique = (0 until 30).map(i => s"u$i").mkString(" ")
+    withDocs((1L, shared), (2L, shared), (3L, unique)) { dir =>
+      val out = CorpusOps.noveltyScores(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novelty_ppm")).toMap
+      assert(out(1L) == 0L && out(2L) == 0L, s"mirrored docs: $out")
+      assert(out(3L) == 1000000L, s"unique doc: $out")
+    }
+  }
+
+  test("mixture: shares sum to ~1e6 and sqrt-temperature flattens the skew") {
+    val dir = tmpDir()
+    // 9:1 token skew between two sources.
+    val big = (1L to 90L).map(i => (i, words.mkString(" "), "en", "srcA"))
+    val small = (91L to 100L).map(i => (i, words.mkString(" "), "en", "srcB"))
+    (big ++ small).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.mixtureAllocation(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("raw_ppm"), r.getAs[Long]("share_ppm"), r.getAs[Long]("quota_docs"))).toMap
+    val (rawA, shareA, quotaA) = out("srcA")
+    val (rawB, shareB, quotaB) = out("srcB")
+    // floor-division shares can undershoot 1e6 by at most #groups ppm
+    assert(shareA + shareB <= 1000000L && shareA + shareB >= 1000000L - 2)
+    assert(rawA >= 899999L && rawB <= 100001L, s"raw skew: $rawA/$rawB")
+    // sqrt temperature: 9:1 tokens -> 3:1 weights (within floor rounding)
+    assert(shareA < 760000L && shareB > 240000L, s"tempered: $shareA/$shareB")
+    assert(quotaA + quotaB <= 100000L)
+  }
+}
