@@ -218,6 +218,70 @@ object CorpusOps {
        |ORDER BY source ASC NULLS FIRST""".stripMargin
   }
 
+  /** Cross-source overlap matrix (mirror-site detection): for every source
+    * pair, how many distinct 8-grams they share, and the containment of the
+    * smaller gram set in the larger (ppm). High containment between two
+    * sources = one mirrors/scrapes the other — the corpus-level signal that
+    * document-level dedup misses when mirrors chunk text differently.
+    *
+    * Scale: the pair fan-out per gram is C(src_freq, 2), so grams present in
+    * more than `maxSrcFreq` sources are dropped before the self-join (the
+    * hot-bucket cap idiom — universal boilerplate grams carry no mirror
+    * signal and would otherwise fan out quadratically in the source count).
+    * Everything shuffles on the 60-bit gram hash. */
+  def sourceOverlap(s: SparkSession, dir: String, k: Int = 8,
+                    maxSrcFreq: Int = 10): DataFrame = {
+    val sg = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .withColumn("gh", array_distinct(transform(
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))"),
+        g => Md5Hash60(g))))
+      .select(col("source"), explode(col("gh")).as("g"))
+      .distinct()
+    val informative = sg.groupBy("g")
+      .agg(count(lit(1)).as("sf"))
+      .filter(col("sf").between(2, maxSrcFreq))
+      .select("g")
+    val pairs = sg.join(informative, Seq("g"), "left_semi")
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    pairs.as("a").join(pairs.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes.select(col("source").as("src_a"), col("n_grams").as("ga")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n_grams").as("gb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        col("ga"), col("gb"),
+        expr("shared_grams * 1000000L div least(ga, gb)").as("containment_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private def sourceOverlapOracle(k: Int, maxSrcFreq: Int): String = {
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sg AS (
+       |  SELECT DISTINCT source, g FROM (
+       |    SELECT source, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t) - ${k - 1}),
+       |      i -> ('0x' || substr(md5(list_aggregate(t[i:i+${k - 1}], 'string_agg', ' ')), 1, 15))::BIGINT))) AS g
+       |    FROM toks WHERE len(t) >= $k)),
+       |informative AS (
+       |  SELECT g FROM sg GROUP BY g HAVING count(*) BETWEEN 2 AND $maxSrcFreq),
+       |pairs AS (SELECT source, g FROM sg WHERE g IN (SELECT g FROM informative)),
+       |sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+       |ov AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+       |  FROM pairs a JOIN pairs b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT src_a, src_b, shared_grams, sa.n_grams AS ga, sb.n_grams AS gb,
+       |  CAST(shared_grams * 1000000 // least(sa.n_grams, sb.n_grams) AS BIGINT) AS containment_ppm
+       |FROM ov JOIN sizes sa ON ov.src_a = sa.source
+       |        JOIN sizes sb ON ov.src_b = sb.source
+       |ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_dedup_substring_spans",
       (s, dir) => substringSpans(s, dir),
@@ -227,5 +291,8 @@ object CorpusOps {
       Some(noveltyOracle(5))),
     Q("x_corpus_mixture",
       (s, dir) => mixtureAllocation(s, dir),
-      Some(mixtureOracle(100000L))))
+      Some(mixtureOracle(100000L))),
+    Q("x_corpus_source_overlap",
+      (s, dir) => sourceOverlap(s, dir),
+      Some(sourceOverlapOracle(8, 10))))
 }

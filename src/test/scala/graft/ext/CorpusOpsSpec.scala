@@ -65,6 +65,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: a planted mirror source has full containment") {
+    val dir = tmpDir()
+    val shared = words.slice(0, 40).mkString(" ")
+    Seq(
+      (1L, shared, "en", "origin"),
+      (2L, words.slice(60, 120).mkString(" "), "en", "origin"),
+      (3L, shared, "en", "mirror"), // mirrors doc 1 verbatim
+      (4L, (0 until 40).map(i => s"z$i").mkString(" "), "en", "other"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("containment_ppm")).toMap
+    // mirror's entire gram set sits inside origin's -> containment 1e6;
+    // "other" shares nothing, so it never appears in the matrix.
+    assert(out == Map(("mirror", "origin") -> 1000000L), s"got $out")
+  }
+
   test("mixture: shares sum to ~1e6 and sqrt-temperature flattens the skew") {
     val dir = tmpDir()
     // 9:1 token skew between two sources.
