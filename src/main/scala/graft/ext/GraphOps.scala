@@ -65,13 +65,17 @@ object GraphOps {
     val edges = base.select(col("sn").as("src"), col("pn").as("dst"))
       .unionByName(base.select(col("pn").as("src"), col("sn").as("dst")))
       .localCheckpoint()
+    // outdeg is loop-invariant: join it into the edge list ONCE (and
+    // checkpoint the result) instead of re-joining every iteration — one
+    // shuffle per iteration saved, and the iteration body is a single
+    // join + aggregate.
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     var rank = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = edgesDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
       // Overflow-safe damping: 850000 * sc wraps int64 once sc exceeds
