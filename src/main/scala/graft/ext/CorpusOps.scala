@@ -57,8 +57,11 @@ object CorpusOps {
     * doc-frequency aggregation shuffles one long per gram occurrence; the
     * span pass is a doc-partitioned window over the (small) duplicated
     * subset only. */
-  def substringSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val d = docs(s, dir)
+  /** Maximal duplicated-token intervals per doc: (doc_id, s, e), 1-based
+    * inclusive token positions, disjoint and non-adjacent by construction
+    * (the interval-union window merges any overlap/adjacency). Shared by the
+    * span inventory and the removal transform. */
+  private def dupSpans(d: DataFrame, k: Int): DataFrame = {
     val grams = gramPositions(d, k)
     val dupHashes = grams.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("dfreq"))
@@ -66,7 +69,7 @@ object CorpusOps {
       .select("g")
     val dupPos = grams.join(dupHashes, Seq("g"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = dupPos
+    dupPos
       .withColumn("ns",
         when(lag(col("pos"), 1).over(w).isNull
           .or(col("pos") > lag(col("pos"), 1).over(w) + k), 1L).otherwise(0L))
@@ -74,7 +77,14 @@ object CorpusOps {
         Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("sid"))
-      .agg((max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("covered"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit((k - 1).toLong)).as("e"))
+  }
+
+  def substringSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val d = docs(s, dir)
+    val spans = dupSpans(d, k)
+      .select(col("doc_id"), (col("e") - col("s") + 1L).as("covered"))
     val perDoc = spans.groupBy("doc_id").agg(
       count(lit(1)).as("n_spans"),
       sum(col("covered")).as("dup_toks"),
@@ -124,6 +134,73 @@ object CorpusOps {
        |  CAST(coalesce(dup_toks, 0) * 1000000 // len(t.t) AS BIGINT) AS cov_ppm
        |FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id
        |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** The cleaning transform that completes ExactSubstr dedup: drop every
+    * token covered by a duplicated span and report the cleaned document's
+    * size + rolling-hash fingerprint. The span list joins back to the corpus
+    * doc-keyed (spans are tiny — interval structs, never text); token
+    * filtering and the fingerprint fold run inside ONE projection via
+    * higher-order functions, so document bodies never shuffle and nothing
+    * re-explodes per token. */
+  def spanRemoval(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val d = docs(s, dir)
+    val spanArr = dupSpans(d, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    d.join(spanArr, Seq("doc_id"), "left")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("kept", expr(
+        "IF(spans IS NULL, toks, " +
+          "filter(toks, (t, i) -> NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e)))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("kept")).cast("long").as("kept_toks"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_toks"),
+        expr("aggregate(transform(kept, t -> CAST(length(t)*31 + ascii(t) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> (acc*31 + x) % 1000000007)").as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
+  private def spanRemovalOracle(k: Int): String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(list_aggregate(t[i:i+${k - 1}], 'string_agg', ' ')), 1, 15))::BIGINT AS g
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) u
+       |  WHERE len(t) >= $k),
+       |dup AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+       |d AS (SELECT doc_id, pos FROM ng WHERE g IN (SELECT g FROM dup)),
+       |mark AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+       |      THEN 1 ELSE 0 END AS ns
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |  FROM mark),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + ${k - 1} AS e
+       |  FROM sp GROUP BY doc_id, sid),
+       |spl AS (
+       |  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS spans
+       |  FROM spans GROUP BY doc_id),
+       |kept AS (
+       |  SELECT t.doc_id, t.t,
+       |    CASE WHEN spans IS NULL THEN t.t
+       |      ELSE list_filter(t.t, (x, i) ->
+       |        len(list_filter(spans, p -> i >= p.s AND i <= p.e)) = 0)
+       |    END AS kt
+       |  FROM toks t LEFT JOIN spl ON t.doc_id = spl.doc_id)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+       |  CAST(len(kt) AS BIGINT) AS kept_toks,
+       |  CAST(len(t) - len(kt) AS BIGINT) AS removed_toks,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(kt, x -> CAST(length(x)*31 + ascii(x) AS BIGINT))),
+       |    (acc, x) -> (acc*31 + x) % 1000000007) AS cleaned_fp
+       |FROM kept ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   }
 
   /** Per-document novelty: the fraction of a doc's DISTINCT 5-grams that
@@ -294,5 +371,8 @@ object CorpusOps {
       Some(mixtureOracle(100000L))),
     Q("x_corpus_source_overlap",
       (s, dir) => sourceOverlap(s, dir),
-      Some(sourceOverlapOracle(8, 10))))
+      Some(sourceOverlapOracle(8, 10))),
+    Q("x_dedup_span_removal",
+      (s, dir) => spanRemoval(s, dir),
+      Some(spanRemovalOracle(8))))
 }

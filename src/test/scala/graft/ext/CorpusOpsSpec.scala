@@ -54,6 +54,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("span removal: drops exactly the planted block, untouched docs keep their fingerprint") {
+    val block = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val aPre = words.slice(0, 20)
+    val aPost = words.slice(40, 60)
+    val a = (aPre :+ block).mkString(" ") + " " + aPost.mkString(" ")
+    val b = (words.slice(100, 120) :+ block).mkString(" ") + " " + words.slice(160, 180).mkString(" ")
+    val clean = words.slice(60, 99).mkString(" ")
+    withDocs((1L, a), (2L, b), (3L, clean)) { dir =>
+      val out = CorpusOps.spanRemoval(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("kept_toks"), r.getAs[Long]("removed_toks"), r.getAs[Long]("cleaned_fp"))).toMap
+      assert(out(1L)._2 == 12L && out(2L)._2 == 12L, s"removed: $out")
+      assert(out(3L)._2 == 0L)
+      // doc 1 cleaned == its tokens with the block cut out, exactly
+      def fp(toks: Seq[String]): Long =
+        toks.foldLeft(0L)((acc, t) => (acc * 31 + (t.length * 31 + t.head.toInt)) % 1000000007L)
+      assert(out(1L)._3 == fp(aPre ++ aPost), "cleaned fingerprint mismatch")
+      // untouched doc keeps its original content hash
+      assert(out(3L)._3 == fp(words.slice(60, 99)))
+    }
+  }
+
   test("novelty: fully-unique doc scores 1e6 ppm; a mirrored doc scores 0") {
     val shared = words.slice(0, 30).mkString(" ")
     val unique = (0 until 30).map(i => s"u$i").mkString(" ")
