@@ -21,6 +21,8 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
+
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale").getAbsolutePath
     val docsPath = s"$dir/documents.parquet"
     if (!new java.io.File(docsPath).exists()) {
@@ -119,5 +121,86 @@ object ScaleRehearsal {
     println(s"SCALE   skip probe planned ${skIdx.get.lastSelected} of " +
       s"${skIdx.get.totalFiles} files ($pruned rows)")
     spark.stop()
+  }
+
+  /** Similarity-tier rehearsal at 50× the bench SF: 100k vectors (50
+    * near-identical copies of each sf0.1 embedding — one dim perturbed per
+    * copy), IVF built with nLists=256 so cluster sizes, and therefore
+    * SemDeDup's per-cluster pairwise cost, stay bounded as N grows (the
+    * "nLists grows with N" rule from Similarity's scaladoc, exercised).
+    * Measures: index build (one-time), probe cost at nprobe/nLists corpus
+    * fraction, recall@10 of the probe against brute force over 20 queries,
+    * and semantic dedup collapsing the planted 50-groups. */
+  private def simLeg(spark: SparkSession): Unit = {
+    import ext.Similarity
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-sim").getAbsolutePath
+    val embPath = s"$dir/embeddings.parquet"
+    val nLists = 256
+    val nprobe = 8
+    if (!new java.io.File(embPath).exists()) {
+      val base = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      (0 until 50).map { c =>
+        base.select((col("vec_id") * 100 + c).as("vec_id"),
+          // copy c bumps dim (c mod 64) by 0.001*(c+1): cosine to the
+          // original stays ≈ 1, so each base vector becomes a 50-strong
+          // semantic-duplicate group
+          transform(col("embedding"), (x, i) =>
+            when(i === lit(c % 64), x + lit(0.001f * (c + 1))).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(embPath)
+    }
+    val n = spark.read.parquet(embPath).count()
+    println(s"SCALE sim corpus rows=$n (sf0.1 is 2,000)")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    time("ivf_build_256")(Similarity.ivfBuild(spark, dir, nLists))
+    val probed = time("ivf_probe_topk") {
+      Similarity.ivfTopK(spark, dir, queryId = 107L, k = 10, nLists, nprobe).count()
+    }
+    println(s"SCALE   probe returned $probed rows scanning ~$nprobe/$nLists of the corpus")
+
+    // Recall@10 over 20 queries: brute-force exact vs the IVF probe.
+    val e = spark.read.parquet(embPath)
+    val qids = (0 until 20).map(i => i.toLong * 100 + 7)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def top10(cands: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+      cands.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(Similarity.cosine(col("embedding"), col("q_emb")), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("q_id", "vec_id")
+    }
+    val recall = time("recall_eval_20q") {
+      val brute = top10(e.crossJoin(broadcast(queries)))
+      val probeLists = Similarity.ivfCentroids(spark, dir, nLists)
+        .crossJoin(broadcast(queries))
+        .withColumn("c_sim", round(Similarity.cosine(col("centroid"), col("q_emb")), 6))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("c_sim"), asc("list_id"))))
+        .filter(col("rn") <= nprobe).select("q_id", "list_id")
+      val ivf = top10(Similarity.ivfAssignments(spark, dir, nLists)
+        .join(probeLists, "list_id").join(e, "vec_id").join(broadcast(queries), "q_id"))
+      brute.join(ivf, Seq("q_id", "vec_id"), "left_semi").count() / (qids.size * 10.0)
+    }
+    println(f"SCALE   ivf recall@10 = $recall%.3f over ${qids.size} queries")
+
+    // tau calibrated to the planted geometry: unit-norm vectors, per-copy
+    // perturbation up to 0.05 on one dim → within-group cosine to the min-id
+    // copy ≥ 1 − (0.0517²)/2 ≈ 0.99867; cross-group cosines are random-unit
+    // (≈0). 0.995 separates the two regimes with margin on both sides.
+    val kept = time("semantic_dedup") {
+      Similarity.semanticDedup(spark, dir, nLists, tau = 0.995)
+        .filter(col("kept")).count()
+    }
+    println(s"SCALE   semantic dedup kept=$kept of $n (planted groups of 50)")
   }
 }
