@@ -359,6 +359,51 @@ object CorpusOps {
        |ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""".stripMargin
   }
 
+  /** Weighted systematic sampling: select ~`n` documents with inclusion
+    * probability ∝ token count, deterministically. Classic systematic
+    * sampling over the cumulative-weight line — doc i is selected iff the
+    * interval (cum−w, cum] crosses a W/n stride boundary, i.e.
+    * `cum·n div W > (cum−w)·n div W` — pure integer arithmetic (no RNG, no
+    * floats), reproducible under re-runs and partitioning, and any doc
+    * heavier than the stride is ALWAYS selected (the PPS guarantee).
+    *
+    * The prefix sum is the bucketed two-pass decomposition
+    * (`GlobalWindows.withBucketedPrefixSum`) — no SinglePartition window;
+    * the total is a 1-row broadcast. Overflow: cum·n needs cum·n < 2^63 —
+    * at 1e13 corpus tokens and n=100 the product is 1e15, comfortably in
+    * range. */
+  def weightedSample(s: SparkSession, dir: String, n: Long = 100L): DataFrame = {
+    val toks = docs(s, dir)
+      .withColumn("w", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("w"))
+    val tot = toks.agg(sum(col("w")).as("tw"))
+    graft.ops.GlobalWindows
+      .withBucketedPrefixSum(toks,
+        floor(col("doc_id") / 100).cast("long"), col("w"), "cum", col("doc_id"))
+      .crossJoin(broadcast(tot))
+      .filter(expr(s"cum * ${n}L div tw > (cum - w) * ${n}L div tw"))
+      .select(col("doc_id"), col("w"),
+        expr(s"cum * ${n}L div tw").as("slot"))
+      .orderBy("doc_id")
+  }
+
+  private def weightedSampleOracle(n: Long): String = {
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t),
+       |c AS (
+       |  SELECT doc_id, w,
+       |    CAST(sum(w) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT doc_id, w, CAST(cum * $n // tw AS BIGINT) AS slot
+       |FROM c CROSS JOIN tot
+       |WHERE cum * $n // tw > (cum - w) * $n // tw
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_dedup_substring_spans",
       (s, dir) => substringSpans(s, dir),
@@ -374,5 +419,8 @@ object CorpusOps {
       Some(sourceOverlapOracle(8, 10))),
     Q("x_dedup_span_removal",
       (s, dir) => spanRemoval(s, dir),
-      Some(spanRemovalOracle(8))))
+      Some(spanRemovalOracle(8))),
+    Q("x_sample_weighted",
+      (s, dir) => weightedSample(s, dir),
+      Some(weightedSampleOracle(100L))))
 }

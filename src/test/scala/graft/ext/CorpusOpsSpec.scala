@@ -106,6 +106,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map(("mirror", "origin") -> 1000000L), s"got $out")
   }
 
+  test("weighted sample: matches the serial systematic scan, heavy docs always in") {
+    val dir = tmpDir()
+    // Weights 5..104 over 100 docs, plus one whale doc with weight 5000
+    // (heavier than any stride, so the PPS guarantee must include it).
+    val rows = (1L to 100L).map(i => (i, (0 until (4 + i).toInt).map(j => s"t$j").mkString(" "))) :+
+      (101L, (0 until 5000).map(j => s"t$j").mkString(" "))
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val n = 10L
+    val got = CorpusOps.weightedSample(spark, dir, n).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    // serial reference: same integer systematic rule
+    val ws = rows.map { case (id, t) => id -> t.split("\\s+").length.toLong }
+    val tw = ws.map(_._2).sum
+    var cum = 0L
+    val expect = ws.flatMap { case (id, w) =>
+      cum += w
+      if (cum * n / tw > (cum - w) * n / tw) Some(id) else None
+    }.toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains(101L), "whale doc must always be selected")
+    // a doc spanning k strides is selected ONCE but consumes k slots, so
+    // the sample size is n minus the extra strides swallowed by whales
+    val whaleStrides = ws.find(_._1 == 101L).get._2 * n / tw
+    assert(got.size <= n && got.size >= n - whaleStrides, s"size ${got.size}")
+  }
+
   test("mixture: shares sum to ~1e6 and sqrt-temperature flattens the skew") {
     val dir = tmpDir()
     // 9:1 token skew between two sources.
