@@ -420,7 +420,10 @@ object CorpusOps {
     Q("x_dedup_span_removal",
       (s, dir) => spanRemoval(s, dir),
       Some(spanRemovalOracle(8))),
-    Q("x_sample_weighted",
+    // NOTE: named x_sample_pps, not x_sample_weighted — PipelineOps already
+    // registers x_sample_weighted (per-source Bernoulli downsampling); this
+    // one is size-proportional (PPS) selection, a different contract.
+    Q("x_sample_pps",
       (s, dir) => weightedSample(s, dir),
       Some(weightedSampleOracle(100L))))
 }

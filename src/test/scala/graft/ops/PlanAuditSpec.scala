@@ -174,6 +174,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("gram-based corpus queries never shuffle document text or gram strings") {
+    // The scale contract of the span/novelty/overlap family: n-grams are
+    // hashed to 60-bit longs in the projection that creates them, so every
+    // exchange carries constant-width keys — a text or gram-string column
+    // in any shuffle output means the contract regressed.
+    Seq("x_dedup_substring_spans", "x_text_novelty", "x_corpus_source_overlap")
+      .foreach { name =>
+        val shuffled = collectAll(plan(name)) { case e: ShuffleExchangeExec =>
+          e.output.map(_.name).filter(n => n == "text" || n == "gs" || n == "toks")
+        }.flatten
+        assert(shuffled.isEmpty, s"$name shuffles ${shuffled.distinct}")
+      }
+  }
+
   test("V2 source prunes columns and pages") {
     val df = spark.read.format("ticket-pages")
       .option("pages", "10").option("pageSize", "100").load()
