@@ -404,6 +404,35 @@ object CorpusOps {
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   }
 
+  /** Per-source winsorization: clip n_chars to the source's [p05, p95] —
+    * the outlier-capping step before feature scaling (a 100 MB binary blob
+    * in a web crawl would otherwise dominate any mean/variance). Exact
+    * interpolated percentiles (the a6 idiom: Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, identical linear interpolation over sorted values);
+    * the 1-row-per-source bounds broadcast back, so the clip itself is a
+    * scan-stage projection at any corpus size. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pct = d.groupBy("source").agg(
+      expr("percentile(n_chars, 0.05D)").as("p05"),
+      expr("percentile(n_chars, 0.95D)").as("p95"))
+    d.join(broadcast(pct), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(least(greatest(col("n_chars").cast("double"), col("p05")),
+          col("p95")), 6).as("clipped"))
+      .orderBy("doc_id")
+  }
+
+  private val winsorizeOracle: String =
+    """WITH p AS (
+      |  SELECT source, quantile_cont(n_chars, 0.05) AS p05,
+      |    quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY source)
+      |SELECT doc_id, d.source, n_chars,
+      |  round(least(greatest(CAST(n_chars AS DOUBLE), p05), p95), 6) AS clipped
+      |FROM documents d JOIN p ON d.source = p.source
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("x_dedup_substring_spans",
       (s, dir) => substringSpans(s, dir),
@@ -425,5 +454,8 @@ object CorpusOps {
     // one is size-proportional (PPS) selection, a different contract.
     Q("x_sample_pps",
       (s, dir) => weightedSample(s, dir),
-      Some(weightedSampleOracle(100L))))
+      Some(weightedSampleOracle(100L))),
+    Q("x_feat_winsorize",
+      (s, dir) => winsorize(s, dir),
+      Some(winsorizeOracle)))
 }

@@ -311,6 +311,36 @@ object EventAnalytics {
                               / CAST(n AS DOUBLE)), 6) AS chi_contrib
               FROM cells JOIN rt USING (event_type) JOIN ct USING (vbucket)
               CROSS JOIN g
-              ORDER BY event_type ASC NULLS FIRST, vbucket ASC NULLS FIRST"""))
+              ORDER BY event_type ASC NULLS FIRST, vbucket ASC NULLS FIRST""")),
+
+    // Daily cumulative distinct users — the growth-curve query. The naive
+    // form (count(DISTINCT user) over an expanding window) rescans all
+    // history per day and is O(days × users); the scalable rewrite is
+    // first-seen day per user (one user-keyed shuffle) → daily new-user
+    // counts (calendar-bounded frame) → running sum via the bucketed
+    // prefix-sum decomposition (no SinglePartition window even over the
+    // tiny daily frame).
+    Q("x_cum_distinct_users",
+      (s, dir) => {
+        val daily = ev(s, dir)
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+          .groupBy("first_day").agg(count(lit(1)).as("new_users"))
+        graft.ops.GlobalWindows.withBucketedPrefixSum(daily,
+            (year(col("first_day")) * 12 + month(col("first_day"))).cast("long"),
+            col("new_users"), "cum_users", col("first_day"))
+          // TIMESTAMP, not DATE: the harness renders DuckDB DATE as a
+          // datetime string and the hash diverges (the cohort-query trap)
+          .select(col("first_day").cast("timestamp").as("first_day"),
+            col("new_users"), col("cum_users"))
+          .orderBy("first_day")
+      },
+      Some("""WITH f AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+              d AS (SELECT first_day, count(*) AS new_users FROM f GROUP BY first_day)
+              SELECT CAST(first_day AS TIMESTAMP) AS first_day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY first_day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+              FROM d ORDER BY first_day ASC NULLS FIRST"""))
   )
 }
