@@ -41,7 +41,12 @@ object CorpusOps {
       .withColumn("pg", expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $k)) AS gs))"))
-      .select(col("doc_id"), explode(col("pg")).as("pg"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate would push a
+      // size(pg) > 0 filter below the Generate with the whole gram-building
+      // transform tree INLINED into it, re-evaluating the array per row
+      // (measured 3× on this pipeline — the x_text_contamination trap). The
+      // size >= k guard above already makes the array non-empty.
+      .select(col("doc_id"), explode_outer(col("pg")).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
         Md5Hash60(col("pg.gs")).as("g"))
 
@@ -217,7 +222,9 @@ object CorpusOps {
         expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $k)))"),
         g => Md5Hash60(g))))
-      .select(col("doc_id"), explode(col("gh")).as("g"))
+      // explode_outer: see gramPositions — keeps the inferred-filter
+      // inlining away from the hash pipeline (array non-empty by the guard).
+      .select(col("doc_id"), explode_outer(col("gh")).as("g"))
     // After per-doc distinct, count(*) per gram IS its document frequency.
     val dfreq = perDocGrams.groupBy("g").agg(count(lit(1)).as("dfreq"))
     perDocGrams.join(dfreq, Seq("g"))
@@ -315,7 +322,8 @@ object CorpusOps {
         expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $k)))"),
         g => Md5Hash60(g))))
-      .select(col("source"), explode(col("gh")).as("g"))
+      // explode_outer: see gramPositions (inferred-filter inlining).
+      .select(col("source"), explode_outer(col("gh")).as("g"))
       .distinct()
     val informative = sg.groupBy("g")
       .agg(count(lit(1)).as("sf"))
