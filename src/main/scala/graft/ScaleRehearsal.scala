@@ -99,6 +99,23 @@ object ScaleRehearsal {
     }
     println(s"SCALE   incremental probe dropped=$dropped batch docs")
 
+    // ExactSubstr span inventory + removal on the same 105k corpus: the
+    // 5k-copy boilerplate group makes every one of its 8-grams a
+    // corpus-wide duplicate (doc-freq 5,000), so the dup-position set is
+    // maximal for that slice — the stress case for the doc-freq aggregation
+    // and the per-doc interval-union window. Cost must stay linear in gram
+    // count (~5M rows), never pairwise.
+    val spanDocs = time("substring_spans") {
+      ext.CorpusOps.substringSpans(spark, dir)
+        .filter(col("n_spans") > 0).count()
+    }
+    println(s"SCALE   docs with duplicated spans=$spanDocs")
+    val removedToks = time("span_removal") {
+      ext.CorpusOps.spanRemoval(spark, dir)
+        .agg(sum("removed_toks")).head().getLong(0)
+    }
+    println(s"SCALE   tokens removed by span cleaning=$removedToks")
+
     // Data-skipping rehearsal: the 105k-doc corpus committed range-clustered
     // on doc_id into 64 files, then a narrow id-range probe. The skipped
     // scan must plan ~1 file while the unclustered baseline scans all of
