@@ -441,6 +441,51 @@ object CorpusOps {
       |FROM documents d JOIN p ON d.source = p.source
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** Per-source KL divergence from the corpus unigram distribution — the
+    * drift metric behind mixture monitoring: a source whose token
+    * distribution diverges hard from the pool is a candidate for
+    * re-weighting or quality review. Determinism: each term
+    * p·ln(p/q) is the identical IEEE expression tree in both engines
+    * (ln per the bigram-LM precedent), then summed through an exact
+    * DECIMAL(28,12) cast so the aggregation is order-independent.
+    * Shuffles: one per grouping (source×token, token, source) — all
+    * constant-width keys; the corpus total is a 1-row broadcast. */
+  def klDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
+    val st = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val ct = tok.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    st.join(broadcast(ns), "source").join(ct, "w").crossJoin(broadcast(n))
+      .withColumn("term", expr(
+        "(CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n))"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  private val klDriftOracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |st AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+      |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+      |ct AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT st.source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+      |  count(*) AS vocab,
+      |  round(CAST(sum(CAST(
+      |    (CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n))
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+      |FROM st JOIN ns ON st.source = ns.source
+      |        JOIN ct ON st.w = ct.w CROSS JOIN tot
+      |GROUP BY st.source
+      |ORDER BY st.source ASC NULLS FIRST""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("x_dedup_substring_spans",
       (s, dir) => substringSpans(s, dir),
@@ -465,5 +510,8 @@ object CorpusOps {
       Some(weightedSampleOracle(100L))),
     Q("x_feat_winsorize",
       (s, dir) => winsorize(s, dir),
-      Some(winsorizeOracle)))
+      Some(winsorizeOracle)),
+    Q("x_text_kl_drift",
+      (s, dir) => klDrift(s, dir),
+      Some(klDriftOracle)))
 }

@@ -135,6 +135,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.size <= n && got.size >= n - whaleStrides, s"size ${got.size}")
   }
 
+  test("KL drift: non-negative everywhere, divergent source scores highest") {
+    val dir = tmpDir()
+    val common = words.slice(0, 50).mkString(" ")
+    val alien = (0 until 50).map(i => s"alien$i").mkString(" ")
+    (Seq((1L, common, "en", "pool1"), (2L, common, "en", "pool2"),
+      (3L, alien, "en", "weird")) ++
+      (4L to 8L).map(i => (i, common, "en", s"pool$i")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.klDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl")).toMap
+    assert(out.values.forall(_ >= 0.0), s"KL must be non-negative: $out")
+    val maxSrc = out.maxBy(_._2)._1
+    assert(maxSrc == "weird", s"divergent source should top the drift list: $out")
+    assert(out("weird") > out("pool1") + 1.0)
+  }
+
   test("mixture: shares sum to ~1e6 and sqrt-temperature flattens the skew") {
     val dir = tmpDir()
     // 9:1 token skew between two sources.
