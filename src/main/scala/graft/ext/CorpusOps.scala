@@ -486,6 +486,76 @@ object CorpusOps {
       |GROUP BY st.source
       |ORDER BY st.source ASC NULLS FIRST""".stripMargin
 
+  /** The composed round-4 curation pipeline as ONE Catalyst plan: ExactSubstr
+    * span cleaning (per-doc kept-token counts after removing duplicated
+    * spans) ⋈ novelty filtering (drop docs whose distinct 5-grams are mostly
+    * seen elsewhere — boilerplate carriers) → per-source curated inventory.
+    * Column pruning drops the cleaning fingerprint the report doesn't use;
+    * the two gram pipelines share the scan. The composition is the point:
+    * each stage is the already-verified operator, chained declaratively. */
+  def curationPipeline(s: SparkSession, dir: String,
+                       minNoveltyPpm: Long = 500000L): DataFrame = {
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(spanRemoval(s, dir).select("doc_id", "kept_toks"), "doc_id")
+      .join(noveltyScores(s, dir).select("doc_id", "novelty_ppm"), "doc_id")
+      .filter(col("novelty_ppm") >= minNoveltyPpm)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("kept_toks")).as("toks_kept"))
+      .orderBy("source")
+  }
+
+  private def curationPipelineOracle(k: Int, nk: Int, minNoveltyPpm: Long): String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(list_aggregate(t[i:i+${k - 1}], 'string_agg', ' ')), 1, 15))::BIGINT AS g
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) u
+       |  WHERE len(t) >= $k),
+       |dup AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+       |d AS (SELECT doc_id, pos FROM ng WHERE g IN (SELECT g FROM dup)),
+       |mark AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+       |      THEN 1 ELSE 0 END AS ns
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |  FROM mark),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + ${k - 1} AS e
+       |  FROM sp GROUP BY doc_id, sid),
+       |spl AS (
+       |  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS spans
+       |  FROM spans GROUP BY doc_id),
+       |kept AS (
+       |  SELECT t.doc_id,
+       |    CAST(CASE WHEN spans IS NULL THEN len(t.t)
+       |      ELSE len(list_filter(t.t, (x, i) ->
+       |        len(list_filter(spans, p -> i >= p.s AND i <= p.e)) = 0))
+       |    END AS BIGINT) AS kept_toks
+       |  FROM toks t LEFT JOIN spl ON t.doc_id = spl.doc_id),
+       |gh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t) - ${nk - 1}),
+       |    i -> ('0x' || substr(md5(list_aggregate(t[i:i+${nk - 1}], 'string_agg', ' ')), 1, 15))::BIGINT)) AS gs
+       |  FROM toks WHERE len(t) >= $nk),
+       |g AS (SELECT doc_id, unnest(gs) AS g FROM gh),
+       |dfreq AS (SELECT g, count(*) AS dfreq FROM g GROUP BY g),
+       |nov AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+       |  FROM g JOIN dfreq USING (g) GROUP BY doc_id)
+       |SELECT t.source, count(*) AS n_docs_kept,
+       |  CAST(sum(kept_toks) AS BIGINT) AS toks_kept
+       |FROM toks t JOIN kept ON t.doc_id = kept.doc_id
+       |            JOIN nov ON t.doc_id = nov.doc_id
+       |WHERE novelty_ppm >= $minNoveltyPpm
+       |GROUP BY t.source
+       |ORDER BY t.source ASC NULLS FIRST""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_dedup_substring_spans",
       (s, dir) => substringSpans(s, dir),
@@ -513,5 +583,8 @@ object CorpusOps {
       Some(winsorizeOracle)),
     Q("x_text_kl_drift",
       (s, dir) => klDrift(s, dir),
-      Some(klDriftOracle)))
+      Some(klDriftOracle)),
+    Q("x_pipeline_curation",
+      (s, dir) => curationPipeline(s, dir),
+      Some(curationPipelineOracle(8, 5, 500000L))))
 }
