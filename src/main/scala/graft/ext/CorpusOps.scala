@@ -212,27 +212,43 @@ object CorpusOps {
     * appear in no other document (corpus doc-frequency 1). Low novelty =
     * template/boilerplate-heavy doc — the memorization-pressure signal used
     * to downweight duplicated content that survives document-level dedup.
-    * Per-doc distinct happens in the projection (array_distinct on hashed
-    * grams, no extra shuffle); doc-frequency is one count per gram hash. */
+    *
+    * Single gram-keyed shuffle of the full stream: because grams are per-doc
+    * DISTINCT (array_distinct in the projection), count(*) per gram IS its
+    * document frequency, and a dfreq=1 gram has exactly ONE owning doc —
+    * max(doc_id) over its single row. So novel counts come straight from the
+    * gram-grouped aggregate (filter dfreq=1 → group by owner), and the
+    * denominator n_grams = size(gh) is taken at projection time before the
+    * explode. No join of the gram stream back to its own doc-frequency table
+    * (the round-4 plan shuffled every gram row a second time for that
+    * join-back — at 100× the gram stream is the dominant volume, so the
+    * second Exchange was the whole query's cost). Docs whose grams are all
+    * shared (exact duplicates) surface with novel_grams = 0 via the doc-keyed
+    * left join against the tiny per-doc base. */
   def noveltyScores(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val perDocGrams = docs(s, dir)
+    val perDoc = docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .withColumn("gh", array_distinct(transform(
         expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $k)))"),
         g => Md5Hash60(g))))
+      .select(col("doc_id"), col("gh"))
+    val base = perDoc.select(col("doc_id"),
+      size(col("gh")).cast("long").as("n_grams"))
+    val novel = perDoc
       // explode_outer: see gramPositions — keeps the inferred-filter
       // inlining away from the hash pipeline (array non-empty by the guard).
       .select(col("doc_id"), explode_outer(col("gh")).as("g"))
-    // After per-doc distinct, count(*) per gram IS its document frequency.
-    val dfreq = perDocGrams.groupBy("g").agg(count(lit(1)).as("dfreq"))
-    perDocGrams.join(dfreq, Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("novel_grams"))
-      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
-        expr("novel_grams * 1000000L div n_grams").as("novelty_ppm"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("dfreq"), max(col("doc_id")).as("owner"))
+      .filter(col("dfreq") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("novel_grams"))
+    base.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        expr("coalesce(novel_grams, 0L) * 1000000L div n_grams").as("novelty_ppm"))
       .orderBy("doc_id")
   }
 
