@@ -13,10 +13,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   */
 object Streams {
 
-  /** events schema with ts as raw nanos (the parquet is INT64
-    * TIMESTAMP(NANOS), which the batch loader also handles — Tables.scala). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema parameterized on the fixture's physical ts type: raw-nano
+    * INT64 in some fixture generations, native TIMESTAMP(MICROS) in others
+    * (the batch loader branches the same way — Tables.scala). */
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -75,11 +76,18 @@ object Streams {
   def eventsStreamFrom(spark: SparkSession, glob: String,
                        maxFilesPerTrigger: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsRawSchema)
+    // FileStreamSource needs an explicit schema; probe the fixture's actual
+    // ts type with one batch-read schema inference (footer-only, no data).
+    val tsType = spark.read.parquet(glob).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val bounded = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
-    bounded.parquet(glob)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = bounded.parquet(glob)
+    tsType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** LEFT OUTER stream-stream join: every click emits, null-padded when no

@@ -186,9 +186,17 @@ class StreamsSpec extends SparkSpec {
     // to finalize and emit its null-padded rows.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val midNanos = raw.agg(expr("approx_percentile(ts, 0.5)")).as[Long].head()
+    // Median split over a numeric image of ts — the fixture has shipped both
+    // as raw INT64 nanos and as native TIMESTAMP(MICROS) (see Tables.scala).
+    // (tsNum, unitsPerMs): raw nanos → 1e6 units/ms, micros image → 1e3.
+    val (tsNum, unitsPerMs) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (col("ts"), 1000000L)
+      case _ => (unix_micros(col("ts").cast("timestamp")), 1000L)
+    }
+    val midNanos = raw.agg(approx_percentile(tsNum, lit(0.5), lit(10000)))
+      .as[Long].head()
     val dir = tmpDir()
-    raw.filter(col("ts") <= midNanos).coalesce(1).write.mode("append").parquet(dir)
+    raw.filter(tsNum <= midNanos).coalesce(1).write.mode("append").parquet(dir)
     // FileStreamSource orders files by modification time; force the first
     // half strictly earlier so the two sequential writes can never land in
     // the same mtime tick and process out of order (watermark would jump
@@ -196,7 +204,7 @@ class StreamsSpec extends SparkSpec {
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => f.setLastModified(f.lastModified() - 60000L))
-    raw.filter(col("ts") > midNanos).coalesce(1).write.mode("append").parquet(dir)
+    raw.filter(tsNum > midNanos).coalesce(1).write.mode("append").parquet(dir)
     val q = Streams.clickPurchaseLeftJoin(
         Streams.eventsStreamFrom(spark, dir, maxFilesPerTrigger = 1))
       .writeStream.format("memory").queryName("ssloj_out").outputMode("append")
@@ -226,7 +234,7 @@ class StreamsSpec extends SparkSpec {
     // watermark after file 1 = maxTs(file1) − 1h delay; a click finalizes
     // strictly when c_ts + 1h < watermark ⇒ c_ts < maxTs(file1) − 2h
     // (minus a second of slack for internal ms truncation).
-    val w1MaxMs = midNanos / 1000000L
+    val w1MaxMs = midNanos / unitsPerMs
     val horizonMs = w1MaxMs - 2L * 3600 * 1000 - 1000L
     val finalized = bNullRows.filter(_._2.getTime < horizonMs).map(_._1).toSet
     assert(finalized.nonEmpty, "fixture should contain finalized unmatched clicks")
