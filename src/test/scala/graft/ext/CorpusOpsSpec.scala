@@ -135,6 +135,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.size <= n && got.size >= n - whaleStrides, s"size ${got.size}")
   }
 
+  test("span index: built once as a SnapshotTable, consumers scan the artifact") {
+    val block = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val a = (words.slice(0, 20) :+ block).mkString(" ")
+    val b = (words.slice(100, 120) :+ block).mkString(" ")
+    withDocs((1L, a), (2L, b)) { dir =>
+      // First consumer triggers the build.
+      CorpusOps.spanRemoval(spark, dir).collect()
+      val root = CorpusOps.spanIndexBuild(spark, dir)
+      val v0 = graft.ops.SnapshotTable.currentVersion(spark, root)
+      assert(v0.contains(0L), s"index not committed: $v0")
+      // Second consumer: no rebuild (version unchanged), and its PLAN reads
+      // the artifact — a parquet scan under the index root, with no gram
+      // re-aggregation (no count_distinct over gram hashes upstream of it).
+      val inv = CorpusOps.substringSpans(spark, dir)
+      inv.collect()
+      assert(graft.ops.SnapshotTable.currentVersion(spark, root).contains(0L),
+        "consumer rebuilt the span index")
+      val planStr = inv.queryExecution.executedPlan.toString
+      assert(planStr.contains("graft-spans"),
+        s"inventory plan does not scan the span index:\n${planStr.take(1500)}")
+      assert(!planStr.contains("count(distinct"),
+        "consumer plan re-derives the gram doc-frequency aggregation")
+      // Composed pipeline consumes the same artifact.
+      val cur = CorpusOps.curationPipeline(spark, dir, minNoveltyPpm = 0L)
+      val curPlan = cur.queryExecution.executedPlan.toString
+      assert(curPlan.contains("graft-spans"),
+        s"curation plan does not scan the span index:\n${curPlan.take(1500)}")
+    }
+  }
+
   test("KL drift: non-negative everywhere, divergent source scores highest") {
     val dir = tmpDir()
     val common = words.slice(0, 50).mkString(" ")

