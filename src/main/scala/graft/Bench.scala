@@ -38,14 +38,24 @@ object Bench {
     // the min is the least-contended observation; it also keeps one-time
     // offline costs (the memoized IVF build) out of the per-query number,
     // which is the correct accounting for a probe-time query.
-    val results = SparkEntry.registry.map { q =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { runOne(q.fn); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); None
-        }
+    //
+    // The two observations are INTERLEAVED as full-registry passes (pass A
+    // over every query, then pass B), not back-to-back: r4's back-to-back
+    // min-of-2 still showed a 10× false regression on st_stream_dedup
+    // because one minutes-long ambient spike covered both runs. With the
+    // observations separated by a whole registry pass, a spike must outlast
+    // the entire bench to poison a query's min (VERDICT r4 next-round #3).
+    def timeOnce(q: graft.ops.Q): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { runOne(q.fn); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); None
       }
+    }
+    val passA = SparkEntry.registry.map(q => q.name -> timeOnce(q)).toMap
+    val passB = SparkEntry.registry.map(q => q.name -> timeOnce(q)).toMap
+    val results = SparkEntry.registry.map { q =>
+      val times = (passA(q.name).toSeq ++ passB(q.name).toSeq)
       (q.name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
