@@ -219,5 +219,22 @@ object ScaleRehearsal {
         .filter(col("kept")).count()
     }
     println(s"SCALE   semantic dedup kept=$kept of $n (planted groups of 50)")
+
+    // PQ leg (VERDICT r4 #5): 8×16 codebooks trained offline on the 100k
+    // corpus, then ADC probe + exact re-rank per query. Memory: 8 codes vs
+    // 64 floats = 1/32 resident. Recall@10 measured against the brute-force
+    // exact top-10 over the same 20 queries — the ≥0.9 acceptance bar.
+    time("pq_build")(ext.ProductQuant.pqBuild(spark, dir))
+    val bruteTop = top10(e.crossJoin(broadcast(queries))).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val pqRecall = time("pq_recall_20q") {
+      val hits = qids.map { qid =>
+        val got = ext.ProductQuant.pqTopK(spark, dir, qid, k = 10, shortlist = 100)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        bruteTop(qid).intersect(got).size
+      }.sum
+      hits / (qids.size * 10.0)
+    }
+    println(f"SCALE   pq recall@10 = $pqRecall%.3f over ${qids.size} queries (adc shortlist 100 + exact re-rank)")
   }
 }

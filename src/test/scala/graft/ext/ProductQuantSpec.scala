@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PQ invariants: the compressed store covers the corpus at the advertised
+  * code budget, codes decode against the committed codebooks, the ADC
+  * shortlist carries real recall against exact search, and re-ranked scores
+  * are the true cosines. The DuckDB hash gate (dynamic codebook-literal
+  * oracles) pins the exact values; these pin the algebra. */
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codes table: one row per vector, 8 codes in [0, 32)") {
+    val codes = ProductQuant.pqCodes(spark, sf)
+    val total = graft.Tables(spark, sf, "embeddings").count()
+    assert(codes.count() == total)
+    val bad = codes.filter(
+      size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 32)).count()
+    assert(bad == 0L, s"$bad rows with malformed codes")
+  }
+
+  test("codebooks: 8 subspaces x 32 codewords of dim 8, cnorm2 consistent") {
+    val books = ProductQuant.pqCodebooks(spark, sf).collect()
+    assert(books.length == 8 * 32)
+    books.foreach { r =>
+      val cv = r.getSeq[Double](2)
+      assert(cv.length == 8)
+      val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+      assert(math.abs(cc - r.getDouble(3)) < 1e-9, "cnorm2 drifted from centroid")
+    }
+  }
+
+  test("ADC + exact re-rank: top-10 recall >= 0.9 vs brute force, true cosines") {
+    val pq = graft.SparkEntry.queries("x_sim_pq_topk")(spark, sf)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(pq.length == 10)
+    val brute = Similarity.bruteTopK(spark, sf, 0L, 10)
+      .as[(Long, Double)].collect()
+    val bruteAll = Similarity.bruteTopK(spark, sf, 0L, 500)
+      .as[(Long, Double)].collect().toMap
+    // re-ranked scores are EXACT cosines (re-rank reads full vectors)
+    pq.foreach { case (id, s) => assert(math.abs(bruteAll(id) - s) < 1e-9) }
+    // recall@10 against exact search — the VERDICT r4 acceptance bar
+    val hits = pq.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    assert(hits >= 9, s"PQ recall@10 = $hits/10, need >= 9")
+  }
+
+  test("memory budget: 8 int codes per vector vs 64 floats is <= 1/8") {
+    // 8 codes in [0,32) pack to 5 bits each = 5 bytes; even unpacked int8
+    // storage is 8 bytes vs 256 raw — the artifact's logical width is the
+    // claim, asserted from the schema (codes is the ONLY per-vector payload).
+    val codes = ProductQuant.pqCodes(spark, sf)
+    assert(codes.columns.toSeq == Seq("vec_id", "codes"))
+    val maxCode = codes.select(max(array_max(col("codes")))).as[Long].head()
+    assert(maxCode < 32, "codes exceed 5-bit range — memory claim void")
+  }
+}
