@@ -249,42 +249,48 @@ object CorpusOps {
     * template/boilerplate-heavy doc — the memorization-pressure signal used
     * to downweight duplicated content that survives document-level dedup.
     *
-    * Single gram-keyed shuffle of the full stream: because grams are per-doc
-    * DISTINCT (array_distinct in the projection), count(*) per gram IS its
-    * document frequency, and a dfreq=1 gram has exactly ONE owning doc —
-    * max(doc_id) over its single row. So novel counts come straight from the
-    * gram-grouped aggregate (filter dfreq=1 → group by owner), and the
-    * denominator n_grams = size(gh) is taken at projection time before the
-    * explode. No join of the gram stream back to its own doc-frequency table
-    * (the round-4 plan shuffled every gram row a second time for that
-    * join-back — at 100× the gram stream is the dominant volume, so the
-    * second Exchange was the whole query's cost). Docs whose grams are all
-    * shared (exact duplicates) surface with novel_grams = 0 via the doc-keyed
-    * left join against the tiny per-doc base. */
+    * ONE gram projection, ONE gram-keyed shuffle, no join: because grams are
+    * per-doc DISTINCT (array_distinct in the projection), count(*) per gram
+    * IS its document frequency, and a dfreq=1 gram has exactly ONE owning
+    * doc — max(doc_id) over its single row. The round-4 plan joined the
+    * exploded stream back to its own doc-frequency table (second full-stream
+    * Exchange — at 100× the gram stream is the dominant volume, so that
+    * Exchange was the whole query's cost); the first rewrite dropped the
+    * join but recomputed the whole tokenize→gram→md5 projection a second
+    * time for the per-doc denominator (Catalyst does not share a subtree
+    * across two consumers without materializing it). This form pays neither:
+    * every doc appends one SENTINEL gram −(doc_id+1) to its distinct-gram
+    * array — md5-60 hashes are non-negative 60-bit, so a sentinel can never
+    * collide with a real gram (nor with another doc's sentinel) — and the
+    * denominator rides the exchange as one extra column. Each doc therefore
+    * owns dfreq=1 rows ≥ 1 (its sentinel), so the owner-grouped aggregate
+    * sees EVERY doc — including all-duplicated docs that the old plan had to
+    * recover with a left join against a second-projection base table —
+    * and novel_grams = count − 1 discounts the sentinel. */
   def noveltyScores(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val perDoc = docs(s, dir)
+    docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .withColumn("gh", array_distinct(transform(
         expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $k)))"),
         g => Md5Hash60(g))))
-      .select(col("doc_id"), col("gh"))
-    val base = perDoc.select(col("doc_id"),
-      size(col("gh")).cast("long").as("n_grams"))
-    val novel = perDoc
       // explode_outer: see gramPositions — keeps the inferred-filter
       // inlining away from the hash pipeline (array non-empty by the guard).
-      .select(col("doc_id"), explode_outer(col("gh")).as("g"))
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
+        explode_outer(concat(col("gh"),
+          array((-col("doc_id") - 1).cast("long")))).as("g"))
       .groupBy("g")
-      .agg(count(lit(1)).as("dfreq"), max(col("doc_id")).as("owner"))
+      .agg(count(lit(1)).as("dfreq"), max(col("doc_id")).as("owner"),
+        max(col("n_grams")).as("ng"))
       .filter(col("dfreq") === 1)
       .groupBy(col("owner").as("doc_id"))
-      .agg(count(lit(1)).as("novel_grams"))
-    base.join(novel, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
-        expr("coalesce(novel_grams, 0L) * 1000000L div n_grams").as("novelty_ppm"))
+      // every dfreq=1 group carries its single owner's n_grams in ng; the
+      // sentinel contributes exactly one row per doc, hence the −1.
+      .agg(max(col("ng")).as("n_grams"),
+        (count(lit(1)) - 1L).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        expr("novel_grams * 1000000L div n_grams").as("novelty_ppm"))
       .orderBy("doc_id")
   }
 
