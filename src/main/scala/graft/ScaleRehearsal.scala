@@ -220,7 +220,7 @@ object ScaleRehearsal {
     }
     println(s"SCALE   semantic dedup kept=$kept of $n (planted groups of 50)")
 
-    // PQ leg (VERDICT r4 #5): 8×16 codebooks trained offline on the 100k
+    // PQ leg (VERDICT r4 #5): 8×32 codebooks trained offline on the 100k
     // corpus, then ADC probe + exact re-rank per query. Memory: 8 codes vs
     // 64 floats = 1/32 resident. Recall@10 measured against the brute-force
     // exact top-10 over the same 20 queries — the ≥0.9 acceptance bar.

@@ -35,15 +35,19 @@ object Ingest {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Memoized table roots: one bootstrap per corpus dir per JVM; across JVMs
-    * the committed SnapshotTable is reused and every appendOnce replays as a
-    * no-op (the idempotence stamps make re-entry safe, not just cheap). */
+  /** Memoized table roots: one bootstrap per (corpus dir, thresholds) per
+    * JVM; across JVMs the committed SnapshotTable is reused and every
+    * appendOnce replays as a no-op (the idempotence stamps make re-entry
+    * safe, not just cheap). Keyed by the FULL parameter tuple (ADVICE r5):
+    * a dir-only key would make a later call with different thresholds
+    * replay batch 1 as a no-op while its oracle interpolates the new
+    * thresholds — a silent Spark/oracle divergence. */
   private val ingestRoots =
-    new scala.collection.concurrent.TrieMap[String, String]()
+    new scala.collection.concurrent.TrieMap[(String, Int, Double), String]()
 
-  private def ingestRoot(dir: String): String =
-    ingestRoots.getOrElseUpdate(dir, {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private def ingestRoot(dir: String, minToks: Int, minTtr: Double): String =
+    ingestRoots.getOrElseUpdate((dir, minToks, minTtr), {
+      val tag = s"$dir-$minToks-$minTtr".replaceAll("[^a-zA-Z0-9]", "_")
       new java.io.File(
         sys.props("java.io.tmpdir"), s"graft-ingest-$tag").getAbsolutePath
     })
@@ -57,7 +61,7 @@ object Ingest {
   def incrementalCuration(s: SparkSession, dir: String,
                           minToks: Int = 10,
                           minTtr: Double = 0.3): DataFrame = {
-    val root = ingestRoot(dir)
+    val root = ingestRoot(dir, minToks, minTtr)
     val all = docs(s, dir)
     // Bootstrap the standing corpus (exactly-once batch 0).
     val corpus0 = all.filter(col("doc_id") % 2 === 0)
@@ -83,11 +87,12 @@ object Ingest {
 
     // Exactly-once append — and a deliberate REPLAY of the same batch (the
     // at-least-once crash window): the stamp must swallow it, or the output
-    // doubles and the oracle hash catches it. appendOnce returns the version
-    // carrying this batch whether it committed fresh or replayed as a no-op,
-    // so the change-feed anchor below is rerun-stable (anchoring on
-    // "currentVersion before the append" breaks on a FULL pipeline rerun,
-    // where the bootstrap replay already sees the ingest commit).
+    // doubles and the oracle hash catches it. appendOnce resolves the
+    // version STAMPED with (appId, batchId) whether it committed fresh or
+    // replayed as a no-op (SnapshotTable.txnVersion), so the change-feed
+    // anchor below is rerun-stable even after later commits (another batch,
+    // a compaction) land on this root — ADVICE r5: anchoring on the table's
+    // current version would silently read the wrong version pair then.
     val vIngest = SnapshotTable.appendOnce(s, root, curated, "graft-ingest", 1L)
     SnapshotTable.appendOnce(s, root, curated, "graft-ingest", 1L)
 
@@ -103,13 +108,19 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  // Dedup is NOT EXISTS, not NOT IN (ADVICE r5): a single NULL corpus text
+  // would make NOT IN yield zero shard rows in DuckDB while the Spark
+  // anti-join (null keys never match) keeps them — null-safe semantics
+  // must agree across engines. No SQL comments in the string: the oracle
+  // harness may collapse whitespace and a `--` would swallow the rest.
   private def curationOracle(minToks: Int, minTtr: Double): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
        |shard AS (
        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1),
        |deduped AS (
-       |  SELECT * FROM shard WHERE text NOT IN (SELECT text FROM corpus)),
+       |  SELECT * FROM shard s WHERE NOT EXISTS (
+       |    SELECT 1 FROM corpus c WHERE c.text = s.text)),
        |curated AS (
        |  SELECT doc_id, source FROM deduped
        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $minToks

@@ -17,7 +17,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * (64×float32) — 1/51 memory; even stored as int8 codes it is 1/32, far
   * under the ≤1/8 target. Probe-time scoring is ADC (asymmetric distance
   * computation): the query stays full-precision, its 8 subvectors score the
-  * 8×16 codebook once into a 128-row lookup table, and every database
+  * 8×32 codebook once into a 256-row lookup table, and every database
   * vector's approximate dot/norm is a sum of 8 table hits — no float vector
   * is touched until the exact re-rank of the small shortlist.
   *
@@ -50,7 +50,7 @@ object ProductQuant {
 
   /** BUILD: train the 8 subspace codebooks and persist two SnapshotTables —
     * `codes` (vec_id, codes array — the compressed store, range-clustered by
-    * vec_id) and `codebooks` (sub, code, centroid, cnorm2 — 128 rows,
+    * vec_id) and `codebooks` (sub, code, centroid, cnorm2 — 256 rows,
     * broadcast-sized). Assignment is recomputed from the final centroids
     * with the shared rounded-distance expression, never taken from MLlib's
     * internal labels (cross-engine argmin — the ivfBuild rationale). */

@@ -230,6 +230,24 @@ object SnapshotTable {
       .collectFirst { case Some((a, b)) if a == appId => b }
   }
 
+  /** Version whose manifest carries exactly the (appId, batchId) stamp, if
+    * it is still retained (vacuum may have dropped old manifests). Scans
+    * newest-first — driver-side KB reads, versions bounded by vacuum. */
+  def txnVersion(spark: SparkSession, root: String, appId: String,
+                 batchId: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) return None
+    fs.listStatus(mdir).toSeq
+      .flatMap(_.getPath.getName match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }).sorted.reverse
+      .find(v => SnapshotStats
+        .txnFromManifest(readManifestBody(fs, manifestPath(root, v)))
+        .contains((appId, batchId)))
+  }
+
   /** Exactly-once APPEND for streaming `foreachBatch` sinks — the Delta
     * `txn` pattern. Appends `df` as a new version whose manifest is the old
     * file list PLUS the new files (nothing rewritten), stamped with
@@ -239,13 +257,22 @@ object SnapshotTable {
     * checkpoint) is detected from the stamp and SKIPPED, making the sink
     * exactly-once end to end. Writer-writer races resolve through the
     * manifest CAS: the loser re-reads (the winner may have BEEN this
-    * batch's retry) and re-appends on top. */
+    * batch's retry) and re-appends on top.
+    *
+    * Returns the version that CARRIES this batch — on replay, the version
+    * whose manifest holds the (appId, batchId) stamp, NOT the table's
+    * current version (ADVICE r5): if any later commit landed (a subsequent
+    * batch, a compaction), anchoring a change feed on the replay's return
+    * value would otherwise read the wrong version pair. Falls back to
+    * currentVersion only when vacuum has already dropped the stamped
+    * manifest, in which case no change-feed anchor for it exists anyway. */
   def appendOnce(spark: SparkSession, root: String, df: DataFrame,
                  appId: String, batchId: Long): Long = {
     var attempt = 0
     while (true) {
       if (lastTxn(spark, root, appId).exists(_ >= batchId))
-        return currentVersion(spark, root).get // replay: already applied
+        return txnVersion(spark, root, appId, batchId) // replay: already applied
+          .getOrElse(currentVersion(spark, root).get)
       val target = currentVersion(spark, root)
       try {
         return target match {

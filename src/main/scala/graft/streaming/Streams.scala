@@ -78,7 +78,11 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource needs an explicit schema; probe the fixture's actual
     // ts type with one batch-read schema inference (footer-only, no data).
-    val tsType = spark.read.parquet(glob).schema("ts").dataType
+    // A not-yet-populated glob can't be inferred — fall back to the raw-
+    // nanos LongType schema so the stream can START on an empty source dir
+    // and pick up files as they arrive (ADVICE r5; the pre-probe behavior).
+    val tsType = scala.util.Try(spark.read.parquet(glob).schema("ts").dataType)
+      .getOrElse(LongType)
     val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val bounded = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader

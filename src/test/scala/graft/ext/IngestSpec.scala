@@ -13,6 +13,12 @@ class IngestSpec extends SparkSpec {
 
   private val words = (0 until 60).map(i => s"w$i")
 
+  // Mirror of Ingest.ingestRoot's (dir, thresholds)-keyed tag (defaults).
+  private def rootFor(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ingest-" + s"$dir-10-0.3".replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+
   private def writeDocs(dir: String): Unit = {
     val good = (0 until 40).map(i => s"fresh$i").mkString(" ")
     Seq(
@@ -37,8 +43,7 @@ class IngestSpec extends SparkSpec {
 
     // version history: bootstrap (0) + one ingest append (1), nothing more —
     // the in-query replay of batch 1 must have been swallowed by the stamp
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-ingest-" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val root = rootFor(dir)
     assert(SnapshotTable.currentVersion(spark, root).contains(1L))
 
     // a FULL rerun of the cycle (operator retry, next scheduled run finding
@@ -54,8 +59,7 @@ class IngestSpec extends SparkSpec {
     val dir = tmpDir()
     writeDocs(dir)
     Ingest.incrementalCuration(spark, dir).collect()
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-ingest-" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val root = rootFor(dir)
     val delta = SnapshotTable.changes(spark, root, 0L)
     assert(delta.select("doc_id").as[Long].collect().toSet == Set(3L),
       "change feed should carry exactly the appended shard rows")

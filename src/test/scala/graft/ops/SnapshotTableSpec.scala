@@ -160,6 +160,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.lastTxn(spark, root, "app2") == Some(0L))
   }
 
+  test("appendOnce replay returns the STAMPED version, not the current one") {
+    // ADVICE r5: a change feed anchored on the replay's return value must
+    // land on the version that carries the batch even after later commits
+    // (another batch, a compaction) advance the table.
+    val root = tmpDir() + "/tbl"
+    assert(SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a")).toDF("k", "v"), "app", 0L) == 0L)
+    assert(SnapshotTable.appendOnce(spark, root,
+      Seq((2L, "b")).toDF("k", "v"), "app", 1L) == 1L)
+    // A later commit lands on the root (rewrite — the compaction shape).
+    SnapshotTable.commit(spark, root,
+      SnapshotTable.read(spark, root).localCheckpoint())
+    assert(SnapshotTable.currentVersion(spark, root) == Some(2L))
+    // Replaying batch 1 must resolve to version 1 — its stamped version.
+    val vReplay = SnapshotTable.appendOnce(spark, root,
+      Seq((9L, "ghost")).toDF("k", "v"), "app", 1L)
+    assert(vReplay == 1L, s"replay anchored on $vReplay, want stamped 1")
+    assert(canon(SnapshotTable.changes(spark, root, vReplay - 1, Some(vReplay))) ==
+      canon(Seq((2L, "b")).toDF("k", "v")))
+    assert(SnapshotTable.txnVersion(spark, root, "app", 0L) == Some(0L))
+    assert(SnapshotTable.txnVersion(spark, root, "app", 7L) == None)
+  }
+
   test("changes() between append versions yields exactly the appended rows") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.appendOnce(spark, root, Seq((1L, "a")).toDF("k", "v"), "app", 0L)
