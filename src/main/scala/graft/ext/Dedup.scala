@@ -92,6 +92,40 @@ object Dedup {
   def md5Hash60(s: String): String =
     s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Spark-side md5-60 MinHash signature projection for probe-shaped
+    * consumers (the persisted corpus signature index the incremental ingest
+    * cycle maintains — [[Ingest.incrementalCurationNear]]): (doc_id, sig).
+    * Docs with <3 tokens have no shingles and are EXCLUDED — they cannot
+    * near-dup, and an empty-set signature would otherwise collide every
+    * short doc into one degenerate bucket. */
+  def md5Signatures(docsDf: DataFrame, perms: Int = 64): DataFrame =
+    docsDf
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("shash",
+        transform(col("shingles"), sh => graft.functions.Md5Hash60(sh)))
+      .withColumn("sig", { val (a, b) = minhashSeeds(perms)
+        graft.functions.MinHashSig(col("shash"), a, b) })
+      .select(col("doc_id"), col("sig"))
+
+  /** DuckDB twin of [[md5Signatures]]' sig list — Carter-Wegman seeds as
+    * plan-time literals, HUGEINT for the 122-bit a·x product. Expects a
+    * `shash` BIGINT-list column in scope. */
+  def md5SigSql(perms: Int): String = {
+    val (as, bs) = minhashSeeds(perms)
+    (0 until perms).map { k =>
+      s"list_min(list_transform(shash, h -> ((${as(k)}::HUGEINT * (h & $mersennePrime) + ${bs(k)}) % $mersennePrime)::BIGINT))"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** DuckDB band-key concat over a `sig` list and band index `b` in scope —
+    * the engine-portable band key (the production family hashes the band
+    * longs with xxhash64, which DuckDB lacks). */
+  def bandKeySql(rowsPerBand: Int): String =
+    (1 to rowsPerBand).map(i => s"sig[b * $rowsPerBand + $i]::VARCHAR")
+      .mkString(" || ',' || ")
+
   /** Exact Jaccard between two shingle SETS (inputs must be distinct — which
     * `shingleExpr` guarantees; |A∪B| = |A|+|B|-|A∩B| avoids building the
     * union array). */

@@ -55,6 +55,33 @@ class IngestSpec extends SparkSpec {
       "rerun committed a new version")
   }
 
+  test("near-dup-aware cycle: planted one-char recrawl is excluded, exact cycle misses it") {
+    val dir = tmpDir()
+    val recrawl = (words.updated(7, "CHANGED") ++ Seq("padding")).mkString(" ")
+    val good = (0 until 40).map(i => s"fresh$i").mkString(" ")
+    Seq(
+      (2L, words.mkString(" "), "en", "s1"),          // corpus
+      (4L, words.reverse.mkString(" "), "en", "s1"),  // corpus
+      (1L, words.mkString(" "), "en", "s2"),          // shard: exact mirror -> both cycles drop
+      (3L, good, "en", "s2"),                         // shard: clean -> ingested by both
+      (5L, recrawl, "en", "s2"))                      // shard: near-mirror of doc 2 (j >> 0.5)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("ingested")).toMap
+    // The exact-only cycle lets the recrawl through (the gap this closes)...
+    val exact = flags(Ingest.incrementalCuration(spark, dir))
+    assert(exact(5L), "exact-only cycle should MISS the near-dup (sanity)")
+    // ...the near-aware cycle drops it, keeps the clean doc, and is
+    // idempotent across a full rerun.
+    val near = flags(Ingest.incrementalCurationNear(spark, dir))
+    assert(near == Map(2L -> false, 4L -> false, 3L -> true), s"got $near")
+    assert(flags(Ingest.incrementalCurationNear(spark, dir)) == near,
+      "rerun changed the near-aware table")
+  }
+
   test("change feed drives the ingested flag: delta rows only, file-granular") {
     val dir = tmpDir()
     writeDocs(dir)
