@@ -236,5 +236,21 @@ object ScaleRehearsal {
       hits / (qids.size * 10.0)
     }
     println(f"SCALE   pq recall@10 = $pqRecall%.3f over ${qids.size} queries (adc shortlist 100 + exact re-rank)")
+
+    // IVFADC leg (VERDICT r5 #3): residual-PQ over the 256-list coarse
+    // quantizer, probe = 8 lists × ADC + exact re-rank — compression (8
+    // codes vs 64 floats) and scan pruning (8/256 of the codes) multiply.
+    // Recall@10 against the same brute-force top-10.
+    time("ivfadc_build_256")(ext.ProductQuant.ivfadcBuild(spark, dir, lists = nLists))
+    val ivfadcRecall = time("ivfadc_recall_20q") {
+      val hits = qids.map { qid =>
+        val got = ext.ProductQuant.ivfadcTopK(spark, dir, qid, k = 10,
+          shortlist = 100, lists = nLists, probe = nprobe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        bruteTop(qid).intersect(got).size
+      }.sum
+      hits / (qids.size * 10.0)
+    }
+    println(f"SCALE   ivfadc recall@10 = $ivfadcRecall%.3f over ${qids.size} queries (8/256 lists probed)")
   }
 }

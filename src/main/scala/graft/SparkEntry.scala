@@ -47,7 +47,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (registry.flatMap(q => q.sql.map(s => q.name -> normalize(s))) ++
       ext.Similarity.ivfOracles.map { case (k, v) => k -> normalize(v) } ++
-      ext.ProductQuant.pqOracles.map { case (k, v) => k -> normalize(v) }).toMap
+      ext.ProductQuant.pqOracles.map { case (k, v) => k -> normalize(v) } ++
+      ext.ProductQuant.ivfadcOracles.map { case (k, v) => k -> normalize(v) }).toMap
 
   /** Collapse the triple-quoted indentation to a single-line SQL string —
     * but ONLY outside single-quoted literals, so a literal containing

@@ -173,6 +173,251 @@ object ProductQuant {
       .groupBy("sub", "code").agg(count(lit(1)).as("n"))
       .orderBy("sub", "code")
 
+  // ---------------------------------------------------------------------
+  // IVFADC (VERDICT r5 next-round #3): coarse-quantize into the existing
+  // IVF lists, PQ-encode the RESIDUAL x − c(list(x)), probe = nprobe lists
+  // × ADC + exact re-rank — Jégou et al. §IV, the standard 100 TB ANN
+  // stack. The repo had both halves (ivfBuild, pqBuild); this composes
+  // them: residual quantization cuts the error of flat PQ (residual
+  // magnitudes ≪ vector magnitudes, so the same 8×32 budget spends its
+  // resolution where the data actually is), and the coarse partition means
+  // a probe scans only nprobe/nLists of the CODES — compression and scan
+  // pruning multiply.
+  // ---------------------------------------------------------------------
+
+  private val nLists = 8  // coarse lists (shared with the IVF artifact)
+  private val nprobe = 2
+
+  private val ivfadcRoots = new scala.collection.concurrent.TrieMap[(String, Int), String]()
+
+  /** (coarse centroids, residual codebooks) per (dir, lists), for dynamic
+    * oracles (the registered queries use the default lists). */
+  private val ivfadcCache = new scala.collection.concurrent.TrieMap[
+    (String, Int), (Seq[(Long, Array[Double])], Seq[(Int, Long, Array[Double], Double)])]()
+  @volatile private var ivfadcLastDir: Option[String] = None
+
+  /** BUILD: residuals against the committed IVF coarse quantizer
+    * ([[Similarity.ivfBuild]]), one seeded k-means per subspace over the
+    * residual slices, then two SnapshotTables — `codes` (vec_id, list_id,
+    * codes), clustered by list_id so a probe reads only its nprobe lists'
+    * files, and `codebooks` (sub, code, centroid, rnorm2 — 256 rows).
+    * Residual code assignment is the shared rounded-distance argmin over
+    * the FINAL codebooks (the pqBuild/ivfBuild rationale). */
+  def ivfadcBuild(s: SparkSession, dir: String, lists: Int = nLists): String = synchronized {
+    ivfadcRoots.getOrElseUpdate((dir, lists), {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivfadc-$tag-m$m-k$ksub-l$lists").getAbsolutePath
+      if (SnapshotTable.currentVersion(s, s"$root/codes").isEmpty ||
+          SnapshotTable.currentVersion(s, s"$root/codebooks").isEmpty) {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val res = emb(s, dir)
+          .join(Similarity.ivfAssignments(s, dir, lists), "vec_id")
+          .join(broadcast(Similarity.ivfCentroids(s, dir, lists)), "list_id")
+          .withColumn("r",
+            expr("zip_with(embedding, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"))
+          .select(col("vec_id"), col("list_id"), col("r"))
+          .cache()
+        val books: Seq[(Int, Long, Array[Double], Double)] =
+          try (0 until m).flatMap { sub =>
+            val feats = res.select(array_to_vector(
+              expr(s"slice(r, ${sub * subDim + 1}, $subDim)")).as("features"))
+            val model = new KMeans().setK(ksub).setSeed(4242L + sub).setMaxIter(10)
+              .setInitMode("random").fit(feats)
+            model.clusterCenters.zipWithIndex.map { case (c, i) =>
+              val cv = c.toArray
+              (sub, i.toLong, cv, cv.foldLeft(0.0)((a, v) => a + v * v))
+            }
+          } finally ()
+        val codeCols = (0 until m).map { sub =>
+          val rs = expr(s"slice(r, ${sub * subDim + 1}, $subDim)")
+          val candidates = books.filter(_._1 == sub).map { case (_, code, cv, cc) =>
+            struct(
+              round(dot(rs, typedlit(cv.toSeq)) * -2.0 + dot(rs, rs) + lit(cc), 6)
+                .as("dist"),
+              lit(code).as("code"))
+          }
+          least(candidates: _*).getField("code")
+        }
+        val codes = res
+          .select(col("vec_id"), col("list_id"), array(codeCols: _*).as("codes"))
+          .repartition(col("list_id")).sortWithinPartitions("list_id")
+        SnapshotTable.commit(s, s"$root/codes", codes)
+        res.unpersist()
+        import s.implicits._
+        SnapshotTable.commit(s, s"$root/codebooks",
+          books.toDF("sub", "code", "centroid", "rnorm2"))
+      }
+      root
+    })
+    if (!ivfadcCache.contains((dir, lists))) {
+      val cents = Similarity.ivfCentroids(s, dir, lists).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val books = SnapshotTable.read(s, s"${ivfadcRoots((dir, lists))}/codebooks")
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+        .sortBy(b => (b._1, b._2))
+      ivfadcCache.put((dir, lists), (cents, books))
+    }
+    if (lists == nLists) ivfadcLastDir = Some(dir)
+    ivfadcRoots((dir, lists))
+  }
+
+  /** Residual-code occupancy per subspace — the build-absorbing inventory
+    * query for the IVFADC artifact (oracle-paired dynamically). */
+  def ivfadcCodeHistogram(s: SparkSession, dir: String): DataFrame =
+    SnapshotTable.read(s, s"${ivfadcBuild(s, dir)}/codes")
+      .select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy("sub", "code").agg(count(lit(1)).as("n"))
+      .orderBy("sub", "code")
+
+  /** PROBE: nprobe nearest lists by rounded centroid cosine; inside them,
+    * ADC over residual codes — dot(x̂, q) = dot(c, q) + Σ LUT(sub, code)
+    * and |x̂|² = |c|² + Σ (2·⟨c_sub, r̂⟩ + |r̂|²) — then exact re-rank of
+    * the shortlist. The LUT (nprobe × 8 × 32 rows, per-list cross terms
+    * included) broadcasts; codes in non-probed lists are never read
+    * (clustered store), and full-float vectors are touched only by the
+    * shortlist join. All 8-term sums accumulate as DECIMAL(28,12). */
+  def ivfadcTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
+                 shortlist: Int = 100, lists: Int = nLists,
+                 probe: Int = nprobe): DataFrame = {
+    val root = ivfadcBuild(s, dir, lists)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    def qd = expr("transform(q_embedding, x -> CAST(x AS DOUBLE))")
+    val probed = Similarity.ivfCentroids(s, dir, lists).crossJoin(broadcast(q))
+      .withColumn("c_sim", round(Similarity.cosine(col("centroid"), col("q_embedding")), 6))
+      .orderBy(desc("c_sim"), asc("list_id")).limit(probe)
+      .select(col("list_id"), col("centroid").as("list_cent"))
+    val lut = SnapshotTable.read(s, s"$root/codebooks")
+      .crossJoin(broadcast(probed)).crossJoin(broadcast(q))
+      .select(col("list_id"), col("sub"), col("code"), col("rnorm2"),
+        dot(expr("transform(slice(q_embedding, sub * 8 + 1, 8), x -> CAST(x AS DOUBLE))"),
+          col("centroid")).as("partial"),
+        dot(expr("slice(list_cent, sub * 8 + 1, 8)"), col("centroid")).as("crossT"))
+    val adc = SnapshotTable.read(s, s"$root/codes")
+      .join(broadcast(probed.select("list_id")), Seq("list_id"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("list_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("list_id", "sub", "code"))
+      .groupBy("vec_id", "list_id")
+      .agg(
+        sum(col("partial").cast("decimal(28,12)")).cast("double").as("r_dot"),
+        sum((col("crossT") * 2.0 + col("rnorm2")).cast("decimal(28,12)"))
+          .cast("double").as("r_norm"))
+    val listTerms = Similarity.ivfCentroids(s, dir, lists)
+      .join(broadcast(probed.select("list_id")), Seq("list_id"))
+      .crossJoin(broadcast(q))
+      .select(col("list_id"),
+        dot(col("centroid"), qd).as("cdot"),
+        dot(col("centroid"), col("centroid")).as("cnorm2"))
+    val qn = q.select(sqrt(dot(qd, qd)).as("qn"))
+    val short = adc.join(broadcast(listTerms), "list_id").crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round((col("cdot") + col("r_dot")) /
+          (sqrt(col("cnorm2") + col("r_norm")) * col("qn")), 6).as("a_sim"))
+      .orderBy(desc("a_sim"), asc("vec_id"))
+      .limit(shortlist)
+    short.join(e, "vec_id").crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(Similarity.cosine(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("a_sim"), col("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Dynamic oracles for the IVFADC pair: coarse centroids AND residual
+    * codebooks become VALUES literals; DuckDB re-derives the coarse
+    * assignment, the residuals, the residual codes, the per-list LUT with
+    * cross terms, and the two-stage rank — both queries hash-check. */
+  def ivfadcOracles: Map[String, String] =
+    ivfadcLastDir.flatMap(d => ivfadcCache.get((d, nLists))) match {
+    case None => Map.empty
+    case Some((cents, books)) =>
+      val cValues = cents.map { case (id, cv) =>
+        val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+        s"(CAST($id AS BIGINT), [${cv.mkString(", ")}], CAST($cc AS DOUBLE))"
+      }.mkString(", ")
+      val rbValues = books.map { case (sub, code, cv, cc) =>
+        s"($sub, CAST($code AS BIGINT), [${cv.mkString(", ")}], CAST($cc AS DOUBLE))"
+      }.mkString(", ")
+      // Coarse assignment: identical text to ivfOracles' assign CTE.
+      val cdist =
+        """round(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          |  - 2.0 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+          |      p -> CAST(p[1] AS DOUBLE) * p[2]))
+          |  + c.cc, 6)""".stripMargin
+      // Residual assignment: the pqOracles dist shape over r slices.
+      def rslc = "res.r[rb.sub * 8 + 1 : rb.sub * 8 + 8]"
+      val rdist =
+        s"""round(-2.0 * list_sum(list_transform(list_zip($rslc, rb.rv), p -> p[1] * p[2]))
+           |  + list_sum(list_transform($rslc, x -> x * x))
+           |  + rb.rn2, 6)""".stripMargin
+      val base =
+        s"""c(list_id, cv, cc) AS (VALUES $cValues),
+           |rb(sub, code, rv, rn2) AS (VALUES $rbValues),
+           |a AS (SELECT vec_id, list_id FROM (
+           |    SELECT e.vec_id, c.list_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cdist ASC, c.list_id ASC) AS rn
+           |    FROM embeddings e, c) WHERE rn = 1),
+           |res AS (SELECT e.vec_id, a.list_id,
+           |    list_transform(list_zip(e.embedding, c.cv), p -> CAST(p[1] AS DOUBLE) - p[2]) AS r
+           |  FROM embeddings e JOIN a USING (vec_id) JOIN c USING (list_id)),
+           |codes AS (SELECT vec_id, list_id, sub, code, rn2 FROM (
+           |    SELECT res.vec_id, res.list_id, rb.sub, rb.code, rb.rn2,
+           |      row_number() OVER (PARTITION BY res.vec_id, rb.sub
+           |        ORDER BY $rdist ASC, rb.code ASC) AS rn
+           |    FROM res, rb) WHERE rn = 1)""".stripMargin
+      val hist =
+        s"""WITH $base
+           |SELECT sub, code, count(*) AS n FROM codes
+           |GROUP BY sub, code
+           |ORDER BY sub ASC NULLS FIRST, code ASC NULLS FIRST""".stripMargin
+      val cosRaw = (a: String, b: String) =>
+        s"""(list_sum(list_transform(list_zip($a, $b),
+           |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+      val topk =
+        s"""WITH $base,
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probed AS (SELECT list_id, cv, cc FROM (
+           |    SELECT c.list_id, c.cv, c.cc, row_number() OVER (
+           |        ORDER BY round(${cosRaw("c.cv", "q.qe")}, 6) DESC, c.list_id ASC) AS rn
+           |    FROM c, q) WHERE rn <= $nprobe),
+           |lut AS (SELECT p.list_id, rb.sub, rb.code, rb.rn2,
+           |    list_sum(list_transform(list_zip(q.qe[rb.sub * 8 + 1 : rb.sub * 8 + 8], rb.rv),
+           |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS partial,
+           |    list_sum(list_transform(list_zip(p.cv[rb.sub * 8 + 1 : rb.sub * 8 + 8], rb.rv),
+           |      z -> z[1] * z[2])) AS crossT
+           |  FROM probed p, rb, q),
+           |adc AS (SELECT cd.vec_id, cd.list_id,
+           |    CAST(sum(CAST(lut.partial AS DECIMAL(28,12))) AS DOUBLE) AS r_dot,
+           |    CAST(sum(CAST(lut.crossT * 2.0 + lut.rn2 AS DECIMAL(28,12))) AS DOUBLE) AS r_norm
+           |  FROM codes cd
+           |  JOIN lut ON cd.list_id = lut.list_id AND cd.sub = lut.sub AND cd.code = lut.code
+           |  WHERE cd.vec_id <> 0
+           |  GROUP BY cd.vec_id, cd.list_id),
+           |lt AS (SELECT p.list_id,
+           |    list_sum(list_transform(list_zip(p.cv, q.qe), z -> z[1] * CAST(z[2] AS DOUBLE))) AS cdot,
+           |    list_sum(list_transform(p.cv, x -> x * x)) AS cnorm2
+           |  FROM probed p, q),
+           |qn AS (SELECT sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn FROM q),
+           |short AS (SELECT adc.vec_id,
+           |    round((lt.cdot + adc.r_dot) / (sqrt(lt.cnorm2 + adc.r_norm) * qn.qn), 6) AS a_sim
+           |  FROM adc JOIN lt ON adc.list_id = lt.list_id, qn
+           |  ORDER BY a_sim DESC NULLS LAST, vec_id ASC NULLS FIRST LIMIT $shortlistLit)
+           |SELECT s.vec_id, s.a_sim, round(${cosRaw("e.embedding", "q.qe")}, 6) AS sim
+           |FROM short s JOIN embeddings e ON s.vec_id = e.vec_id, q
+           |ORDER BY sim DESC NULLS LAST, s.vec_id ASC NULLS FIRST LIMIT 10""".stripMargin
+      Map("x_sim_ivfadc_codes" -> hist, "x_sim_ivfadc_topk" -> topk)
+  }
+
+  private val shortlistLit = 100
+
   /** Dynamic oracles (the ivfOracles mechanism): the fitted codebooks become
     * VALUES literals; DuckDB re-derives every vector's codes with the
     * identical rounded-distance argmin, rebuilds the ADC table for the
@@ -239,5 +484,13 @@ object ProductQuant {
     // ADC probe + exact re-rank top-10 (oracle-paired dynamically).
     Q("x_sim_pq_topk",
       (s, dir) => pqTopK(s, dir, queryId = 0L, k = 10),
+      None),
+    // IVFADC build-absorbing residual-code inventory (dynamic oracle).
+    Q("x_sim_ivfadc_codes",
+      (s, dir) => ivfadcCodeHistogram(s, dir),
+      None),
+    // IVFADC probe: nprobe lists × residual ADC + exact re-rank (dynamic).
+    Q("x_sim_ivfadc_topk",
+      (s, dir) => ivfadcTopK(s, dir, queryId = 0L, k = 10),
       None))
 }

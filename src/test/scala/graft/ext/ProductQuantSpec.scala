@@ -47,6 +47,26 @@ class ProductQuantSpec extends SparkSpec {
     assert(hits >= 9, s"PQ recall@10 = $hits/10, need >= 9")
   }
 
+  test("IVFADC: codes cover the corpus, ADC loses <= 1 of exact-in-probed-lists top-10") {
+    val codes = ProductQuant.ivfadcCodeHistogram(spark, sf)
+    assert(codes.agg(sum("n")).as[Long].head() ==
+      graft.Tables(spark, sf, "embeddings").count() * 8)
+    val adc = graft.SparkEntry.queries("x_sim_ivfadc_topk")(spark, sf)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(adc.length == 10)
+    // Re-ranked scores are TRUE cosines (the re-rank reads full vectors).
+    val bruteAll = Similarity.bruteTopK(spark, sf, 0L, 500)
+      .as[(Long, Double)].collect().toMap
+    adc.foreach { case (id, s) => assert(math.abs(bruteAll(id) - s) < 1e-9) }
+    // The honest recall bar: IVFADC's ceiling is the coarse probe (same
+    // nprobe as ivfTopK), so measure what residual-PQ ADC loses INSIDE the
+    // probed lists — exact search over the same lists is the reference.
+    val exactProbed = Similarity.ivfTopK(spark, sf, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val hits = adc.map(_._1).toSet.intersect(exactProbed).size
+    assert(hits >= 9, s"IVFADC vs exact-in-probed recall@10 = $hits/10, need >= 9")
+  }
+
   test("memory budget: 8 int codes per vector vs 64 floats is <= 1/8") {
     // 8 codes in [0,32) pack to 5 bits each = 5 bytes; even unpacked int8
     // storage is 8 bytes vs 256 raw — the artifact's logical width is the
