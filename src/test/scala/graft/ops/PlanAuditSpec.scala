@@ -217,6 +217,33 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("pagerank iterations never re-shuffle the edge list") {
+    // VERDICT r5 next-round #4: the adjacency artifact is a CACHED
+    // hash(src, n) relation (InMemoryRelation keeps its partitioning where
+    // an AQE-era checkpoint reports Unknown), so the per-iteration
+    // rank⋈edges join co-partitions and the loop's only full-stream
+    // exchange is each round's contribution aggregation. Broadcast is
+    // disabled for the audit: at fixture scale AQE would broadcast the
+    // edge cache and hide the partitioning property this gate pins (at
+    // 100 TB the stats force exactly this SMJ path).
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("x_graph_pagerank")
+      val edgeShuffles = collectAll(p) { case e: ShuffleExchangeExec =>
+        e.output.map(_.name).filter(n => n == "dst" || n == "outdeg")
+      }.flatten
+      assert(edgeShuffles.isEmpty, s"edge columns cross an Exchange: $edgeShuffles")
+      val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+      // 3 contribution aggregations + the final orderBy — nothing else
+      assert(shuffles.size <= 4, s"got ${shuffles.size} shuffles")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("V2 source prunes columns and pages") {
     val df = spark.read.format("ticket-pages")
       .option("pages", "10").option("pageSize", "100").load()
