@@ -302,8 +302,25 @@ object Similarity {
            |SELECT v.vec_id, v.list_id, (d.vec_id IS NULL) AS kept
            |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
            |ORDER BY v.vec_id ASC NULLS FIRST""".stripMargin
+      // Keep-best dominance mirrors semanticKeepBest exactly: qa >= qb
+      // drops b (ties break toward the lower id), else a is dropped.
+      val keepbest =
+        s"""WITH c(list_id, cv, cc) AS (VALUES $values),
+           |$assign,
+           |v AS (SELECT e.vec_id, a.list_id, e.embedding, d.n_chars AS quality
+           |      FROM embeddings e JOIN a USING (vec_id)
+           |      JOIN documents d ON d.doc_id = e.vec_id),
+           |dropped AS (SELECT DISTINCT
+           |    CASE WHEN x.quality >= y.quality THEN y.vec_id
+           |         ELSE x.vec_id END AS vec_id
+           |  FROM v x JOIN v y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+           |  WHERE ${duckCosineRaw("x.embedding", "y.embedding")} >= 0.4)
+           |SELECT v.vec_id, v.list_id, v.quality, (d.vec_id IS NULL) AS kept
+           |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+           |ORDER BY v.vec_id ASC NULLS FIRST""".stripMargin
       Map("x_sim_ivf_lists" -> lists, "x_sim_ivf_topk" -> topk,
-        "x_sim_semantic_dedup" -> semdedup)
+        "x_sim_semantic_dedup" -> semdedup,
+        "x_sim_semantic_keep_best" -> keepbest)
   }
 
   /** Embedding near-dup pair generation (unordered): equi-ized bounded id
@@ -352,6 +369,38 @@ object Similarity {
       .select(col("b_id").as("vec_id")).distinct()
     v.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("list_id"),
+        coalesce(col("is_dup"), lit(false)) === lit(false) as "kept")
+      .orderBy("vec_id")
+  }
+
+  /** Quality-aware SemDeDup (VERDICT r5 next-round #8): same cluster-bounded
+    * pair generation as [[semanticDedup]], but instead of the greedy min-id
+    * keep rule, each ≥tau pair drops its LOWER-QUALITY member (quality =
+    * the document's n_chars, the `x_dedup_keep_best` signal; vec_id breaks
+    * ties toward the lower id, making the rule total and deterministic).
+    * One dominance decision per unordered pair — no transitive clustering,
+    * no iteration, so the scale shape is identical to semanticDedup:
+    * Σ |cluster|² bounded pairwise work keyed by list_id, never N². */
+  def semanticKeepBest(s: SparkSession, dir: String, nLists: Int = 8,
+                       tau: Double = 0.4): DataFrame = {
+    val quality = graft.Tables(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("n_chars").as("quality"))
+    val v = emb(s, dir).join(ivfAssignments(s, dir, nLists), "vec_id")
+      .join(quality, Seq("vec_id"))
+      .select(col("vec_id"), col("list_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), col("quality"))
+    val a = v.select(col("list_id"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("quality").as("qa"))
+    val b = v.select(col("list_id"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("quality").as("qb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(when(col("qa") >= col("qb"), col("b_id"))
+        .otherwise(col("a_id")).as("vec_id"))
+      .distinct()
+    v.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("quality"),
         coalesce(col("is_dup"), lit(false)) === lit(false) as "kept")
       .orderBy("vec_id")
   }
@@ -436,6 +485,14 @@ object Similarity {
     // near-dup tail, so both routes are exercised).
     Q("x_sim_semantic_dedup",
       (s, dir) => semanticDedup(s, dir, nLists = 8, tau = 0.4),
+      None),
+
+    // Quality-aware SemDeDup: the ≥tau pair drops its lower-quality member
+    // (n_chars from the aligned documents row, id tiebreak) instead of the
+    // greedy min-id — oracle-paired dynamically like the rest of the IVF
+    // family (ivfOracles embeds the fitted centroids as VALUES literals).
+    Q("x_sim_semantic_keep_best",
+      (s, dir) => semanticKeepBest(s, dir, nLists = 8, tau = 0.4),
       None),
 
     // Per-label centroids (class prototypes) — grouped vector mean with

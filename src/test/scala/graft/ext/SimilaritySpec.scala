@@ -85,6 +85,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count(_._3) > got.length / 2, "most vectors should survive")
   }
 
+  test("semantic keep-best drops the lower-quality member of every >=tau pair") {
+    val tau = 0.4
+    val got = Similarity.semanticKeepBest(spark, sf, nLists = 8, tau = tau)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val assign = Similarity.ivfAssignments(spark, sf, nLists = 8)
+      .as[(Long, Long)].collect().toMap
+    val quality = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    // brute recompute of the dominance rule: v dropped iff some cluster
+    // sibling u with cos>=tau has higher quality (or equal quality and a
+    // lower id)
+    val wantKept = vecs.map { case (id, v) =>
+      id -> !vecs.exists { case (oid, ov) =>
+        oid != id && assign(oid) == assign(id) && cos(ov, v) >= tau &&
+          (quality(oid) > quality(id) ||
+            (quality(oid) == quality(id) && oid < id))
+      }
+    }.toMap
+    assert(got.length == vecs.length)
+    got.foreach { case (id, list, q, kept) =>
+      assert(list == assign(id) && q == quality(id))
+      assert(kept == wantKept(id), s"vec $id kept=$kept want=${wantKept(id)}")
+    }
+    assert(got.exists(!_._4), "no duplicates dropped — tau too high for fixture")
+    // The keep rule differs from min-id where quality inverts the id order:
+    // at least one survivor must be a NON-minimal id inside a >=tau pair,
+    // or the upgrade is vacuous on this fixture.
+    val minIdKept = Similarity.semanticDedup(spark, sf, nLists = 8, tau = tau)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.exists { case (id, _, _, kept) => kept != minIdKept(id) },
+      "keep-best coincides with min-id everywhere — fixture cannot tell them apart")
+  }
+
   test("IVF probe-time top-k carries exact scores and decent recall") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10)
       .as[(Long, Double)].collect()
