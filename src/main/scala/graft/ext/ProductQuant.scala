@@ -79,20 +79,14 @@ object ProductQuant {
           }
         }
         // codes[sub] = argmin_code round(|xs|^2 - 2 xs.c + |c|^2, 6),
-        // code-ascending tiebreak — the identical expression tree the oracle
-        // spells per subspace.
-        val codeCols = (0 until m).map { sub =>
-          val xs = expr(
-            s"transform(slice(embedding, ${sub * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))")
-          val candidates = books.filter(_._1 == sub).map { case (_, code, cv, cc) =>
-            struct(
-              round(dot(xs, typedlit(cv.toSeq)) * -2.0 + dot(xs, xs) + lit(cc), 6)
-                .as("dist"),
-              lit(code).as("code"))
-          }
-          least(candidates: _*).getField("code")
-        }
-        val codes = e.select(col("vec_id"), array(codeCols: _*).as("codes"))
+        // code-ascending tiebreak — the identical arithmetic the oracle
+        // spells per subspace, fused into ONE codegen kernel: the composed
+        // m×ksub least(struct(round(ArrayDot…))) tree blew janino's method
+        // budget at k=32 and fell back to interpreted eval (PqAssign's
+        // scaladoc; bit-parity pinned by ProductQuantSpec).
+        val codes = e.select(col("vec_id"),
+          graft.functions.PqAssign(col("embedding"), books, m, subDim)
+            .as("codes"))
         SnapshotTable.commitClustered(s, s"$root/codes", codes, Seq("vec_id"))
         import s.implicits._
         SnapshotTable.commit(s, s"$root/codebooks",
@@ -230,18 +224,11 @@ object ProductQuant {
               (sub, i.toLong, cv, cv.foldLeft(0.0)((a, v) => a + v * v))
             }
           } finally ()
-        val codeCols = (0 until m).map { sub =>
-          val rs = expr(s"slice(r, ${sub * subDim + 1}, $subDim)")
-          val candidates = books.filter(_._1 == sub).map { case (_, code, cv, cc) =>
-            struct(
-              round(dot(rs, typedlit(cv.toSeq)) * -2.0 + dot(rs, rs) + lit(cc), 6)
-                .as("dist"),
-              lit(code).as("code"))
-          }
-          least(candidates: _*).getField("code")
-        }
+        // Residual code assignment through the same fused kernel (double
+        // input path — residuals are zip_with doubles).
         val codes = res
-          .select(col("vec_id"), col("list_id"), array(codeCols: _*).as("codes"))
+          .select(col("vec_id"), col("list_id"),
+            graft.functions.PqAssign(col("r"), books, m, subDim).as("codes"))
           .repartition(col("list_id")).sortWithinPartitions("list_id")
         SnapshotTable.commit(s, s"$root/codes", codes)
         res.unpersist()

@@ -67,6 +67,53 @@ class ProductQuantSpec extends SparkSpec {
     assert(hits >= 9, s"IVFADC vs exact-in-probed recall@10 = $hits/10, need >= 9")
   }
 
+  test("PqAssign kernel == composed least(struct(round(ArrayDot))) tree, float and double") {
+    // The fused kernel replaced the 256-candidate Catalyst tree (janino
+    // fallback at k=32); this pins bit-parity of the assignment against the
+    // original composed expression on every corpus vector, for both input
+    // element types (embedding float path, residual double path). Codebook:
+    // deterministic synthetic words derived from the corpus itself.
+    import graft.functions.{ArrayDot, PqAssign}
+    val m = 8; val subDim = 8; val ksub = 32
+    val e = graft.Tables(spark, sf, "embeddings")
+    val seedRows = e.orderBy("vec_id").limit(ksub)
+      .select("embedding").as[Array[Float]].collect()
+    val books: Seq[(Int, Long, Array[Double], Double)] =
+      (0 until m).flatMap { sub =>
+        (0 until ksub).map { code =>
+          val cv = seedRows(code).slice(sub * subDim, sub * subDim + subDim)
+            .map(x => x.toDouble * 1.0000001 + 0.0000003)
+          (sub, code.toLong, cv, cv.foldLeft(0.0)((a, v) => a + v * v))
+        }
+      }
+    def composed(xsFor: Int => org.apache.spark.sql.Column) =
+      array((0 until m).map { sub =>
+        val xs = xsFor(sub)
+        least(books.filter(_._1 == sub).map { case (_, code, cv, cc) =>
+          struct(
+            round(ArrayDot(xs, typedlit(cv.toSeq)) * -2.0 +
+              ArrayDot(xs, xs) + lit(cc), 6).as("dist"),
+            lit(code).as("code"))
+        }: _*).getField("code")
+      }: _*)
+    // float path: raw embedding column
+    val fl = e.select(
+      PqAssign(col("embedding"), books, m, subDim).as("k"),
+      composed(sub => expr(
+        s"transform(slice(embedding, ${sub * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))"))
+        .as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(fl == 0L, s"$fl float-path mismatches")
+    // double path: a residual-shaped derived array
+    val dbl = e.select(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) - 0.125)").as("r"))
+      .select(
+        PqAssign(col("r"), books, m, subDim).as("k"),
+        composed(sub => expr(s"slice(r, ${sub * subDim + 1}, $subDim)")).as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(dbl == 0L, s"$dbl double-path mismatches")
+  }
+
   test("memory budget: 8 int codes per vector vs 64 floats is <= 1/8") {
     // 8 codes in [0,32) pack to 5 bits each = 5 bytes; even unpacked int8
     // storage is 8 bytes vs 256 raw — the artifact's logical width is the
