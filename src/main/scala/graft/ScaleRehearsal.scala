@@ -22,26 +22,10 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
+    if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
 
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale").getAbsolutePath
+    val dir = scaleCorpus(spark)
     val docsPath = s"$dir/documents.parquet"
-    if (!new java.io.File(docsPath).exists()) {
-      val base = Tables(spark, "/root/testdata/sf0.1", "documents")
-      val copies = (0 until 20).map { i =>
-        base.select(
-          (col("doc_id") * 100 + i).as("doc_id"),
-          // 15 of 20 copies byte-identical (exact-dup groups), 5 perturbed by
-          // one appended token (near-dups, jaccard ≈ (n-1)/(n+2) for long docs)
-          (if (i % 4 == 0) concat(col("text"), lit(s" perturbed$i")) else col("text")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-      val boiler = spark.range(5000).select(
-        (col("id") + 900000000L).as("doc_id"),
-        lit("common boilerplate footer text repeated verbatim across the entire mirror " +
-          "set of the crawl with enough tokens to shingle").as("text"),
-        lit("en").as("lang"), lit("mirror").as("source"), lit(120L).as("n_chars"))
-      copies.unionByName(boiler).write.mode("overwrite").parquet(docsPath)
-    }
     val n = spark.read.parquet(docsPath).count()
     println(s"SCALE corpus rows=$n (sf0.1 is 5,000)")
 
@@ -138,6 +122,109 @@ object ScaleRehearsal {
     println(s"SCALE   skip probe planned ${skIdx.get.lastSelected} of " +
       s"${skIdx.get.totalFiles} files ($pruned rows)")
     spark.stop()
+  }
+
+  /** Synthesize (once) the 21×-sf0.1 dedup corpus: 100k docs in 20-strong
+    * duplicate groups (15 byte-identical + 5 near-perturbed) plus a 5k-copy
+    * boilerplate group. Returns the corpus dir. */
+  private def scaleCorpus(spark: SparkSession): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale").getAbsolutePath
+    val docsPath = s"$dir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val base = Tables(spark, "/root/testdata/sf0.1", "documents")
+      val copies = (0 until 20).map { i =>
+        base.select(
+          (col("doc_id") * 100 + i).as("doc_id"),
+          // 15 of 20 copies byte-identical (exact-dup groups), 5 perturbed by
+          // one appended token (near-dups, jaccard ≈ (n-1)/(n+2) for long docs)
+          (if (i % 4 == 0) concat(col("text"), lit(s" perturbed$i")) else col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      val boiler = spark.range(5000).select(
+        (col("id") + 900000000L).as("doc_id"),
+        lit("common boilerplate footer text repeated verbatim across the entire mirror " +
+          "set of the crawl with enough tokens to shingle").as("text"),
+        lit("en").as("lang"), lit("mirror").as("source"), lit(120L).as("n_chars"))
+      copies.unionByName(boiler).write.mode("overwrite").parquet(docsPath)
+    }
+    dir
+  }
+
+  /** Ingest-tier rehearsal: one near-dup-aware ingest cycle
+    * ([[ext.Ingest.ingestCycleNear]], the generalized per-crawl-drop API)
+    * against the 21× corpus, with a planted three-way shard:
+    *
+    *   - `shard_exact` — byte-identical recrawls of corpus texts → the
+    *     sha256 probe must drop ALL of them;
+    *   - `shard_near`  — one token appended to a corpus text (jaccard
+    *     ≥ (n−2)/(n+1) ≥ 0.88 at the ≥24-token floor) → the signature-index
+    *     band probe + jaccard verify must drop ALL of them;
+    *   - `shard_new`   — token-REVERSED corpus texts (same token multiset →
+    *     same curation-gate values, but 3-gram shingle overlap ≈ 0) → every
+    *     one must survive both probes and ingest exactly once.
+    *
+    * The cycle includes the signature-index bootstrap over the full 105k
+    * corpus and the deliberate replayed append — the rehearsal measures the
+    * whole thing and asserts the three categories land exactly. */
+  private def ingestLeg(spark: SparkSession): Unit = {
+    import ext.{Ingest, TextAnalysis}
+    val dir = scaleCorpus(spark)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val nCorpus = corpus.count()
+
+    // Distinct-text representatives with enough tokens that the planted
+    // near-dup stays safely above the 0.5 verify threshold, and a TTR that
+    // clears the curation gate (the shard_new assertion needs every planted
+    // doc to pass curation — same expressions as the cycle's gates).
+    val base = Tables(spark, "/root/testdata/sf0.1", "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 24 &&
+        size(array_distinct(col("toks"))) / size(col("toks")) > 0.3)
+    val reps = base.groupBy("text").agg(min(col("doc_id")).as("bid"))
+      .select(col("bid"), col("text"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      .cache()
+    val nReps = reps.count()
+    val shard =
+      reps.select((col("bid") + 910000000L).as("doc_id"), col("text"),
+          lit("shard_exact").as("source"))
+        .unionByName(reps.select((col("bid") + 920000000L).as("doc_id"),
+          concat(col("text"), lit(" recrawl9")).as("text"),
+          lit("shard_near").as("source")))
+        .unionByName(reps.select((col("bid") + 930000000L).as("doc_id"),
+          concat_ws(" ", reverse(col("toks"))).as("text"),
+          lit("shard_new").as("source")))
+    println(s"SCALE ingest corpus=$nCorpus shard=${3 * nReps} (3×$nReps planted)")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-scale-ingest-v1").getAbsolutePath
+    val inv = time("ingest_cycle_near") {
+      Ingest.ingestCycleNear(spark, corpus, shard, root, "graft-scale-ingest")
+        .cache()
+    }
+    val byCat = inv.groupBy("source")
+      .agg(sum(when(col("ingested"), 1L).otherwise(0L)).as("nIn"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    println(s"SCALE   per-category (ingested, total): $byCat")
+    // A dropped shard doc never reaches the corpus table, so its category
+    // must be entirely ABSENT from the post-ingest inventory.
+    assert(!byCat.contains("shard_exact"),
+      s"exact recrawls reached the corpus: ${byCat.get("shard_exact")}")
+    assert(!byCat.contains("shard_near"),
+      s"near recrawls got past the signature probe: ${byCat.get("shard_near")}")
+    assert(byCat.get("shard_new").contains((nReps, nReps)),
+      s"new docs lost: ${byCat.get("shard_new")} of $nReps")
+    val total = inv.count()
+    assert(total == nCorpus + nReps, s"inventory $total != $nCorpus + $nReps")
+    println(s"SCALE   exactly-once inventory=$total (corpus + new docs only)")
   }
 
   /** Similarity-tier rehearsal at 50× the bench SF: 100k vectors (50

@@ -137,20 +137,35 @@ object Ingest {
                               minToks: Int = 10, minTtr: Double = 0.3,
                               bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val root = ingestRoot(dir + "#near", minToks, minTtr)
-    val sigRoot = root + "-sig"
     val all = docs(s, dir)
     val corpus0 = all.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("source"))
-    SnapshotTable.appendOnce(s, root, corpus0, "graft-ingest-near", 0L)
+    val shard = all.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("source"))
+    ingestCycleNear(s, corpus0, shard, root, "graft-ingest-near",
+      minToks, minTtr, bands, rowsPerBand)
+  }
+
+  /** The GENERALIZED near-dup-aware ingest cycle — the API a production
+    * pipeline calls once per crawl drop (the registered query above is this
+    * cycle applied to the fixture's odd/even split). `corpus0` bootstraps
+    * the standing corpus as exactly-once batch 0 (a no-op when the root
+    * already exists); `shard` is the arriving drop. Returns the post-ingest
+    * inventory (doc_id, source, ingested). */
+  def ingestCycleNear(s: SparkSession, corpus0: DataFrame, shard: DataFrame,
+                      root: String, appId: String,
+                      minToks: Int = 10, minTtr: Double = 0.3,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigRoot = root + "-sig"
+    SnapshotTable.appendOnce(s, root, corpus0, appId, 0L)
     // Signature-index bootstrap, derived from the COMMITTED corpus table so
     // index and table can never drift (same exactly-once batch discipline).
     SnapshotTable.appendOnce(s, sigRoot,
       Dedup.md5Signatures(SnapshotTable.read(s, root), bands * rowsPerBand),
-      "graft-ingest-near-sig", 0L)
+      appId + "-sig", 0L)
 
     val corpusTbl = SnapshotTable.read(s, root)
     val corpusIdx = corpusTbl.select(sha2(col("text"), 256).as("h")).distinct()
-    val shard = all.filter(col("doc_id") % 2 === 1)
     val exactSurv = shard.withColumn("h", sha2(col("text"), 256))
       .join(corpusIdx, Seq("h"), "left_anti").drop("h")
 
@@ -192,10 +207,10 @@ object Ingest {
     // Exactly-once append + deliberate replay (see incrementalCuration), and
     // the signature index advances in lockstep: batch 1 appends the
     // signatures of exactly what batch 1 ingested.
-    val vIngest = SnapshotTable.appendOnce(s, root, curated, "graft-ingest-near", 1L)
-    SnapshotTable.appendOnce(s, root, curated, "graft-ingest-near", 1L)
+    val vIngest = SnapshotTable.appendOnce(s, root, curated, appId, 1L)
+    SnapshotTable.appendOnce(s, root, curated, appId, 1L)
     SnapshotTable.appendOnce(s, sigRoot,
-      Dedup.md5Signatures(curated, bands * rowsPerBand), "graft-ingest-near-sig", 1L)
+      Dedup.md5Signatures(curated, bands * rowsPerBand), appId + "-sig", 1L)
 
     val ingested = SnapshotTable.changes(s, root, vIngest - 1, Some(vIngest))
       .select(col("doc_id"), lit(true).as("ingested"))
