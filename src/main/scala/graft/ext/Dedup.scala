@@ -429,13 +429,7 @@ object Dedup {
       .localCheckpoint()
     val parts = math.max(1, math.min(symWide.rdd.getNumPartitions,
       (symWide.count() / 100000L).toInt))
-    // The edge list is CACHED hash(a, parts) — the PageRank artifact trick
-    // (GraphOps.edgeArtifact): an InMemoryRelation keeps its partitioning
-    // where an AQE-era checkpoint reports Unknown, so both step joins per
-    // round consume the cached partitioning instead of re-shuffling the
-    // graph's biggest stream ×2 every round. The one-time repartition
-    // replaces the former coalesce at the same partition count.
-    val sym = symWide.repartition(parts, col("a")).cache()
+    val sym = symWide.coalesce(parts).localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).coalesce(parts).localCheckpoint()
     // One propagation step = neighbour-min + pointer jumping (path halving:
