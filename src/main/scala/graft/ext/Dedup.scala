@@ -424,6 +424,15 @@ object Dedup {
     // it at corpus partitioning would pay ~32 empty tasks per stage per
     // round. One partition per ~100k edges keeps tasks meaningful at any
     // scale (a billion-edge graph still gets 10k partitions).
+    //
+    // Measured negative result (round 6): replacing this checkpoint with the
+    // PageRank-style cached hash(a, parts) artifact — saving the per-round
+    // edge re-shuffle — REGRESSED the 21× rehearsal 20.3 → 44.8 s. A
+    // many-round loop (pointer-jumping over a diameter-5000 chain) pays a
+    // full columnar-cache decode of the edge list twice per round and loses
+    // AQE's per-stage re-planning, which costs more than the exchanges it
+    // saves; the trick only wins for few-round loops over big streams
+    // (PageRank: 3 rounds). Keep the checkpoint.
     val symWide = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
