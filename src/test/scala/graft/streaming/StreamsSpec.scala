@@ -259,6 +259,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream starts on a not-yet-populated source dir and picks up late files") {
+    // ADVICE r5: the batch-read schema probe used to throw ('Unable to infer
+    // schema') on an empty glob, so a stream could not START before its
+    // source directory had data. The probe now falls back to the raw-nanos
+    // LongType schema — the stream must start empty, then consume files
+    // that arrive later (written in the raw fixture layout).
+    val dir = tmpDir()
+    val stream = Streams.eventsStreamFrom(spark, dir, maxFilesPerTrigger = 0)
+    val q = stream.writeStream.format("memory").queryName("late_files_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("late_files_out").count() == 0, "empty dir should yield 0 rows")
+    // Files arrive IN THE RAW-NANOS LAYOUT — the layout the fallback schema
+    // assumes (an empty dir cannot be probed, so the stream contract is the
+    // raw layout until files prove otherwise). Values must round-trip.
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val src = graft.Tables(spark, sf, "events")
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    src.write.mode("append").parquet(dir)
+    val q2 = stream.writeStream.format("memory").queryName("late_files_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table("late_files_out2")
+    assert(got.count() == src.count(), "stream must consume files that arrived after start")
+    assert(got.schema("ts").dataType.typeName == "timestamp",
+      "raw nanos must convert to TimestampType through the fallback schema")
+    // Timestamps decode to the same instants the typed fixture carries.
+    val wantTs = graft.Tables(spark, sf, "events")
+      .select("event_id", "ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    got.select("event_id", "ts").as[(Long, java.sql.Timestamp)].collect()
+      .take(100).foreach { case (id, ts) => assert(ts == wantTs(id), s"event $id") }
+  }
+
   test("streaming dedup runs on the RocksDB state store (large-state path)") {
     val prev = spark.conf.getOption(Streams.StateStoreConfKey)
     spark.conf.set(Streams.StateStoreConfKey, Streams.RocksDBStateStoreProvider)
