@@ -101,6 +101,11 @@ object TextAnalysis {
           .groupBy("token").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("token"))
           .limit(1000)
+          // WindowExec will warn "no partition defined" here — deliberately
+          // accepted: the input is the ≤1000-row limit above (a design
+          // constant, not data-sized), so the single partition is bounded.
+          // (A constant partitionBy(lit(0)) does NOT silence it — Catalyst
+          // folds the foldable key away and the spec is empty again.)
           .withColumn("token_id", row_number()
             .over(Window.orderBy(desc("n"), asc("token"))).cast("long"))
           .select("token_id", "token", "n")
