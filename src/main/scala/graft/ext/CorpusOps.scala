@@ -383,6 +383,13 @@ object CorpusOps {
       // explode_outer: see gramPositions (inferred-filter inlining).
       .select(col("source"), explode_outer(col("gh")).as("g"))
       .distinct()
+      // Materialize the distinct (source, gram) projection ONCE: it feeds
+      // the informative-gram aggregate, both sides of the pair self-join
+      // and the per-source sizes — six structurally re-aliased copies that
+      // ReuseExchange does NOT unify (measured: 6 parquet scans + 6
+      // Generates in the plan, 0 reused exchanges). The checkpoint is
+      // |sources|·|distinct grams| rows of constant width — corpus-sublinear.
+      .localCheckpoint()
     val informative = sg.groupBy("g")
       .agg(count(lit(1)).as("sf"))
       .filter(col("sf").between(2, maxSrcFreq))
