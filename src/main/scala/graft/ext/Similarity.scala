@@ -356,9 +356,14 @@ object Similarity {
     * happens only in projections. */
   def semanticDedup(s: SparkSession, dir: String, nLists: Int = 8,
                     tau: Double = 0.4): DataFrame = {
+    // Materialized once: v feeds both self-join sides and the final
+    // inventory join — three re-aliased copies of the scan⋈assignments⋈norm
+    // subtree otherwise (ReuseExchange does not unify re-aliased relations;
+    // the source-overlap finding).
     val v = emb(s, dir).join(ivfAssignments(s, dir, nLists), "vec_id")
       .select(col("vec_id"), col("list_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
     val a = v.select(col("list_id"), col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = v.select(col("list_id"), col("vec_id").as("b_id"),
@@ -385,10 +390,13 @@ object Similarity {
                        tau: Double = 0.4): DataFrame = {
     val quality = graft.Tables(s, dir, "documents")
       .select(col("doc_id").as("vec_id"), col("n_chars").as("quality"))
+    // Materialized once — the semanticDedup rationale (three re-aliased
+    // copies of the scan⋈assignments⋈quality⋈norm subtree otherwise).
     val v = emb(s, dir).join(ivfAssignments(s, dir, nLists), "vec_id")
       .join(quality, Seq("vec_id"))
       .select(col("vec_id"), col("list_id"), col("embedding"),
         norm(col("embedding")).as("nrm"), col("quality"))
+      .localCheckpoint()
     val a = v.select(col("list_id"), col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"), col("quality").as("qa"))
     val b = v.select(col("list_id"), col("vec_id").as("b_id"),
