@@ -1,0 +1,166 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Mergeable-sketch operators (the Bloom filter's siblings — GraphOps holds
+  * that one). A sketch earns its place at 100 TB by being (a) CONSTANT-SIZE
+  * regardless of corpus size and (b) MERGEABLE by an associative cell-wise
+  * op, so the build is one map-side-combinable aggregation and the result
+  * broadcasts anywhere. Both sketches here run on the engine-portable md5-60
+  * base hash, so — unlike the xxhash64-seeded `approx_count_distinct`
+  * estimator, which is rows-only-checkable by construction — the ENTIRE
+  * sketch (hashing, cell update, estimation formula, probe) is recomputed by
+  * the DuckDB oracle and sits under the driver's hash gate.
+  *
+  *   - Count-Min (Cormode & Muthukrishnan 2005): d=4 salted rows × w=256
+  *     counters; point estimate = min over rows. The build aggregates token
+  *     fan-out into ≤ d·w cells (map-side combined — the shuffle carries at
+  *     most d·w rows per map partition, NOT the token stream); the probe
+  *     broadcasts the ≤1024-cell sketch. Output pins the sketch's defining
+  *     guarantee next to the truth: estimate ≥ true count, with overcounts
+  *     only from hash collisions.
+  *
+  *   - HyperLogLog (Flajolet et al. 2007): m=64 registers over the md5-60
+  *     hash — bucket = h mod 64, rank = leading-zero count of the remaining
+  *     54 bits (via `length(bin(v))`, exact integer arithmetic in both
+  *     engines — no float log2 anywhere near the registers). The register
+  *     harmonic sum Σ 2^-M_j is computed EXACTLY as the integer
+  *     S = Σ 2^(55-M_j) (≤ 64·2^55 < 2^63, no overflow), so the only
+  *     floating-point steps are the final alpha·m²·2^55/S division and the
+  *     small-range linear-counting branch — identical literal-for-literal
+  *     in both engines. Registers merge by cell-wise max (associative), the
+  *     property that lets 1000 executors sketch independently and combine.
+  */
+object Sketches {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val CmD = 4   // Count-Min hash rows
+  private val CmW = 256L // Count-Min counters per row
+  private val HllM = 64L // HyperLogLog registers
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+
+  /** Count-Min build + top-20 heavy-hitter probe: (token, true count,
+    * sketch estimate). */
+  def countMinTopTokens(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val t = toks(s, dir)
+    // Build: one aggregation, keyed by (row, pos) — ≤ d·w = 1024 cells.
+    val cells = t.select(posexplode(array((0 until CmD).map(r =>
+        pmod(graft.functions.Md5Hash60(concat(col("tok"), lit(s":cm$r"))), lit(CmW))): _*))
+        .as(Seq("row", "pos")))
+      .groupBy("row", "pos").agg(count(lit(1)).as("n"))
+    // Truth: exact heavy hitters (what the sketch approximates).
+    val top = t.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .orderBy(desc("n_true"), asc("tok")).limit(k)
+    // Probe: re-hash the k tokens, min over the d rows of the broadcast
+    // sketch. inner join is safe — a probed cell always exists (the token
+    // itself incremented it), which is also why estimate ≥ truth.
+    top.select(col("tok"), col("n_true"),
+        posexplode(array((0 until CmD).map(r =>
+          pmod(graft.functions.Md5Hash60(concat(col("tok"), lit(s":cm$r"))), lit(CmW))): _*))
+          .as(Seq("row", "pos")))
+      .join(broadcast(cells), Seq("row", "pos"))
+      .groupBy("tok", "n_true").agg(min(col("n")).as("n_est"))
+      .orderBy(desc("n_true"), asc("tok"))
+  }
+
+  private def cmPosSql(col: String, r: Int): String =
+    s"('0x' || substr(md5($col || ':cm$r'), 1, 15))::BIGINT % $CmW"
+
+  private val countMinOracle: String = {
+    val buildRows = (0 until CmD).map(r =>
+      s"SELECT $r AS row, ${cmPosSql("tok", r)} AS pos FROM t").mkString(" UNION ALL ")
+    val probeRows = (0 until CmD).map(r =>
+      s"SELECT tok, n_true, $r AS row, ${cmPosSql("tok", r)} AS pos FROM top")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |cells AS (
+       |  SELECT row, pos, count(*) AS n FROM ($buildRows) GROUP BY row, pos),
+       |top AS (
+       |  SELECT tok, count(*) AS n_true FROM t GROUP BY tok
+       |  ORDER BY n_true DESC, tok ASC LIMIT 20),
+       |probe AS ($probeRows)
+       |SELECT p.tok, p.n_true, min(c.n) AS n_est
+       |FROM probe p JOIN cells c ON p.row = c.row AND p.pos = c.pos
+       |GROUP BY p.tok, p.n_true
+       |ORDER BY n_true DESC NULLS LAST, tok ASC NULLS FIRST""".stripMargin
+  }
+
+  /** HyperLogLog distinct-token estimate vs exact truth, one output row:
+    * (n_true, v_zero registers, hll_est). */
+  def hllDistinctTokens(s: SparkSession, dir: String): DataFrame = {
+    val h = toks(s, dir)
+      .select(graft.functions.Md5Hash60(concat(col("tok"), lit(":hll"))).as("h"))
+      .select(pmod(col("h"), lit(HllM)).as("j"), expr(s"h div $HllM").as("v"))
+    // rank = leading zeros of the 54-bit remainder + 1 = 55 - bit_length(v);
+    // bin() gives exact integer bit length in both engines (no float log2).
+    val regs = h.select(col("j"),
+        when(col("v") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("v")))).as("rank"))
+      .groupBy("j").agg(max("rank").as("m"))
+    // All m registers participate in the harmonic sum — unseen ones at M=0.
+    val full = s.range(HllM).select(col("id").as("j"))
+      .join(regs, Seq("j"), "left")
+      .select(coalesce(col("m"), lit(0L)).as("m"))
+    // Exact integer harmonic sum: S = Σ 2^(55-M_j); Σ 2^-M = S / 2^55.
+    val sums = full.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")).as("sint"),
+      sum(when(col("m") === 0L, 1L).otherwise(0L)).as("v_zero"))
+    val truth = toks(s, dir).agg(countDistinct(col("tok")).as("n_true"))
+    // alpha_64 · m² · 2^55 / S, with the standard small-range linear
+    // counting correction (E ≤ 2.5m and empty registers present).
+    truth.crossJoin(broadcast(sums))
+      .select(col("n_true"), col("v_zero"),
+        round(
+          when((lit(0.709d) * lit(4096.0d) * lit(36028797018963968.0d)
+              / col("sint").cast("double")) <= 160.0d && col("v_zero") > 0L,
+            lit(64.0d) * log(lit(64.0d) / col("v_zero").cast("double")))
+          .otherwise(lit(0.709d) * lit(4096.0d) * lit(36028797018963968.0d)
+              / col("sint").cast("double")), 6).as("hll_est"))
+  }
+
+  private val hllOracle: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |h AS (
+       |  SELECT ('0x' || substr(md5(tok || ':hll'), 1, 15))::BIGINT AS h FROM t),
+       |r AS (
+       |  SELECT h % $HllM AS j,
+       |    CASE WHEN h // $HllM = 0 THEN 55
+       |         ELSE 55 - length(bin(h // $HllM)) END AS rank
+       |  FROM h),
+       |regs AS (SELECT j, max(rank) AS m FROM r GROUP BY j),
+       |full_regs AS (
+       |  SELECT coalesce(regs.m, 0) AS m
+       |  FROM generate_series(0, ${HllM - 1}) AS g(j)
+       |  LEFT JOIN regs ON g.j = regs.j),
+       |s AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INTEGER)) AS BIGINT) AS sint,
+       |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+       |  FROM full_regs),
+       |truth AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_true FROM t)
+       |SELECT n_true, v_zero,
+       |  round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+       |                 / CAST(sint AS DOUBLE) <= 160.0
+       |               AND v_zero > 0
+       |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+       |        ELSE CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+       |                 / CAST(sint AS DOUBLE) END, 6)
+       |    AS hll_est
+       |FROM truth, s""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("x_sketch_countmin",
+      (s, dir) => countMinTopTokens(s, dir),
+      Some(countMinOracle)),
+    Q("x_sketch_hll_md5",
+      (s, dir) => hllDistinctTokens(s, dir),
+      Some(hllOracle)))
+}
