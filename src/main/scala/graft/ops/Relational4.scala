@@ -21,25 +21,48 @@ object Relational4 {
     Tables(s, dir, name)
 
   /** Exact-sum moment kernel shared VERBATIM by the Spark side and the
-    * oracle text: per-group n, Σx, Σy, Σx², Σxy, Σy² over decimal casts —
-    * exact at any row count — surfaced as DOUBLE for the final closed-form
-    * expressions. One partial→final aggregation pass; no second scan, no
+    * oracle text: per-group n, Σx, Σy, Σx², Σxy, Σy² — exact at any row
+    * count — surfaced as DOUBLE for the final closed-form expressions. One
+    * partial→final aggregation pass; no second scan, no
     * variance-of-differences numerical trap.
     *
-    * The asymmetric DECIMAL(19,6) × DECIMAL(18,6) product cast is load-
-    * bearing in BOTH engines: the 19-wide operand pushes DuckDB onto its
-    * INT128 multiply (int64-backed × int64-backed is overflow-checked at
-    * width 18 there), while keeping Spark's result precision at
-    * 19+18+1 = 38 — exactly the cap, so Spark does NOT invoke its
-    * precision-loss scale adjustment and the product stays a lossless
-    * DECIMAL(38,12). */
+    * The sums run on SCALED LONGS, not wide decimals: the monetary inputs
+    * carry ≤2 decimals, so ×100 makes them exact BIGINTs, and each wide
+    * product sum is carried as TWO long sums (quotient/remainder by 10⁶ —
+    * the split keeps every accumulator within int64 up to ~8×10¹⁰ rows per
+    * group, far past any 100 TB group). The previous DECIMAL(19,6) ×
+    * DECIMAL(18,6) formulation was value-identical but 5× slower end-to-end
+    * (1.62 s vs 0.30 s warm at sf0.1): precision-38 products knock Spark's
+    * sum off the long-backed fast path onto Int128/BigDecimal state. The
+    * split-sum text stays engine-portable (no div/`//` divergence) because
+    * the quotient is an EXACTLY-divisible true division — both engines
+    * compute it as an exact integer-valued double, cast back to BIGINT
+    * before summing. */
+  private val momentScaled = Seq(
+    "CAST(round(l_quantity * 100) AS BIGINT) AS qs",
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS ps")
+
   private val momentAggs = Seq(
     "count(*) AS n",
-    "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx",
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy",
-    "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx",
-    "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy",
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy")
+    "sum(qs) AS sxi",
+    "sum(ps) AS syi",
+    "sum(CAST((qs * qs - (qs * qs) % 1000000) / 1000000 AS BIGINT)) AS xxh",
+    "sum((qs * qs) % 1000000) AS xxl",
+    "sum(CAST((qs * ps - (qs * ps) % 1000000) / 1000000 AS BIGINT)) AS xyh",
+    "sum((qs * ps) % 1000000) AS xyl",
+    "sum(CAST((ps * ps - (ps * ps) % 1000000) / 1000000 AS BIGINT)) AS yyh",
+    "sum((ps * ps) % 1000000) AS yyl")
+
+  /** Reassemble the exact integer sums into the DOUBLE moments the finals
+    * consume: Σx = sxi/10², Σx² = (xxh·10⁶ + xxl)/10⁴. The double rounding
+    * happens HERE, once, identically in both engines — the accumulators
+    * themselves are exact. */
+  private val momentDoubles = Seq(
+    "CAST(sxi AS DOUBLE) / 100.0 AS sx",
+    "CAST(syi AS DOUBLE) / 100.0 AS sy",
+    "(CAST(xxh AS DOUBLE) * 1000000.0 + CAST(xxl AS DOUBLE)) / 10000.0 AS sxx",
+    "(CAST(xyh AS DOUBLE) * 1000000.0 + CAST(xyl AS DOUBLE)) / 10000.0 AS sxy",
+    "(CAST(yyh AS DOUBLE) * 1000000.0 + CAST(yyl AS DOUBLE)) / 10000.0 AS syy")
 
   // Degenerate groups guarded IDENTICALLY in both engines: Spark (non-ANSI)
   // yields NULL on x/0 while DuckDB yields IEEE inf/NaN, so an unguarded
@@ -89,13 +112,18 @@ object Relational4 {
     // no summation-order dependence for the gate to trip on.
     Q("a12_stats_moments",
       (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag") +: momentScaled.map(expr): _*)
         .groupBy("l_returnflag")
         .agg(expr(momentAggs.head), momentAggs.tail.map(expr): _*)
+        .select(col("l_returnflag") +: col("n") +: momentDoubles.map(expr): _*)
         .select(col("l_returnflag") +: col("n") +: momentFinal.map(expr): _*)
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag, n, ${momentFinal.mkString(", ")}
-              FROM (SELECT l_returnflag, ${momentAggs.mkString(", ")}
-                    FROM lineitem GROUP BY l_returnflag)
+              FROM (SELECT l_returnflag, n, ${momentDoubles.mkString(", ")}
+                    FROM (SELECT l_returnflag, ${momentAggs.mkString(", ")}
+                          FROM (SELECT l_returnflag, ${momentScaled.mkString(", ")}
+                                FROM lineitem)
+                          GROUP BY l_returnflag))
               ORDER BY l_returnflag ASC NULLS FIRST""")),
 
     // Argmin/argmax (max_by/min_by) + deterministic mode. The struct-valued
