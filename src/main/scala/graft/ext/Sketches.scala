@@ -46,28 +46,39 @@ object Sketches {
   private def toks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
 
-  /** Count-Min build + top-20 heavy-hitter probe: (token, true count,
-    * sketch estimate). */
-  def countMinTopTokens(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val t = toks(s, dir)
-    // Build: one aggregation, keyed by (row, pos) — ≤ d·w = 1024 cells.
-    val cells = t.select(posexplode(array((0 until CmD).map(r =>
-        pmod(graft.functions.Md5Hash60(concat(col("tok"), lit(s":cm$r"))), lit(CmW))): _*))
-        .as(Seq("row", "pos")))
+  private def cmPositions(item: org.apache.spark.sql.Column) =
+    posexplode(array((0 until CmD).map(r =>
+      pmod(graft.functions.Md5Hash60(concat(item, lit(s":cm$r"))), lit(CmW))): _*))
+      .as(Seq("row", "pos"))
+
+  /** Count-Min CELLS of an item stream (column `item`): one aggregation
+    * keyed by (row, pos) — ≤ d·w = 1024 rows out, whatever goes in. Cells
+    * MERGE by (row, pos)-wise addition, which is what lets a streaming job
+    * maintain the sketch incrementally (per-batch cells + running state —
+    * see the `st_sketch_countmin` twin and StreamsSpec) and lets N
+    * executors sketch shards independently. */
+  def cmCells(items: DataFrame): DataFrame =
+    items.select(cmPositions(col("item")))
       .groupBy("row", "pos").agg(count(lit(1)).as("n"))
-    // Truth: exact heavy hitters (what the sketch approximates).
-    val top = t.groupBy("tok").agg(count(lit(1)).as("n_true"))
-      .orderBy(desc("n_true"), asc("tok")).limit(k)
-    // Probe: re-hash the k tokens, min over the d rows of the broadcast
-    // sketch. inner join is safe — a probed cell always exists (the token
-    // itself incremented it), which is also why estimate ≥ truth.
-    top.select(col("tok"), col("n_true"),
-        posexplode(array((0 until CmD).map(r =>
-          pmod(graft.functions.Md5Hash60(concat(col("tok"), lit(s":cm$r"))), lit(CmW))): _*))
-          .as(Seq("row", "pos")))
+
+  /** Probe `cells` for the exact top-k items of `items`: re-hash each item,
+    * min over the d rows of the broadcast sketch. inner join is safe — a
+    * probed cell always exists (the item itself incremented it), which is
+    * also why estimate ≥ truth. */
+  def cmTopK(items: DataFrame, cells: DataFrame, k: Int): DataFrame =
+    items.groupBy("item").agg(count(lit(1)).as("n_true"))
+      .orderBy(desc("n_true"), asc("item")).limit(k)
+      .select(col("item"), col("n_true"), cmPositions(col("item")))
       .join(broadcast(cells), Seq("row", "pos"))
-      .groupBy("tok", "n_true").agg(min(col("n")).as("n_est"))
-      .orderBy(desc("n_true"), asc("tok"))
+      .groupBy("item", "n_true").agg(min(col("n")).as("n_est"))
+      .orderBy(desc("n_true"), asc("item"))
+
+  /** Count-Min build + top-20 heavy-hitter probe over the document tokens:
+    * (token, true count, sketch estimate). */
+  def countMinTopTokens(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val t = toks(s, dir).select(col("tok").as("item"))
+    cmTopK(t, cmCells(t), k)
+      .select(col("item").as("tok"), col("n_true"), col("n_est"))
   }
 
   private def cmPosSql(col: String, r: Int): String =

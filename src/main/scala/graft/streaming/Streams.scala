@@ -430,6 +430,43 @@ object Streams {
                 ON p.user_id = c.user_id AND p.event_type = 'purchase'
                 AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
               WHERE c.event_type = 'click'
-              ORDER BY c_eid ASC NULLS FIRST, p_ts ASC NULLS FIRST"""))
+              ORDER BY c_eid ASC NULLS FIRST, p_ts ASC NULLS FIRST""")),
+
+    // Streaming sketch maintenance (batch twin): Count-Min "top talkers" —
+    // the heavy-hitter question every stream monitor asks, answered from
+    // CONSTANT state. The sketch cells merge by (row, pos)-wise addition,
+    // so the streaming form maintains them incrementally: each micro-batch
+    // sketches its own rows (≤1024 cells out) and folds them into the
+    // running state table — per-batch cost is batch-sized, state is
+    // sketch-sized, forever. StreamsSpec runs that incremental fold over a
+    // multi-batch AvailableNow stream and pins final state ≡ this one-shot
+    // batch build cell-for-cell (the merge law, exercised end-to-end).
+    Q("st_sketch_countmin",
+      (s, dir) => {
+        val items = graft.Tables(s, dir, "events")
+          .select(col("user_id").cast("string").as("item"))
+        graft.ext.Sketches.cmTopK(items, graft.ext.Sketches.cmCells(items), 10)
+          .select(col("item").as("user_id"), col("n_true"), col("n_est"))
+      },
+      Some {
+        val pos = (r: Int) =>
+          s"('0x' || substr(md5(item || ':cm$r'), 1, 15))::BIGINT % 256"
+        val buildRows = (0 until 4).map(r =>
+          s"SELECT $r AS row, ${pos(r)} AS pos FROM t").mkString(" UNION ALL ")
+        val probeRows = (0 until 4).map(r =>
+          s"SELECT item, n_true, $r AS row, ${pos(r)} AS pos FROM top")
+          .mkString(" UNION ALL ")
+        s"""WITH t AS (SELECT user_id::VARCHAR AS item FROM events),
+           |cells AS (
+           |  SELECT row, pos, count(*) AS n FROM ($buildRows) GROUP BY row, pos),
+           |top AS (
+           |  SELECT item, count(*) AS n_true FROM t GROUP BY item
+           |  ORDER BY n_true DESC, item ASC LIMIT 10),
+           |probe AS ($probeRows)
+           |SELECT p.item AS user_id, p.n_true, min(c.n) AS n_est
+           |FROM probe p JOIN cells c ON p.row = c.row AND p.pos = c.pos
+           |GROUP BY p.item, p.n_true
+           |ORDER BY n_true DESC NULLS LAST, user_id ASC NULLS FIRST""".stripMargin
+      })
   )
 }

@@ -312,4 +312,47 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental Count-Min maintenance == one-shot batch sketch, cell for cell") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SnapshotTable
+    import graft.ext.Sketches
+    // Two source files → two micro-batches: the stream must MERGE per-batch
+    // cells into running state, not rebuild from scratch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val dir = tmpDir()
+    raw.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    raw.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    val root = tmpDir() + "/cm_state"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Streams.eventsStreamFrom(spark, dir, maxFilesPerTrigger = 1)
+      .select(col("user_id").cast("string").as("item"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        val s = batch.sparkSession
+        val delta = Sketches.cmCells(batch)
+        val merged = SnapshotTable.currentVersion(s, root) match {
+          case None => delta
+          case Some(_) => SnapshotTable.read(s, root).unionByName(delta)
+            .groupBy("row", "pos").agg(sum("n").as("n"))
+        }
+        SnapshotTable.commit(s, root, merged)
+        ()
+      }
+      .option("checkpointLocation", tmpDir() + "/ckpt_cm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() >= 2, s"expected ≥2 micro-batches, got ${batches.get()}")
+
+    val streamedCells = SnapshotTable.read(spark, root)
+      .select(col("row"), col("pos"), col("n").cast("long"))
+      .as[(Int, Long, Long)].collect().toSet
+    val batchCells = Sketches.cmCells(
+        graft.Tables(spark, sf, "events").select(col("user_id").cast("string").as("item")))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamedCells == batchCells)
+    assert(streamedCells.nonEmpty)
+  }
 }
