@@ -313,33 +313,38 @@ object Relational3 {
     //    bounded RANGE frame from scratch for every row (no retraction) —
     //    O(D·frame_values) even after (1). frame_sum(v) = P(v) − P(<v−500)
     //    needs only running sums, which ARE incremental (O(D)): anchors
-    //    (value, weight) and probes (key = value−500.01 on the 2-decimal
-    //    grid) interleave into one stream ordered by (key, tag), and a
-    //    single bucketed global prefix sum (GlobalWindows — no
-    //    SinglePartition) reads P(v) at each anchor and P(<v−500) at each
-    //    probe. Integer cents end-to-end, so prefix offsets add exactly;
-    //    the one double division at the end equals the old decimal→double
-    //    cast for any corpus whose total cents stay under 2^53 (~9×10¹³
-    //    dollars). Probes tag AFTER anchors so an anchor exactly at the
-    //    strict boundary (w = v−500.01 < v−500) is included.
+    //    (value, weight) and probes (key = v−500) interleave into one
+    //    stream ordered by (key, tag), and a single bucketed global prefix
+    //    sum (GlobalWindows — no SinglePartition) reads P(v) at each anchor
+    //    and P(<v−500) at each probe. WEIGHTS are integer cents (prefix
+    //    offsets add exactly; the one double division at the end equals the
+    //    old decimal→double cast for any corpus whose total cents stay
+    //    under 2^53, ~9×10¹³ dollars), but the BOUNDARY key is the IEEE
+    //    double fl(v) − 500, NOT a decimal-grid cutoff: both Spark's RANGE
+    //    frame and DuckDB's evaluate `w ≥ v − 500` in doubles, so a value
+    //    exactly 500.00 below v is in or out of the frame depending on the
+    //    SIGN of the two values' representation errors (εw ≥ εv) — a clean
+    //    cents cutoff diverged on 11 of 15,000 rows at sf0.1. Probes tag
+    //    BEFORE anchors at an equal key so a boundary-equal anchor
+    //    (fl(w) = fl(v) − 500, in-frame under ≥) stays out of P(<v−500).
     Q("w7_range_frame",
       (s, dir) => {
         val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
         val dv = t(s, dir, "customer")
           .groupBy("c_acctbal").agg(sum(cents).as("w"))
           .withColumn("vc", cents)
-        val anchors = dv.select(col("vc"), col("vc").as("key"),
-          lit(0).as("tag"), col("w"))
-        val probes = dv.select(col("vc"), (col("vc") - 50001L).as("key"),
-          lit(1).as("tag"), lit(0L).as("w"))
+        val anchors = dv.select(col("vc"), col("c_acctbal").as("key"),
+          lit(1).as("tag"), col("w"))
+        val probes = dv.select(col("vc"), (col("c_acctbal") - 500.0d).as("key"),
+          lit(0).as("tag"), lit(0L).as("w"))
         val ps = GlobalWindows.withBucketedPrefixSum(
-          anchors.unionByName(probes), floor(col("key") / 200000L),
+          anchors.unionByName(probes), floor(col("key") / 2000.0d),
           col("w"), "ps", col("key"), col("tag"))
         // Both prefix reads for a value re-meet by a PIVOT on vc (one
         // constant-width agg) — no ps self-join, ps evaluated once.
         val perValue = ps.groupBy("vc").agg(
-            max(when(col("tag") === 0, col("ps"))).as("p_hi"),
-            max(when(col("tag") === 1, col("ps"))).as("p_lo"))
+            max(when(col("tag") === 1, col("ps"))).as("p_hi"),
+            max(when(col("tag") === 0, col("ps"))).as("p_lo"))
           .select(col("vc").as("__vc"),
             ((col("p_hi") - col("p_lo")).cast("double") / 100.0).as("nearby_sum"))
         t(s, dir, "customer").select("c_custkey", "c_acctbal")
