@@ -612,6 +612,11 @@ object Dedup {
     Q("x_dedup_ngram_jaccard",
       (s, dir) => ngramJaccardEdges(docs(s, dir))
         .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
+        // The edge build is one narrow broadcast-join stage, so a bare
+        // orderBy would run it twice (range-boundary sampling re-executes
+        // the child — the x_match_fuzzy pattern). Materialize the small
+        // edge set first; the sort samples the checkpoint.
+        .localCheckpoint()
         .orderBy("a", "b"),
       Some("""WITH sh AS (
                 SELECT doc_id,
@@ -645,6 +650,7 @@ object Dedup {
         .withColumn("c_raw", col("inter") / least(col("sa"), col("sb")))
         .filter(col("c_raw") >= 0.8)
         .select(col("a"), col("b"), round(col("c_raw"), 6).as("containment"))
+        .localCheckpoint() // narrow-stage sort sampling — see x_dedup_ngram_jaccard
         .orderBy("a", "b"),
       Some("""WITH sh AS (
                 SELECT doc_id,

@@ -159,6 +159,13 @@ object Enrich {
           .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
           .filter(col("dist").between(1, 2))
           .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
+          // The whole pipeline above is ONE narrow stage (the blocking join
+          // broadcasts), so a bare orderBy would run it TWICE — the range
+          // partitioner's boundary sampling re-executes the child, paying
+          // the 437k-pair levenshtein again (measured 2.2 s vs 1.2 s warm
+          // at sf0.1). Materialize the small match set first; the sort then
+          // samples the checkpoint, not the pipeline.
+          .localCheckpoint()
           .orderBy("a_key", "b_key")
       },
       Some("""WITH p AS (SELECT p_partkey AS k, p_name AS n,
