@@ -540,7 +540,105 @@ object Dedup {
       .select(col("a"), col("b"), col("j_raw"))
   }
 
+  /** Sparse TF-IDF ALL-PAIRS similarity join (Bayardo et al. 2007, "Scaling
+    * Up All Pairs Similarity Search" — the prefix-filter shape): candidate
+    * pairs come from an INVERTED INDEX over each doc's top-`m` informative
+    * terms, then the exact weighted cosine runs over the FULL tf-idf
+    * vectors for candidates only. The weighted-cosine sibling of
+    * [[ngramJaccardEdges]]: shingle Jaccard is set overlap in a bounded id
+    * window; this is GLOBAL similarity — any two docs anywhere in the
+    * corpus can pair — with the candidate fan-out bounded instead by the
+    * index (≤ m postings per doc) and a document-frequency cap (df ≤
+    * `maxDf` keeps a stopword-like term from generating C(n,2) pairs; the
+    * hot-bucket discipline of the LSH tier applied to postings). Top-m
+    * indexing is the standard recall trade of the simplified prefix filter:
+    * a pair sharing only non-top-m terms is not a candidate — the oracle
+    * mirrors the same rule, so the gate checks the IMPLEMENTED semantics.
+    * Per-pair dot products accumulate as DECIMAL(28,12) (order-independent);
+    * tf-idf and norms reuse x_text_tfidf's exact formula text. */
+  def tfidfAllPairs(s: SparkSession, dir: String, m: Int = 5,
+                    maxDf: Int = 50, threshold: Double = 0.5): DataFrame =
+    tfidfAllPairsOf(docs(s, dir), m, maxDf, threshold)
+
+  def tfidfAllPairsOf(docsDf: DataFrame, m: Int = 5,
+                      maxDf: Int = 50, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docsDf.withColumn("toks", TextAnalysis.tokens(col("text")))
+    val lens = d.select(col("doc_id"), size(col("toks")).as("len_d"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docsDf.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(lens, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("df"),
+        ((col("c") / col("len_d")) *
+          log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .localCheckpoint() // feeds index, both score sides and norms (4 uses)
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
+        .as("nrm"))
+    val idx = w.filter(col("df").between(2, maxDf))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("w"), asc("word"))))
+      .filter(col("rk") <= m)
+      .select(col("doc_id"), col("word"))
+    val cand = idx.toDF("a", "word").join(idx.toDF("b", "word"), Seq("word"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), Seq("a"))
+      .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")),
+        Seq("b", "word"))
+      .groupBy("a", "b")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(28,12)")).cast("double").as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), Seq("b"))
+      .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("a", "b")
+  }
+
+  private def tfidfAllPairsOracle(m: Int, maxDf: Int, threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |lens AS (SELECT doc_id, len(toks) AS len_d FROM d),
+       |tf AS (SELECT doc_id, word, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(toks) AS word FROM d)
+       |       GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS (SELECT tf.doc_id, tf.word, dfreq.df,
+       |        (c / len_d) * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |      FROM tf JOIN lens ON tf.doc_id = lens.doc_id
+       |        JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n),
+       |norms AS (SELECT doc_id,
+       |        sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+       |      FROM w GROUP BY doc_id),
+       |idx AS (SELECT doc_id, word FROM (
+       |        SELECT doc_id, word, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY w DESC, word ASC) AS rk
+       |        FROM w WHERE df BETWEEN 2 AND $maxDf) WHERE rk <= $m),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |      FROM idx x JOIN idx y ON x.word = y.word AND x.doc_id < y.doc_id),
+       |dots AS (SELECT cand.a, cand.b,
+       |        CAST(sum(CAST(wa.w * wb.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |      FROM cand
+       |      JOIN w wa ON wa.doc_id = cand.a
+       |      JOIN w wb ON wb.doc_id = cand.b AND wb.word = wa.word
+       |      GROUP BY cand.a, cand.b)
+       |SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots JOIN norms na ON na.doc_id = dots.a
+       |          JOIN norms nb ON nb.doc_id = dots.b
+       |WHERE dot / (na.nrm * nb.nrm) >= $threshold
+       |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin
+
   val qs: Seq[Q] = Seq(
+
+    Q("x_dedup_tfidf_allpairs",
+      (s, dir) => tfidfAllPairs(s, dir),
+      Some(tfidfAllPairsOracle(5, 50, 0.5))),
 
     // Exact dedup — one representative (min doc_id) per identical text.
     Q("x_dedup_exact",

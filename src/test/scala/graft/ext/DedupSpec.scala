@@ -252,4 +252,37 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("j") > col("containment") + 1e-6).count() == 0)
     r.unpersist()
   }
+
+  test("tf-idf all-pairs: corpus pairs are thresholded and within cosine bounds") {
+    val pairs = Dedup.tfidfAllPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.nonEmpty)
+    pairs.values.foreach(c => assert(c >= 0.5 - 1e-9 && c <= 1.0 + 1e-9))
+  }
+
+  test("tf-idf all-pairs: planted global duplicates surface at cosine 1") {
+    import spark.implicits._
+    // An exact-duplicate pair 9000 ids apart (far past any bounded id
+    // window — the GLOBAL reach this operator adds over ngramJaccardEdges),
+    // a near-dup pair, and filler docs. Filler vocab is per-doc unique
+    // (df=1), so only the planted overlaps can generate candidates.
+    val filler = (1L to 40L).map(i =>
+      (i + 100, (1 to 30).map(j => s"f${i}w$j").mkString(" ")))
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val nearText = dupText + "iota kappa"
+    val docs = (Seq((7L, dupText), (9007L, dupText), (500L, nearText)) ++ filler)
+      .toDF("doc_id", "text")
+    val got = Dedup.tfidfAllPairsOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((7L, 9007L)), s"missing global duplicate pair: $got")
+    assert(got((7L, 9007L)) >= 0.999999)
+    assert(got.contains((7L, 500L)) && got.contains((500L, 9007L)),
+      s"missing near-dup pairs: $got")
+    assert(got((7L, 500L)) > 0.9 && got((7L, 500L)) < 1.0)
+    // No spurious filler pairs: candidates need a shared indexed term.
+    got.keys.foreach { case (a, b) =>
+      assert(Set(7L, 9007L, 500L).contains(a) && Set(7L, 9007L, 500L).contains(b),
+        s"unexpected pair ($a,$b)")
+    }
+  }
 }
