@@ -549,26 +549,43 @@ object Dedup {
     * window; this is GLOBAL similarity — any two docs anywhere in the
     * corpus can pair — with the candidate fan-out bounded instead by the
     * index (≤ m postings per doc) and a document-frequency cap (df ≤
-    * `maxDf` keeps a stopword-like term from generating C(n,2) pairs; the
+    * `maxDf` keeps a boilerplate term from generating C(n,2) pairs; the
     * hot-bucket discipline of the LSH tier applied to postings). Top-m
     * indexing is the standard recall trade of the simplified prefix filter:
     * a pair sharing only non-top-m terms is not a candidate — the oracle
     * mirrors the same rule, so the gate checks the IMPLEMENTED semantics.
+    *
+    * TERMS ARE 3-GRAM SHINGLES, not unigrams — a measured decision: the
+    * synthetic corpus draws from a 31-word vocabulary whose every unigram
+    * has df in the thousands, so no unigram is ever informative (df ≤
+    * maxDf matched 0 terms at sf0.1 and on the 21× rehearsal corpus, where
+    * min unigram df is 5,000). Word-ORDER n-grams are where document
+    * identity lives in such a corpus; shingle vocabulary grows with the
+    * corpus, keeping the informative band populated at every scale.
     * Per-pair dot products accumulate as DECIMAL(28,12) (order-independent);
-    * tf-idf and norms reuse x_text_tfidf's exact formula text. */
+    * the tf-idf formula mirrors x_text_tfidf's text with len_d = shingle
+    * positions. */
   def tfidfAllPairs(s: SparkSession, dir: String, m: Int = 5,
                     maxDf: Int = 50, threshold: Double = 0.5): DataFrame =
     tfidfAllPairsOf(docs(s, dir), m, maxDf, threshold)
+
+  /** Raw (multiplicity-keeping) shingle stream — tf counts occurrences, so
+    * this deliberately does NOT reuse the distinct [[shingleExpr]]. */
+  private val shingleRawExpr: String =
+    "transform(sequence(1, size(toks) - 2), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
 
   def tfidfAllPairsOf(docsDf: DataFrame, m: Int = 5,
                       maxDf: Int = 50, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docsDf.withColumn("toks", TextAnalysis.tokens(col("text")))
-    val lens = d.select(col("doc_id"), size(col("toks")).as("len_d"))
-    val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
+      .filter(size(col("toks")) >= 3) // shingle universe; also guards the
+                                      // DESCENDING sequence(1, 0) trap
+    val lens = d.select(col("doc_id"), (size(col("toks")) - 2).as("len_d"))
+    val tf = d.select(col("doc_id"), explode(expr(shingleRawExpr)).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = docsDf.agg(count(lit(1)).as("n_docs"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(lens, "doc_id").join(dfreq, "word")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("df"),
@@ -602,10 +619,13 @@ object Dedup {
 
   private def tfidfAllPairsOracle(m: Int, maxDf: Int, threshold: Double): String =
     s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-       |           FROM documents),
-       |lens AS (SELECT doc_id, len(toks) AS len_d FROM d),
+       |           FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+       |lens AS (SELECT doc_id, len(toks) - 2 AS len_d FROM d),
        |tf AS (SELECT doc_id, word, count(*) AS c
-       |       FROM (SELECT doc_id, unnest(toks) AS word FROM d)
+       |       FROM (SELECT doc_id,
+       |               unnest(list_transform(generate_series(1, len(toks) - 2),
+       |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS word
+       |             FROM d)
        |       GROUP BY doc_id, word),
        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
        |n AS (SELECT count(*) AS n_docs FROM documents),
