@@ -365,6 +365,7 @@ object Dedup {
       Seq("doc_id"), "left_semi")
     val verified = verifiedNearDupPairs(repDocs, threshold)
       .select(col("a"), col("b"))
+      .localCheckpoint() // CC symmetrization would run the verify join twice
     val labels = connectedComponents(verified) // (node = rep, label = cluster)
     docToRep
       .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
@@ -793,7 +794,11 @@ object Dedup {
     // propagation; the oracle re-derives the same components with a
     // recursive CTE — both sides share the oracle-validated edge set.
     Q("x_dedup_cc_clusters",
-      (s, dir) => connectedComponents(Similarity.neardupPairs(s, dir))
+      // checkpoint the edge build BEFORE handing it to CC: symmetrization
+      // unions the edge list with its swap, which would otherwise run the
+      // cosine pair join twice (the narrow-pipeline double-run pattern)
+      (s, dir) => connectedComponents(
+          Similarity.neardupPairs(s, dir).select("a", "b").localCheckpoint())
         .select(col("node"), col("label").as("cluster"))
         .orderBy("node"),
       Some("""WITH RECURSIVE edges AS (
@@ -823,8 +828,8 @@ object Dedup {
     // identical (oracle-validated) edge set.
     Q("x_dedup_keep_best",
       (s, dir) => {
-        val cc = connectedComponents(
-          ngramJaccardEdges(docs(s, dir)).select("a", "b"))
+        val cc = connectedComponents( // pre-checkpoint: see x_dedup_cc_clusters
+          ngramJaccardEdges(docs(s, dir)).select("a", "b").localCheckpoint())
         val clustered = docs(s, dir).select(col("doc_id"), col("n_chars"))
           .join(cc, col("doc_id") === col("node"), "left")
           .select(col("doc_id"),
