@@ -104,18 +104,25 @@ object Sketches {
        |ORDER BY n_true DESC NULLS LAST, tok ASC NULLS FIRST""".stripMargin
   }
 
-  /** HyperLogLog distinct-token estimate vs exact truth, one output row:
-    * (n_true, v_zero registers, hll_est). */
-  def hllDistinctTokens(s: SparkSession, dir: String): DataFrame = {
-    val h = toks(s, dir)
-      .select(graft.functions.Md5Hash60(concat(col("tok"), lit(":hll"))).as("h"))
+  /** HLL REGISTERS of an item stream (column `item`): ≤ m rows of
+    * (j, register). rank = leading zeros of the 54-bit remainder + 1 =
+    * 55 − bit_length(v); bin() gives exact integer bit length in both
+    * engines (no float log2). Registers merge by (j)-wise MAX — the
+    * associative law that lets shards/micro-batches sketch independently
+    * (StreamsSpec folds a multi-batch stream and pins ≡ one-shot build). */
+  def hllRegisters(items: DataFrame): DataFrame =
+    items
+      .select(graft.functions.Md5Hash60(concat(col("item"), lit(":hll"))).as("h"))
       .select(pmod(col("h"), lit(HllM)).as("j"), expr(s"h div $HllM").as("v"))
-    // rank = leading zeros of the 54-bit remainder + 1 = 55 - bit_length(v);
-    // bin() gives exact integer bit length in both engines (no float log2).
-    val regs = h.select(col("j"),
+      .select(col("j"),
         when(col("v") === 0L, lit(55L))
           .otherwise(lit(55L) - length(bin(col("v")))).as("rank"))
       .groupBy("j").agg(max("rank").as("m"))
+
+  /** HyperLogLog distinct-token estimate vs exact truth, one output row:
+    * (n_true, v_zero registers, hll_est). */
+  def hllDistinctTokens(s: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisters(toks(s, dir).select(col("tok").as("item")))
     // All m registers participate in the harmonic sum — unseen ones at M=0.
     val full = s.range(HllM).select(col("id").as("j"))
       .join(regs, Seq("j"), "left")

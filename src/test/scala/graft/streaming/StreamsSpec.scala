@@ -355,4 +355,40 @@ class StreamsSpec extends SparkSpec {
     assert(streamedCells == batchCells)
     assert(streamedCells.nonEmpty)
   }
+
+  test("incremental HLL maintenance == one-shot batch registers, max-merged") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SnapshotTable
+    import graft.ext.Sketches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val dir = tmpDir()
+    raw.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    raw.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    val root = tmpDir() + "/hll_state"
+    val q = Streams.eventsStreamFrom(spark, dir, maxFilesPerTrigger = 1)
+      .select(col("user_id").cast("string").as("item"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val delta = Sketches.hllRegisters(batch)
+        val merged = SnapshotTable.currentVersion(s, root) match {
+          case None => delta
+          case Some(_) => SnapshotTable.read(s, root).unionByName(delta)
+            .groupBy("j").agg(max("m").as("m")) // register merge = cell-wise max
+        }
+        SnapshotTable.commit(s, root, merged)
+        ()
+      }
+      .option("checkpointLocation", tmpDir() + "/ckpt_hll")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = SnapshotTable.read(spark, root)
+      .as[(Long, Long)].collect().toMap
+    val batch = Sketches.hllRegisters(
+        graft.Tables(spark, sf, "events").select(col("user_id").cast("string").as("item")))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
