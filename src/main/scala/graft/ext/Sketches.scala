@@ -174,11 +174,76 @@ object Sketches {
        |    AS hll_est
        |FROM truth, s""".stripMargin
 
+  /** Equi-width HISTOGRAM QUANTILES — the sketch-family answer to
+    * percentiles (membership = Bloom, frequency = Count-Min, cardinality =
+    * HLL, quantiles = histogram): 256 fixed-width bins over [min, max],
+    * estimate = linear interpolation inside the target bin. Two passes
+    * (bounds, then counts) but each is a constant-width aggregate, the bin
+    * table is ≤256 rows (broadcast everywhere, cumulated by a broadcast
+    * self-join — no SinglePartition window), and counts MERGE by cell-wise
+    * addition once bin edges are shared — unlike the exact `percentile`,
+    * whose per-group sorted-buffer state grows with the data. Output pins
+    * the estimate against the exact interpolated percentile; the error
+    * bound is one bin width. */
+  def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val mm = x.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"),
+      expr("round(percentile(x, 0.5), 6)").as("e50"),
+      expr("round(percentile(x, 0.9), 6)").as("e90"),
+      expr("round(percentile(x, 0.99), 6)").as("e99"))
+    val bins = x.crossJoin(broadcast(mm.select("lo", "hi")))
+      .select(expr("CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = bins.toDF("b", "c")
+      .join(broadcast(bins.toDF("b2", "c2")), col("b2") <= col("b"))
+      .groupBy("b", "c").agg(sum("c2").as("cum"))
+    val quants = mm.select(
+      explode(array(lit(0.5d), lit(0.9d), lit(0.99d))).as("q"),
+      col("lo"), col("hi"), col("n"), col("e50"), col("e90"), col("e99"))
+    val tgtb = quants.join(broadcast(cum), col("cum") >= col("q") * col("n"))
+      .groupBy("q", "lo", "hi", "n", "e50", "e90", "e99").agg(min("b").as("b"))
+    tgtb.join(broadcast(cum), Seq("b"))
+      .select(col("q"),
+        round(expr("lo + ((hi - lo) / 256.0) * (b + (q * n - (cum - c)) / c)"), 6)
+          .as("est"),
+        when(col("q") === 0.5d, col("e50"))
+          .when(col("q") === 0.9d, col("e90"))
+          .otherwise(col("e99")).as("exact"))
+      .orderBy("q")
+  }
+
+  private val histQuantilesOracle: String =
+    s"""WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+       |mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n,
+       |         round(quantile_cont(x, 0.5), 6) AS e50,
+       |         round(quantile_cont(x, 0.9), 6) AS e90,
+       |         round(quantile_cont(x, 0.99), 6) AS e99
+       |       FROM x),
+       |bins AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT) AS b,
+       |           count(*) AS c
+       |         FROM x, mm GROUP BY 1),
+       |cum AS (SELECT a.b, a.c, CAST(sum(y.c2) AS BIGINT) AS cum
+       |        FROM bins a JOIN (SELECT b AS b2, c AS c2 FROM bins) y ON y.b2 <= a.b
+       |        GROUP BY a.b, a.c),
+       |quants AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+       |             lo, hi, n, e50, e90, e99 FROM mm),
+       |tgtb AS (SELECT q, lo, hi, n, e50, e90, e99, min(b) AS b
+       |         FROM quants JOIN cum ON cum >= q * n
+       |         GROUP BY q, lo, hi, n, e50, e90, e99)
+       |SELECT q,
+       |  round(lo + ((hi - lo) / 256.0) * (b + (q * n - (cum - c)) / c), 6) AS est,
+       |  CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END AS exact
+       |FROM tgtb JOIN cum USING (b)
+       |ORDER BY q ASC NULLS FIRST""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("x_sketch_countmin",
       (s, dir) => countMinTopTokens(s, dir),
       Some(countMinOracle)),
     Q("x_sketch_hll_md5",
       (s, dir) => hllDistinctTokens(s, dir),
-      Some(hllOracle)))
+      Some(hllOracle)),
+    Q("x_sketch_quantile_hist",
+      (s, dir) => histQuantiles(s, dir),
+      Some(histQuantilesOracle)))
 }

@@ -34,6 +34,19 @@ class SketchesSpec extends SparkSpec {
       s"HLL estimate $est vs true $truth")
   }
 
+  test("histogram quantiles: estimates land within one bin width of exact") {
+    val rows = Sketches.histQuantiles(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
+    val x = graft.Tables(spark, sf, "lineitem")
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    val binWidth = (x.getDouble(1) - x.getDouble(0)) / 256.0
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(est - exact) <= binWidth,
+        s"q=${r.getDouble(0)}: |$est - $exact| > bin width $binWidth")
+    }
+  }
+
   test("HLL: registers merge — sketch of the union equals max of the halves") {
     import spark.implicits._
     val d = graft.Tables(spark, sf, "documents")
