@@ -254,4 +254,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.output.map(_.name) == Seq("_id"), s"got ${scan.output}")
     assert(scan.inputRDD.getNumPartitions == 2) // limit 150 -> 2 pages planned
   }
+
+  test("round-6 tier plans: broadcast sketches/models, no pair nested loops") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Count-Min probe: the ≤1024-cell sketch must broadcast — shuffling the
+    // probe side against it would defeat the sketch's whole point.
+    assert(collectAll(plan("x_sketch_countmin")) {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "countmin probe should broadcast the cell table")
+    // DSIR: the K=64-bucket model joins the token stream as a broadcast —
+    // the scorer must stay scan-stage however large the corpus.
+    assert(collectAll(plan("x_pipeline_dsir")) {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "dsir should broadcast the bucket log-ratio model")
+    // All-pairs + linear probe + sketches: candidate generation is always
+    // keyed (postings, buckets) — a nested-loop/cartesian pair join would
+    // be the O(n²) failure mode at scale.
+    Seq("x_dedup_tfidf_allpairs", "x_pipeline_dsir", "x_feat_linear_probe",
+        "x_sketch_countmin", "x_sketch_hll_md5", "x_sketch_quantile_hist")
+      .foreach { name =>
+        val bad = collectAll(plan(name)) {
+          case j: BroadcastNestedLoopJoinExec
+            // 1-row bound/total tables legitimately cross-join in as
+            // broadcasts (quantile bounds, HLL truth row); anything bigger
+            // nested-looping is a real pair-join failure
+            if j.right.outputPartitioning.numPartitions > 1 => j
+          case c: CartesianProductExec => c
+        }
+        assert(bad.isEmpty, s"$name plans a non-broadcast pair join: $bad")
+      }
+  }
 }
