@@ -58,7 +58,13 @@ object Selection {
     * ln(p_target(bucket)/p_raw(bucket)), add-one smoothed; top `k` docs by
     * (w DESC, doc_id ASC). Log-ratios pass through an exact DECIMAL sum so
     * the per-doc mean is order-independent (the bigram-LM discipline). */
-  def dsirWeights(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+  def dsirWeights(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    dsirPerDoc(s, dir).select("doc_id", "n_toks", "w")
+      .orderBy(desc("w"), asc("doc_id")).limit(k)
+
+  /** Per-doc DSIR scores (doc_id, n_toks, w) — the shared scorer behind the
+    * ranked selection and the Gumbel resampler. */
+  private def dsirPerDoc(s: SparkSession, dir: String): DataFrame = {
     val b = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -80,12 +86,36 @@ object Selection {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         round(sum(col("lw").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6).as("w"))
-      .orderBy(desc("w"), asc("doc_id"))
+          / count(lit(1)), 6).as("w"),
+        // the SUMMED log-ratio — the paper's resampling logit (length
+        // matters: a long on-target doc outranks a short one)
+        round(sum(col("lw").cast("decimal(28,12)")).cast("double"), 6).as("ws"))
+  }
+
+  /** DSIR's RESAMPLING step — the paper draws the training set ∝ exp(w)
+    * WITHOUT replacement, which is exactly the Gumbel-top-k trick
+    * (Efraimidis & Spirakis 2006 / Vieira 2014): key = logit + Gumbel
+    * noise, take the global top-k. The logit is the doc's SUMMED log-ratio
+    * (the paper's form — length matters), and the "noise" is DETERMINISTIC:
+    * u = (md5-60(doc_id) mod 10⁶ + 0.5)/10⁶, g = ws − ln(−ln u) — so the
+    * sample is a pure function of doc ids (reproducible across engines,
+    * re-runs and partitionings, like every sampler in this engine), and the
+    * whole draw sits under the DuckDB hash gate. Plans as one scan-stage
+    * projection over the scorer plus TakeOrdered — no extra shuffle. */
+  def dsirGumbelSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    dsirPerDoc(s, dir)
+      .withColumn("u",
+        (pmod(graft.functions.Md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":dsirg"))), lit(1000000L))
+          .cast("double") + lit(0.5d)) / lit(1000000.0d))
+      .withColumn("g", col("ws") - log(-log(col("u"))))
+      .select(col("doc_id"), col("n_toks"), round(col("g"), 6).as("gumbel_key"))
+      .orderBy(desc("gumbel_key"), asc("doc_id"))
       .limit(k)
   }
 
-  private val dsirOracle: String =
+  /** Shared oracle prefix: per-doc DSIR scores as the `doc` CTE. */
+  private val dsirScoreCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents),
@@ -103,12 +133,28 @@ object Selection {
        |  FROM generate_series(0, ${DsirK - 1}) AS g(b)
        |  LEFT JOIN tc ON g.b = tc.b
        |  LEFT JOIN rc ON g.b = rc.b
-       |  CROSS JOIN tot)
-       |SELECT b.doc_id, count(*) AS n_toks,
-       |  round(CAST(sum(CAST(lw.lw AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS w
-       |FROM b JOIN lw ON b.b = lw.b
-       |GROUP BY b.doc_id
+       |  CROSS JOIN tot),
+       |doc AS (
+       |  SELECT b.doc_id, count(*) AS n_toks,
+       |    round(CAST(sum(CAST(lw.lw AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS w,
+       |    round(CAST(sum(CAST(lw.lw AS DECIMAL(28,12))) AS DOUBLE), 6) AS ws
+       |  FROM b JOIN lw ON b.b = lw.b
+       |  GROUP BY b.doc_id)""".stripMargin
+
+  private val dsirOracle: String =
+    s"""$dsirScoreCtes
+       |SELECT doc_id, n_toks, w FROM doc
        |ORDER BY w DESC, doc_id ASC
+       |LIMIT 100""".stripMargin
+
+  private val dsirSampleOracle: String =
+    s"""$dsirScoreCtes
+       |SELECT doc_id, n_toks,
+       |  round(ws - ln(-ln(
+       |    ((('0x' || substr(md5(doc_id::VARCHAR || ':dsirg'), 1, 15))::BIGINT
+       |       % 1000000)::DOUBLE + 0.5) / 1000000.0)), 6) AS gumbel_key
+       |FROM doc
+       |ORDER BY gumbel_key DESC, doc_id ASC
        |LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -231,6 +277,9 @@ object Selection {
     Q("x_pipeline_dsir",
       (s, dir) => dsirWeights(s, dir),
       Some(dsirOracle)),
+    Q("x_pipeline_dsir_sample",
+      (s, dir) => dsirGumbelSample(s, dir),
+      Some(dsirSampleOracle)),
     Q("x_feat_linear_probe",
       (s, dir) => linearProbe(s, dir),
       None)) // oracle generated post-run (weights are data-dependent)

@@ -31,6 +31,41 @@ class SelectionSpec extends SparkSpec {
     assert(a.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
   }
 
+  test("DSIR Gumbel resample: deterministic, exact Gumbel math, not just top-k") {
+    val a = Selection.dsirGumbelSample(spark, sf, k = 100).collect()
+    val b = Selection.dsirGumbelSample(spark, sf, k = 100).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // pure fn of ids
+    val sampled = a.map(_.getLong(0)).toSet
+    val ranked = Selection.dsirWeights(spark, sf, k = 100).collect()
+      .map(_.getLong(0)).toSet
+    // The Gumbel noise must actually randomize (≠ deterministic top-k; the
+    // fixture's per-token log-ratios are small, so noise should displace a
+    // meaningful share of the greedy ranking) ...
+    assert(sampled != ranked)
+    // ... and each key must be EXACTLY logit + Gumbel(md5-uniform):
+    // recompute the transform independently (Scala MessageDigest, not the
+    // engine's hash) for every sampled doc.
+    def md5u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:dsirg".getBytes("UTF-8"))
+      val hex = d.take(8).map(x => f"$x%02x").mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble + 0.5) / 1000000.0
+    }
+    val gk = a.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ws is not in the sample output; derive it from the same scorer used
+    // by the ranked query at full k (w = rounded mean, ws within rounding
+    // of w * n_toks — recompute from the per-doc token count instead).
+    val perDoc = Selection.dsirWeights(spark, sf, k = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    sampled.foreach { id =>
+      val (nToks, wMean) = perDoc(id)
+      val expected = wMean * nToks - math.log(-math.log(md5u(id)))
+      // wMean carries 1e-6 rounding, amplified by n_toks — bound accordingly.
+      assert(math.abs(gk(id) - expected) <= 5e-7 * nToks + 1e-6,
+        s"doc $id: key ${gk(id)} vs recomputed $expected")
+    }
+  }
+
   test("linear probe: weights exactly solve the ridge normal equations") {
     Selection.fittedWeights(spark, sf) // fit (and memoize)
     // Recompute G and b independently from the fixture and check the
