@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import graft.ops.Q
+import graft.ops.{GlobalWindows, Q}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -187,10 +187,35 @@ object Sketches {
     * bound is one bin width. */
   def histQuantiles(s: SparkSession, dir: String): DataFrame = {
     val x = Tables(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
-    val mm = x.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"),
-      expr("round(percentile(x, 0.5), 6)").as("e50"),
-      expr("round(percentile(x, 0.9), 6)").as("e90"),
-      expr("round(percentile(x, 0.99), 6)").as("e99"))
+    // Exact interpolated percentiles WITHOUT the built-in `percentile`
+    // aggregate: that one funnels every value into a single final buffer
+    // (5.4 s at sf0.1 — it was the whole query's cost, and it is exactly
+    // the single-task reduction this engine bans elsewhere). Instead:
+    // bucketed GLOBAL RANK (parallel sort, no SinglePartition), pick the
+    // two bracketing order statistics per q, and interpolate with the SAME
+    // formula Spark's Percentile uses — lower + (higher − lower)·(pos −
+    // floor(pos)), pos = q·(n−1) — which is the established quantile_cont
+    // parity. Ties order arbitrarily under row_number, but equal values
+    // make the picked order statistic well-defined regardless.
+    val ranked = GlobalWindows.withBucketedGlobalRank(
+      x, floor(col("x") / 512.0d).cast("long"), "rn", col("x"))
+    val nRow = x.agg(count(lit(1)).as("n"))
+    val qpos = nRow.select(
+        explode(array(lit(0.5d), lit(0.9d), lit(0.99d))).as("q"), col("n"))
+      .withColumn("pos", col("q") * (col("n") - lit(1L)).cast("double"))
+      .withColumn("lo_i", floor(col("pos")).cast("long"))
+    val exact = qpos
+      .join(ranked.select(col("rn").as("r1"), col("x").as("v1")),
+        col("r1") === col("lo_i") + 1L)
+      .join(ranked.select(col("rn").as("r2"), col("x").as("v2")),
+        col("r2") === col("lo_i") + 2L, "left")
+      .select(col("q"),
+        round(col("v1") + (coalesce(col("v2"), col("v1")) - col("v1"))
+          * (col("pos") - col("lo_i").cast("double")), 6).as("exact"))
+    val mm = x.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(exact.groupBy().pivot("q", Seq(0.5d, 0.9d, 0.99d))
+        .agg(first("exact"))
+        .toDF("e50", "e90", "e99")))
     val bins = x.crossJoin(broadcast(mm.select("lo", "hi")))
       .select(expr("CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT)").as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
