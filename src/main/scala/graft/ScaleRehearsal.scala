@@ -117,6 +117,17 @@ object ScaleRehearsal {
     }
     println(s"SCALE   tf-idf all-pairs=$apPairs (1% relative df cap; boilerplate capped out)")
 
+    // Sketch builds at 21×: ~8M token occurrences in, CONSTANT state out
+    // (≤1024 Count-Min cells, ≤64 HLL registers) — the property that makes
+    // a sketch the only per-corpus statistic whose maintenance cost never
+    // grows past a scan. Both are single map-side-combinable aggregates.
+    val items = spark.read.parquet(docsPath)
+      .select(explode(ext.TextAnalysis.tokens(col("text"))).as("item"))
+    val (cmCellCount, hllRegCount) = time("sketch_builds") {
+      (ext.Sketches.cmCells(items).count(), ext.Sketches.hllRegisters(items).count())
+    }
+    println(s"SCALE   count-min cells=$cmCellCount, hll registers=$hllRegCount")
+
     // Data-skipping rehearsal: the 105k-doc corpus committed range-clustered
     // on doc_id into 64 files, then a narrow id-range probe. The skipped
     // scan must plan ~1 file while the unclustered baseline scans all of
