@@ -100,22 +100,27 @@ object ScaleRehearsal {
     }
     println(s"SCALE   tokens removed by span cleaning=$removedToks")
 
-    // Sparse tf-idf all-pairs at 21×, with the df posting cap held RELATIVE
-    // to corpus size (1% of docs — maxDf 50 at 5k docs scales to 1,050 at
-    // 105k). The absolute-50 run returns 87,795 pairs: this synthetic
-    // corpus replicates a fixed 31-word vocabulary, so every shingle's df
-    // densifies ~21× and most informative shingles blow past an absolute
-    // cap (real corpora grow vocabulary with size; the relative rule is the
-    // production one). Under the relative cap every 20-strong duplicate
-    // group indexes its shared shingles (df ≈ 260-500) → ~C(20,2)
-    // candidates per group, linear in group count — while the 5,000-copy
-    // boilerplate group still sits past EITHER cap, so the posting index
-    // never touches it (12.5M same-bucket pairs avoided): exact-first
-    // routing owns byte-identical mirrors, the LSH hot-bucket discipline.
+    // Sparse tf-idf all-pairs at 21×, round 7: the Bayardo prefix filter
+    // replaces round 6's df caps entirely. Run the production composition —
+    // exact-first routing (byte-identical mirrors collapse to one min-id
+    // representative; the 15 identical copies per 20-group and the whole
+    // 5,000-copy boilerplate group fold BEFORE the similarity tier, exactly
+    // as tfidfAllPairs(s, dir) routes) — then the exact threshold join over
+    // the distinct-text reps. The r6 relative-df-cap run cost 126.4 s
+    // because every under-cap posting emitted all C(df,2) candidate pairs;
+    // the prefix budget excludes long postings FIRST, so candidates
+    // concentrate on rare shingles. Output semantics: every planted
+    // duplicate-group pair survives — each 20-group's 6 distinct texts
+    // (1 rep + 5 perturbations) pair completely (C(6,2) = 15 rep pairs,
+    // which expand via the exact-dup groups back to all C(20,2) member
+    // pairs), and the boilerplate group is one rep with no partner.
+    val apReps = spark.read.parquet(docsPath)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
     val apPairs = time("tfidf_allpairs") {
-      ext.Dedup.tfidfAllPairsOf(spark.read.parquet(docsPath), maxDf = 1050).count()
+      ext.Dedup.tfidfAllPairsOf(apReps).count()
     }
-    println(s"SCALE   tf-idf all-pairs=$apPairs (1% relative df cap; boilerplate capped out)")
+    println(s"SCALE   tf-idf all-pairs=$apPairs (Bayardo prefix over exact-deduped reps)")
 
     // Sketch builds at 21×: ~8M token occurrences in, CONSTANT state out
     // (≤1024 Count-Min cells, ≤64 HLL registers) — the property that makes

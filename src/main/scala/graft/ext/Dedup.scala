@@ -541,34 +541,50 @@ object Dedup {
       .select(col("a"), col("b"), col("j_raw"))
   }
 
-  /** Sparse TF-IDF ALL-PAIRS similarity join (Bayardo et al. 2007, "Scaling
-    * Up All Pairs Similarity Search" — the prefix-filter shape): candidate
-    * pairs come from an INVERTED INDEX over each doc's top-`m` informative
-    * terms, then the exact weighted cosine runs over the FULL tf-idf
-    * vectors for candidates only. The weighted-cosine sibling of
-    * [[ngramJaccardEdges]]: shingle Jaccard is set overlap in a bounded id
-    * window; this is GLOBAL similarity — any two docs anywhere in the
-    * corpus can pair — with the candidate fan-out bounded instead by the
-    * index (≤ m postings per doc) and a document-frequency cap (df ≤
-    * `maxDf` keeps a boilerplate term from generating C(n,2) pairs; the
-    * hot-bucket discipline of the LSH tier applied to postings). Top-m
-    * indexing is the standard recall trade of the simplified prefix filter:
-    * a pair sharing only non-top-m terms is not a candidate — the oracle
-    * mirrors the same rule, so the gate checks the IMPLEMENTED semantics.
+  /** Sparse TF-IDF ALL-PAIRS similarity join — EXACT at the threshold, with
+    * candidate generation prefix-filtered per Bayardo et al. 2007 ("Scaling
+    * Up All Pairs Similarity Search", WWW; the norm-budget simplification of
+    * their maxweight bound). Per doc, terms are ordered by GLOBAL df
+    * descending (longest postings first) and the maximal prefix whose
+    * squared tf-idf mass stays strictly under `threshold · ‖d‖²` is left
+    * UNINDEXED; the rare tail is indexed. A pair both of whose shared terms
+    * all fall in both docs' unindexed sets has, by Cauchy–Schwarz,
+    * cosine ≤ (‖U_a‖/‖a‖)·(‖U_b‖/‖b‖) < √t·√t = t — so joining the index
+    * against the FULL (df ≥ 2) posting list finds EVERY pair at or above
+    * the threshold. No recall knob, no df cap: unlike round 6's top-m
+    * heuristic (whose output depended on which candidates the index
+    * happened to emit), the result is a pure function of the corpus and the
+    * threshold — both engines may generate different sound candidate
+    * supersets and still agree bit-for-bit after the cosine filter, which
+    * is why the DuckDB oracle uses the plain all-shared-terms join.
+    *
+    * The pruning win is the same as Bayardo's: high-df terms (long, pair-
+    * explosive postings) are precisely the ones the budget excludes first,
+    * so candidate cost concentrates on rare postings. The degenerate case —
+    * thousands of byte-identical copies, where the TRUE output is
+    * quadratic — is owned by exact-first routing ([[tfidfAllPairs]] runs
+    * over distinct-text representatives, like [[dedupCorpus]]); no
+    * candidate scheme can beat a quadratic answer set.
     *
     * TERMS ARE 3-GRAM SHINGLES, not unigrams — a measured decision: the
-    * synthetic corpus draws from a 31-word vocabulary whose every unigram
-    * has df in the thousands, so no unigram is ever informative (df ≤
-    * maxDf matched 0 terms at sf0.1 and on the 21× rehearsal corpus, where
-    * min unigram df is 5,000). Word-ORDER n-grams are where document
-    * identity lives in such a corpus; shingle vocabulary grows with the
-    * corpus, keeping the informative band populated at every scale.
-    * Per-pair dot products accumulate as DECIMAL(28,12) (order-independent);
-    * the tf-idf formula mirrors x_text_tfidf's text with len_d = shingle
-    * positions. */
-  def tfidfAllPairs(s: SparkSession, dir: String, m: Int = 5,
-                    maxDf: Int = 50, threshold: Double = 0.5): DataFrame =
-    tfidfAllPairsOf(docs(s, dir), m, maxDf, threshold)
+    * synthetic rehearsal corpus draws from a 31-word vocabulary whose every
+    * unigram has df in the thousands, so no unigram is ever informative.
+    * Word-ORDER n-grams are where document identity lives in such a corpus;
+    * shingle vocabulary grows with the corpus, keeping the informative band
+    * populated at every scale. Per-pair dot products accumulate as
+    * DECIMAL(28,12) (order-independent); the tf-idf formula mirrors
+    * x_text_tfidf's text with len_d = shingle positions and n_docs = the
+    * UNFILTERED input corpus count (the x_text_tfidf convention — the
+    * ≥3-token shingle guard shapes the term universe, not the idf base). */
+  def tfidfAllPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    tfidfAllPairsOf(
+      // Exact-first routing: byte-identical mirrors collapse to their min
+      // doc_id representative BEFORE the similarity tier — the quadratic
+      // C(copies,2) pair set of a boilerplate group is exact dedup's
+      // answer (x_dedup_exact), not all-pairs'.
+      docs(s, dir).groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "text"),
+      threshold)
 
   /** Raw (multiplicity-keeping) shingle stream — tf counts occurrences, so
     * this deliberately does NOT reuse the distinct [[shingleExpr]]. */
@@ -576,8 +592,7 @@ object Dedup {
     "transform(sequence(1, size(toks) - 2), " +
       "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
 
-  def tfidfAllPairsOf(docsDf: DataFrame, m: Int = 5,
-                      maxDf: Int = 50, threshold: Double = 0.5): DataFrame = {
+  def tfidfAllPairsOf(docsDf: DataFrame, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docsDf.withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= 3) // shingle universe; also guards the
@@ -592,24 +607,45 @@ object Dedup {
       .select(col("doc_id"), graft.functions.Md5Hash60(col("sh")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = d.agg(count(lit(1)).as("n_docs"))
+    // idf base = the UNFILTERED input corpus (ADVICE r6: the ≥3-token guard
+    // must not leak into n_docs, or Spark and the oracle diverge on any
+    // corpus holding a short doc).
+    val n = docsDf.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(lens, "doc_id").join(dfreq, "word")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("df"),
         ((col("c") / col("len_d")) *
           log(col("n_docs").cast("double") / col("df"))).as("w"))
-      .localCheckpoint() // feeds index, both score sides and norms (4 uses)
+      .localCheckpoint() // feeds budget, index, postings, both score sides
+                         // and norms (6 uses)
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
         .as("nrm"))
-    val idx = w.filter(col("df").between(2, maxDf))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(desc("w"), asc("word"))))
-      .filter(col("rk") <= m)
+    // Bayardo prefix: walk each doc's df ≥ 2 terms longest-posting-first,
+    // accumulating squared weight; everything while the running (inclusive)
+    // mass stays strictly under t·‖d‖² can go unindexed. ‖d‖² here is the
+    // FULL squared norm (df = 1 terms included — they can never be shared,
+    // so they are unindexed for free and only widen the budget). The
+    // (1 − 1e-9) slack indexes marginally MORE under fp noise — the sound
+    // direction; and since output never depends on which sound superset the
+    // candidates form, the fp-sensitivity of this cutoff is immaterial.
+    val n2 = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val shared = w.filter(col("df") >= lit(2)).select("doc_id", "word", "w", "df")
+    val idx = shared.join(n2, "doc_id")
+      .withColumn("csum", sum(col("w") * col("w")).over(
+        Window.partitionBy("doc_id").orderBy(desc("df"), asc("word"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("csum") >= col("n2") * lit(threshold * (1 - 1e-9)))
       .select(col("doc_id"), col("word"))
-    val cand = idx.toDF("a", "word").join(idx.toDF("b", "word"), Seq("word"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Index joined against the FULL df ≥ 2 postings — a pair escapes only
+    // if every shared term is unindexed on BOTH sides, which the budget
+    // proves impossible at cosine ≥ t.
+    val cand = idx.select(col("doc_id").as("pa"), col("word"))
+      .join(shared.select(col("doc_id").as("pb"), col("word")), Seq("word"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
     cand
       .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), Seq("a"))
       .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")),
@@ -624,9 +660,14 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  private def tfidfAllPairsOracle(m: Int, maxDf: Int, threshold: Double): String =
-    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-       |           FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+  /** The oracle side needs no prefix filter: at oracle scale the plain
+    * all-shared-(df ≥ 2)-terms join is itself a sound candidate superset,
+    * and any two sound supersets produce the identical post-filter output —
+    * the property that makes the exact semantics portable. */
+  private def tfidfAllPairsOracle(threshold: Double): String =
+    s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM reps WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
        |lens AS (SELECT doc_id, len(toks) - 2 AS len_d FROM d),
        |tf AS (SELECT doc_id,
        |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS word, count(*) AS c
@@ -636,7 +677,7 @@ object Dedup {
        |             FROM d)
        |       GROUP BY doc_id, word),
        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |n AS (SELECT count(*) AS n_docs FROM reps),
        |w AS (SELECT tf.doc_id, tf.word, dfreq.df,
        |        (c / len_d) * ln(CAST(n_docs AS DOUBLE) / df) AS w
        |      FROM tf JOIN lens ON tf.doc_id = lens.doc_id
@@ -644,12 +685,9 @@ object Dedup {
        |norms AS (SELECT doc_id,
        |        sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
        |      FROM w GROUP BY doc_id),
-       |idx AS (SELECT doc_id, word FROM (
-       |        SELECT doc_id, word, row_number() OVER (PARTITION BY doc_id
-       |          ORDER BY w DESC, word ASC) AS rk
-       |        FROM w WHERE df BETWEEN 2 AND $maxDf) WHERE rk <= $m),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |      FROM idx x JOIN idx y ON x.word = y.word AND x.doc_id < y.doc_id),
+       |      FROM w x JOIN w y ON x.word = y.word AND x.doc_id < y.doc_id
+       |      WHERE x.df >= 2),
        |dots AS (SELECT cand.a, cand.b,
        |        CAST(sum(CAST(wa.w * wb.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
        |      FROM cand
@@ -666,7 +704,7 @@ object Dedup {
 
     Q("x_dedup_tfidf_allpairs",
       (s, dir) => tfidfAllPairs(s, dir),
-      Some(tfidfAllPairsOracle(5, 50, 0.5))),
+      Some(tfidfAllPairsOracle(0.5))),
 
     // Exact dedup — one representative (min doc_id) per identical text.
     Q("x_dedup_exact",

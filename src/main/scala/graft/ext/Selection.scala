@@ -79,8 +79,11 @@ object Selection {
     val lw = s.range(DsirK).select(col("id").as("b"))
       .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left").crossJoin(tot)
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1.0d)) / (col("tt") + lit(64.0d)))
-          - log((coalesce(col("cr"), lit(0L)) + lit(1.0d)) / (col("rt") + lit(64.0d))))
+        // Add-one smoothing over the K-bucket domain: the denominator's
+        // pseudo-count mass is one per bucket, i.e. DsirK — derived, so a
+        // K change can never leave smoothing pinned at a stale constant.
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0d)) / (col("tt") + lit(DsirK.toDouble)))
+          - log((coalesce(col("cr"), lit(0L)) + lit(1.0d)) / (col("rt") + lit(DsirK.toDouble))))
           .as("lw"))
     b.join(broadcast(lw), Seq("b"))
       .groupBy("doc_id")
@@ -128,8 +131,8 @@ object Selection {
        |tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt, (SELECT sum(cr) FROM rc) AS rt),
        |lw AS (
        |  SELECT g.b,
-       |    ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 64.0))
-       |      - ln((coalesce(rc.cr, 0) + 1.0) / (tot.rt + 64.0)) AS lw
+       |    ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + $DsirK.0))
+       |      - ln((coalesce(rc.cr, 0) + 1.0) / (tot.rt + $DsirK.0)) AS lw
        |  FROM generate_series(0, ${DsirK - 1}) AS g(b)
        |  LEFT JOIN tc ON g.b = tc.b
        |  LEFT JOIN rc ON g.b = rc.b

@@ -216,8 +216,14 @@ object Sketches {
       .crossJoin(broadcast(exact.groupBy().pivot("q", Seq(0.5d, 0.9d, 0.99d))
         .agg(first("exact"))
         .toDF("e50", "e90", "e99")))
+    // Zero-width guard: a constant column (hi = lo) would divide by zero —
+    // Spark (non-ANSI) yields NULL where DuckDB yields IEEE inf, the exact
+    // engine divergence momentFinal guards against. Degenerate input maps
+    // every value to bin 0 and the estimate to lo directly, mirrored
+    // verbatim in the oracle text.
     val bins = x.crossJoin(broadcast(mm.select("lo", "hi")))
-      .select(expr("CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT)").as("b"))
+      .select(expr("CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT) END").as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
     val cum = bins.toDF("b", "c")
       .join(broadcast(bins.toDF("b2", "c2")), col("b2") <= col("b"))
@@ -229,7 +235,8 @@ object Sketches {
       .groupBy("q", "lo", "hi", "n", "e50", "e90", "e99").agg(min("b").as("b"))
     tgtb.join(broadcast(cum), Seq("b"))
       .select(col("q"),
-        round(expr("lo + ((hi - lo) / 256.0) * (b + (q * n - (cum - c)) / c)"), 6)
+        round(expr("CASE WHEN hi = lo THEN lo ELSE " +
+          "lo + ((hi - lo) / 256.0) * (b + (q * n - (cum - c)) / c) END"), 6)
           .as("est"),
         when(col("q") === 0.5d, col("e50"))
           .when(col("q") === 0.9d, col("e90"))
@@ -244,7 +251,8 @@ object Sketches {
        |         round(quantile_cont(x, 0.9), 6) AS e90,
        |         round(quantile_cont(x, 0.99), 6) AS e99
        |       FROM x),
-       |bins AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT) AS b,
+       |bins AS (SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE
+       |             CAST(least(floor((x - lo) / ((hi - lo) / 256.0)), 255.0) AS BIGINT) END AS b,
        |           count(*) AS c
        |         FROM x, mm GROUP BY 1),
        |cum AS (SELECT a.b, a.c, CAST(sum(y.c2) AS BIGINT) AS cum
@@ -256,7 +264,8 @@ object Sketches {
        |         FROM quants JOIN cum ON cum >= q * n
        |         GROUP BY q, lo, hi, n, e50, e90, e99)
        |SELECT q,
-       |  round(lo + ((hi - lo) / 256.0) * (b + (q * n - (cum - c)) / c), 6) AS est,
+       |  round(CASE WHEN hi = lo THEN lo ELSE
+       |    lo + ((hi - lo) / 256.0) * (b + (q * n - (cum - c)) / c) END, 6) AS est,
        |  CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END AS exact
        |FROM tgtb JOIN cum USING (b)
        |ORDER BY q ASC NULLS FIRST""".stripMargin

@@ -285,4 +285,76 @@ class DedupSpec extends SparkSpec {
         s"unexpected pair ($a,$b)")
     }
   }
+
+  test("tf-idf all-pairs: Bayardo prefix output equals brute force exactly") {
+    import spark.implicits._
+    // Adversarial corpus for the prefix filter's soundness proof:
+    //  - a 10-doc cluster whose similarity lives ONLY in HIGH-df shared
+    //    grams (a common stem, df = 10, plus a tiny unique tail) — the
+    //    case round 6's df-cap heuristic could drop, and the first thing
+    //    the df-descending budget tries to leave unindexed;
+    //  - a classic near-dup pair (mostly-shared rare grams);
+    //  - SHORT docs (< 3 tokens, no shingles) that still count in n_docs
+    //    (the ADVICE r6 idf-base fix — brute force counts them too);
+    //  - df=1 filler that must never pair.
+    // 30-token stem → 28 shared shingles (df = 10) vs 2 unique per doc:
+    // within-cluster cosine ≈ 0.63 (hand-checked), comfortably past 0.5,
+    // with similarity carried ENTIRELY by the high-df grams.
+    val stem = (1 to 30).map(i => s"common$i").mkString(" ")
+    val cluster = (1L to 10L).map(i => (i, s"$stem tail${i}a tail${i}b"))
+    val near = Seq((21L, "rare alpha beta gamma delta epsilon zeta"),
+                   (22L, "rare alpha beta gamma delta epsilon eta"))
+    val shorts = Seq((31L, "hi there"), (32L, "x"))
+    val filler = (41L to 60L).map(i =>
+      (i, (1 to 8).map(j => s"f${i}w$j").mkString(" ")))
+    val corpus = (cluster ++ near ++ shorts ++ filler).toSeq
+    val docsDf = corpus.toDF("doc_id", "text")
+
+    // Brute force in plain Scala — same md5-60 convention, same formula.
+    def md560(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val nDocs = corpus.size.toDouble // UNFILTERED count, shorts included
+    val vecs = corpus.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      if (toks.length < 3) None
+      else {
+        val lenD = (toks.length - 2).toDouble
+        val tf = toks.sliding(3).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, o) => md560(g) -> o.size }
+        Some(id -> (lenD, tf))
+      }
+    }.toMap
+    val dfreq = vecs.values.flatMap(_._2.keys).groupBy(identity)
+      .map { case (wd, o) => wd -> o.size }
+    val weights = vecs.map { case (id, (lenD, tf)) =>
+      id -> tf.map { case (wd, c) =>
+        wd -> (c / lenD) * math.log(nDocs / dfreq(wd)) }
+    }
+    val ids = weights.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      wa = weights(a); wb = weights(b)
+      dot = wa.keysIterator.filter(wb.contains).map(k => wa(k) * wb(k)).sum
+      na = math.sqrt(wa.values.map(x => x * x).sum)
+      nb = math.sqrt(wb.values.map(x => x * x).sum)
+      cos = dot / (na * nb) if cos >= 0.5
+    } yield (a, b) -> cos).toMap
+
+    val got = Dedup.tfidfAllPairsOf(docsDf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1e-5, s"cosine mismatch at $k: ${got(k)} vs $c")
+    }
+    // The high-df cluster must be fully paired — C(10,2) pairs among ids
+    // 1..10 — proving no long-posting candidate loss.
+    val clusterPairs = expected.keySet.count { case (a, b) => a <= 10 && b <= 10 }
+    assert(clusterPairs == 45, s"expected full C(10,2) cluster, got $clusterPairs")
+  }
 }
