@@ -81,6 +81,28 @@ object Bench {
     val passes = s"""{"a":{"load_before":$loadBeforeA,"wall":$passAWall},""" +
       s""""b":{"load_before":$loadBeforeB,"wall":$passBWall},"load_end":$loadEnd}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load_avg":$loadEnd,"passes":$passes,"sf":"$sfDir"}""")
+    // Self-contained bench artifact (VERDICT r6 #6): the driver's tail
+    // buffer truncates the one-line JSON above — only ~55 of 182 per-query
+    // times survived in the committed BENCH_r06. Persist the FULL record
+    // (both pass observations per query, not just the min) into the repo so
+    // round-over-round comparison never depends on the driver's buffer.
+    // Round number = one past the newest driver bench artifact present.
+    try {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+        .map(_.replaceAll("\\D", "").toInt).foldLeft(0)(math.max) + 1
+      val detail = SparkEntry.registry.map { q =>
+        val a = passA(q.name).map(_.toString).getOrElse("null")
+        val b = passB(q.name).map(_.toString).getOrElse("null")
+        s""""${q.name}":{"a":$a,"b":$b}"""
+      }.mkString("{", ",", "}")
+      val full = s"""{"round":$round,"metric":"total","value":$total,""" +
+        s""""unit":"sec","queries":$qs,"detail":$detail,"failed":$failed,""" +
+        s""""passes":$passes,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_results_r$round.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // never fail the bench on a read-only cwd
     spark.stop()
   }
 }

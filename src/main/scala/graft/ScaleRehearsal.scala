@@ -100,20 +100,21 @@ object ScaleRehearsal {
     }
     println(s"SCALE   tokens removed by span cleaning=$removedToks")
 
-    // Sparse tf-idf all-pairs at 21×, round 7: the Bayardo prefix filter
-    // replaces round 6's df caps entirely. Run the production composition —
-    // exact-first routing (byte-identical mirrors collapse to one min-id
-    // representative; the 15 identical copies per 20-group and the whole
-    // 5,000-copy boilerplate group fold BEFORE the similarity tier, exactly
-    // as tfidfAllPairs(s, dir) routes) — then the exact threshold join over
-    // the distinct-text reps. The r6 relative-df-cap run cost 126.4 s
-    // because every under-cap posting emitted all C(df,2) candidate pairs;
-    // the prefix budget excludes long postings FIRST, so candidates
-    // concentrate on rare shingles. Output semantics: every planted
-    // duplicate-group pair survives — each 20-group's 6 distinct texts
-    // (1 rep + 5 perturbations) pair completely (C(6,2) = 15 rep pairs,
-    // which expand via the exact-dup groups back to all C(20,2) member
-    // pairs), and the boilerplate group is one rep with no partner.
+    // Sparse tf-idf all-pairs at 21×, round 7: the L2AP-lite exact join
+    // (Bayardo prefix + partial-dot prune) replaces round 6's df caps.
+    // Production composition — exact-first routing (byte-identical mirrors
+    // collapse to one min-id representative; the 15 identical copies per
+    // 20-group and the whole 5,000-copy boilerplate group fold BEFORE the
+    // similarity tier, exactly as tfidfAllPairs(s, dir) routes) — then the
+    // exact threshold join over distinct-text reps. r6's relative cap cost
+    // 126.4 s emitting all C(df,2) per posting; here one aggregation over
+    // the index-join rows bounds every overlapping pair and only ~90k
+    // survivors pay the exact re-join (20.3 s cold / 10.0 s warm).
+    // Output semantics: every planted duplicate-group pair survives — each
+    // 20-group's 6 distinct texts (1 rep + 5 perturbations) pair
+    // completely (C(6,2) = 15 rep pairs, expanding via the exact-dup
+    // groups back to all C(20,2) member pairs), and the boilerplate group
+    // is one rep with no partner.
     val apReps = spark.read.parquet(docsPath)
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text")

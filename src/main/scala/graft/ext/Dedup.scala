@@ -621,32 +621,64 @@ object Dedup {
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
         .as("nrm"))
-    // Bayardo prefix: walk each doc's df ≥ 2 terms longest-posting-first,
-    // accumulating squared weight; everything while the running (inclusive)
-    // mass stays strictly under t·‖d‖² can go unindexed. ‖d‖² here is the
-    // FULL squared norm (df = 1 terms included — they can never be shared,
-    // so they are unindexed for free and only widen the budget). The
-    // (1 − 1e-9) slack indexes marginally MORE under fp noise — the sound
-    // direction; and since output never depends on which sound superset the
-    // candidates form, the fp-sensitivity of this cutoff is immaterial.
+    // Prefix index with budget β = t/2 (the L2AP refinement of the Bayardo
+    // prefix — Anastasiu & Karypis 2014): walk each doc's df ≥ 2 terms
+    // longest-posting-first, accumulating NORMALIZED squared weight; the
+    // maximal prefix strictly under β·‖d‖² goes unindexed. β < t buys a
+    // per-PAIR prune: the partial dot aggregated from the index join alone
+    // already accounts for every shared term indexed in EITHER doc, and the
+    // unaccounted remainder (shared terms unindexed in both) is, by
+    // Cauchy–Schwarz, < su_a·su_b < β — so any pair whose
+    // partial + su_a·su_b falls below t is provably below threshold and is
+    // dropped WITHOUT ever re-joining the full vectors. That re-join was
+    // round 7's first attempt's cliff: candidates × full-doc terms blew to
+    // ~850M rows at 21× (188 s); the partial-dot agg sees only the matched
+    // rows (~33M) once. ‖d‖² includes df = 1 terms (never shareable —
+    // unindexed for free, they only widen the budget). The (1 − 1e-9)
+    // slack indexes marginally MORE under fp noise — the sound direction.
+    val beta = threshold / 2
     val n2 = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val shared = w.filter(col("df") >= lit(2)).select("doc_id", "word", "w", "df")
-    val idx = shared.join(n2, "doc_id")
+    // Flagged, normalized df ≥ 2 postings: ŵ = w/‖d‖, idx flag from the
+    // running-mass cutoff, and the doc's normalized suffix norm su (the
+    // unindexed mass actually left — ≤ √β by construction, usually less).
+    val flagged = w.filter(col("df") >= lit(2))
+      .join(n2, "doc_id")
       .withColumn("csum", sum(col("w") * col("w")).over(
         Window.partitionBy("doc_id").orderBy(desc("df"), asc("word"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("csum") >= col("n2") * lit(threshold * (1 - 1e-9)))
-      .select(col("doc_id"), col("word"))
-    // Index joined against the FULL df ≥ 2 postings — a pair escapes only
-    // if every shared term is unindexed on BOTH sides, which the budget
-    // proves impossible at cosine ≥ t.
-    val cand = idx.select(col("doc_id").as("pa"), col("word"))
-      .join(shared.select(col("doc_id").as("pb"), col("word")), Seq("word"))
+      .withColumn("idx", col("csum") >= col("n2") * lit(beta * (1 - 1e-9)))
+      .withColumn("wn", col("w") / sqrt(col("n2")))
+      .select("doc_id", "word", "wn", "idx")
+      .localCheckpoint()
+    val suDf = flagged
+      .groupBy("doc_id")
+      .agg(sqrt(coalesce(sum(when(!col("idx"), col("wn") * col("wn"))), lit(0.0)))
+        .as("su"))
+    // Directed match rows, each shared-term contribution emitted EXACTLY
+    // once: the indexed side drives, and a term indexed in both docs is
+    // kept only from the lower id (no distinct needed).
+    val a = flagged.select(col("doc_id").as("pa"), col("word"),
+      col("wn").as("wa"), col("idx").as("ia"))
+    val b = flagged.select(col("doc_id").as("pb"), col("word"),
+      col("wn").as("wb"), col("idx").as("ib"))
+    val partial = a.filter(col("ia")).join(b, Seq("word"))
       .filter(col("pa") =!= col("pb"))
+      .filter(!col("ib") || col("pa") < col("pb"))
       .select(least(col("pa"), col("pb")).as("a"),
-        greatest(col("pa"), col("pb")).as("b"))
-      .distinct()
-    cand
+        greatest(col("pa"), col("pb")).as("b"),
+        (col("wa") * col("wb")).as("p"))
+      .groupBy("a", "b").agg(sum(col("p")).as("s1"))
+    // Sound prune: dot̂ ≤ s1 + su_a·su_b (remainder is Cauchy–Schwarz over
+    // both docs' unindexed suffixes). 1e-9 margin absorbs double-sum noise.
+    val survivors = partial
+      .join(broadcast(suDf.select(col("doc_id").as("a"), col("su").as("sua"))), Seq("a"))
+      .join(broadcast(suDf.select(col("doc_id").as("b"), col("su").as("sub"))), Seq("b"))
+      .filter(col("s1") + col("sua") * col("sub") >= lit(threshold - 1e-9))
+      .select("a", "b")
+    // Exact completion for the (few) survivors only — the same decimal
+    // accumulation and final quotient the oracle spells, so the emitted
+    // cosine is bit-identical to a no-prune run.
+    survivors
       .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), Seq("a"))
       .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")),
         Seq("b", "word"))

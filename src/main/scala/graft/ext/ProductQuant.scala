@@ -55,8 +55,10 @@ object ProductQuant {
     * with the shared rounded-distance expression, never taken from MLlib's
     * internal labels (cross-engine argmin — the ivfBuild rationale). */
   def pqBuild(s: SparkSession, dir: String): String = synchronized {
-    pqRoots.getOrElseUpdate(dir, {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // Version-keyed memo (VERDICT r6 #5): corpus fingerprint in key + root.
+    val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
+    pqRoots.getOrElseUpdate(vdir, {
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft-pq-$tag-m$m-k$ksub").getAbsolutePath
       if (SnapshotTable.currentVersion(s, s"$root/codes").isEmpty ||
@@ -91,19 +93,19 @@ object ProductQuant {
         import s.implicits._
         SnapshotTable.commit(s, s"$root/codebooks",
           books.toDF("sub", "code", "centroid", "cnorm2"))
-        pqCodebookCache.put(dir, books)
+        pqCodebookCache.put(vdir, books)
       }
       root
     })
-    if (!pqCodebookCache.contains(dir)) {
-      val books = SnapshotTable.read(s, s"${pqRoots(dir)}/codebooks")
+    if (!pqCodebookCache.contains(vdir)) {
+      val books = SnapshotTable.read(s, s"${pqRoots(vdir)}/codebooks")
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
         .sortBy(b => (b._1, b._2))
-      pqCodebookCache.put(dir, books)
+      pqCodebookCache.put(vdir, books)
     }
-    pqLastDir = Some(dir)
-    pqRoots(dir)
+    pqLastDir = Some(vdir)
+    pqRoots(vdir)
   }
 
   /** Compressed store (vec_id, codes) from the build artifact. */
@@ -198,8 +200,9 @@ object ProductQuant {
     * Residual code assignment is the shared rounded-distance argmin over
     * the FINAL codebooks (the pqBuild/ivfBuild rationale). */
   def ivfadcBuild(s: SparkSession, dir: String, lists: Int = nLists): String = synchronized {
-    ivfadcRoots.getOrElseUpdate((dir, lists), {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
+    ivfadcRoots.getOrElseUpdate((vdir, lists), {
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-ivfadc-$tag-m$m-k$ksub-l$lists").getAbsolutePath
       if (SnapshotTable.currentVersion(s, s"$root/codes").isEmpty ||
@@ -238,17 +241,17 @@ object ProductQuant {
       }
       root
     })
-    if (!ivfadcCache.contains((dir, lists))) {
+    if (!ivfadcCache.contains((vdir, lists))) {
       val cents = Similarity.ivfCentroids(s, dir, lists).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      val books = SnapshotTable.read(s, s"${ivfadcRoots((dir, lists))}/codebooks")
+      val books = SnapshotTable.read(s, s"${ivfadcRoots((vdir, lists))}/codebooks")
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
         .sortBy(b => (b._1, b._2))
-      ivfadcCache.put((dir, lists), (cents, books))
+      ivfadcCache.put((vdir, lists), (cents, books))
     }
-    if (lists == nLists) ivfadcLastDir = Some(dir)
-    ivfadcRoots((dir, lists))
+    if (lists == nLists) ivfadcLastDir = Some(vdir)
+    ivfadcRoots((vdir, lists))
   }
 
   /** Residual-code occupancy per subspace — the build-absorbing inventory

@@ -104,8 +104,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** Memoized IVF build roots: one quantizer build per (corpus dir, nLists)
-    * per JVM; across JVMs the committed SnapshotTable is reused. */
+  /** Corpus content version: fingerprint of the source parquet's file
+    * inventory (name, length, mtime — the cheap driver-side stat every
+    * table format's snapshot id abstracts). Folded into every build-
+    * artifact cache key AND artifact root (VERDICT r6 #5), so an in-place
+    * regeneration of the corpus can never serve stale centroids/codebooks:
+    * the key changes, the memo misses, and a fresh root rebuilds. */
+  def corpusVersion(dir: String, table: String = "embeddings"): String = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    val entries =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+      else Seq(f)
+    val sig = entries.map(e => s"${e.getName}:${e.length}:${e.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
+  /** Memoized IVF build roots: one quantizer build per (corpus version,
+    * nLists) per JVM; across JVMs the committed SnapshotTable is reused. */
   private val ivfRoots = new scala.collection.concurrent.TrieMap[(String, Int), String]()
 
   /** Fitted centroids per (dir, nLists), for dynamic oracle generation:
@@ -135,9 +152,10 @@ object Similarity {
     * seeded random init replaces kmeans||'s extra init passes — equivalent
     * assignment quality for a coarse quantizer. */
   def ivfBuild(s: SparkSession, dir: String, nLists: Int = 8): String = synchronized {
-    ivfRoots.getOrElseUpdate((dir, nLists), {
+    val vdir = s"$dir@${corpusVersion(dir)}"
+    ivfRoots.getOrElseUpdate((vdir, nLists), {
       import graft.ops.SnapshotTable
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" + nLists
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_") + "-" + nLists
       val root = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft-ivf-$tag").getAbsolutePath
       val aRoot = s"$root/assignments"
@@ -181,16 +199,16 @@ object Similarity {
       }
       root
     })
-    if (!ivfCentroidCache.contains((dir, nLists))) {
+    if (!ivfCentroidCache.contains((vdir, nLists))) {
       import graft.ops.SnapshotTable
-      val cents = SnapshotTable.read(s, s"${ivfRoots((dir, nLists))}/centroids")
+      val cents = SnapshotTable.read(s, s"${ivfRoots((vdir, nLists))}/centroids")
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      ivfCentroidCache.put((dir, nLists), cents)
+      ivfCentroidCache.put((vdir, nLists), cents)
     }
-    ivfLastKey = Some((dir, nLists))
-    ivfRoots((dir, nLists))
+    ivfLastKey = Some((vdir, nLists))
+    ivfRoots((vdir, nLists))
   }
 
   /** IVF coarse assignments (vec_id, list_id) — reads the build artifact
