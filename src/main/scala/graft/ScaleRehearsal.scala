@@ -161,16 +161,23 @@ object ScaleRehearsal {
   /** Synthesize (once) the 21×-sf0.1 dedup corpus: 100k docs in 20-strong
     * duplicate groups (15 byte-identical + 5 near-perturbed) plus a 5k-copy
     * boilerplate group. Returns the corpus dir. */
-  private def scaleCorpus(spark: SparkSession): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale").getAbsolutePath
+  /** Synthetic corpus at `mult`× sf0.1 rows: (mult−1) copies per base doc
+    * (every 4th copy near-dup-perturbed, the rest byte-identical) plus a
+    * 5,000-row boilerplate mirror group. mult=21 is the historical dedup
+    * rehearsal scale; mult=50 exercises the ingest tier's sublinearity
+    * claim (VERDICT r6 #4). */
+  private def scaleCorpus(spark: SparkSession, mult: Int = 21): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      if (mult == 21) "graft-scale" else s"graft-scale-$mult").getAbsolutePath
     val docsPath = s"$dir/documents.parquet"
     if (!new java.io.File(docsPath).exists()) {
       val base = Tables(spark, "/root/testdata/sf0.1", "documents")
-      val copies = (0 until 20).map { i =>
+      val copies = (0 until (mult - 1)).map { i =>
         base.select(
           (col("doc_id") * 100 + i).as("doc_id"),
-          // 15 of 20 copies byte-identical (exact-dup groups), 5 perturbed by
-          // one appended token (near-dups, jaccard ≈ (n-1)/(n+2) for long docs)
+          // 3 of 4 copies byte-identical (exact-dup groups), every 4th
+          // perturbed by one appended token (near-dups, jaccard ≈
+          // (n-1)/(n+2) for long docs)
           (if (i % 4 == 0) concat(col("text"), lit(s" perturbed$i")) else col("text")).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
@@ -201,8 +208,17 @@ object ScaleRehearsal {
     * corpus and the deliberate replayed append — the rehearsal measures the
     * whole thing and asserts the three categories land exactly. */
   private def ingestLeg(spark: SparkSession): Unit = {
-    import ext.{Ingest, TextAnalysis}
-    val dir = scaleCorpus(spark)
+    // VERDICT r6 #4: the SAME shard against a 21× and a 50× corpus, with
+    // the one-time index bootstrap timed separately from the per-drop probe
+    // cycle — the probe's wall must track the SHARD, not the corpus.
+    ingestLegAt(spark, 21)
+    ingestLegAt(spark, 50)
+  }
+
+  private def ingestLegAt(spark: SparkSession, mult: Int): Unit = {
+    import ext.{Dedup, Ingest, TextAnalysis}
+    import graft.ops.SnapshotTable
+    val dir = scaleCorpus(spark, mult)
     val corpus = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
     val nCorpus = corpus.count()
@@ -229,7 +245,7 @@ object ScaleRehearsal {
         .unionByName(reps.select((col("bid") + 930000000L).as("doc_id"),
           concat_ws(" ", reverse(col("toks"))).as("text"),
           lit("shard_new").as("source")))
-    println(s"SCALE ingest corpus=$nCorpus shard=${3 * nReps} (3×$nReps planted)")
+    println(s"SCALE ingest[${mult}x] corpus=$nCorpus shard=${3 * nReps} (3×$nReps planted)")
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -238,9 +254,21 @@ object ScaleRehearsal {
       r
     }
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-scale-ingest-v1").getAbsolutePath
-    val inv = time("ingest_cycle_near") {
-      Ingest.ingestCycleNear(spark, corpus, shard, root, "graft-scale-ingest")
+      s"graft-scale-ingest-m$mult-v2").getAbsolutePath
+    val appId = s"graft-scale-ingest-$mult"
+    // One-time bootstrap (corpus-sized, amortized over every future drop):
+    // corpus table + skinny probe index (sha256 + MinHash sig per doc),
+    // exactly the appendOnce batches the cycle would run — so the cycle
+    // call below no-ops them and its wall is the PER-DROP cost alone.
+    time(s"ingest_bootstrap_${mult}x") {
+      SnapshotTable.appendOnce(spark, root, corpus, appId, 0L)
+      SnapshotTable.appendOnce(spark, root + "-sig",
+        corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .join(Dedup.md5Signatures(corpus, 64), Seq("doc_id"), "left"),
+        appId + "-sig", 0L)
+    }
+    val inv = time(s"ingest_probe_cycle_${mult}x") {
+      Ingest.ingestCycleNear(spark, corpus, shard, root, appId)
         .cache()
     }
     val byCat = inv.groupBy("source")
@@ -373,5 +401,23 @@ object ScaleRehearsal {
       hits / (qids.size * 10.0)
     }
     println(f"SCALE   ivfadc recall@10 = $ivfadcRecall%.3f over ${qids.size} queries (8/256 lists probed)")
+
+    // BATCH probe (VERDICT r6 #3 done-criterion): the same 20 queries
+    // through ONE ivfadcTopKAll plan. The single-query loop above pays 20
+    // separate jobs (each re-reading its probed lists and re-broadcasting
+    // its LUT); the batch plan shares the codes scan and ships one LUT for
+    // the whole batch, so per-query cost must come in well under the
+    // single-query ~1 s — recorded in SCALE.md next to the loop's number.
+    val batchQ = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val batchRecall = time("ivfadc_batch_20q") {
+      val got = ext.ProductQuant.ivfadcTopKAll(spark, dir, batchQ, k = 10,
+          shortlist = 100, lists = nLists, probe = nprobe)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      qids.map(qid => bruteTop(qid).intersect(got.getOrElse(qid, Set.empty)).size).sum /
+        (qids.size * 10.0)
+    }
+    println(f"SCALE   ivfadc BATCH recall@10 = $batchRecall%.3f over ${qids.size} queries in one plan")
   }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
       ext.Similarity.ivfOracles.map { case (k, v) => k -> normalize(v) } ++
       ext.ProductQuant.pqOracles.map { case (k, v) => k -> normalize(v) } ++
       ext.ProductQuant.ivfadcOracles.map { case (k, v) => k -> normalize(v) } ++
+      ext.GraphOps.pagerankConvOracles.map { case (k, v) => k -> normalize(v) } ++
       ext.Selection.probeOracles.map { case (k, v) => k -> normalize(v) }).toMap
 
   /** Collapse the triple-quoted indentation to a single-line SQL string —

@@ -33,8 +33,9 @@ object GraphOps {
   /** Unrolled 3-iteration integer-ppm PageRank oracle (chained CTEs — a
     * fixed iteration count needs no recursion, which keeps the oracle in
     * plain DuckDB SQL; recursive CTE terms disallow aggregates anyway). */
-  private def pagerankOracle: String = {
-    val steps = (1 to 3).map { i =>
+  /** Shared oracle scaffold: the graph CTEs plus `depth` chained rounds. */
+  private def prOracleBase(depth: Int): String = {
+    val steps = (1 to depth).map { i =>
       s"""c$i AS (SELECT e.dst AS node, CAST(sum(r${i - 1}.r // o.outdeg) AS BIGINT) AS sc
          |        FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.node
          |        JOIN outdeg o ON e.src = o.src
@@ -42,15 +43,18 @@ object GraphOps {
          | r$i AS (SELECT n.node, CAST(150000 + (850000 * coalesce(c$i.sc, 0)) // 1000000 AS BIGINT) AS r
          |        FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
     }.mkString(",\n ")
-    s"""WITH base AS (SELECT DISTINCT l_suppkey AS sn, l_partkey + 1000000 AS pn FROM lineitem),
+    s"""base AS (SELECT DISTINCT l_suppkey AS sn, l_partkey + 1000000 AS pn FROM lineitem),
        | edges AS (SELECT sn AS src, pn AS dst FROM base
        |           UNION ALL SELECT pn AS src, sn AS dst FROM base),
        | outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        | nodes AS (SELECT DISTINCT src AS node FROM edges),
        | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-       | $steps
-       |SELECT node, r AS rank_ppm FROM r3 ORDER BY node ASC NULLS FIRST""".stripMargin
+       | $steps""".stripMargin
   }
+
+  private def pagerankOracle: String =
+    s"""WITH ${prOracleBase(3)}
+       |SELECT node, r AS rank_ppm FROM r3 ORDER BY node ASC NULLS FIRST""".stripMargin
 
   /** Build-once adjacency artifact for [[pagerank]] (VERDICT r5 next-round
     * #4): the outdeg-joined edge list, REPARTITIONED BY src before the
@@ -102,39 +106,112 @@ object GraphOps {
       (edgesDeg, nodes)
     })
 
+  /** One integer-ppm PageRank round: the equi join rank⋈edges
+    * (co-partitioned against the src-partitioned artifact; broadcast at
+    * fixture scale) and one grouped sum — bounded shuffles keyed by node
+    * id, no driver-side state.
+    *
+    * Overflow-safe damping: 850000 * sc wraps int64 once sc exceeds
+    * ~1e13 (a hub with ~1e7 in-degree at full rank) and Spark's non-ANSI
+    * mode would wrap SILENTLY. Split sc = q*1e6 + m: 850000*q*1e6 is
+    * exactly divisible, so floor((850000*sc)/1e6) = 850000*q +
+    * floor(850000*m/1e6) with every intermediate < 8.5e11 per unit of q.
+    * Value-identical to the oracle's HUGEINT arithmetic. */
+  private def prRound(nodes: DataFrame, edgesDeg: DataFrame,
+                      rank: DataFrame): DataFrame = {
+    val contrib = edgesDeg
+      .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+    val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+    nodes.join(sums, Seq("node"), "left")
+      .select(col("node"),
+        expr("""CAST(150000
+                + 850000 * (coalesce(sc, CAST(0 AS BIGINT)) div 1000000)
+                + (850000 * (coalesce(sc, CAST(0 AS BIGINT)) % 1000000)) div 1000000
+                AS BIGINT)""").as("r"))
+  }
+
   /** Three integer-ppm PageRank rounds over the (bidirected) supplier↔part
-    * graph. Per round: one equi join rank⋈edges (co-partitioned against the
-    * src-partitioned artifact; broadcast at fixture scale), one grouped
-    * sum — bounded shuffles keyed by node id, no driver-side state. */
+    * graph. */
   def pagerank(s: SparkSession, dir: String, iterations: Int = 3): DataFrame = {
     val (edgesDeg, nodes) = edgeArtifact(s, dir)
     var rank = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to iterations) {
-      val contrib = edgesDeg
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
-      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
-      // Overflow-safe damping: 850000 * sc wraps int64 once sc exceeds
-      // ~1e13 (a hub with ~1e7 in-degree at full rank) and Spark's non-ANSI
-      // mode would wrap SILENTLY. Split sc = q*1e6 + m: 850000*q*1e6 is
-      // exactly divisible, so floor((850000*sc)/1e6) = 850000*q +
-      // floor(850000*m/1e6) with every intermediate < 8.5e11 per unit of q.
-      // Value-identical to the oracle's HUGEINT arithmetic.
-      rank = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          expr("""CAST(150000
-                  + 850000 * (coalesce(sc, CAST(0 AS BIGINT)) div 1000000)
-                  + (850000 * (coalesce(sc, CAST(0 AS BIGINT)) % 1000000)) div 1000000
-                  AS BIGINT)""").as("r"))
-    }
+    for (_ <- 1 to iterations) rank = prRound(nodes, edgesDeg, rank)
     rank.select(col("node"), col("r").as("rank_ppm")).orderBy("node")
   }
+
+  /** Converged depths per corpus version, for dynamic oracle generation
+    * (the ivfCentroidCache mechanism: by Verify-dump time the query has
+    * run, so the depth the loop actually took is in hand and the oracle
+    * chains exactly that many CTE rounds). */
+  private val prConvDepths = new scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private var prConvLastKey: Option[String] = None
+
+  /** PageRank ITERATED TO CONVERGENCE (VERDICT r6 #7): the same integer-ppm
+    * round as [[pagerank]], looping until the max per-node rank change
+    * drops below `epsPpm` (or `maxIter`). The loop is the production shape
+    * of iterative graph algorithms on Spark:
+    *
+    *   - each round's rank table is cut with an EAGER localCheckpoint, so
+    *     plan depth stays one round deep no matter how many rounds run
+    *     (lineage growth is what kills long iterative jobs — the CC-loop
+    *     discipline);
+    *   - the convergence probe is a ONE-row aggregate (max |Δr|) per
+    *     round: the driver sees a scalar, never data;
+    *   - per-round cost is constant (the cached src-partitioned adjacency
+    *     artifact + one irreducible contribution shuffle), so total wall
+    *     scales linearly in rounds — measured in the bench, where this
+    *     query runs ~3× the 3-round twin's depth.
+    *
+    * Deltas contract by the damping factor (measured: ×0.85/round from
+    * ~1.7e7 ppm on every fixture SF — the power-method rate), so depth is
+    * log(delta0/eps)/log(1/0.85): the default eps of 3e6 ppm (three units
+    * of initial rank mass) lands at 11–13 rounds on the fixtures — deep
+    * enough to prove the loop's per-round cost is flat, shallow enough
+    * that the depth-matched chained-CTE oracle stays tractable (DuckDB's
+    * join-order search degenerates near depth ~60). A production run just
+    * turns eps down and pays more of the same constant-cost rounds. */
+  def pagerankConverged(s: SparkSession, dir: String, epsPpm: Long = 3000000L,
+                        maxIter: Int = 40): DataFrame = {
+    val (edgesDeg, nodes) = edgeArtifact(s, dir)
+    var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    var it = 0
+    var delta = Long.MaxValue
+    while (it < maxIter && delta >= epsPpm) {
+      val next = prRound(nodes, edgesDeg, rank).localCheckpoint()
+      delta = next.join(rank.select(col("node"), col("r").as("rp")), Seq("node"))
+        .agg(max(abs(col("r") - col("rp")))).head().getLong(0)
+      rank = next
+      it += 1
+    }
+    val key = s"$dir@${Similarity.corpusVersion(dir, "lineitem")}"
+    prConvDepths.put(key, it)
+    prConvLastKey = Some(key)
+    rank.select(col("node"), col("r").as("rank_ppm"), lit(it).as("iters"))
+      .orderBy("node")
+  }
+
+  /** Dynamic oracle: chain exactly the depth the converged loop took. */
+  def pagerankConvOracles: Map[String, String] =
+    prConvLastKey.flatMap(prConvDepths.get) match {
+      case None => Map.empty
+      case Some(depth) =>
+        Map("x_graph_pagerank_conv" ->
+          s"""WITH ${prOracleBase(depth)}
+             |SELECT node, r AS rank_ppm, $depth AS iters FROM r$depth
+             |ORDER BY node ASC NULLS FIRST""".stripMargin)
+    }
 
   val qs: Seq[Q] = Seq(
 
     Q("x_graph_pagerank",
       (s, dir) => pagerank(s, dir),
       Some(pagerankOracle)),
+
+    // Iterate-until-|Δ|<ε PageRank (depth-matched dynamic oracle).
+    Q("x_graph_pagerank_conv",
+      (s, dir) => pagerankConverged(s, dir),
+      None),
 
     // Triangle counting over the SIGNIFICANT part co-occurrence graph
     // (edge ⟺ two parts share ≥2 distinct orders — the market-basket

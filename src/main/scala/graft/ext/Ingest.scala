@@ -136,7 +136,9 @@ object Ingest {
   def incrementalCurationNear(s: SparkSession, dir: String,
                               minToks: Int = 10, minTtr: Double = 0.3,
                               bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val root = ingestRoot(dir + "#near", minToks, minTtr)
+    // "#near2": root bumped when the index schema gained the sha256 column
+    // (round 7) — a stale-on-disk v1 index must bootstrap fresh, not fail.
+    val root = ingestRoot(dir + "#near2", minToks, minTtr)
     val all = docs(s, dir)
     val corpus0 = all.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("source"))
@@ -158,16 +160,25 @@ object Ingest {
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sigRoot = root + "-sig"
     SnapshotTable.appendOnce(s, root, corpus0, appId, 0L)
-    // Signature-index bootstrap, derived from the COMMITTED corpus table so
-    // index and table can never drift (same exactly-once batch discipline).
+    // Index bootstrap, derived from the COMMITTED corpus table so index and
+    // table can never drift (same exactly-once batch discipline). The index
+    // is the SKINNY per-drop probe surface: one row per doc with BOTH the
+    // exact sha256 and the MinHash signature (sig is null for sub-3-token
+    // docs, which cannot shingle but must still block exact recrawls) — so
+    // a cycle never re-reads corpus TEXT except for the few verify
+    // candidates. Per-drop cost is O(shard) + O(skinny index scan): ~40
+    // bytes/doc instead of multi-KB documents (the 50× rehearsal
+    // quantifies this, SCALE.md).
+    def indexRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(Dedup.md5Signatures(df, bands * rowsPerBand), Seq("doc_id"), "left")
     SnapshotTable.appendOnce(s, sigRoot,
-      Dedup.md5Signatures(SnapshotTable.read(s, root), bands * rowsPerBand),
-      appId + "-sig", 0L)
+      indexRows(SnapshotTable.read(s, root)), appId + "-sig", 0L)
 
     val corpusTbl = SnapshotTable.read(s, root)
-    val corpusIdx = corpusTbl.select(sha2(col("text"), 256).as("h")).distinct()
+    val sigIdx = SnapshotTable.read(s, sigRoot)
     val exactSurv = shard.withColumn("h", sha2(col("text"), 256))
-      .join(corpusIdx, Seq("h"), "left_anti").drop("h")
+      .join(sigIdx.select("h").distinct(), Seq("h"), "left_anti").drop("h")
 
     // Near probe: band the shard signatures against the persisted index.
     val bandExpr = expr(
@@ -175,10 +186,11 @@ object Ingest {
         (1 to rowsPerBand).map(i => s"element_at(sig, b * $rowsPerBand + $i)")
           .mkString(", ") + "))")
     def banded(sigDf: DataFrame, idAs: String): DataFrame =
-      sigDf.select(col("doc_id").as(idAs),
-        posexplode(bandExpr).as(Seq("band_id", "band_key")))
-    val cands = banded(Dedup.md5Signatures(exactSurv, bands * rowsPerBand), "b")
-      .join(banded(SnapshotTable.read(s, sigRoot), "c"), Seq("band_id", "band_key"))
+      sigDf.filter(col("sig").isNotNull)
+        .select(col("doc_id").as(idAs),
+          posexplode(bandExpr).as(Seq("band_id", "band_key")))
+    val cands = banded(indexRows(exactSurv), "b")
+      .join(banded(sigIdx, "c"), Seq("band_id", "band_key"))
       .select(col("b"), col("c")).distinct()
       .localCheckpoint() // candidates are tiny; don't replay the sig pipeline per use
     // Exact verify on candidates only: shingle sets built for candidate ids
@@ -210,7 +222,7 @@ object Ingest {
     val vIngest = SnapshotTable.appendOnce(s, root, curated, appId, 1L)
     SnapshotTable.appendOnce(s, root, curated, appId, 1L)
     SnapshotTable.appendOnce(s, sigRoot,
-      Dedup.md5Signatures(curated, bands * rowsPerBand), appId + "-sig", 1L)
+      indexRows(curated), appId + "-sig", 1L)
 
     val ingested = SnapshotTable.changes(s, root, vIngest - 1, Some(vIngest))
       .select(col("doc_id"), lit(true).as("ingested"))
