@@ -148,35 +148,26 @@ object Ingest {
       minToks, minTtr, bands, rowsPerBand)
   }
 
-  /** The GENERALIZED near-dup-aware ingest cycle — the API a production
-    * pipeline calls once per crawl drop (the registered query above is this
-    * cycle applied to the fixture's odd/even split). `corpus0` bootstraps
-    * the standing corpus as exactly-once batch 0 (a no-op when the root
-    * already exists); `shard` is the arriving drop. Returns the post-ingest
-    * inventory (doc_id, source, ingested). */
-  def ingestCycleNear(s: SparkSession, corpus0: DataFrame, shard: DataFrame,
-                      root: String, appId: String,
-                      minToks: Int = 10, minTtr: Double = 0.3,
-                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigRoot = root + "-sig"
-    SnapshotTable.appendOnce(s, root, corpus0, appId, 0L)
-    // Index bootstrap, derived from the COMMITTED corpus table so index and
-    // table can never drift (same exactly-once batch discipline). The index
-    // is the SKINNY per-drop probe surface: one row per doc with BOTH the
-    // exact sha256 and the MinHash signature (sig is null for sub-3-token
-    // docs, which cannot shingle but must still block exact recrawls) — so
-    // a cycle never re-reads corpus TEXT except for the few verify
-    // candidates. Per-drop cost is O(shard) + O(skinny index scan): ~40
-    // bytes/doc instead of multi-KB documents (the 50× rehearsal
-    // quantifies this, SCALE.md).
-    def indexRows(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-        .join(Dedup.md5Signatures(df, bands * rowsPerBand), Seq("doc_id"), "left")
-    SnapshotTable.appendOnce(s, sigRoot,
-      indexRows(SnapshotTable.read(s, root)), appId + "-sig", 0L)
+  /** The SKINNY per-drop probe index: one row per doc with BOTH the exact
+    * sha256 and the MinHash signature (sig is null for sub-3-token docs,
+    * which cannot shingle but must still block exact recrawls) — so a
+    * probe never re-reads corpus TEXT except for the few verify
+    * candidates. Per-drop cost is O(shard) + O(skinny index scan): ~40
+    * bytes/doc instead of multi-KB documents (the 50× rehearsal
+    * quantifies this, SCALE.md). */
+  def indexRows(df: DataFrame, perms: Int = 64): DataFrame =
+    df.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(Dedup.md5Signatures(df, perms), Seq("doc_id"), "left")
 
-    val corpusTbl = SnapshotTable.read(s, root)
-    val sigIdx = SnapshotTable.read(s, sigRoot)
+  /** The per-drop probe shared by the batch cycle and the streaming sink:
+    * exact-hash anti-join against the index's h column, banded MinHash
+    * probe + jaccard verify against its sig column, then the curation
+    * gates. `corpusTbl` supplies text ONLY for the verify candidates
+    * (broadcast-semi-join restricted). Returns the curated survivors
+    * (doc_id, text, source). */
+  def probeAndCurate(shard: DataFrame, corpusTbl: DataFrame, sigIdx: DataFrame,
+                     minToks: Int = 10, minTtr: Double = 0.3,
+                     bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val exactSurv = shard.withColumn("h", sha2(col("text"), 256))
       .join(sigIdx.select("h").distinct(), Seq("h"), "left_anti").drop("h")
 
@@ -189,7 +180,7 @@ object Ingest {
       sigDf.filter(col("sig").isNotNull)
         .select(col("doc_id").as(idAs),
           posexplode(bandExpr).as(Seq("band_id", "band_key")))
-    val cands = banded(indexRows(exactSurv), "b")
+    val cands = banded(indexRows(exactSurv, bands * rowsPerBand), "b")
       .join(banded(sigIdx, "c"), Seq("band_id", "band_key"))
       .select(col("b"), col("c")).distinct()
       .localCheckpoint() // candidates are tiny; don't replay the sig pipeline per use
@@ -210,11 +201,35 @@ object Ingest {
       .select(col("b").as("doc_id")).distinct()
     val deduped = exactSurv.join(nearIds, Seq("doc_id"), "left_anti")
 
-    val curated = deduped
+    deduped
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= minToks &&
         size(array_distinct(col("toks"))) / size(col("toks")) > minTtr)
       .select(col("doc_id"), col("text"), col("source"))
+  }
+
+  /** The GENERALIZED near-dup-aware ingest cycle — the API a production
+    * pipeline calls once per crawl drop (the registered query above is this
+    * cycle applied to the fixture's odd/even split). `corpus0` bootstraps
+    * the standing corpus as exactly-once batch 0 (a no-op when the root
+    * already exists); `shard` is the arriving drop. Returns the post-ingest
+    * inventory (doc_id, source, ingested). */
+  def ingestCycleNear(s: SparkSession, corpus0: DataFrame, shard: DataFrame,
+                      root: String, appId: String,
+                      minToks: Int = 10, minTtr: Double = 0.3,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigRoot = root + "-sig"
+    SnapshotTable.appendOnce(s, root, corpus0, appId, 0L)
+    // Index bootstrap, derived from the COMMITTED corpus table so index and
+    // table can never drift (same exactly-once batch discipline).
+    SnapshotTable.appendOnce(s, sigRoot,
+      indexRows(SnapshotTable.read(s, root), bands * rowsPerBand),
+      appId + "-sig", 0L)
+
+    val corpusTbl = SnapshotTable.read(s, root)
+    val sigIdx = SnapshotTable.read(s, sigRoot)
+    val curated = probeAndCurate(shard, corpusTbl, sigIdx,
+      minToks, minTtr, bands, rowsPerBand)
 
     // Exactly-once append + deliberate replay (see incrementalCuration), and
     // the signature index advances in lockstep: batch 1 appends the
@@ -222,7 +237,7 @@ object Ingest {
     val vIngest = SnapshotTable.appendOnce(s, root, curated, appId, 1L)
     SnapshotTable.appendOnce(s, root, curated, appId, 1L)
     SnapshotTable.appendOnce(s, sigRoot,
-      indexRows(curated), appId + "-sig", 1L)
+      indexRows(curated, bands * rowsPerBand), appId + "-sig", 1L)
 
     val ingested = SnapshotTable.changes(s, root, vIngest - 1, Some(vIngest))
       .select(col("doc_id"), lit(true).as("ingested"))
@@ -233,13 +248,16 @@ object Ingest {
       .orderBy("doc_id")
   }
 
-  /** DuckDB twin of the near-dup-aware cycle: the signature/banding math is
-    * recomputed from text with the same interpolated seed literals as
+  /** One [[probeAndCurate]] step as a reusable suffixed CTE block: probes
+    * `shardSrc` against `corpusSrc`, leaving `curated_$tag` (doc_id, text,
+    * source) in scope. The signature/banding math is recomputed from text
+    * with the same interpolated seed literals as
     * [[Dedup.md5MinhashOracleSql]] — what the gate verifies is that the
     * PERSISTED index the Spark side probes holds exactly the values the
     * math demands. */
-  private def nearCurationOracle(minToks: Int, minTtr: Double,
-                                 bands: Int, rowsPerBand: Int): String = {
+  private def nearProbeCtes(tag: String, corpusSrc: String, shardSrc: String,
+                            minToks: Int, minTtr: Double,
+                            bands: Int, rowsPerBand: Int): String = {
     val sigList = Dedup.md5SigSql(bands * rowsPerBand)
     val bandKey = Dedup.bandKeySql(rowsPerBand)
     val shgOf = (src: String) =>
@@ -247,53 +265,77 @@ object Ingest {
          |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $src)
          |  WHERE len(t) >= 3""".stripMargin
+    s"""ex_$tag AS (
+       |  SELECT * FROM $shardSrc s WHERE NOT EXISTS (
+       |    SELECT 1 FROM $corpusSrc c WHERE c.text = s.text)),
+       |shg_s_$tag AS (${shgOf(s"ex_$tag")}),
+       |hs_s_$tag AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shash
+       |  FROM shg_s_$tag),
+       |sig_s_$tag AS (SELECT doc_id, $sigList AS sig FROM hs_s_$tag),
+       |shg_c_$tag AS (${shgOf(corpusSrc)}),
+       |hs_c_$tag AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shash
+       |  FROM shg_c_$tag),
+       |sig_c_$tag AS (SELECT doc_id, $sigList AS sig FROM hs_c_$tag),
+       |banded_s_$tag AS (
+       |  SELECT doc_id, g.b AS band_id, $bandKey AS band_key
+       |  FROM sig_s_$tag, generate_series(0, ${bands - 1}) AS g(b)),
+       |banded_c_$tag AS (
+       |  SELECT doc_id, g.b AS band_id, $bandKey AS band_key
+       |  FROM sig_c_$tag, generate_series(0, ${bands - 1}) AS g(b)),
+       |cand_$tag AS (
+       |  SELECT DISTINCT s.doc_id AS b, c.doc_id AS c
+       |  FROM banded_s_$tag s JOIN banded_c_$tag c
+       |    ON s.band_id = c.band_id AND s.band_key = c.band_key),
+       |near_$tag AS (
+       |  SELECT DISTINCT cd.b FROM cand_$tag cd
+       |  JOIN hs_s_$tag ha ON ha.doc_id = cd.b
+       |  JOIN hs_c_$tag hb ON hb.doc_id = cd.c
+       |  WHERE len(list_intersect(ha.shash, hb.shash))
+       |      / (len(ha.shash) + len(hb.shash) - len(list_intersect(ha.shash, hb.shash))) >= 0.5),
+       |deduped_$tag AS (
+       |  SELECT * FROM ex_$tag e WHERE NOT EXISTS (
+       |    SELECT 1 FROM near_$tag n WHERE n.b = e.doc_id)),
+       |curated_$tag AS (
+       |  SELECT doc_id, text, source FROM deduped_$tag
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $minToks
+       |    AND len(list_distinct(string_split_regex(trim(text), '\\s+')))
+       |      / len(string_split_regex(trim(text), '\\s+')) > $minTtr)""".stripMargin
+  }
+
+  private def nearCurationOracle(minToks: Int, minTtr: Double,
+                                 bands: Int, rowsPerBand: Int): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
        |shard AS (
        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1),
-       |ex AS (
-       |  SELECT * FROM shard s WHERE NOT EXISTS (
-       |    SELECT 1 FROM corpus c WHERE c.text = s.text)),
-       |shg_s AS (${shgOf("ex")}),
-       |hs_s AS (
-       |  SELECT doc_id,
-       |    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shash
-       |  FROM shg_s),
-       |sig_s AS (SELECT doc_id, $sigList AS sig FROM hs_s),
-       |shg_c AS (${shgOf("corpus")}),
-       |hs_c AS (
-       |  SELECT doc_id,
-       |    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shash
-       |  FROM shg_c),
-       |sig_c AS (SELECT doc_id, $sigList AS sig FROM hs_c),
-       |banded_s AS (
-       |  SELECT doc_id, g.b AS band_id, $bandKey AS band_key
-       |  FROM sig_s, generate_series(0, ${bands - 1}) AS g(b)),
-       |banded_c AS (
-       |  SELECT doc_id, g.b AS band_id, $bandKey AS band_key
-       |  FROM sig_c, generate_series(0, ${bands - 1}) AS g(b)),
-       |cand AS (
-       |  SELECT DISTINCT s.doc_id AS b, c.doc_id AS c
-       |  FROM banded_s s JOIN banded_c c
-       |    ON s.band_id = c.band_id AND s.band_key = c.band_key),
-       |near AS (
-       |  SELECT DISTINCT cd.b FROM cand cd
-       |  JOIN hs_s ha ON ha.doc_id = cd.b
-       |  JOIN hs_c hb ON hb.doc_id = cd.c
-       |  WHERE len(list_intersect(ha.shash, hb.shash))
-       |      / (len(ha.shash) + len(hb.shash) - len(list_intersect(ha.shash, hb.shash))) >= 0.5),
-       |deduped AS (
-       |  SELECT * FROM ex WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.b = ex.doc_id)),
-       |curated AS (
-       |  SELECT doc_id, source FROM deduped
-       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $minToks
-       |    AND len(list_distinct(string_split_regex(trim(text), '\\s+')))
-       |      / len(string_split_regex(trim(text), '\\s+')) > $minTtr)
+       |${nearProbeCtes("1", "corpus", "shard", minToks, minTtr, bands, rowsPerBand)}
        |SELECT doc_id, source, FALSE AS ingested FROM corpus
        |UNION ALL
-       |SELECT doc_id, source, TRUE AS ingested FROM curated
+       |SELECT doc_id, source, TRUE AS ingested FROM curated_1
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
-  }
+
+  /** Chained two-micro-batch oracle for the streamed ingest's batch twin:
+    * batch 2 probes corpus ∪ batch 1's survivors — the advanced index. */
+  private def nearTwoBatchOracle(minToks: Int, minTtr: Double,
+                                 bands: Int, rowsPerBand: Int): String =
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 0),
+       |b1 AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 1),
+       |b2 AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 2),
+       |${nearProbeCtes("1", "corpus0", "b1", minToks, minTtr, bands, rowsPerBand)},
+       |corpus1 AS (SELECT doc_id, text, source FROM corpus0
+       |            UNION ALL SELECT doc_id, text, source FROM curated_1),
+       |${nearProbeCtes("2", "corpus1", "b2", minToks, minTtr, bands, rowsPerBand)}
+       |SELECT doc_id, source, CAST(0 AS BIGINT) AS ingest_batch FROM corpus0
+       |UNION ALL
+       |SELECT doc_id, source, CAST(1 AS BIGINT) AS ingest_batch FROM curated_1
+       |UNION ALL
+       |SELECT doc_id, source, CAST(2 AS BIGINT) AS ingest_batch FROM curated_2
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   // Dedup is NOT EXISTS, not NOT IN (ADVICE r5): a single NULL corpus text
   // would make NOT IN yield zero shard rows in DuckDB while the Spark
@@ -318,11 +360,45 @@ object Ingest {
        |SELECT doc_id, source, TRUE AS ingested FROM curated
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** BATCH TWIN of the streamed near-dup ingest (VERDICT r6 #2): the
+    * sequential two-micro-batch semantics as one deterministic DataFrame —
+    * batch 1 probes the bootstrap corpus, batch 2 probes corpus ∪ batch 1's
+    * survivors (the index ADVANCES between micro-batches, so a batch-2 doc
+    * near-duplicating a batch-1 doc is dropped even though neither is in
+    * the bootstrap corpus). [[graft.streaming.Streams.nearDupIngestSink]]
+    * runs the identical probe per micro-batch against the PERSISTED
+    * SnapshotTable index; IngestStreamSpec asserts inventory equality with
+    * this twin and exactly-once behavior under a replayed batch. */
+  def nearDupIngestTwoBatch(corpus0: DataFrame, b1: DataFrame, b2: DataFrame,
+                            minToks: Int = 10, minTtr: Double = 0.3,
+                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val perms = bands * rowsPerBand
+    val cur1 = probeAndCurate(b1, corpus0, indexRows(corpus0, perms),
+      minToks, minTtr, bands, rowsPerBand).localCheckpoint()
+    val corpus1 = corpus0.unionByName(cur1)
+    val cur2 = probeAndCurate(b2, corpus1, indexRows(corpus1, perms),
+      minToks, minTtr, bands, rowsPerBand)
+    corpus0.select(col("doc_id"), col("source"), lit(0L).as("ingest_batch"))
+      .unionByName(cur1.select(col("doc_id"), col("source"),
+        lit(1L).as("ingest_batch")))
+      .unionByName(cur2.select(col("doc_id"), col("source"),
+        lit(2L).as("ingest_batch")))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_pipeline_incremental",
       (s, dir) => incrementalCuration(s, dir),
       Some(curationOracle(10, 0.3))),
     Q("x_pipeline_incremental_near",
       (s, dir) => incrementalCurationNear(s, dir),
-      Some(nearCurationOracle(10, 0.3, 16, 4))))
+      Some(nearCurationOracle(10, 0.3, 16, 4))),
+    Q("st_ingest_neardup",
+      (s, dir) => {
+        val all = docs(s, dir)
+        def part(r: Int) = all.filter(col("doc_id") % 3 === r)
+          .select("doc_id", "text", "source")
+        nearDupIngestTwoBatch(part(0), part(1), part(2))
+      },
+      Some(nearTwoBatchOracle(10, 0.3, 16, 4))))
 }

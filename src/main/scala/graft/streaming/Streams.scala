@@ -200,6 +200,45 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed near-dup-aware ingest (VERDICT r6 #2): the reference's
+    * scheduled incremental sync as a Structured Streaming job. Each
+    * micro-batch runs the SAME probe as the batch cycle
+    * ([[graft.ext.Ingest.probeAndCurate]]: exact sha256 anti-join, banded
+    * MinHash probe + jaccard verify, curation gates) against the PERSISTED
+    * corpus + signature SnapshotTables — read FRESH per batch, so the
+    * index the probe sees always includes every previously ingested batch
+    * (a batch-2 doc near-duplicating a batch-1 doc is dropped even though
+    * neither is in the bootstrap corpus) — then lands survivors through
+    * the exactly-once append: a replayed batch after a
+    * sink-write/checkpoint-advance crash is detected by its (appId,
+    * batchId) ledger stamp and skipped, never double-appended, with the
+    * signature index advancing in lockstep. Ledger batch = streaming
+    * batchId + 1 (0 is the bootstrap commit).
+    * [[graft.ext.Ingest.nearDupIngestTwoBatch]] is the oracle-paired batch
+    * twin; IngestStreamSpec pins streaming ≡ batch. */
+  def nearDupIngestSink(docs: DataFrame, corpusRoot: String, sigRoot: String,
+                        appId: String, checkpoint: String,
+                        minToks: Int = 10, minTtr: Double = 0.3,
+                        bands: Int = 16, rowsPerBand: Int = 4): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val curated = graft.ext.Ingest.probeAndCurate(
+            batch.select("doc_id", "text", "source"),
+            graft.ops.SnapshotTable.read(s, corpusRoot),
+            graft.ops.SnapshotTable.read(s, sigRoot),
+            minToks, minTtr, bands, rowsPerBand)
+          .localCheckpoint() // one computation feeds both lockstep appends
+        graft.ops.SnapshotTable.appendOnce(s, corpusRoot, curated,
+          appId, batchId + 1)
+        graft.ops.SnapshotTable.appendOnce(s, sigRoot,
+          graft.ext.Ingest.indexRows(curated, bands * rowsPerBand),
+          appId + "-sig", batchId + 1)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Run an AvailableNow query to completion (test/driver helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
