@@ -168,20 +168,34 @@ object Ingest {
   def probeAndCurate(shard: DataFrame, corpusTbl: DataFrame, sigIdx: DataFrame,
                      minToks: Int = 10, minTtr: Double = 0.3,
                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // Materialize the exact-probe survivors ONCE: they feed the shard-side
+    // banding, the verify's shingle build and the final anti-join — without
+    // the cut, each use replays the shard-vs-index anti-join (measured as a
+    // 4× bench regression on the fixture cycle when the r7 index refactor
+    // first landed without it). Shard-sized, never corpus-sized.
     val exactSurv = shard.withColumn("h", sha2(col("text"), 256))
       .join(sigIdx.select("h").distinct(), Seq("h"), "left_anti").drop("h")
+      .localCheckpoint()
 
     // Near probe: band the shard signatures against the persisted index.
+    // The shard side needs only sig (not h): md5Signatures directly, no
+    // indexRows join. The sig-null guard (short docs carry h but no sig)
+    // belongs ONLY on the index side, where sig is a STORED column: a
+    // filter over the shard's derived sig would be predicate-pushed below
+    // its projection and Catalyst re-inlines the whole signature pipeline
+    // into the Filter — measured as the entire 3 s of a 3.6 s probe (the
+    // shard's sig is non-null by construction: md5Signatures drops sub-3-
+    // token docs before signing).
     val bandExpr = expr(
       s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', " +
         (1 to rowsPerBand).map(i => s"element_at(sig, b * $rowsPerBand + $i)")
           .mkString(", ") + "))")
     def banded(sigDf: DataFrame, idAs: String): DataFrame =
-      sigDf.filter(col("sig").isNotNull)
-        .select(col("doc_id").as(idAs),
-          posexplode(bandExpr).as(Seq("band_id", "band_key")))
-    val cands = banded(indexRows(exactSurv, bands * rowsPerBand), "b")
-      .join(banded(sigIdx, "c"), Seq("band_id", "band_key"))
+      sigDf.select(col("doc_id").as(idAs),
+        posexplode(bandExpr).as(Seq("band_id", "band_key")))
+    val cands = banded(Dedup.md5Signatures(exactSurv, bands * rowsPerBand), "b")
+      .join(banded(sigIdx.filter(col("sig").isNotNull), "c"),
+        Seq("band_id", "band_key"))
       .select(col("b"), col("c")).distinct()
       .localCheckpoint() // candidates are tiny; don't replay the sig pipeline per use
     // Exact verify on candidates only: shingle sets built for candidate ids
@@ -373,10 +387,20 @@ object Ingest {
                             minToks: Int = 10, minTtr: Double = 0.3,
                             bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val perms = bands * rowsPerBand
-    val cur1 = probeAndCurate(b1, corpus0, indexRows(corpus0, perms),
+    // The streaming path probes PERSISTED index tables (cheap re-reads);
+    // this twin's indexes are derived DataFrames, so cut them once each —
+    // probeAndCurate reads its sigIdx twice (exact h-probe + banding) and
+    // an uncut index replays the whole corpus signature pipeline per use.
+    val idx0 = indexRows(corpus0, perms).localCheckpoint()
+    val cur1 = probeAndCurate(b1, corpus0, idx0,
       minToks, minTtr, bands, rowsPerBand).localCheckpoint()
     val corpus1 = corpus0.unionByName(cur1)
-    val cur2 = probeAndCurate(b2, corpus1, indexRows(corpus1, perms),
+    // Advance the index INCREMENTALLY — idx0 plus the survivors' rows —
+    // exactly the lockstep append the streaming sink commits (indexRows is
+    // per-row, so this equals indexRows(corpus1) without re-signaturing
+    // the whole corpus).
+    val idx1 = idx0.unionByName(indexRows(cur1, perms)).localCheckpoint()
+    val cur2 = probeAndCurate(b2, corpus1, idx1,
       minToks, minTtr, bands, rowsPerBand)
     corpus0.select(col("doc_id"), col("source"), lit(0L).as("ingest_batch"))
       .unionByName(cur1.select(col("doc_id"), col("source"),

@@ -284,4 +284,28 @@ class PlanAuditSpec extends SparkSpec {
         assert(bad.isEmpty, s"$name plans a non-broadcast pair join: $bad")
       }
   }
+
+  test("round-7 tier plans: per-query windows, keyed candidates, broadcast LUTs") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Batch ANN probe: every rank (probed lists, shortlist, final top-k) is
+    // a q_id-partitioned window — a SinglePartition rank would serialize
+    // the whole batch through one task.
+    val batchWins = collectAll(plan("x_sim_ivfadc_batch")) { case w: WindowExec => w }
+    assert(batchWins.nonEmpty, "batch probe should rank via windows")
+    batchWins.foreach(w => assert(w.child.outputPartitioning != SinglePartition,
+      "x_sim_ivfadc_batch plans a SinglePartition window"))
+    // L2AP all-pairs and the streamed-ingest twin: candidates are always
+    // keyed (postings / band buckets) — nested-loop or cartesian pair
+    // generation is the quadratic failure mode.
+    Seq("x_dedup_tfidf_allpairs", "st_ingest_neardup").foreach { name =>
+      val bad = collectAll(plan(name)) {
+        case j: BroadcastNestedLoopJoinExec
+          if j.right.outputPartitioning.numPartitions > 1 => j
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty, s"$name plans a non-broadcast pair join: $bad")
+    }
+  }
 }
