@@ -23,6 +23,7 @@ object ScaleRehearsal {
 
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
+    if (args.contains("allpairs")) { allpairsLeg(spark); spark.stop(); return }
 
     val dir = scaleCorpus(spark)
     val docsPath = s"$dir/documents.parquet"
@@ -207,6 +208,45 @@ object ScaleRehearsal {
     * The cycle includes the signature-index bootstrap over the full 105k
     * corpus and the deliberate replayed append — the rehearsal measures the
     * whole thing and asserts the three categories land exactly. */
+  /** Heavy-tail all-pairs rehearsal (round 7): the 21× corpus has a DENSE
+    * shingle space (31-word vocabulary → every posting df ≈ 60, nothing for
+    * a prefix to prune), so it measures the irreducible inverted-index
+    * cost. THIS corpus is the opposite — the regime real crawls live in: a
+    * Zipf head of 3 boilerplate sentences (shingle df = 10,000) glued to
+    * rare per-group bodies (df ≤ 3). 10,000 planted triples (seed + two
+    * one-token mutations) → the EXACT answer at cosine ≥ 0.5 is precisely
+    * the 30,000 within-group pairs (cross-group pairs share only
+    * boilerplate: weighted cosine ≈ 0.006). The β-budget excludes the
+    * boilerplate postings FIRST (they carry <1% of every doc's squared
+    * tf-idf mass), so the index join never touches the df=10,000 postings —
+    * which uncapped would emit ~30 boiler grams × C(10,000, 2) ≈ 1.5e9
+    * candidate rows. Done = exactly 30,000 pairs, wall comparable to the
+    * dense-corpus run. */
+  private def allpairsLeg(spark: SparkSession): Unit = {
+    val n = 10000
+    val docs = spark.range(n.toLong * 3).select(
+        col("id").as("doc_id"),
+        (col("id") / 3).cast("long").as("g"),
+        pmod(col("id"), lit(3)).cast("int").as("m"))
+      .withColumn("boiler", expr(
+        "concat_ws(' ', transform(sequence(0, 11), " +
+          "j -> concat('b', CAST(g % 3 AS STRING), 't', CAST(j AS STRING))))"))
+      .withColumn("body", expr(
+        "concat_ws(' ', transform(sequence(0, 19), j -> " +
+          "CASE WHEN m > 0 AND j = CAST((g + m) % 20 AS INT) " +
+          "THEN concat('g', CAST(g AS STRING), 'm', CAST(m AS STRING)) " +
+          "ELSE concat('g', CAST(g AS STRING), 'w', CAST(j AS STRING)) END))"))
+      .select(col("doc_id"), concat_ws(" ", col("boiler"), col("body")).as("text"))
+      .localCheckpoint()
+    println(s"SCALE allpairs corpus rows=${docs.count()} (Zipf head df=10,000; planted triples)")
+    val t0 = System.nanoTime()
+    val pairs = ext.Dedup.tfidfAllPairsOf(docs).count()
+    println(f"SCALE heavy_tail_allpairs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(s"SCALE   pairs=$pairs (expected exactly ${3 * n}: C(3,2) per planted triple)")
+    assert(pairs == 3L * n,
+      s"heavy-tail all-pairs must recover exactly the planted pairs, got $pairs")
+  }
+
   private def ingestLeg(spark: SparkSession): Unit = {
     // VERDICT r6 #4: the SAME shard against a 21× and a 50× corpus, with
     // the one-time index bootstrap timed separately from the per-drop probe

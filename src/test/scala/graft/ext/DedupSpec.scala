@@ -286,6 +286,82 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Pure-Scala exact all-pairs ground truth: same md5-60 convention, same
+    * tf-idf formula, every C(n,2) pair scored. */
+  private def bruteAllPairs(corpus: Seq[(Long, String)],
+                            threshold: Double): Map[(Long, Long), Double] = {
+    def md560(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val nDocs = corpus.size.toDouble
+    val vecs = corpus.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      if (toks.length < 3) None
+      else {
+        val lenD = (toks.length - 2).toDouble
+        val tf = toks.sliding(3).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, o) => md560(g) -> o.size }
+        Some(id -> (lenD, tf))
+      }
+    }.toMap
+    val dfreq = vecs.values.flatMap(_._2.keys).groupBy(identity)
+      .map { case (wd, o) => wd -> o.size }
+    val weights = vecs.map { case (id, (lenD, tf)) =>
+      id -> tf.map { case (wd, c) =>
+        wd -> (c / lenD) * math.log(nDocs / dfreq(wd)) }
+    }
+    val ids = weights.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      wa = weights(a); wb = weights(b)
+      dot = wa.keysIterator.filter(wb.contains).map(k => wa(k) * wb(k)).sum
+      na = math.sqrt(wa.values.map(x => x * x).sum)
+      nb = math.sqrt(wb.values.map(x => x * x).sum)
+      cos = dot / (na * nb) if cos >= threshold
+    } yield (a, b) -> cos).toMap
+  }
+
+  test("tf-idf all-pairs: randomized corpora match brute force at several thresholds") {
+    import spark.implicits._
+    // Template-mutation corpora produce cosines straddling every threshold;
+    // short docs exercise the unfiltered-n_docs idf base. Pairs within 1e-6
+    // of the cutoff are excluded from the strict set comparison (decimal vs
+    // double accumulation may legitimately split exact boundary cases).
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4; threshold <- Seq(0.3, 0.7)) {
+      val common = (1 to 12).map(i => s"c$i")
+      val templates = (1 to 6).map { k =>
+        (1 to (8 + rnd.nextInt(10))).map { _ =>
+          if (rnd.nextBoolean()) common(rnd.nextInt(common.size))
+          else s"t${k}r${rnd.nextInt(25)}"
+        }
+      }
+      val corpus: Seq[(Long, String)] = (1 to 36).map { d =>
+        val base = templates(rnd.nextInt(templates.size))
+        val mutated = base.map(t =>
+          if (rnd.nextInt(10) == 0) s"m${d}x${rnd.nextInt(9)}" else t)
+        (d.toLong, mutated.mkString(" "))
+      } ++ Seq((90L, "hi"), (91L, "two toks"))
+      val expected = bruteAllPairs(corpus, threshold)
+      val got = Dedup.tfidfAllPairsOf(corpus.toDF("doc_id", "text"), threshold)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val boundary = bruteAllPairs(corpus, threshold - 1e-6).collect {
+        case (k, c) if math.abs(c - threshold) <= 1e-6 => k
+      }.toSet
+      val missing = (expected.keySet -- got.keySet) -- boundary
+      val extra = (got.keySet -- expected.keySet) -- boundary
+      assert(missing.isEmpty && extra.isEmpty,
+        s"trial=$trial t=$threshold missing=$missing extra=$extra")
+      (expected.keySet & got.keySet).foreach { k =>
+        assert(math.abs(got(k) - expected(k)) < 1e-5,
+          s"trial=$trial t=$threshold cosine mismatch at $k")
+      }
+    }
+  }
+
   test("tf-idf all-pairs: Bayardo prefix output equals brute force exactly") {
     import spark.implicits._
     // Adversarial corpus for the prefix filter's soundness proof:
