@@ -253,6 +253,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH IVF probe (the [[ProductQuant.ivfadcTopKAll]] shape on the
+    * uncompressed tier): one plan for a whole query table — per-query
+    * nprobe lists from a broadcast centroid rank (q_id-partitioned window,
+    * never a global sort), ONE pass over the clustered assignments joined
+    * to full vectors, per-query top-k rank. The centroid scan and the
+    * assignment read amortize across the batch. */
+  def ivfTopKAll(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+                 nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = queries.select(col("q_id"), col("q_embedding"))
+    val probed = q.crossJoin(broadcast(ivfCentroids(s, dir, nLists)))
+      .withColumn("c_sim", round(cosine(col("centroid"), col("q_embedding")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "list_id")
+    ivfAssignments(s, dir, nLists)
+      .join(broadcast(probed), "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(e, "vec_id")
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .withColumn("krn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("krn") <= k)
+      .select("q_id", "vec_id", "list_id", "sim")
+      .orderBy(asc("q_id"), desc("sim"), asc("vec_id"))
+  }
+
   /** DuckDB cosine over two list expressions — the module's standard fold. */
   private def duckCosine(a: String, b: String): String =
     s"round(${duckCosineRaw(a, b)}, 6)"
@@ -336,7 +366,30 @@ object Similarity {
            |SELECT v.vec_id, v.list_id, v.quality, (d.vec_id IS NULL) AS kept
            |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
            |ORDER BY v.vec_id ASC NULLS FIRST""".stripMargin
+      // Batched twin: every stage keyed by q_id, every rank a PARTITION BY
+      // q_id window — 20 queries, one statement.
+      val batch =
+        s"""WITH c(list_id, cv, cc) AS (VALUES $values),
+           |$assign,
+           |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+           |probed AS (SELECT q_id, list_id FROM (
+           |    SELECT q.q_id, c.list_id, row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${duckCosine("c.cv", "q.qe")} DESC, c.list_id ASC) AS rn
+           |    FROM c, q) WHERE rn <= 2)
+           |SELECT q_id, vec_id, list_id, sim FROM (
+           |  SELECT q.q_id, e.vec_id, a.list_id,
+           |    ${duckCosine("e.embedding", "q.qe")} AS sim,
+           |    row_number() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${duckCosine("e.embedding", "q.qe")} DESC NULLS LAST,
+           |        e.vec_id ASC) AS krn
+           |  FROM embeddings e JOIN a USING (vec_id)
+           |  JOIN probed p ON p.list_id = a.list_id
+           |  JOIN q ON q.q_id = p.q_id
+           |  WHERE e.vec_id <> q.q_id)
+           |WHERE krn <= 3
+           |ORDER BY q_id ASC NULLS FIRST, sim DESC NULLS LAST, vec_id ASC NULLS FIRST""".stripMargin
       Map("x_sim_ivf_lists" -> lists, "x_sim_ivf_topk" -> topk,
+        "x_sim_ivf_batch" -> batch,
         "x_sim_semantic_dedup" -> semdedup,
         "x_sim_semantic_keep_best" -> keepbest)
   }
@@ -502,6 +555,14 @@ object Similarity {
     // SimilaritySpec.
     Q("x_sim_ivf_topk",
       (s, dir) => ivfTopK(s, dir, queryId = 0L, k = 10),
+      None),
+
+    // BATCH IVF probe: 20 queries through one plan (dynamic oracle).
+    Q("x_sim_ivf_batch",
+      (s, dir) => ivfTopKAll(s, dir,
+        emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+        k = 3),
       None),
 
     // SemDeDup-style semantic dedup: IVF clusters bound the pairwise work,
