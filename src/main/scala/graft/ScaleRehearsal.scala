@@ -459,5 +459,18 @@ object ScaleRehearsal {
         (qids.size * 10.0)
     }
     println(f"SCALE   ivfadc BATCH recall@10 = $batchRecall%.3f over ${qids.size} queries in one plan")
+
+    // Throughput scaling: 2,000 queries (every c=7 copy) through the same
+    // probe. Per-query cost must keep FALLING with batch size (the LUT
+    // build, centroid rank and codes read amortize further); this is the
+    // retrieval-pass shape a training pipeline actually runs.
+    val bigQ = e.filter(pmod(col("vec_id"), lit(100L)) === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val nBig = bigQ.count()
+    val rows = time("ivfadc_batch_2000q") {
+      ext.ProductQuant.ivfadcTopKAll(spark, dir, bigQ, k = 10,
+        shortlist = 100, lists = nLists, probe = nprobe).count()
+    }
+    println(s"SCALE   ivfadc 1000q batch: $nBig queries -> $rows result rows in one plan")
   }
 }
