@@ -160,6 +160,49 @@ object ProductQuant {
       .limit(k)
   }
 
+  /** BATCH flat-PQ probe: a whole query table through ONE ADC pass. Flat
+    * PQ scans every code row per query, so batching is where its
+    * throughput comes from — the codes read and the per-query LUT join
+    * amortize across the batch (IVFADC adds list pruning on top, see
+    * [[ivfadcTopKAll]]). All ranks are q_id-partitioned windows. */
+  def pqTopKAll(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+                shortlist: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = queries.select(col("q_id"), col("q_embedding"))
+    val lut = pqCodebooks(s, dir).crossJoin(broadcast(q))
+      .select(col("q_id"), col("sub"), col("code"), col("cnorm2"),
+        dot(expr("transform(slice(q_embedding, sub * 8 + 1, 8), x -> CAST(x AS DOUBLE))"),
+          col("centroid")).as("partial"))
+    val adc = pqCodes(s, dir)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(
+        sum(col("partial").cast("decimal(28,12)")).cast("double").as("a_dot"),
+        sum(col("cnorm2").cast("decimal(28,12)")).cast("double").as("a_norm2"))
+    val qn = q.select(col("q_id"),
+      sqrt(dot(col("q_embedding"), col("q_embedding"))).as("qn"))
+    val short = adc.join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("a_dot") / (sqrt(col("a_norm2")) * col("qn")), 6).as("a_sim"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("a_sim"), asc("vec_id"))))
+      .filter(col("srn") <= shortlist)
+      .drop("srn")
+    short.join(e, "vec_id").join(broadcast(q), Seq("q_id"))
+      .withColumn("sim",
+        round(dot(col("embedding"), col("q_embedding")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("q_embedding"), col("q_embedding")))), 6))
+      .withColumn("krn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("krn") <= k)
+      .select(col("q_id"), col("vec_id"), col("a_sim"), col("sim"))
+      .orderBy(asc("q_id"), desc("sim"), asc("vec_id"))
+  }
+
   /** Per-subspace code occupancy — the build-absorbing inventory query (the
     * x_sim_ivf_lists role): sub 0's histogram shows the quantizer is
     * balanced, and its run is where the offline train cost lands. */
@@ -583,7 +626,40 @@ object ProductQuant {
            |SELECT s.vec_id, s.a_sim, $exactCos AS sim
            |FROM short s JOIN embeddings e ON s.vec_id = e.vec_id, q
            |ORDER BY sim DESC NULLS LAST, s.vec_id ASC NULLS FIRST LIMIT 10""".stripMargin
-      Map("x_sim_pq_codes" -> hist, "x_sim_pq_topk" -> topk)
+      // Batched twin — every stage keyed by q_id, ranks as PARTITION BY
+      // q_id windows.
+      val batch =
+        s"""WITH $codes,
+           |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+           |lut AS (SELECT q.q_id, cb.sub, cb.code, cb.cc,
+           |    list_sum(list_transform(list_zip(q.qe[cb.sub * 8 + 1 : cb.sub * 8 + 8], cb.cv),
+           |      p -> CAST(p[1] AS DOUBLE) * p[2])) AS partial
+           |  FROM cb, q),
+           |adc AS (SELECT lut.q_id, c.vec_id,
+           |    CAST(sum(CAST(lut.partial AS DECIMAL(28,12))) AS DOUBLE) AS a_dot,
+           |    CAST(sum(CAST(lut.cc AS DECIMAL(28,12))) AS DOUBLE) AS a_norm2
+           |  FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+           |  WHERE c.vec_id <> lut.q_id
+           |  GROUP BY lut.q_id, c.vec_id),
+           |qn AS (SELECT q_id, sqrt(list_sum(list_transform(qe,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn FROM q),
+           |short AS (SELECT q_id, vec_id, a_sim FROM (
+           |    SELECT t.q_id, t.vec_id, t.a_sim, row_number() OVER (PARTITION BY t.q_id
+           |        ORDER BY t.a_sim DESC NULLS LAST, t.vec_id ASC) AS srn
+           |    FROM (SELECT adc.q_id, adc.vec_id,
+           |        round(a_dot / (sqrt(a_norm2) * qn.qn), 6) AS a_sim
+           |      FROM adc JOIN qn ON qn.q_id = adc.q_id) t)
+           |  WHERE srn <= 100)
+           |SELECT q_id, vec_id, a_sim, sim FROM (
+           |  SELECT s.q_id, s.vec_id, s.a_sim, $exactCos AS sim,
+           |    row_number() OVER (PARTITION BY s.q_id
+           |      ORDER BY $exactCos DESC NULLS LAST, s.vec_id ASC) AS krn
+           |  FROM short s JOIN embeddings e ON s.vec_id = e.vec_id
+           |  JOIN q ON q.q_id = s.q_id)
+           |WHERE krn <= 3
+           |ORDER BY q_id ASC NULLS FIRST, sim DESC NULLS LAST, vec_id ASC NULLS FIRST""".stripMargin
+      Map("x_sim_pq_codes" -> hist, "x_sim_pq_topk" -> topk,
+        "x_sim_pq_batch" -> batch)
   }
 
   val qs: Seq[Q] = Seq(
@@ -594,6 +670,13 @@ object ProductQuant {
     // ADC probe + exact re-rank top-10 (oracle-paired dynamically).
     Q("x_sim_pq_topk",
       (s, dir) => pqTopK(s, dir, queryId = 0L, k = 10),
+      None),
+    // BATCH flat-PQ probe: 20 queries through one ADC pass (dynamic oracle).
+    Q("x_sim_pq_batch",
+      (s, dir) => pqTopKAll(s, dir,
+        emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+        k = 3),
       None),
     // IVFADC build-absorbing residual-code inventory (dynamic oracle).
     Q("x_sim_ivfadc_codes",
