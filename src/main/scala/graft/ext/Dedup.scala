@@ -288,7 +288,14 @@ object Dedup {
     * pairs, larger buckets → sorted-consecutive chain pairs), and the exact
     * jaccard verify — all recomputed in DuckDB SQL. This retires the last
     * "DuckDB has no xxhash64" rows-only excuse for the MinHash family: the
-    * production query and its md5 twin now BOTH sit under the hash gate. */
+    * production query and its md5 twin now BOTH sit under the hash gate.
+    *
+    * The chain-pair (len(ids) > maxBucket) branch never fires on the
+    * fixtures (no fixture bucket exceeds 64 ids), so it was additionally
+    * validated cross-engine on a synthetic 200-copy boilerplate corpus:
+    * Spark and this SQL produce the identical 201-pair result (199 sorted-
+    * consecutive chain pairs + 2 planted near pairs), jaccards equal to
+    * 1e-9. */
   def productionMinhashOracleSql(threshold: Double = 0.5, bands: Int = 8,
       rowsPerBand: Int = 4, maxBucket: Int = 64): String = {
     val sigList = md5SigSql(bands * rowsPerBand)
