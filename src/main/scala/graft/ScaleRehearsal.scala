@@ -25,10 +25,18 @@ object ScaleRehearsal {
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
     if (args.contains("allpairs")) { allpairsLeg(spark); spark.stop(); return }
 
-    val dir = scaleCorpus(spark)
+    // Default: the historical 21x dedup tier; "dedup50" runs the identical
+    // tier at 50x sf0.1 (250k docs) so the scaling exponent of every step
+    // is measured, not extrapolated.
+    dedupLeg(spark, if (args.contains("dedup50")) 50 else 21)
+    spark.stop()
+  }
+
+  private def dedupLeg(spark: SparkSession, mult: Int): Unit = {
+    val dir = scaleCorpus(spark, mult)
     val docsPath = s"$dir/documents.parquet"
     val n = spark.read.parquet(docsPath).count()
-    println(s"SCALE corpus rows=$n (sf0.1 is 5,000)")
+    println(s"SCALE[${mult}x] corpus rows=$n (sf0.1 is 5,000)")
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -156,7 +164,6 @@ object ScaleRehearsal {
     assert(pruned == full, s"skipped probe returned $pruned, full scan $full")
     println(s"SCALE   skip probe planned ${skIdx.get.lastSelected} of " +
       s"${skIdx.get.totalFiles} files ($pruned rows)")
-    spark.stop()
   }
 
   /** Synthesize (once) the 21×-sf0.1 dedup corpus: 100k docs in 20-strong

@@ -112,7 +112,10 @@ object XxSql {
     * 42. hashLong is loop-free (one 8-byte lane + avalanche). The operands
     * here are Carter-Wegman signature values in [0, 2^61), so the unsigned
     * bit pattern is the value itself. Returns an UNSIGNED HUGEINT — fine
-    * for its only use as a bucket key (grouping is bijection-invariant). */
+    * for its only use as a bucket key (grouping is bijection-invariant).
+    * Validated directly against Spark's `xxhash64(c1, c2, c3, c4)` on
+    * 4-long vectors including zeros and values at the 2^61 boundary —
+    * bit-identical on every case (besides the end-to-end minhash gate). */
   def hashLongChain(elems: Seq[String], seed: Long = 42L): String =
     elems.foldLeft(s"${BigInt(seed).mod(M)}::HUGEINT") { (seedExpr, l) =>
       // Every stage is let-bound through a single-element list_transform:

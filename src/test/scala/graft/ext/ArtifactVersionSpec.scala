@@ -39,4 +39,17 @@ class ArtifactVersionSpec extends SparkSpec {
     val codes = graft.ops.SnapshotTable.read(spark, s"$root2/codes")
     assert(codes.count() == 300)
   }
+
+  test("in-place corpus regeneration misses the IVFADC cache") {
+    val dir = tmpDir()
+    val src = graft.Tables(spark, sf, "embeddings")
+    src.write.parquet(s"$dir/embeddings.parquet")
+    val root1 = ProductQuant.ivfadcBuild(spark, dir)
+
+    src.limit(300).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val root2 = ProductQuant.ivfadcBuild(spark, dir)
+    assert(root2 != root1, "regenerated corpus must rebuild the residual index")
+    val codes = graft.ops.SnapshotTable.read(spark, s"$root2/codes")
+    assert(codes.count() == 300)
+  }
 }
