@@ -307,8 +307,11 @@ object Dedup {
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
        |  FROM toksrc WHERE len(t) >= 3),
-       |hs AS (SELECT doc_id, list_transform(shingles, sh -> ${XxSql.xx64("sh")}) AS shash
-       |  FROM shg),
+       |ds AS (SELECT doc_id, unnest(shingles) AS sh FROM shg),
+       |svocab AS (SELECT DISTINCT sh FROM ds),
+       |smap AS (SELECT sh, ${XxSql.xx64("sh")} AS h FROM svocab),
+       |hs AS (SELECT ds.doc_id, list(smap.h) AS shash
+       |  FROM ds JOIN smap USING (sh) GROUP BY ds.doc_id),
        |sigs AS (SELECT doc_id, $sigList AS sig FROM hs),
        |banded AS (SELECT doc_id, g.b AS band_id, $bandKey AS band_hash
        |  FROM sigs, generate_series(0, ${bands - 1}) AS g(b)),
@@ -331,20 +334,28 @@ object Dedup {
 
   /** PRODUCTION SimHash oracle: per-distinct-token Spark xxhash64, ±1 bit
     * votes over all 64 bits, assembled through HUGEINT so the bit-63 term
-    * lands on the signed-BIGINT edge exactly as Spark's `1L << 63` does. */
+    * lands on the signed-BIGINT edge exactly as Spark's `1L << 63` does.
+    * The (expensive, ~90 KB) generated XXH64 expression is evaluated ONCE
+    * PER DISTINCT VOCABULARY TOKEN and joined back to the per-doc token
+    * rows — the corpus re-uses a token thousands of times, so this cuts
+    * the oracle's DuckDB wall severalfold vs hashing per occurrence. */
   def productionSimhashOracleSql: String =
-    s"""WITH hs AS (
-       |  SELECT doc_id, list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
-       |    t -> ${XxSql.xx64("t")}) AS hv
-       |  FROM documents)
+    s"""WITH dt AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT tok FROM dt),
+       |hmap AS (SELECT tok, ${XxSql.xx64("tok")} AS h FROM vocab),
+       |dh AS (SELECT dt.doc_id, hmap.h FROM dt JOIN hmap USING (tok)),
+       |votes AS (
+       |  SELECT doc_id, g.b,
+       |    CASE WHEN 2 * sum((h >> g.b) & 1) > count(*)
+       |         THEN (1::HUGEINT << g.b) ELSE 0::HUGEINT END AS bit
+       |  FROM dh, generate_series(0, 63) AS g(b)
+       |  GROUP BY doc_id, g.b)
        |SELECT doc_id,
        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
        |    THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
-       |FROM (SELECT doc_id,
-       |  list_sum(list_transform(range(0, 64), b ->
-       |    CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> b) & 1)) > len(hv)
-       |         THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))::HUGEINT AS u
-       |  FROM hs)
+       |FROM (SELECT doc_id, sum(bit)::HUGEINT AS u FROM votes GROUP BY doc_id)
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   def md5MinhashOracleSql(bands: Int = 16, rowsPerBand: Int = 4): String = {
