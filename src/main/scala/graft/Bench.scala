@@ -102,7 +102,14 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"bench_results_r$round.json"),
         full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // never fail the bench on a read-only cwd
+    } catch { case e: Throwable =>
+      // Never fail the bench on a read-only cwd, but never swallow a
+      // defect silently either: the one-line stdout JSON above is already
+      // out, so a visible warning is strictly informative. (A re-run
+      // within the same round overwrites the artifact — intended: latest
+      // measurement wins, git history keeps the prior one.)
+      System.err.println(s"[bench] artifact write failed: $e")
+    }
     spark.stop()
   }
 }

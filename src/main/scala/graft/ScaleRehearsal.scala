@@ -309,10 +309,11 @@ object ScaleRehearsal {
     // call below no-ops them and its wall is the PER-DROP cost alone.
     time(s"ingest_bootstrap_${mult}x") {
       SnapshotTable.appendOnce(spark, root, corpus, appId, 0L)
+      // Ingest.indexRows, not a local re-derivation: the pre-warmed table
+      // must stay byte-identical to what the cycle/streaming sink write,
+      // or a future index-schema change silently un-no-ops the bootstrap.
       SnapshotTable.appendOnce(spark, root + "-sig",
-        corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-          .join(Dedup.md5Signatures(corpus, 64), Seq("doc_id"), "left"),
-        appId + "-sig", 0L)
+        Ingest.indexRows(corpus, 64), appId + "-sig", 0L)
     }
     val inv = time(s"ingest_probe_cycle_${mult}x") {
       Ingest.ingestCycleNear(spark, corpus, shard, root, appId)
@@ -478,6 +479,6 @@ object ScaleRehearsal {
       ext.ProductQuant.ivfadcTopKAll(spark, dir, bigQ, k = 10,
         shortlist = 100, lists = nLists, probe = nprobe).count()
     }
-    println(s"SCALE   ivfadc 1000q batch: $nBig queries -> $rows result rows in one plan")
+    println(s"SCALE   ivfadc 2000q batch: $nBig queries -> $rows result rows in one plan")
   }
 }

@@ -351,12 +351,13 @@ object Dedup {
        |    CASE WHEN 2 * sum((h >> g.b) & 1) > count(*)
        |         THEN (1::HUGEINT << g.b) ELSE 0::HUGEINT END AS bit
        |  FROM dh, generate_series(0, 63) AS g(b)
-       |  GROUP BY doc_id, g.b)
-       |SELECT doc_id,
+       |  GROUP BY doc_id, g.b),
+       |sums AS (SELECT doc_id, sum(bit)::HUGEINT AS u FROM votes GROUP BY doc_id)
+       |SELECT d.doc_id,
        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
        |    THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
-       |FROM (SELECT doc_id, sum(bit)::HUGEINT AS u FROM votes GROUP BY doc_id)
-       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+       |FROM documents d LEFT JOIN sums ON d.doc_id = sums.doc_id
+       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 
   def md5MinhashOracleSql(bands: Int = 16, rowsPerBand: Int = 4): String = {
     val (as, bs) = minhashSeeds(bands * rowsPerBand)
@@ -748,9 +749,12 @@ object Dedup {
       .groupBy("a", "b").agg(sum(col("p")).as("s1"))
     // Sound prune: dot̂ ≤ s1 + su_a·su_b (remainder is Cauchy–Schwarz over
     // both docs' unindexed suffixes). 1e-9 margin absorbs double-sum noise.
+    // No broadcast hint on suDf — it is one row per document, so a forced
+    // broadcast would wall at corpus scale; the optimizer broadcasts it at
+    // fixture sizes and shuffle-joins on the pair keys when it is big.
     val survivors = partial
-      .join(broadcast(suDf.select(col("doc_id").as("a"), col("su").as("sua"))), Seq("a"))
-      .join(broadcast(suDf.select(col("doc_id").as("b"), col("su").as("sub"))), Seq("b"))
+      .join(suDf.select(col("doc_id").as("a"), col("su").as("sua")), Seq("a"))
+      .join(suDf.select(col("doc_id").as("b"), col("su").as("sub")), Seq("b"))
       .filter(col("s1") + col("sua") * col("sub") >= lit(threshold - 1e-9))
       .select("a", "b")
     // Exact completion for the (few) survivors only — the same decimal

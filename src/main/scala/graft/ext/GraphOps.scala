@@ -180,13 +180,18 @@ object GraphOps {
     while (it < maxIter && delta >= epsPpm) {
       // The previous rank rides INSIDE the materialized step (rp column),
       // so the convergence probe is a one-stage aggregate over the fresh
-      // checkpoint instead of a per-round re-join of two checkpoints —
-      // measured ~0.25 s/round of pure scheduling at fixture scale; at
-      // cluster scale the rp join is co-keyed on node and equally free.
+      // checkpoint instead of a per-round re-join of two checkpoints. NO
+      // broadcast hint: rank is node-sized, so a forced broadcast would be
+      // a driver OOM at cluster scale — the optimizer broadcasts it at
+      // fixture scale on its own and shuffle-joins co-keyed on node when
+      // the table is big, which is the plan a 1e8-node graph needs.
       val step = prRound(nodes, edgesDeg, rank)
-        .join(broadcast(rank.select(col("node"), col("r").as("rp"))), Seq("node"))
+        .join(rank.select(col("node"), col("r").as("rp")), Seq("node"))
         .localCheckpoint()
-      delta = step.agg(max(abs(col("r") - col("rp")))).head().getLong(0)
+      // max over an EMPTY graph aggregates to NULL — terminate instead of
+      // dereferencing it (the 3-round twin returns an empty table there).
+      val dRow = step.agg(max(abs(col("r") - col("rp")))).head()
+      delta = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
       rank = step.select("node", "r")
       it += 1
     }

@@ -109,7 +109,12 @@ object Similarity {
     * table format's snapshot id abstracts). Folded into every build-
     * artifact cache key AND artifact root (VERDICT r6 #5), so an in-place
     * regeneration of the corpus can never serve stale centroids/codebooks:
-    * the key changes, the memo misses, and a fresh root rebuilds. */
+    * the key changes, the memo misses, and a fresh root rebuilds. Known
+    * limit: a rewrite that preserves every file's name, length AND mtime
+    * (rsync --inplace of an equal-length re-encode on a coarse-mtime
+    * filesystem) is invisible to a stat-based fingerprint — production
+    * tables should substitute their format's snapshot/commit id here,
+    * which is exactly what this function abstracts. */
   def corpusVersion(dir: String, table: String = "embeddings"): String = {
     val f = new java.io.File(dir, s"$table.parquet")
     val entries =

@@ -386,39 +386,9 @@ class DedupSpec extends SparkSpec {
     val corpus = (cluster ++ near ++ shorts ++ filler).toSeq
     val docsDf = corpus.toDF("doc_id", "text")
 
-    // Brute force in plain Scala — same md5-60 convention, same formula.
-    def md560(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
-    val nDocs = corpus.size.toDouble // UNFILTERED count, shorts included
-    val vecs = corpus.flatMap { case (id, text) =>
-      val toks = text.trim.split("\\s+")
-      if (toks.length < 3) None
-      else {
-        val lenD = (toks.length - 2).toDouble
-        val tf = toks.sliding(3).map(_.mkString(" ")).toSeq
-          .groupBy(identity).map { case (g, o) => md560(g) -> o.size }
-        Some(id -> (lenD, tf))
-      }
-    }.toMap
-    val dfreq = vecs.values.flatMap(_._2.keys).groupBy(identity)
-      .map { case (wd, o) => wd -> o.size }
-    val weights = vecs.map { case (id, (lenD, tf)) =>
-      id -> tf.map { case (wd, c) =>
-        wd -> (c / lenD) * math.log(nDocs / dfreq(wd)) }
-    }
-    val ids = weights.keys.toSeq.sorted
-    val expected = (for {
-      i <- ids.indices; j <- (i + 1) until ids.size
-      (a, b) = (ids(i), ids(j))
-      wa = weights(a); wb = weights(b)
-      dot = wa.keysIterator.filter(wb.contains).map(k => wa(k) * wb(k)).sum
-      na = math.sqrt(wa.values.map(x => x * x).sum)
-      nb = math.sqrt(wb.values.map(x => x * x).sum)
-      cos = dot / (na * nb) if cos >= 0.5
-    } yield (a, b) -> cos).toMap
+    // ONE ground-truth implementation for every all-pairs test (a second
+    // inline copy of the formula could drift into a false gate).
+    val expected = bruteAllPairs(corpus, 0.5)
 
     val got = Dedup.tfidfAllPairsOf(docsDf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
