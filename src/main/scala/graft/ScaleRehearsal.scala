@@ -24,6 +24,12 @@ object ScaleRehearsal {
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
     if (args.contains("allpairs")) { allpairsLeg(spark); spark.stop(); return }
+    if (args.contains("all")) {
+      // Regenerate every SCALE.md evidence row in one command.
+      dedupLeg(spark, 21); dedupLeg(spark, 50)
+      allpairsLeg(spark); ingestLeg(spark); simLeg(spark)
+      spark.stop(); return
+    }
 
     // Default: the historical 21x dedup tier; "dedup50" runs the identical
     // tier at 50x sf0.1 (250k docs) so the scaling exponent of every step
