@@ -97,6 +97,45 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("jsonl export/ingest round-trip incl. nested arrays and nulls") {
+    val out = tmpDir() + "/jsonl"
+    // embeddings carries a float-array column — the nested shape CSV can't
+    // round-trip and the reason corpora ship as JSONL.
+    val src = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+    JsonlIo.export(src, out, singleFile = true)
+    val back = JsonlIo.ingest(spark, out + "/*.json", Some(src.schema))
+    assert(back.count() == src.count())
+    val a = src.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("jsonl permissive ingest survives corrupt lines; failfast rejects them") {
+    val dir = tmpDir() + "/jsonl-bad"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shard.json"),
+      ("""{"doc_id": 1, "text": "ok one"}""" + "\n" +
+        """{not json at all""" + "\n" +
+        """{"doc_id": 2, "text": "ok two"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows querying only the corrupt-record column straight off
+    // the raw source (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, as
+    // its own error message prescribes.
+    val ok = JsonlIo.ingest(spark, s"$dir/*.json", Some(schema)).cache()
+    try {
+      assert(ok.filter(col("_corrupt_record").isNull).count() == 2)
+      assert(ok.filter(col("_corrupt_record").isNotNull).count() == 1)
+    } finally ok.unpersist()
+    intercept[Exception] {
+      JsonlIo.ingest(spark, s"$dir/*.json",
+        Some(StructType(schema.fields.take(2))), permissive = false)
+        .collect()
+    }
+  }
+
   test("point lookup: distributed keyed fetch with null-on-error (S3)") {
     val keys = Seq("T000001", "T000002", "garbage", "T000005").toDS()
     val got = PointLookup.fetchAll(keys, PointLookup.stubFetch)
