@@ -519,8 +519,10 @@ object Dedup {
     val parts = math.max(1, math.min(symWide.rdd.getNumPartitions,
       (symWide.count() / 100000L).toInt))
     val sym = symWide.coalesce(parts).localCheckpoint()
+    graft.ops.Checkpoints.free(symWide) // superseded by the coalesced copy
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).coalesce(parts).localCheckpoint()
+    var prevCk = labels
     // One propagation step = neighbour-min + pointer jumping (path halving:
     // label <- label(label) shrinks label chains geometrically, so rounds ~
     // O(log diameter), not O(diameter)). The `old` column rides through
@@ -546,12 +548,20 @@ object Dedup {
       // materializations at the price of a 2-step lineage per stage set.
       val seeded = labels.select(col("node"), col("label").as("old"), col("label"))
       val updated = step(step(seeded)).coalesce(parts).localCheckpoint()
+      // Superseded label checkpoint leaves executor storage (ADVICE r7's
+      // PageRank finding applies here identically — O(rounds) node-sized
+      // RDDs otherwise stay persisted for the life of the job).
+      graft.ops.Checkpoints.free(prevCk)
+      prevCk = updated
       // convergence probe runs on the checkpointed (materialized) table —
       // one cheap local scan, not a recompute
       changed = updated.filter(col("label") =!= col("old")).limit(1).count() > 0
       labels = updated.select("node", "label")
       iter += 1
     }
+    // The edge table fed its last round; only the final label checkpoint
+    // (the returned frame) stays resident.
+    graft.ops.Checkpoints.free(sym)
     // Truncated output is WRONG output (ADVICE r2): labels would still be
     // mid-propagation. Surface it loudly — with pointer jumping, hitting
     // maxIter=20 needs a component of diameter ~2^20, which in a near-dup

@@ -175,6 +175,10 @@ object GraphOps {
                         maxIter: Int = 40): DataFrame = {
     val (edgesDeg, nodes) = edgeArtifact(s, dir)
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    // The frame whose checkpoint RDD the NEXT materialized round supersedes
+    // (ADVICE r7): without freeing it, a 40-round run keeps 40 node-sized
+    // rank copies persisted in executor storage.
+    var prevCk = rank
     var it = 0
     var delta = Long.MaxValue
     while (it < maxIter && delta >= epsPpm) {
@@ -188,6 +192,10 @@ object GraphOps {
       val step = prRound(nodes, edgesDeg, rank)
         .join(rank.select(col("node"), col("r").as("rp")), Seq("node"))
         .localCheckpoint()
+      // The new checkpoint is materialized (eager) — the superseded round's
+      // rank RDD can leave executor storage now.
+      graft.ops.Checkpoints.free(prevCk)
+      prevCk = step
       // max over an EMPTY graph aggregates to NULL — terminate instead of
       // dereferencing it (the 3-round twin returns an empty table there).
       val dRow = step.agg(max(abs(col("r") - col("rp")))).head()

@@ -117,6 +117,12 @@ object Similarity {
     * which is exactly what this function abstracts. */
   def corpusVersion(dir: String, table: String = "embeddings"): String = {
     val f = new java.io.File(dir, s"$table.parquet")
+    // Fail fast on a missing table path: a silent (name, 0, 0) fingerprint
+    // would make every mislaid corpus share one version, reviving exactly
+    // the stale-cache aliasing this fingerprint exists to prevent.
+    require(f.exists(),
+      s"corpusVersion: expected parquet table at ${f.getAbsolutePath} — " +
+        "missing path would fingerprint as a shared empty version")
     val entries =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
       else Seq(f)
