@@ -22,19 +22,24 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
+    if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
     if (args.contains("allpairs")) { allpairsLeg(spark); spark.stop(); return }
+    if (args.contains("e2e")) { e2eLeg(spark); spark.stop(); return }
     if (args.contains("all")) {
       // Regenerate every SCALE.md evidence row in one command.
       dedupLeg(spark, 21); dedupLeg(spark, 50)
-      allpairsLeg(spark); ingestLeg(spark); simLeg(spark)
+      allpairsLeg(spark); ingestLeg(spark); simLeg(spark); simBatchLeg(spark)
+      e2eLeg(spark)
       spark.stop(); return
     }
 
-    // Default: the historical 21x dedup tier; "dedup50" runs the identical
-    // tier at 50x sf0.1 (250k docs) so the scaling exponent of every step
-    // is measured, not extrapolated.
-    dedupLeg(spark, if (args.contains("dedup50")) 50 else 21)
+    // Default: the historical 21x dedup tier; "dedup50"/"dedup100" run the
+    // identical tier at 50×/100× sf0.1 (250k/500k docs) so the scaling
+    // exponent of every step is a measured CURVE, not an extrapolation.
+    dedupLeg(spark,
+      if (args.contains("dedup100")) 100
+      else if (args.contains("dedup50")) 50 else 21)
     spark.stop()
   }
 
@@ -351,12 +356,11 @@ object ScaleRehearsal {
     * Measures: index build (one-time), probe cost at nprobe/nLists corpus
     * fraction, recall@10 of the probe against brute force over 20 queries,
     * and semantic dedup collapsing the planted 50-groups. */
-  private def simLeg(spark: SparkSession): Unit = {
-    import ext.Similarity
+  /** The 50× similarity corpus (100k vectors, 50-strong semantic-dup
+    * groups), built once and shared by the sim and simbatch legs. */
+  private def simCorpus(spark: SparkSession): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-sim").getAbsolutePath
     val embPath = s"$dir/embeddings.parquet"
-    val nLists = 256
-    val nprobe = 8
     if (!new java.io.File(embPath).exists()) {
       val base = Tables(spark, "/root/testdata/sf0.1", "embeddings")
       (0 until 50).map { c =>
@@ -370,6 +374,15 @@ object ScaleRehearsal {
           col("label"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(embPath)
     }
+    dir
+  }
+
+  private def simLeg(spark: SparkSession): Unit = {
+    import ext.Similarity
+    val dir = simCorpus(spark)
+    val embPath = s"$dir/embeddings.parquet"
+    val nLists = 256
+    val nprobe = 8
     val n = spark.read.parquet(embPath).count()
     println(s"SCALE sim corpus rows=$n (sf0.1 is 2,000)")
 
@@ -486,5 +499,123 @@ object ScaleRehearsal {
         shortlist = 100, lists = nLists, probe = nprobe).count()
     }
     println(s"SCALE   ivfadc 2000q batch: $nBig queries -> $rows result rows in one plan")
+  }
+
+  /** VERDICT r7 #1 done-criterion: a ≥20,000-query IVFADC batch at 50×
+    * through BOTH physical paths. At this batch the broadcast LUT is
+    * 20k × nprobe × 256 ≈ 41M (q, list, sub, code) rows (~4 GB built on the
+    * driver) — the memory wall the list_id-bucketed shuffle join exists to
+    * dodge. The shuffle path runs FIRST so its numbers are on record even
+    * if the broadcast attempt exhausts the driver heap. */
+  private def simBatchLeg(spark: SparkSession): Unit = {
+    val dir = simCorpus(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nLists = 256
+    val nprobe = 8
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    time("ivfadc_build_256")(ext.ProductQuant.ivfadcBuild(spark, dir, lists = nLists))
+    // copies c with c % 5 == 3 → 10 copies × 2,000 base vectors = 20,000
+    val hugeQ = e.filter(pmod(col("vec_id"), lit(5L)) === 3L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val nQ = hugeQ.count()
+    println(s"SCALE simbatch queries=$nQ over ${e.count()} vectors (nprobe=$nprobe/$nLists)")
+
+    val shuffleRows = time("ivfadc_batch_20kq_shuffle") {
+      ext.ProductQuant.ivfadcTopKAll(spark, dir, hugeQ, k = 10,
+        shortlist = 100, lists = nLists, probe = nprobe, broadcastLut = false).count()
+    }
+    println(s"SCALE   shuffle-LUT path: $nQ queries -> $shuffleRows rows (zero batch-scaled broadcast)")
+
+    val bcResult = try {
+      Right(time("ivfadc_batch_20kq_broadcast") {
+        ext.ProductQuant.ivfadcTopKAll(spark, dir, hugeQ, k = 10,
+          shortlist = 100, lists = nLists, probe = nprobe, broadcastLut = true).count()
+      })
+    } catch { case t: Throwable => Left(t) }
+    bcResult match {
+      case Right(r) =>
+        println(s"SCALE   broadcast-LUT path: $nQ queries -> $r rows (LUT ≈ ${nQ * nprobe * 256 / 1000000}M rows broadcast)")
+        if (r != shuffleRows)
+          println(s"SCALE   WARNING: row mismatch shuffle=$shuffleRows broadcast=$r")
+      case Left(t) =>
+        println(s"SCALE   broadcast-LUT path FAILED at $nQ queries: " +
+          s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
+    }
+  }
+
+  /** VERDICT r7 #3 done-criterion: the full crawl → training-corpus chain
+    * ([[ext.EndToEnd]]) run STAGE BY STAGE over SnapshotTable lineage at 21×
+    * — one committed manifest per stage, per-stage wall and row counts —
+    * then the same chain as ONE declarative plan. The two must produce the
+    * identical report, and the one-plan wall must come in at or under the
+    * sum of stage walls (each stage reads the previous stage's artifact, so
+    * nothing is recomputed across the chain; the one-plan run additionally
+    * fuses stages but re-derives the corpus-wide span/novelty frames). */
+  private def e2eLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import ext.EndToEnd
+    val dir = scaleCorpus(spark, 21)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-e2e").getAbsolutePath
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(root)) // fresh lineage: every stage commit measured
+    var sumWall = 0.0
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val w = (System.nanoTime() - t0) / 1e9
+      sumWall += w
+      println(f"SCALE e2e_$name $w%.1f s")
+      r
+    }
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"SCALE e2e corpus rows=${d.count()} (21x)")
+
+    stage("s1_gate") {
+      SnapshotTable.commit(spark, s"$root/s1", EndToEnd.ingestGate(d))
+    }
+    val s1 = SnapshotTable.read(spark, s"$root/s1")
+    println(s"SCALE   s1 gated rows=${s1.count()}")
+    stage("s2_exact_dedup") {
+      SnapshotTable.commit(spark, s"$root/s2", EndToEnd.exactDedup(s1))
+    }
+    val s2 = SnapshotTable.read(spark, s"$root/s2")
+    println(s"SCALE   s2 exact reps=${s2.count()}")
+    stage("s3_near_dedup") {
+      SnapshotTable.commit(spark, s"$root/s3", EndToEnd.nearDedup(s2))
+    }
+    val s3 = SnapshotTable.read(spark, s"$root/s3")
+    println(s"SCALE   s3 near-dedup survivors=${s3.count()}")
+    stage("s4_curate") {
+      SnapshotTable.commit(spark, s"$root/s4", EndToEnd.curate(spark, dir, s3))
+    }
+    val s4 = SnapshotTable.read(spark, s"$root/s4")
+    println(s"SCALE   s4 curated rows=${s4.count()}")
+    stage("s5_mixture") {
+      SnapshotTable.commit(spark, s"$root/s5", EndToEnd.mixtureShares(s4))
+    }
+    val s5 = SnapshotTable.read(spark, s"$root/s5")
+    stage("s6_split_pack") {
+      SnapshotTable.commit(spark, s"$root/s6", EndToEnd.splitAndPack(s4))
+    }
+    val s6 = SnapshotTable.read(spark, s"$root/s6")
+    val chained = stage("s7_report") {
+      EndToEnd.report(s6, s5).collect()
+    }
+    println(f"SCALE e2e chained total $sumWall%.1f s over 7 committed stages")
+    chained.foreach(r => println(s"SCALE   report $r"))
+
+    val t0 = System.nanoTime()
+    val onePlan = EndToEnd.endToEndReport(spark, dir).collect()
+    println(f"SCALE e2e one_plan ${(System.nanoTime() - t0) / 1e9}%.1f s (the registered x_pipeline_end_to_end shape)")
+    assert(chained.map(_.toString).toSeq == onePlan.map(_.toString).toSeq,
+      "stage-chained and one-plan reports diverged")
+    println(s"SCALE   chained == one-plan report (${onePlan.length} rows) — artifact chain loses nothing")
   }
 }

@@ -371,20 +371,53 @@ object ProductQuant {
     * is (queries probing the list) × (codes in it), codes in unprobed
     * lists are never read, and full-float vectors are touched only by each
     * query's shortlist. The broadcast hints fit any probe batch up to
-    * millions of (q_id, list_id) rows; at larger batches drop them and
-    * bucket both sides by list_id (the artifact is already clustered so).
+    * millions of (q_id, list_id) rows; past that, `broadcastLut = false`
+    * switches to the list_id-bucketed shuffle join below (VERDICT r7 #1).
     * Amortization vs the single-query probe: centroids, codebooks and the
     * codes scan are shared across the whole batch — measured at 50×, see
-    * SCALE.md. */
+    * SCALE.md.
+    *
+    * SHUFFLE path (`broadcastLut = false`) — the production shape once the
+    * per-(query, list) LUT outgrows executor memory (a 1M-query retrieval
+    * pass at nprobe=8 is ~2G LUT rows; a broadcast build would OOM the
+    * driver long before). Structure:
+    *
+    *   - the LUT never materializes as a join input at all: the residual
+    *     codebooks are ≤256 DRIVER-RESIDENT rows (the dynamic-oracle cache),
+    *     so each probe row (q_id, list_id) computes its dense per-(sub,code)
+    *     LUT slices `pd` / `pr` as one literal-centroid PROJECTION — the
+    *     same ArrayDot left-to-right accumulation, term for term, so the
+    *     scores are bit-identical to the broadcast path and both serve the
+    *     one dynamic oracle;
+    *   - the probe set then joins the codes artifact SHUFFLE-keyed on
+    *     list_id (hint("merge") pins the sort-merge shape so fixture-scale
+    *     AQE can't silently re-broadcast what this path exists to avoid);
+    *     the artifact is already clustered by list_id, so at cluster scale
+    *     only probed lists' files are scanned and the shuffle carries
+    *     exactly the probe set and the probed codes;
+    *   - each joined row scores by direct index into its pd/pr arrays —
+    *     codes[sub] positions are dense per subspace even under RAGGED
+    *     codebooks (k-means ids are contiguous 0..ksub_actual-1; offsets
+    *     are plan-time literals) — so the quadratic (per-list work =
+    *     queries-probing-it × codes-in-it) never explodes 8× through a
+    *     posexplode before aggregating back;
+    *   - batch-sized relations (qn, the rerank q join) flow as ordinary
+    *     shuffle joins — NOTHING in this plan broadcasts anything that
+    *     scales with the batch (PlanAuditSpec gates it: the only broadcast
+    *     is the nLists-row coarse-centroid table).
+    *
+    * Per-list skew (a hot list probed by most of the batch) is AQE's
+    * skew-join case; the rehearsal measures both paths at a ≥20k-query
+    * batch (SCALE.md). */
   def ivfadcTopKAll(s: SparkSession, dir: String, queries: DataFrame, k: Int,
                     shortlist: Int = 100, lists: Int = nLists,
-                    probe: Int = nprobe): DataFrame = {
+                    probe: Int = nprobe, broadcastLut: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val root = ivfadcBuild(s, dir, lists)
     val e = emb(s, dir)
     val q = queries.select(col("q_id"), col("q_embedding"))
     def qd = expr("transform(q_embedding, x -> CAST(x AS DOUBLE))")
-    val probed = q.crossJoin(broadcast(Similarity.ivfCentroids(s, dir, lists)))
+    val probedBase = q.crossJoin(broadcast(Similarity.ivfCentroids(s, dir, lists)))
       .withColumn("c_sim",
         round(Similarity.cosine(col("centroid"), col("q_embedding")), 6))
       .withColumn("rn", row_number().over(
@@ -392,6 +425,62 @@ object ProductQuant {
       .filter(col("rn") <= probe)
       .select(col("q_id"), col("q_embedding"), col("list_id"),
         col("centroid").as("list_cent"))
+    if (!broadcastLut) {
+      val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
+      val books = ivfadcCache((vdir, lists))._2 // sorted by (sub, code)
+      // dense pd/pr offsets per subspace, robust to ragged codebooks
+      val offs = (0 until m).map(sub => books.count(_._1 == sub))
+        .scanLeft(0)(_ + _)
+      // partial(sub, code) = dot(double(q_slice(sub)), centroid) with the
+      // centroid a literal — replicates ArrayDot's 0.0-seeded left-to-right
+      // double accumulation exactly (bit-identical a_sim)
+      val pdEntries = books.map { case (sub, _, cv, _) =>
+        (0 until subDim).foldLeft(lit(0.0)) { (acc, j) =>
+          acc + col("q_embedding").getItem(sub * subDim + j).cast("double") * lit(cv(j))
+        }
+      }
+      // rterm(sub, code) = crossT * 2.0 + rnorm2 (the r_norm summand)
+      val prEntries = books.map { case (sub, _, cv, cc) =>
+        (0 until subDim).foldLeft(lit(0.0)) { (acc, j) =>
+          acc + col("list_cent").getItem(sub * subDim + j) * lit(cv(j))
+        } * 2.0 + lit(cc)
+      }
+      val perQL = probedBase
+        .withColumn("pd", array(pdEntries: _*))
+        .withColumn("pr", array(prEntries: _*))
+        .withColumn("cdot", dot(col("list_cent"), qd))
+        .withColumn("cnorm2", dot(col("list_cent"), col("list_cent")))
+        .withColumn("qn", sqrt(dot(qd, qd)))
+        .drop("q_embedding", "list_cent") // skinny shuffle payload
+      def adcSum(arr: String): Column = (0 until m).map { sub =>
+        element_at(col(arr),
+          (col("codes").getItem(sub) + lit(offs(sub) + 1)).cast("int"))
+          .cast("decimal(28,12)")
+      }.reduce(_ + _).cast("double")
+      val scored = SnapshotTable.read(s, s"$root/codes")
+        .join(perQL.hint("merge"), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("cdot"), col("cnorm2"), col("qn"),
+          adcSum("pd").as("r_dot"), adcSum("pr").as("r_norm"))
+        .select(col("q_id"), col("vec_id"),
+          round((col("cdot") + col("r_dot")) /
+            (sqrt(col("cnorm2") + col("r_norm")) * col("qn")), 6).as("a_sim"))
+      val short = scored
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("a_sim"), asc("vec_id"))))
+        .filter(col("srn") <= shortlist)
+        .drop("srn")
+      return short.join(e, "vec_id")
+        .join(q, Seq("q_id")) // batch-sized: shuffle, never broadcast
+        .withColumn("sim",
+          round(Similarity.cosine(col("embedding"), col("q_embedding")), 6))
+        .withColumn("krn", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("krn") <= k)
+        .select(col("q_id"), col("vec_id"), col("a_sim"), col("sim"))
+        .orderBy(asc("q_id"), desc("sim"), asc("vec_id"))
+    }
+    val probed = probedBase
       .localCheckpoint() // feeds LUT, the probe join and listTerms (3 uses)
     val lut = SnapshotTable.read(s, s"$root/codebooks")
       .crossJoin(broadcast(probed))
@@ -566,7 +655,10 @@ object ProductQuant {
            |WHERE krn <= 3
            |ORDER BY q_id ASC NULLS FIRST, sim DESC NULLS LAST, vec_id ASC NULLS FIRST""".stripMargin
       Map("x_sim_ivfadc_codes" -> hist, "x_sim_ivfadc_topk" -> topk,
-        "x_sim_ivfadc_batch" -> batch)
+        "x_sim_ivfadc_batch" -> batch,
+        // the shuffle-LUT path is numerically identical by construction —
+        // one oracle text pins BOTH physical strategies
+        "x_sim_ivfadc_batch_shuffle" -> batch)
   }
 
   private val shortlistLit = 100
@@ -692,5 +784,15 @@ object ProductQuant {
         emb(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
         k = 3),
+      None),
+    // The SAME batch through the list_id-bucketed shuffle-join path
+    // (broadcastLut = false, VERDICT r7 #1) — hash-gated against the
+    // identical dynamic oracle, so both physical strategies are pinned to
+    // one answer.
+    Q("x_sim_ivfadc_batch_shuffle",
+      (s, dir) => ivfadcTopKAll(s, dir,
+        emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+        k = 3, broadcastLut = false),
       None))
 }

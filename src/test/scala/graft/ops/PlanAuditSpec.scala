@@ -308,4 +308,35 @@ class PlanAuditSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name plans a non-broadcast pair join: $bad")
     }
   }
+
+  test("shuffle batch-ANN path broadcasts nothing batch-scaled (r8)") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // Plan with optimizer broadcasts disabled so only HINTED broadcasts
+    // survive — the at-scale plan, where no relation is "small enough".
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (shuffleP, broadcastP) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (plan("x_sim_ivfadc_batch_shuffle"), plan("x_sim_ivfadc_batch"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // The ONLY broadcast left in the shuffle path is the nLists-row coarse
+    // centroid table (static artifact metadata, not batch-scaled); the LUT,
+    // probe set, qn and rerank q all flow as shuffle joins.
+    val shuffleBc = collectAll(shuffleP) { case b: BroadcastExchangeExec => b }
+    assert(shuffleBc.size == 1,
+      s"shuffle path should broadcast ONLY the centroid table, found: $shuffleBc")
+    // The codes ↔ probe-set join is pinned to a sort-merge on list_id.
+    val smj = collectAll(shuffleP) {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.references.toSeq.exists(_.name == "list_id")) => j
+    }
+    assert(smj.nonEmpty, "shuffle path should sort-merge-join codes on list_id")
+    // Contrast: the broadcast path really does pin batch-scaled broadcasts
+    // (probe set, LUT, listTerms, qn, rerank q) — the thing that becomes a
+    // memory wall at production batches and why the shuffle path exists.
+    val bcBc = collectAll(broadcastP) { case b: BroadcastExchangeExec => b }
+    assert(bcBc.size >= 4,
+      s"broadcast path should pin multiple broadcasts, found ${bcBc.size}")
+  }
 }
