@@ -609,7 +609,8 @@ object ScaleRehearsal {
       EndToEnd.report(s6, s5).collect()
     }
     println(f"SCALE e2e chained total $sumWall%.1f s over 7 committed stages")
-    chained.foreach(r => println(s"SCALE   report $r"))
+    chained.take(4).foreach(r => println(s"SCALE   report $r"))
+    println(s"SCALE   ... ${chained.length} report rows total")
 
     val t0 = System.nanoTime()
     val onePlan = EndToEnd.endToEndReport(spark, dir).collect()

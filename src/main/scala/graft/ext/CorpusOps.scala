@@ -184,9 +184,19 @@ object CorpusOps {
     * filtering and the fingerprint fold run inside ONE projection via
     * higher-order functions, so document bodies never shuffle and nothing
     * re-explodes per token. */
-  def spanRemoval(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val d = docs(s, dir)
-    val spanArr = spanIndex(s, dir, k)
+  def spanRemoval(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    spanRemovalFrom(docs(s, dir), spanIndex(s, dir, k))
+
+  /** df-based span removal for pipeline stages that operate on a FILTERED
+    * doc set (e.g. dedup survivors, where corpus-wide span stats would
+    * double-count the very duplicates an upstream stage just removed —
+    * the EndToEnd composition). Spans derive from `d` itself; the caller
+    * owns materialization. */
+  def spanRemovalOf(d: DataFrame, k: Int = 8): DataFrame =
+    spanRemovalFrom(d, dupSpans(d, k))
+
+  private def spanRemovalFrom(d: DataFrame, spans: DataFrame): DataFrame = {
+    val spanArr = spans
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
     d.join(spanArr, Seq("doc_id"), "left")
@@ -267,8 +277,15 @@ object CorpusOps {
     * sees EVERY doc — including all-duplicated docs that the old plan had to
     * recover with a left join against a second-projection base table —
     * and novel_grams = count − 1 discounts the sentinel. */
-  def noveltyScores(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    docs(s, dir)
+  def noveltyScores(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    noveltyScoresOf(docs(s, dir), k)
+
+  /** df-based novelty for filtered doc sets (the spanRemovalOf rationale:
+    * novelty over a pre-dedup corpus is identically ~0 for every member of
+    * a duplicate group — the metric only means something over the set it
+    * gates). */
+  def noveltyScoresOf(d: DataFrame, k: Int = 5): DataFrame = {
+    d
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .withColumn("gh", array_distinct(transform(

@@ -71,18 +71,28 @@ object EndToEnd {
     ex.join(drops, Seq("doc_id"), "left_anti")
   }
 
-  /** Stages 4+5 — ExactSubstr cleaning (corpus-wide span index) + novelty
-    * and decontamination gates, applied to the dedup survivors `nd`.
+  /** Stages 4+5 — ExactSubstr cleaning + novelty and decontamination gates
+    * over the dedup survivors `nd` (doc_id, source, text). Span and novelty
+    * statistics derive from the SURVIVOR set, not the raw corpus: over a
+    * pre-dedup corpus every member of a duplicate group scores novelty ≈ 0
+    * and every position is a "duplicated" span, so corpus-wide stats would
+    * re-destroy exactly what stages 2–3 just cleaned (measured: the 21×
+    * rehearsal curated 0 of 4,993 survivors until this ordering). The
+    * decontamination bench set is the RAW eval docs (0–9) — leakage is
+    * checked against what the benchmark contains, not what survived.
     * Returns the curated (doc_id, source, kept_toks). */
   def curate(s: SparkSession, dir: String, nd: DataFrame): DataFrame = {
-    val kept = CorpusOps.spanRemoval(s, dir).select("doc_id", "kept_toks")
-    val nov = CorpusOps.noveltyScores(s, dir).select("doc_id", "novelty_ppm")
-    val sh = docs(s, dir)
+    val kept = CorpusOps.spanRemovalOf(nd).select("doc_id", "kept_toks")
+    val nov = CorpusOps.noveltyScoresOf(nd).select("doc_id", "novelty_ppm")
+    val bench = docs(s, dir).filter(col("doc_id") < 10)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
+      .select(explode_outer(col("shash")).as("h")).distinct()
+    val ndSh = nd
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("shash", graft.functions.ShingleHashes(col("toks"), 3))
       .select(col("doc_id"), explode_outer(col("shash")).as("h"))
-    val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
-    val contam = sh.filter(col("doc_id") >= 10)
+    val contam = ndSh.filter(col("doc_id") >= 10)
       .join(broadcast(bench), "h")
       .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= 5).select("doc_id")
@@ -150,7 +160,10 @@ object EndToEnd {
       .orderBy("split", "source")
 
   def endToEndReport(s: SparkSession, dir: String): DataFrame = {
-    val qual = curate(s, dir, nearDedup(exactDedup(ingestGate(docs(s, dir)))))
+    // survivors feed four stage-4/5 subtrees (spans, novelty, contamination,
+    // base) — materialize once, like the e2e rehearsal's per-stage manifests
+    val nd = nearDedup(exactDedup(ingestGate(docs(s, dir)))).localCheckpoint()
+    val qual = curate(s, dir, nd)
     report(splitAndPack(qual), mixtureShares(qual))
   }
 
@@ -173,14 +186,12 @@ object EndToEnd {
       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
       |  WHERE len(list_intersect(a.sh, b.sh))
       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-      |nd AS (SELECT doc_id, source FROM ex
+      |nd AS (SELECT doc_id, source, t FROM ex
       |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
-      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-      |  FROM documents),
       |ng AS (
       |  SELECT doc_id, i AS pos,
       |    ('0x' || substr(md5(list_aggregate(t[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS g
-      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+      |  FROM nd, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
       |  WHERE len(t) >= 8),
       |dup AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) > 1),
       |dpos AS (SELECT doc_id, pos FROM ng WHERE g IN (SELECT g FROM dup)),
@@ -202,25 +213,29 @@ object EndToEnd {
       |      ELSE len(list_filter(t.t, (x, i) ->
       |        len(list_filter(spans, p -> i >= p.s AND i <= p.e)) = 0))
       |    END AS BIGINT) AS kept_toks
-      |  FROM toks t LEFT JOIN spl ON t.doc_id = spl.doc_id),
+      |  FROM nd t LEFT JOIN spl ON t.doc_id = spl.doc_id),
       |gh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(t) - 4),
       |    i -> ('0x' || substr(md5(list_aggregate(t[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT)) AS gs
-      |  FROM toks WHERE len(t) >= 5),
+      |  FROM nd WHERE len(t) >= 5),
       |g AS (SELECT doc_id, unnest(gs) AS g FROM gh),
       |dfreq AS (SELECT g, count(*) AS dfreq FROM g GROUP BY g),
       |nov AS (
       |  SELECT doc_id,
       |    CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
       |  FROM g JOIN dfreq USING (g) GROUP BY doc_id),
-      |csh AS (SELECT doc_id, list_distinct(list_transform(
+      |bench AS (SELECT DISTINCT unnest(list_distinct(list_transform(
       |    generate_series(1, greatest(len(t) - 2, 0)),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
-      |bench AS (SELECT DISTINCT unnest(sh) AS s FROM csh WHERE doc_id < 10),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM raw WHERE doc_id < 10),
       |cont AS (SELECT doc_id FROM (
       |    SELECT c.doc_id, count(DISTINCT s) AS n_shared
-      |    FROM (SELECT doc_id, unnest(sh) AS s FROM csh WHERE doc_id >= 10) c
+      |    FROM (SELECT doc_id, unnest(sh) AS s
+      |      FROM (SELECT doc_id, list_distinct(list_transform(
+      |          generate_series(1, greatest(len(t) - 2, 0)),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |        FROM nd WHERE doc_id >= 10)) c
       |    WHERE s IN (SELECT s FROM bench) GROUP BY c.doc_id)
       |  WHERE n_shared >= 5),
       |qual AS (
