@@ -26,11 +26,13 @@ object ScaleRehearsal {
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
     if (args.contains("allpairs")) { allpairsLeg(spark); spark.stop(); return }
     if (args.contains("e2e")) { e2eLeg(spark); spark.stop(); return }
+    if (args.contains("sim768")) { sim768Leg(spark); spark.stop(); return }
+    if (args.contains("skew")) { skewLeg(spark); spark.stop(); return }
     if (args.contains("all")) {
       // Regenerate every SCALE.md evidence row in one command.
-      dedupLeg(spark, 21); dedupLeg(spark, 50)
+      dedupLeg(spark, 21); dedupLeg(spark, 50); dedupLeg(spark, 100)
       allpairsLeg(spark); ingestLeg(spark); simLeg(spark); simBatchLeg(spark)
-      e2eLeg(spark)
+      e2eLeg(spark); sim768Leg(spark); skewLeg(spark)
       spark.stop(); return
     }
 
@@ -546,6 +548,199 @@ object ScaleRehearsal {
         println(s"SCALE   broadcast-LUT path FAILED at $nQ queries: " +
           s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
     }
+  }
+
+  /** VERDICT r7 #6: the skew-join story past fixture scale. A 10M-row fact
+    * table with ONE key owning 30% of all rows (the Zipf head every crawl
+    * join has: the null-ish user, the mirror domain) joins a 100k-row ×
+    * 256-byte dim table — ~26 MB, past the broadcast threshold, so the
+    * join MUST shuffle and the hot key lands one ~3M-row partition on one
+    * task. Three physical answers, all asserted row-identical:
+    *
+    *   1. AQE skew-join (the default production path): OptimizeSkewedJoin
+    *      splits the oversized partition into task-sized chunks at runtime;
+    *   2. AQE skew handling OFF — the degenerate baseline, one straggler
+    *      task serializes the join;
+    *   3. `SkewAndBuckets.saltedJoin` n=8 — the manual answer AQE can't
+    *      give (e.g. when the skewed side feeds a bucketed/pre-partitioned
+    *      shape AQE won't re-plan).
+    *
+    * The rehearsal records all three walls and asserts the AQE run really
+    * exercised the skew path (the executed plan marks the join
+    * `isSkewJoin`); PlanAuditSpec's j6 gate pins the salted plan's
+    * (key, salt) join keys so the manual path can't silently degrade. */
+  private def skewLeg(spark: SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val nFact = 10000000L
+    val nKeys = 100000L
+    // deterministic Zipf head: rows with id % 10 < 3 all hit key 0
+    // fact rows carry an incompressible fingerprint so the hot partition's
+    // COMPRESSED shuffle size reflects its row count (monotonic ids + a
+    // constant key lz4 down to almost nothing, hiding the skew from AQE's
+    // byte-based trigger — at production scale rows are real payloads)
+    val fact = spark.range(nFact).select(col("id"),
+        when(pmod(col("id"), lit(10L)) < 3, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("key"),
+        (col("id") % 97).cast("double").as("v"),
+        md5(col("id").cast("string")).as("fp"))
+      .localCheckpoint()
+    // INCOMPRESSIBLE ~256-byte payload (md5 chain): a constant filler
+    // compresses to nothing in the shuffle, AQE's runtime size estimate
+    // drops under the broadcast threshold, and the join silently converts
+    // to broadcast — hiding the skew this leg exists to measure.
+    val dim = spark.range(nKeys).select(col("id").as("key"),
+        expr("concat_ws('', transform(sequence(0, 7), " +
+          "j -> md5(concat(CAST(id AS STRING), '-', CAST(j AS STRING)))))")
+          .as("payload"))
+      .localCheckpoint() // ~26 MB incompressible: must shuffle
+    val hot = fact.filter(col("key") === 0L).count()
+    println(s"SCALE skew fact=$nFact rows, dim=$nKeys rows, hot key owns $hot (${hot * 100 / nFact}%)")
+    // The hot partition is ~100 MB here; AQE's default skew trigger is
+    // 256 MB AND 5× median, sized for cluster-scale partitions. Scale the
+    // byte thresholds to this rig (the 5× median factor still gates) so
+    // the leg exercises the same code path a 10 GB hot partition hits in
+    // production.
+    val prevThresh = spark.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
+    val prevAdvisory = spark.conf.get(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    // The production regime under test is "dim too big to broadcast" — at
+    // rig scale the 26 MB dim would be size-estimated ~3 MB and silently
+    // broadcast, making every variant identical; disable the threshold so
+    // the join genuinely shuffles, as a 100 GB dim forces at cluster scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+
+    // Global aggregate downstream (map-side partial, no key re-shuffle):
+    // a key-grouped consumer would let AQE skip the skew split to preserve
+    // the join's output partitioning. `payload` stays referenced so column
+    // pruning can't shrink dim under the broadcast threshold.
+    def run(joined: org.apache.spark.sql.DataFrame) = {
+      val df = joined.agg(count(lit(1)).as("n"),
+        sum(length(col("payload")) + length(col("fp"))).as("lp"),
+        round(sum(col("v")), 3).as("sv"))
+      // collect(), not head(): head() executes a SEPARATE limit plan, so
+      // df's own AdaptiveSparkPlan would never finalize and the skew
+      // assertion below would read the un-executed initial plan.
+      val r = df.collect().toSeq
+      (r, df.queryExecution.executedPlan.toString)
+    }
+    val (skewOn, planOn) = time("skew_join_aqe") { run(fact.join(dim, "key")) }
+    assert(planOn.contains("isSkewJoin=true") || planOn.contains("skew=true"),
+      "AQE did not mark the join as skew-handled — the leg is not testing what it claims")
+    val (skewOff, _) = time("skew_join_aqe_disabled") {
+      val prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run(fact.join(dim, "key"))
+      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+    }
+    val (salted, _) = time("skew_join_salted_n8") {
+      run(graft.ops.SkewAndBuckets.saltedJoin(fact, dim, "key", n = 8))
+    }
+    assert(skewOn == skewOff && skewOff == salted,
+      s"skew variants disagree: $skewOn / $skewOff / $salted")
+    println(s"SCALE   all three variants row-identical: $salted")
+    } finally {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevThresh)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  /** VERDICT r7 #4: the ANN stack at PRODUCTION embedding width. The 50×
+    * corpus's 64-dim vectors expand to 768 dims by concatenating 12
+    * per-block-scaled copies — cosine geometry is EXACTLY preserved
+    * (concat of c_j-scaled copies multiplies every dot and both norms by
+    * the same Σc_j², so the true top-k is the 64-dim top-k), which makes
+    * recall@10 directly comparable to the sim leg while the quantizer
+    * faces 96 subspaces (768/8) instead of 8. Measures: IVF-256 build at
+    * width, the 96-fit IVFADC build, batch-probe recall@10, per-query cost
+    * through the shuffle-LUT path, and the MEASURED on-disk compression of
+    * codes vs raw vectors (the 1/32 residency claim re-checked at width —
+    * 96 5-bit codes vs 768 float32). */
+  private def sim768Leg(spark: SparkSession): Unit = {
+    val base = simCorpus(spark)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-sim768").getAbsolutePath
+    val embPath = s"$dir/embeddings.parquet"
+    val subs = 96
+    val nLists = 256
+    val nprobe = 8
+    if (!new java.io.File(embPath).exists()) {
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("flatten(transform(sequence(0, 11), " +
+            "j -> transform(embedding, x -> CAST(x * (1.0 + j * 0.25) AS FLOAT))))")
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val e = spark.read.parquet(embPath)
+    val n = e.count()
+    val width = e.select(size(col("embedding"))).head().getInt(0)
+    println(s"SCALE sim768 corpus rows=$n dim=$width (subs=$subs, $nLists lists)")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    time("sim768_ivf_build_256")(ext.Similarity.ivfBuild(spark, dir, nLists))
+    val adcRoot = time("sim768_ivfadc_build_96sub") {
+      ext.ProductQuant.ivfadcBuild(spark, dir, lists = nLists, subs = subs)
+    }
+    // measured residency: codes artifact bytes vs raw embedding bytes
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val rawB = dirBytes(embPath)
+    val codesB = dirBytes(s"$adcRoot/codes")
+    println(f"SCALE   residency: codes ${codesB / 1e6}%.1f MB vs raw ${rawB / 1e6}%.1f MB = 1/${rawB.toDouble / codesB}%.0f on disk")
+
+    // recall@10 over 20 queries, batch probe (shuffle-LUT path) vs brute force
+    val qids = (0 until 20).map(i => i.toLong * 100 + 7)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    val brute = time("sim768_brute_topk_20q") {
+      e.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(ext.Similarity.cosine(col("embedding"), col("q_embedding")), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    val recall = time("sim768_ivfadc_batch_20q") {
+      val got = ext.ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 10,
+          shortlist = 100, lists = nLists, probe = nprobe,
+          broadcastLut = false, subs = subs)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      qids.map(q => brute(q).intersect(got.getOrElse(q, Set.empty)).size).sum / (qids.size * 10.0)
+    }
+    println(f"SCALE   sim768 ivfadc recall@10 = $recall%.3f over ${qids.size} queries (shuffle-LUT, $nprobe/$nLists lists)")
+
+    // throughput at a 2,000-query batch through the shuffle path
+    val bigQ = e.filter(pmod(col("vec_id"), lit(100L)) === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val nBig = bigQ.count()
+    val rows = time("sim768_ivfadc_batch_2000q") {
+      ext.ProductQuant.ivfadcTopKAll(spark, dir, bigQ, k = 10,
+        shortlist = 100, lists = nLists, probe = nprobe,
+        broadcastLut = false, subs = subs).count()
+    }
+    println(s"SCALE   sim768 $nBig-query batch -> $rows rows (shuffle-LUT at dim $width)")
   }
 
   /** VERDICT r7 #3 done-criterion: the full crawl → training-corpus chain

@@ -38,14 +38,14 @@ object ProductQuant {
 
   private def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
-  /** Memoized build roots (one train per corpus dir per JVM; the committed
-    * SnapshotTables are reused across JVMs). */
-  private val pqRoots = new scala.collection.concurrent.TrieMap[String, String]()
+  /** Memoized build roots per (corpus version, subspace count) (one train
+    * per key per JVM; the committed SnapshotTables are reused across JVMs). */
+  private val pqRoots = new scala.collection.concurrent.TrieMap[(String, Int), String]()
 
-  /** Fitted codebooks per dir, for dynamic oracle generation (the
+  /** Fitted codebooks per (dir, subs), for dynamic oracle generation (the
     * ivfCentroidCache trick): (sub, code, centroid, cnorm2). */
   private val pqCodebookCache =
-    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Long, Array[Double], Double)]]()
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[(Int, Long, Array[Double], Double)]]()
   @volatile private var pqLastDir: Option[String] = None
 
   /** BUILD: train the 8 subspace codebooks and persist two SnapshotTables —
@@ -54,20 +54,24 @@ object ProductQuant {
     * broadcast-sized). Assignment is recomputed from the final centroids
     * with the shared rounded-distance expression, never taken from MLlib's
     * internal labels (cross-engine argmin — the ivfBuild rationale). */
-  def pqBuild(s: SparkSession, dir: String): String = synchronized {
+  def pqBuild(s: SparkSession, dir: String, subs: Int = m): String = synchronized {
     // Version-keyed memo (VERDICT r6 #5): corpus fingerprint in key + root.
+    // `subs` (subspace count, VERDICT r7 #4) scales the scheme to any
+    // embedding width that is a multiple of subDim=8 — dim 768 → subs 96;
+    // every slice expression below uses sub*subDim offsets, so only the
+    // loop bound changes. The registered fixture queries keep subs = m = 8.
     val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
-    pqRoots.getOrElseUpdate(vdir, {
+    pqRoots.getOrElseUpdate((vdir, subs), {
       val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft-pq-$tag-m$m-k$ksub").getAbsolutePath
+        sys.props("java.io.tmpdir"), s"graft-pq-$tag-m$subs-k$ksub").getAbsolutePath
       if (SnapshotTable.currentVersion(s, s"$root/codes").isEmpty ||
           SnapshotTable.currentVersion(s, s"$root/codebooks").isEmpty) {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val e = emb(s, dir)
         // One seeded fit per subspace over its 8-dim slice.
-        val books: Seq[(Int, Long, Array[Double], Double)] = (0 until m).flatMap { sub =>
+        val books: Seq[(Int, Long, Array[Double], Double)] = (0 until subs).flatMap { sub =>
           val feats = e.select(array_to_vector(expr(
             s"transform(slice(embedding, ${sub * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))"))
             .as("features")).cache()
@@ -87,34 +91,34 @@ object ProductQuant {
         // budget at k=32 and fell back to interpreted eval (PqAssign's
         // scaladoc; bit-parity pinned by ProductQuantSpec).
         val codes = e.select(col("vec_id"),
-          graft.functions.PqAssign(col("embedding"), books, m, subDim)
+          graft.functions.PqAssign(col("embedding"), books, subs, subDim)
             .as("codes"))
         SnapshotTable.commitClustered(s, s"$root/codes", codes, Seq("vec_id"))
         import s.implicits._
         SnapshotTable.commit(s, s"$root/codebooks",
           books.toDF("sub", "code", "centroid", "cnorm2"))
-        pqCodebookCache.put(vdir, books)
+        pqCodebookCache.put((vdir, subs), books)
       }
       root
     })
-    if (!pqCodebookCache.contains(vdir)) {
-      val books = SnapshotTable.read(s, s"${pqRoots(vdir)}/codebooks")
+    if (!pqCodebookCache.contains((vdir, subs))) {
+      val books = SnapshotTable.read(s, s"${pqRoots((vdir, subs))}/codebooks")
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
         .sortBy(b => (b._1, b._2))
-      pqCodebookCache.put(vdir, books)
+      pqCodebookCache.put((vdir, subs), books)
     }
-    pqLastDir = Some(vdir)
-    pqRoots(vdir)
+    if (subs == m) pqLastDir = Some(vdir)
+    pqRoots((vdir, subs))
   }
 
   /** Compressed store (vec_id, codes) from the build artifact. */
-  def pqCodes(s: SparkSession, dir: String): DataFrame =
-    SnapshotTable.read(s, s"${pqBuild(s, dir)}/codes")
+  def pqCodes(s: SparkSession, dir: String, subs: Int = m): DataFrame =
+    SnapshotTable.read(s, s"${pqBuild(s, dir, subs)}/codes")
 
   /** Codebook table (sub, code, centroid, cnorm2) from the build artifact. */
-  def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    SnapshotTable.read(s, s"${pqBuild(s, dir)}/codebooks")
+  def pqCodebooks(s: SparkSession, dir: String, subs: Int = m): DataFrame =
+    SnapshotTable.read(s, s"${pqBuild(s, dir, subs)}/codebooks")
 
   /** ADC probe + exact re-rank: approximate every vector's cosine against
     * the query from codes alone (dot ≈ Σ LUT hits, |x|² ≈ Σ cnorm2 of its
@@ -126,16 +130,16 @@ object ProductQuant {
     * sums accumulate as DECIMAL(28,12): order-independent, so both engines
     * agree bit-for-bit. */
   def pqTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
-             shortlist: Int = 100): DataFrame = {
+             shortlist: Int = 100, subs: Int = m): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     // LUT: partial dot of the query's sub-slice with every codeword.
-    val lut = pqCodebooks(s, dir).crossJoin(broadcast(q))
+    val lut = pqCodebooks(s, dir, subs).crossJoin(broadcast(q))
       .select(col("sub"), col("code"), col("cnorm2"),
         dot(expr("transform(slice(q_embedding, sub * 8 + 1, 8), x -> CAST(x AS DOUBLE))"),
           col("centroid")).as("partial"))
-    val adc = pqCodes(s, dir)
+    val adc = pqCodes(s, dir, subs)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("sub", "code"))
@@ -166,15 +170,15 @@ object ProductQuant {
     * amortize across the batch (IVFADC adds list pruning on top, see
     * [[ivfadcTopKAll]]). All ranks are q_id-partitioned windows. */
   def pqTopKAll(s: SparkSession, dir: String, queries: DataFrame, k: Int,
-                shortlist: Int = 100): DataFrame = {
+                shortlist: Int = 100, subs: Int = m): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, dir)
     val q = queries.select(col("q_id"), col("q_embedding"))
-    val lut = pqCodebooks(s, dir).crossJoin(broadcast(q))
+    val lut = pqCodebooks(s, dir, subs).crossJoin(broadcast(q))
       .select(col("q_id"), col("sub"), col("code"), col("cnorm2"),
         dot(expr("transform(slice(q_embedding, sub * 8 + 1, 8), x -> CAST(x AS DOUBLE))"),
           col("centroid")).as("partial"))
-    val adc = pqCodes(s, dir)
+    val adc = pqCodes(s, dir, subs)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -227,12 +231,12 @@ object ProductQuant {
   private val nLists = 8  // coarse lists (shared with the IVF artifact)
   private val nprobe = 2
 
-  private val ivfadcRoots = new scala.collection.concurrent.TrieMap[(String, Int), String]()
+  private val ivfadcRoots = new scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
 
   /** (coarse centroids, residual codebooks) per (dir, lists), for dynamic
     * oracles (the registered queries use the default lists). */
   private val ivfadcCache = new scala.collection.concurrent.TrieMap[
-    (String, Int), (Seq[(Long, Array[Double])], Seq[(Int, Long, Array[Double], Double)])]()
+    (String, Int, Int), (Seq[(Long, Array[Double])], Seq[(Int, Long, Array[Double], Double)])]()
   @volatile private var ivfadcLastDir: Option[String] = None
 
   /** BUILD: residuals against the committed IVF coarse quantizer
@@ -242,12 +246,13 @@ object ProductQuant {
     * files, and `codebooks` (sub, code, centroid, rnorm2 — 256 rows).
     * Residual code assignment is the shared rounded-distance argmin over
     * the FINAL codebooks (the pqBuild/ivfBuild rationale). */
-  def ivfadcBuild(s: SparkSession, dir: String, lists: Int = nLists): String = synchronized {
+  def ivfadcBuild(s: SparkSession, dir: String, lists: Int = nLists,
+                  subs: Int = m): String = synchronized {
     val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
-    ivfadcRoots.getOrElseUpdate((vdir, lists), {
+    ivfadcRoots.getOrElseUpdate((vdir, lists, subs), {
       val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivfadc-$tag-m$m-k$ksub-l$lists").getAbsolutePath
+        s"graft-ivfadc-$tag-m$subs-k$ksub-l$lists").getAbsolutePath
       if (SnapshotTable.currentVersion(s, s"$root/codes").isEmpty ||
           SnapshotTable.currentVersion(s, s"$root/codebooks").isEmpty) {
         import org.apache.spark.ml.clustering.KMeans
@@ -260,7 +265,7 @@ object ProductQuant {
           .select(col("vec_id"), col("list_id"), col("r"))
           .cache()
         val books: Seq[(Int, Long, Array[Double], Double)] =
-          try (0 until m).flatMap { sub =>
+          try (0 until subs).flatMap { sub =>
             val feats = res.select(array_to_vector(
               expr(s"slice(r, ${sub * subDim + 1}, $subDim)")).as("features"))
             val model = new KMeans().setK(ksub).setSeed(4242L + sub).setMaxIter(10)
@@ -274,7 +279,7 @@ object ProductQuant {
         // input path — residuals are zip_with doubles).
         val codes = res
           .select(col("vec_id"), col("list_id"),
-            graft.functions.PqAssign(col("r"), books, m, subDim).as("codes"))
+            graft.functions.PqAssign(col("r"), books, subs, subDim).as("codes"))
           .repartition(col("list_id")).sortWithinPartitions("list_id")
         SnapshotTable.commit(s, s"$root/codes", codes)
         res.unpersist()
@@ -284,17 +289,17 @@ object ProductQuant {
       }
       root
     })
-    if (!ivfadcCache.contains((vdir, lists))) {
+    if (!ivfadcCache.contains((vdir, lists, subs))) {
       val cents = Similarity.ivfCentroids(s, dir, lists).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      val books = SnapshotTable.read(s, s"${ivfadcRoots((vdir, lists))}/codebooks")
+      val books = SnapshotTable.read(s, s"${ivfadcRoots((vdir, lists, subs))}/codebooks")
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
         .sortBy(b => (b._1, b._2))
-      ivfadcCache.put((vdir, lists), (cents, books))
+      ivfadcCache.put((vdir, lists, subs), (cents, books))
     }
-    if (lists == nLists) ivfadcLastDir = Some(vdir)
-    ivfadcRoots((vdir, lists))
+    if (lists == nLists && subs == m) ivfadcLastDir = Some(vdir)
+    ivfadcRoots((vdir, lists, subs))
   }
 
   /** Residual-code occupancy per subspace — the build-absorbing inventory
@@ -314,8 +319,8 @@ object ProductQuant {
     * shortlist join. All 8-term sums accumulate as DECIMAL(28,12). */
   def ivfadcTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
                  shortlist: Int = 100, lists: Int = nLists,
-                 probe: Int = nprobe): DataFrame = {
-    val root = ivfadcBuild(s, dir, lists)
+                 probe: Int = nprobe, subs: Int = m): DataFrame = {
+    val root = ivfadcBuild(s, dir, lists, subs)
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
@@ -411,9 +416,10 @@ object ProductQuant {
     * batch (SCALE.md). */
   def ivfadcTopKAll(s: SparkSession, dir: String, queries: DataFrame, k: Int,
                     shortlist: Int = 100, lists: Int = nLists,
-                    probe: Int = nprobe, broadcastLut: Boolean = true): DataFrame = {
+                    probe: Int = nprobe, broadcastLut: Boolean = true,
+                    subs: Int = m, maxLiteralLut: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val root = ivfadcBuild(s, dir, lists)
+    val root = ivfadcBuild(s, dir, lists, subs)
     val e = emb(s, dir)
     val q = queries.select(col("q_id"), col("q_embedding"))
     def qd = expr("transform(q_embedding, x -> CAST(x AS DOUBLE))")
@@ -427,32 +433,64 @@ object ProductQuant {
         col("centroid").as("list_cent"))
     if (!broadcastLut) {
       val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
-      val books = ivfadcCache((vdir, lists))._2 // sorted by (sub, code)
+      val books = ivfadcCache((vdir, lists, subs))._2 // sorted by (sub, code)
       // dense pd/pr offsets per subspace, robust to ragged codebooks
-      val offs = (0 until m).map(sub => books.count(_._1 == sub))
+      val offs = (0 until subs).map(sub => books.count(_._1 == sub))
         .scanLeft(0)(_ + _)
-      // partial(sub, code) = dot(double(q_slice(sub)), centroid) with the
-      // centroid a literal — replicates ArrayDot's 0.0-seeded left-to-right
-      // double accumulation exactly (bit-identical a_sim)
-      val pdEntries = books.map { case (sub, _, cv, _) =>
-        (0 until subDim).foldLeft(lit(0.0)) { (acc, j) =>
-          acc + col("q_embedding").getItem(sub * subDim + j).cast("double") * lit(cv(j))
-        }
-      }
-      // rterm(sub, code) = crossT * 2.0 + rnorm2 (the r_norm summand)
-      val prEntries = books.map { case (sub, _, cv, cc) =>
-        (0 until subDim).foldLeft(lit(0.0)) { (acc, j) =>
-          acc + col("list_cent").getItem(sub * subDim + j) * lit(cv(j))
-        } * 2.0 + lit(cc)
-      }
-      val perQL = probedBase
-        .withColumn("pd", array(pdEntries: _*))
-        .withColumn("pr", array(prEntries: _*))
+      val withTerms = probedBase
         .withColumn("cdot", dot(col("list_cent"), qd))
         .withColumn("cnorm2", dot(col("list_cent"), col("list_cent")))
         .withColumn("qn", sqrt(dot(qd, qd)))
-        .drop("q_embedding", "list_cent") // skinny shuffle payload
-      def adcSum(arr: String): Column = (0 until m).map { sub =>
+      // Two LUT-array builders, picked by codebook size. At the fixture
+      // geometry (≤512 rows) each probe row computes its dense pd/pr arrays
+      // as a LITERAL-codebook projection — zero extra stage, zero codebook
+      // broadcast. Past that the literal expression tree itself becomes the
+      // problem: at subs=96 (dim 768) it is ~200k serialized Expression
+      // nodes, and 32 executor threads deserializing it concurrently OOM'd
+      // an 8 GB heap before a single row flowed (measured, sim768 leg). The
+      // large-width path instead derives the same arrays from the STATIC
+      // codebooks table (one bounded broadcast, never batch-scaled) with a
+      // per-(q, list) collect — expression size constant in subs. Both
+      // compute the identical doubles: `partial` and the r_norm summand are
+      // the broadcast path's own expressions, and array_sort on (sub, code)
+      // reproduces the dense offset order.
+      val perQL = (if (books.size <= maxLiteralLut) {
+        // partial(sub, code) = dot(double(q_slice(sub)), centroid) with the
+        // centroid a literal — replicates ArrayDot's 0.0-seeded
+        // left-to-right double accumulation exactly (bit-identical a_sim)
+        val pdEntries = books.map { case (sub, _, cv, _) =>
+          (0 until subDim).foldLeft(lit(0.0)) { (acc, j) =>
+            acc + col("q_embedding").getItem(sub * subDim + j).cast("double") * lit(cv(j))
+          }
+        }
+        // rterm(sub, code) = crossT * 2.0 + rnorm2 (the r_norm summand)
+        val prEntries = books.map { case (sub, _, cv, cc) =>
+          (0 until subDim).foldLeft(lit(0.0)) { (acc, j) =>
+            acc + col("list_cent").getItem(sub * subDim + j) * lit(cv(j))
+          } * 2.0 + lit(cc)
+        }
+        withTerms
+          .withColumn("pd", array(pdEntries: _*))
+          .withColumn("pr", array(prEntries: _*))
+      } else {
+        withTerms
+          .crossJoin(broadcast(SnapshotTable.read(s, s"$root/codebooks")))
+          .select(col("q_id"), col("list_id"), col("cdot"), col("cnorm2"), col("qn"),
+            col("sub"), col("code"),
+            dot(expr("transform(slice(q_embedding, sub * 8 + 1, 8), x -> CAST(x AS DOUBLE))"),
+              col("centroid")).as("partial"),
+            (dot(expr("slice(list_cent, sub * 8 + 1, 8)"), col("centroid")) * 2.0
+              + col("rnorm2")).as("rterm"))
+          .groupBy("q_id", "list_id")
+          .agg(first(col("cdot")).as("cdot"), first(col("cnorm2")).as("cnorm2"),
+            first(col("qn")).as("qn"),
+            array_sort(collect_list(struct(col("sub"), col("code"),
+              col("partial"), col("rterm")))).as("ents"))
+          .withColumn("pd", expr("transform(ents, e -> e.partial)"))
+          .withColumn("pr", expr("transform(ents, e -> e.rterm)"))
+          .drop("ents")
+      }).drop("q_embedding", "list_cent") // skinny shuffle payload
+      def adcSum(arr: String): Column = (0 until subs).map { sub =>
         element_at(col(arr),
           (col("codes").getItem(sub) + lit(offs(sub) + 1)).cast("int"))
           .cast("decimal(28,12)")
@@ -528,7 +566,7 @@ object ProductQuant {
     * assignment, the residuals, the residual codes, the per-list LUT with
     * cross terms, and the two-stage rank — both queries hash-check. */
   def ivfadcOracles: Map[String, String] =
-    ivfadcLastDir.flatMap(d => ivfadcCache.get((d, nLists))) match {
+    ivfadcLastDir.flatMap(d => ivfadcCache.get((d, nLists, m))) match {
     case None => Map.empty
     case Some((cents, books)) =>
       val cValues = cents.map { case (id, cv) =>
@@ -667,7 +705,8 @@ object ProductQuant {
     * VALUES literals; DuckDB re-derives every vector's codes with the
     * identical rounded-distance argmin, rebuilds the ADC table for the
     * query, and re-ranks — both PQ queries hash-check end to end. */
-  def pqOracles: Map[String, String] = pqLastDir.flatMap(pqCodebookCache.get) match {
+  def pqOracles: Map[String, String] =
+    pqLastDir.flatMap(d => pqCodebookCache.get((d, m))) match {
     case None => Map.empty
     case Some(books) =>
       val values = books.map { case (sub, code, cv, cc) =>

@@ -309,6 +309,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("salted join really joins on (key, salt) — the hot key spreads (r8)") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // The skew rehearsal (ScaleRehearsal skew) measures the three physical
+    // answers to a 30%-hot key; this pins the manual one: the salted plan's
+    // join keys must include __salt, or the hot key silently re-collapses
+    // onto one task. Forced shuffle hash join so the shape under audit is
+    // the shuffled one the salt exists for (broadcast would hide the key).
+    import org.apache.spark.sql.functions.{count, lit}
+    val events = graft.Tables(spark, sf, "events")
+    val users = events.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val salted = SkewAndBuckets.saltedJoin(
+      events, users.hint("shuffle_hash"), "user_id", n = 8)
+    val joins = collectAll(salted.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(joins.nonEmpty, "expected a shuffled join in the salted plan")
+    assert(joins.exists(_.exists(_.references.toSeq.exists(_.name == "__salt"))),
+      "salted join lost its __salt key — the hot key would land on one task")
+  }
+
   test("shuffle batch-ANN path broadcasts nothing batch-scaled (r8)") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
