@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CPUS (the Bench knob): lets the memory-bounded rehearsal
+    // keep a production-shaped heap-per-core ratio — a 4g heap across 32
+    // local threads is 128 MB/core, an order under any real executor
+    // config, and starves 32 concurrent task buffers long before it says
+    // anything about data residency.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
