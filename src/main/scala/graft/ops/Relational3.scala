@@ -440,6 +440,62 @@ object Relational3 {
         .orderBy("l_returnflag"),
       None),
 
+    // A: the approximate-percentile tier's HASH-GATED member (VERDICT r7
+    // #7, the x_sketch_hll_md5 move): a deterministic bottom-k sample
+    // estimator — per group, the 200 rows with the smallest md5-60 row-key
+    // hash are a uniform pseudo-random sample (the KMV/bottom-k sketch
+    // property: membership is a pure function of row identity, so both
+    // engines draw the IDENTICAL sample), and the exact interpolated
+    // percentile OVER THE SAMPLE estimates the population quantile.
+    // Spark-side the per-group bottom-k is two-phase so no window ever
+    // sorts a group-sized partition: bucket-local rank (32 hash buckets)
+    // keeps ≤200 per bucket, then the global per-group rank runs over
+    // ≤ 32×200 bounded rows. Ties on the 60-bit hash break by the full
+    // row key, so the sample is deterministic across engines and retries.
+    Q("a11_approx_percentile_md5",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+        val hashed = li.select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          graft.functions.Md5Hash60(concat(col("l_orderkey").cast("string"),
+            lit("-"), col("l_linenumber").cast("string"), lit(":pct"))).as("hk"))
+        val local = hashed
+          .withColumn("bkt", pmod(col("hk"), lit(32L)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("l_returnflag", "bkt")
+              .orderBy("hk", "l_orderkey", "l_linenumber")))
+          .filter(col("rn") <= 200).drop("rn")
+        val sample = local
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("l_returnflag")
+              .orderBy("hk", "l_orderkey", "l_linenumber")))
+          .filter(col("rn") <= 200)
+        val est = sample.groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+        val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        est.join(n, "l_returnflag").orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (
+                SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                  ('0x' || substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR || ':pct'), 1, 15))::BIGINT AS hk
+                FROM lineitem),
+              s AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY hk ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
+                      l_linenumber ASC NULLS FIRST) AS rn
+                  FROM h) WHERE rn <= 200),
+              est AS (SELECT l_returnflag,
+                  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+                FROM s GROUP BY l_returnflag),
+              n AS (SELECT l_returnflag, count(*) AS n
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, p50, p95, n
+              FROM est JOIN n USING (l_returnflag)
+              ORDER BY l_returnflag ASC NULLS FIRST""")),
+
     // R: conversion funnel — per-user first-touch (min click ts) joined to
     // subsequent purchases. Two grouped passes + one equi join with a
     // residual time predicate; the funnel summary (step counts, conversion)

@@ -94,6 +94,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.01, s"approx=$approx exact=$exact")
   }
 
+  test("md5 bottom-k sample percentile stays within its sampling envelope") {
+    // The hash-gated estimator (a11_approx_percentile_md5): a 200-row
+    // deterministic bottom-k sample per group. Sampling theory puts the
+    // p50 estimate's relative error around 1/sqrt(200) ≈ 7% of the IQR;
+    // gate generously at 15% of the exact value per group — the point is
+    // the estimator ESTIMATES, while the DuckDB hash gate pins that both
+    // engines compute the identical deterministic sample.
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("a11_approx_percentile_md5")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions
+          .expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        org.apache.spark.sql.functions
+          .expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (e50, e95)) =>
+      val (a50, a95) = est(flag)
+      assert(math.abs(a50 - e50) / e50 < 0.15, s"$flag p50: est=$a50 exact=$e50")
+      assert(math.abs(a95 - e95) / e95 < 0.15, s"$flag p95: est=$a95 exact=$e95")
+    }
+  }
+
   test("approx_count_distinct stays within HLL error envelope") {
     val spark = TestSpark.spark
     val exact = Tables(spark, "/root/testdata/sf0.001", "lineitem")
