@@ -1,0 +1,141 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ranked text retrieval over the document corpus: Okapi BM25 (Robertson &
+  * Spärck Jones; the scoring function behind Lucene/Elasticsearch defaults)
+  * as ONE declarative plan. Retrieval is the other half of the
+  * training-data story — contamination checks, instruction-data mining and
+  * RAG corpus construction all start from "score these queries against the
+  * corpus" — and the reference pipeline's BigQuery SQL surface expresses
+  * exactly this shape (grouped relevance scoring + top-k per key).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - the corpus is touched by ONE scan; per-term postings are built by
+  *     explode + semi-join against the (tiny, broadcast) query-term
+  *     relation, so the shuffle carries only postings FOR QUERIED TERMS —
+  *     never the full vocabulary;
+  *   - document frequencies and corpus stats (N, avgdl) are constant-width
+  *     aggregates crossJoin(broadcast(...))-ed back in, the repo's standard
+  *     sufficient-statistics pattern;
+  *   - the final top-k is a per-query window over (q_id, doc) partial
+  *     scores — partitioned by query, no global sort.
+  *
+  * Engine-portable determinism: per-(q, doc, term) partial scores are
+  * computed in double (ln/÷ are IEEE on both engines) then cast to
+  * DECIMAL(28,12) BEFORE the per-document sum — the cast absorbs the
+  * sub-1e-12 libm ulp differences and makes the sum order-independent, so
+  * ranking on the decimal is bit-stable across Spark and DuckDB.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** BM25 free parameters — the universal defaults. */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The fixture query workload: three multi-term queries over the corpus
+    * vocabulary (mirrored verbatim in the oracle's VALUES clause). */
+  private val queryTerms: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "merge", 1L -> "window",
+    2L -> "customer", 2L -> "batch", 2L -> "filter",
+    3L -> "vector", 3L -> "stream", 3L -> "slow")
+
+  /** BM25 top-`k` documents per query. `queries` is a (q_id, term)
+    * relation — tiny next to the corpus, hence broadcast. */
+  def bm25TopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+               k: Int = 5): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("len_d"))
+    // Corpus sufficient statistics: one row, broadcast back.
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("len_d")).cast("double") / count(lit(1))).as("avgdl"))
+    // Postings restricted to queried terms: the semi-join against the
+    // broadcast term set keeps the shuffle at O(matching postings).
+    val terms = queries.select(col("term")).distinct()
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("cnt"))
+    // Document frequency per queried term (tf is already distinct per
+    // (doc, term), so df is a plain count).
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = broadcast(queries).join(tf, Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("part",
+        (col("idf") * (col("cnt") * lit(K1 + 1.0)) /
+          (col("cnt") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len_d") / col("avgdl"))))
+          .cast("decimal(28,12)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("part")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score").cast("double"), 6).as("bm25"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def queriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    queryTerms.toDF("q_id", "term")
+  }
+
+  private val queryValues: String =
+    queryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+
+    // Okapi BM25 ranked retrieval: top-5 documents per query, scored over
+    // the whole corpus with k1=1.2, b=0.75.
+    Q("x_text_bm25",
+      (s, dir) => bm25TopK(s, docs(s, dir), queriesDf(s), k = 5),
+      Some(s"""WITH q(q_id, term) AS (VALUES $queryValues),
+              d AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\\s+') AS toks
+                    FROM documents),
+              lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len_d FROM d),
+              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len_d) AS DOUBLE) / count(*) AS avgdl FROM lens),
+              tf AS (SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS cnt
+                     FROM d, unnest(toks) AS t(term)
+                     WHERE t.term IN (SELECT DISTINCT term FROM q)
+                     GROUP BY 1, 2),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              scored AS (SELECT q.q_id, tf.doc_id,
+                         CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                              * (cnt * ${K1 + 1.0})
+                              / (cnt + $K1 * (${1.0 - B} + $B * len_d / avgdl))
+                              AS DECIMAL(28,12)) AS part
+                         FROM q
+                         JOIN tf ON tf.term = q.term
+                         JOIN dfq ON dfq.term = q.term
+                         JOIN lens ON lens.doc_id = tf.doc_id
+                         CROSS JOIN stats),
+              agg AS (SELECT q_id, doc_id, sum(part) AS score
+                      FROM scored GROUP BY 1, 2),
+              rk AS (SELECT q_id, doc_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+                     FROM agg)
+              SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+                     round(CAST(score AS DOUBLE), 6) AS bm25
+              FROM rk WHERE rank <= 5
+              ORDER BY q_id ASC, rank ASC"""))
+  )
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Incremental-MV contract: the change-feed-driven refresh chain equals a
+  * full recompute of the final table state (exactly — integer counts,
+  * decimal sums), groups arriving in later batches materialize through the
+  * full-outer combine, and the whole cycle is idempotent across reruns. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Mirror of MaterializedView.mvRoot's dir-keyed tag.
+  private def rootFor(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-mv-" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+
+  /** Orders fixture: keys spread so one (status, priority) group exists only
+    * in batch 0 (keys ≡ 0 mod 3), one only in batch 2, others span batches. */
+  private def writeOrders(dir: String): Unit = {
+    val rows = Seq(
+      // (o_orderkey, status, priority, totalprice)
+      (3L, "O", "1-URGENT", 10.00), (6L, "O", "1-URGENT", 20.50),
+      (9L, "F", "2-HIGH", 5.25), // group (F, 2-HIGH) only in batch 0
+      (1L, "O", "1-URGENT", 30.00), (4L, "O", "3-LOW", 7.10),
+      (7L, "P", "1-URGENT", 99.99),
+      (2L, "O", "3-LOW", 1.05), (5L, "P", "1-URGENT", 42.00),
+      (8L, "F", "5-LOW", 123.45)) // group (F, 5-LOW) only in batch 2
+    rows.toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .withColumn("o_custkey", col("o_orderkey") % 4)
+      .withColumn("o_orderdate", lit("1995-01-01").cast("timestamp"))
+      .write.parquet(s"$dir/orders.parquet")
+  }
+
+  private def collectView(dir: String) =
+    MaterializedView.incrementalMv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getAs[Double]("total"), r.getAs[Double]("min_price"),
+        r.getAs[Double]("max_price"))).toSeq
+
+  test("incremental refresh equals full recompute; later-batch groups appear") {
+    val dir = tmpDir()
+    writeOrders(dir)
+    val got = collectView(dir)
+    val expected = MaterializedView.partial(
+        spark.read.parquet(s"$dir/orders.parquet"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("cnt"),
+        col("total").cast("double").as("total"), col("min_price"), col("max_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getAs[Double]("total"), r.getAs[Double]("min_price"),
+        r.getAs[Double]("max_price"))).toSeq
+    assert(got == expected)
+    // the batch-0-only and batch-2-only groups both survived the chain
+    assert(got.exists(r => r._1 == "F" && r._2 == "2-HIGH" && r._3 == 1L))
+    assert(got.exists(r => r._1 == "F" && r._2 == "5-LOW" && r._3 == 1L))
+
+    // rerun: appendOnce replays as no-ops, version history does not grow,
+    // and the view is unchanged (no double-counted deltas)
+    val v = SnapshotTable.currentVersion(spark, rootFor(dir))
+    assert(v.contains(2L), s"expected 3 commits (v0..v2), got $v")
+    assert(collectView(dir) == got)
+    assert(SnapshotTable.currentVersion(spark, rootFor(dir)) == v)
+  }
+
+  test("combine is a lattice join: one-sided groups keep their partials") {
+    val mv = Seq(("O", "1-URGENT", 2L, BigDecimal("30.50"), 10.0, 20.5))
+      .toDF("o_orderstatus", "o_orderpriority", "cnt", "total", "min_price", "max_price")
+      .withColumn("total", col("total").cast("decimal(28,2)"))
+    val delta = Seq(
+        ("O", "1-URGENT", 1L, BigDecimal("9.50"), 9.5, 9.5),
+        ("F", "2-HIGH", 3L, BigDecimal("3.00"), 0.5, 2.0))
+      .toDF("o_orderstatus", "o_orderpriority", "cnt", "total", "min_price", "max_price")
+      .withColumn("total", col("total").cast("decimal(28,2)"))
+    val out = MaterializedView.combine(mv, delta).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getDecimal(3).doubleValue(), r.getAs[Double]("min_price"),
+        r.getAs[Double]("max_price"))).toSet
+    assert(out == Set(
+      ("O", "1-URGENT", 3L, 40.0, 9.5, 20.5),
+      ("F", "2-HIGH", 3L, 3.0, 0.5, 2.0)))
+  }
+}
