@@ -47,27 +47,12 @@ object Retrieval {
     2L -> "customer", 2L -> "batch", 2L -> "filter",
     3L -> "vector", 3L -> "stream", 3L -> "slow")
 
-  /** BM25 top-`k` documents per query. `queries` is a (q_id, term)
-    * relation — tiny next to the corpus, hence broadcast. */
-  def bm25TopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
-               k: Int = 5): DataFrame = {
-    val toks = corpus
-      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
-    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("len_d"))
-    // Corpus sufficient statistics: one row, broadcast back.
-    val stats = lens.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("len_d")).cast("double") / count(lit(1))).as("avgdl"))
-    // Postings restricted to queried terms: the semi-join against the
-    // broadcast term set keeps the shuffle at O(matching postings).
-    val terms = queries.select(col("term")).distinct()
-    val tf = toks
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(terms), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("cnt"))
-    // Document frequency per queried term (tf is already distinct per
-    // (doc, term), so df is a plain count).
+  /** Shared scoring tail: one expression tree for both the scan path and
+    * the indexed path, so the two registered queries are bit-identical by
+    * construction. `tf` is (doc_id, term, cnt) restricted to queried terms;
+    * df per term is derived from it (tf is distinct per (doc, term)). */
+  private def scoreAndRank(queries: DataFrame, tf: DataFrame, lens: DataFrame,
+                           stats: DataFrame, k: Int): DataFrame = {
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = broadcast(queries).join(tf, Seq("term"))
       .join(broadcast(dfq), Seq("term"))
@@ -91,6 +76,95 @@ object Retrieval {
       .orderBy("q_id", "rank")
   }
 
+  /** BM25 top-`k` documents per query, scored from the corpus scan.
+    * `queries` is a (q_id, term) relation — tiny next to the corpus, hence
+    * broadcast. Postings are restricted to queried terms by a semi-join
+    * against the broadcast term set, so the shuffle carries O(matching
+    * postings), never the full vocabulary. */
+  def bm25TopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+               k: Int = 5): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("len_d"))
+    // Corpus sufficient statistics: one row, broadcast back.
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("len_d")).cast("double") / count(lit(1))).as("avgdl"))
+    val terms = queries.select(col("term")).distinct()
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("cnt"))
+    scoreAndRank(queries, tf, lens, stats, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Indexed retrieval: build/probe split (the ANN tier's shape applied to
+  // lexical search). BUILD tokenizes the corpus ONCE into a persisted
+  // inverted index; every probe afterwards reads only the queried terms'
+  // postings — at 100 TB a query touches files covering its terms' key
+  // ranges, never the corpus text.
+  // ---------------------------------------------------------------------
+
+  /** Memoized index roots: one postings build per corpus version per JVM;
+    * across JVMs the committed SnapshotTables are reused. */
+  private val indexRoots = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** BUILD step: full-vocabulary inverted index persisted once per corpus
+    * content version ([[Similarity.corpusVersion]] keying — an in-place
+    * corpus regeneration can never serve stale postings). Three tables:
+    *
+    *   - `postings` (term, doc_id, cnt), range-CLUSTERED by term so each
+    *     file owns a disjoint term range and a probe's pushed term filter
+    *     skips non-overlapping files/row-groups;
+    *   - `doclens` (doc_id, len_d) — the BM25 length normalizer;
+    *   - `stats` (n_docs, avgdl) — one row.
+    */
+  def bm25IndexBuild(s: SparkSession, dir: String): String = synchronized {
+    val vdir = s"$dir@${Similarity.corpusVersion(dir, "documents")}"
+    indexRoots.getOrElseUpdate(vdir, {
+      import graft.ops.SnapshotTable
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-bm25-$tag").getAbsolutePath
+      if (SnapshotTable.currentVersion(s, s"$root/postings").isEmpty ||
+          SnapshotTable.currentVersion(s, s"$root/doclens").isEmpty ||
+          SnapshotTable.currentVersion(s, s"$root/stats").isEmpty) {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("len_d"))
+        val postings = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("cnt"))
+        SnapshotTable.commitClustered(s, s"$root/postings", postings,
+          clusterBy = Seq("term"), numFiles = 8)
+        SnapshotTable.commit(s, s"$root/doclens", lens)
+        SnapshotTable.commit(s, s"$root/stats", lens.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("len_d")).cast("double") / count(lit(1))).as("avgdl")))
+      }
+      root
+    })
+  }
+
+  /** PROBE step: BM25 top-k from the persisted index. `terms` must cover
+    * `queries`' term column and is known at plan time, so the postings
+    * restriction is an `isin` FILTER (pushed into the clustered scan —
+    * file/row-group skipping), not a join. The scoring tail is shared with
+    * [[bm25TopK]], so both paths return identical rows. */
+  def bm25TopKIndexed(s: SparkSession, dir: String, queries: DataFrame,
+                      terms: Seq[String], k: Int = 5): DataFrame = {
+    import graft.ops.SnapshotTable
+    val root = bm25IndexBuild(s, dir)
+    val tf = SnapshotTable.read(s, s"$root/postings")
+      .filter(col("term").isin(terms: _*))
+    val lens = SnapshotTable.read(s, s"$root/doclens")
+    val stats = SnapshotTable.read(s, s"$root/stats")
+    scoreAndRank(queries, tf, lens, stats, k)
+  }
+
   private def queriesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     queryTerms.toDF("q_id", "term")
@@ -105,7 +179,18 @@ object Retrieval {
     // the whole corpus with k1=1.2, b=0.75.
     Q("x_text_bm25",
       (s, dir) => bm25TopK(s, docs(s, dir), queriesDf(s), k = 5),
-      Some(s"""WITH q(q_id, term) AS (VALUES $queryValues),
+      Some(bm25OracleSql)),
+
+    // Same workload through the persisted inverted index (build/probe
+    // split) — identical rows by construction, so it shares the oracle.
+    Q("x_text_bm25_indexed",
+      (s, dir) => bm25TopKIndexed(s, dir, queriesDf(s),
+        queryTerms.map(_._2).distinct, k = 5),
+      Some(bm25OracleSql))
+  )
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH q(q_id, term) AS (VALUES $queryValues),
               d AS (SELECT doc_id,
                     string_split_regex(trim(lower(text)), '\\s+') AS toks
                     FROM documents),
@@ -136,6 +221,5 @@ object Retrieval {
               SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
                      round(CAST(score AS DOUBLE), 6) AS bm25
               FROM rk WHERE rank <= 5
-              ORDER BY q_id ASC, rank ASC"""))
-  )
+              ORDER BY q_id ASC, rank ASC"""
 }

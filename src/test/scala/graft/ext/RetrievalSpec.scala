@@ -61,6 +61,24 @@ class RetrievalSpec extends SparkSpec {
     assert(s5 == s6 && d5 < d6)
   }
 
+  test("indexed probe equals the scan path; plan reads postings, never text") {
+    val dir = tmpDir()
+    corpusRows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val q = query.toDF("q_id", "term")
+    val viaScan = Retrieval.bm25TopK(
+      spark, spark.read.parquet(s"$dir/documents.parquet"), q, k = 10)
+    val viaIndex = Retrieval.bm25TopKIndexed(
+      spark, dir, q, Seq("alpha", "beta"), k = 10)
+    val got = viaIndex.collect().toSeq
+    assert(got == viaScan.collect().toSeq)
+    assert(got.nonEmpty)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    // term restriction is PUSHED into the clustered postings scan...
+    assert(plan.contains("In(term"), s"expected a pushed term filter:\n$plan")
+    // ...and the probe never re-tokenizes the corpus
+    assert(!plan.toLowerCase.contains("explode"), s"probe tokenized text:\n$plan")
+  }
+
   test("postings are restricted by a semi join before aggregation") {
     val corpus = corpusRows.toDF("doc_id", "text")
     val df = Retrieval.bm25TopK(spark, corpus, query.toDF("q_id", "term"), k = 3)
