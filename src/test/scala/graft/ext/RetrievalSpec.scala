@@ -77,6 +77,11 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("In(term"), s"expected a pushed term filter:\n$plan")
     // ...and the probe never re-tokenizes the corpus
     assert(!plan.toLowerCase.contains("explode"), s"probe tokenized text:\n$plan")
+
+    // the heap-ranked batch probe returns the identical rows (incl. the
+    // planted score tie, which must still break toward the smaller doc_id)
+    val viaBatch = Retrieval.bm25TopKBatch(spark, dir, q, Seq("alpha", "beta"), k = 10)
+    assert(viaBatch.collect().toSeq == got)
   }
 
   test("postings are restricted by a semi join before aggregation") {
