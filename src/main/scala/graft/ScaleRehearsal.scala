@@ -908,6 +908,37 @@ object ScaleRehearsal {
       batchTerms, k = 10).count()
     val w = (System.nanoTime() - t0) / 1e9
     println(f"SCALE retrieval_probe_batch$nQ $w%.1f s = ${w / nQ}%.4f s/query ($rows result rows, ${partials / w / 1e6}%.1f M partials/s)")
+
+    // Zipf workload — the regime max-score pruning serves: every query is
+    // one stopword (df ≈ 0.65N) + one rare discriminative term (the
+    // perturbed$i markers, df = 2,500 each at 50×). Exact answer asserted
+    // row-identical between the pruned and unpruned paths, then the wall
+    // comparison is the SCALE.md row.
+    val rare = spark.read.parquet(docsPath)
+      .select(explode(ext.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").rlike("^perturbed"))
+      .distinct().orderBy("term").as[String].collect().toSeq
+    val zipf = (0 until nQ).flatMap { i =>
+      Seq((i.toLong, vocab(i % vocab.size)), (i.toLong, rare(i % rare.size)))
+    }
+    val zipfDf = zipf.toDF("q_id", "term")
+    val zipfTerms = zipf.map(_._2).distinct
+    val zipfPartials = zipf.map { case (_, t) => dfMap.getOrElse(t, 0L) }.sum
+    val plan = Retrieval.prunePlan(spark, dir, zipfDf, zipfTerms, 10)
+    val essPartials = plan.candBound
+    println(s"SCALE   zipf workload: $zipfPartials unpruned partials; pruning fires=${plan.prunesAnything}, " +
+      s"candidate bound=$essPartials (q,doc) over ${plan.candDocsBound} docs")
+    val tU = System.nanoTime()
+    val unpruned = Retrieval.bm25TopKBatch(spark, dir, zipfDf, zipfTerms, k = 10).collect()
+    val wU = (System.nanoTime() - tU) / 1e9
+    println(f"SCALE retrieval_zipf_unpruned $wU%.1f s = ${wU / nQ}%.4f s/query (${unpruned.length} rows)")
+    val tP = System.nanoTime()
+    val pruned = Retrieval.bm25TopKPrunedBatch(spark, dir, zipfDf, zipfTerms, k = 10).collect()
+    val wP = (System.nanoTime() - tP) / 1e9
+    println(f"SCALE retrieval_zipf_pruned $wP%.1f s = ${wP / nQ}%.4f s/query (${wU / wP}%.1fx vs unpruned)")
+    assert(pruned.map(_.toString).toSeq == unpruned.map(_.toString).toSeq,
+      "max-score pruned batch diverged from the unpruned path at 50x")
+    println(s"SCALE   pruned == unpruned (${pruned.length} rows) — the bound is exact")
   }
 
   /** MV-tier rehearsal (round 8): 21 exactly-once appends of key-shifted

@@ -84,6 +84,93 @@ class RetrievalSpec extends SparkSpec {
     assert(viaBatch.collect().toSeq == got)
   }
 
+  test("essentialTerms drops the maximal low-bound prefix, never the top term") {
+    // theta=5: drop 'a'(1)+'b'(2) (cum 3 < 5), keep 'c'(4) because 3+4 >= 5.
+    assert(Retrieval.essentialTerms(
+      Seq("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 9.0), 5.0) == Set("c", "d"))
+    // theta <= 0 (no valid bound): everything essential.
+    assert(Retrieval.essentialTerms(
+      Seq("a" -> 1.0, "b" -> 2.0), -1e-9) == Set("a", "b"))
+    // theta larger than every partial sum: only the top instance survives.
+    assert(Retrieval.essentialTerms(
+      Seq("a" -> 1.0, "b" -> 2.0, "c" -> 4.0), 100.0) == Set("c"))
+    // multiplicity: 'b' appears twice; the prefix walk drops a(1) and the
+    // first b(2) (cum 3 < 4) but keeps the second b (3+2 >= 4) — a name
+    // with any kept instance stays essential.
+    assert(Retrieval.essentialTerms(
+      Seq("a" -> 1.0, "b" -> 2.0, "b" -> 2.0, "c" -> 9.0), 4.0) == Set("b", "c"))
+  }
+
+  test("max-score pruned probe is exact on a Zipf workload and actually prunes") {
+    // A crawl-shaped corpus: every doc carries the stopword; only docs
+    // 0..9 carry 'rare' (df=10 >= k). Queries glue the stopword to a rare
+    // term — the regime where max-score pruning pays.
+    val n = 400
+    val rows = (0L until n).map { i =>
+      val rare = if (i < 10) " rare" else ""
+      val filler = s" filler${i % 7}" * 3
+      (i, s"the the the common$filler$rare")
+    }
+    val dir = tmpDir()
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val q = Seq((1L, "the"), (1L, "rare"), (2L, "common"), (2L, "rare"))
+      .toDF("q_id", "term")
+    val terms = Seq("the", "rare", "common")
+
+    val unpruned = Retrieval.bm25TopKBatch(spark, dir, q, terms, k = 5).collect().toSeq
+    val pruned = Retrieval.bm25TopKPrunedBatch(spark, dir, q, terms, k = 5)
+    val got = pruned.collect().toSeq
+    assert(got == unpruned, s"pruned diverged:\n$got\nvs\n$unpruned")
+
+    // The pruning must have FIRED: θ from 'rare' (idf ln(~40) ≈ 3.7 per
+    // occurrence) dwarfs the stopwords' maxw (df≈n → idf ≈ ln(1+1/(2n))),
+    // so 'the'/'common' must be non-essential and the candidate pass
+    // touches only the 10 'rare' postings. Assert on the actual planning
+    // decision, not a proxy.
+    val plan = Retrieval.prunePlan(spark, dir, q, terms, k = 5)
+    assert(plan.prunesAnything, "max-score bound never fired on the Zipf fixture")
+    assert(plan.essential(1L) == Set("rare"),
+      s"q1 essential set should be {rare}, got ${plan.essential(1L)}")
+    assert(plan.essential(2L) == Set("rare"),
+      s"q2 essential set should be {rare}, got ${plan.essential(2L)}")
+    assert(plan.candBound == 20L, // df(rare)=10 summed over both queries
+      s"candidate bound should be 20, got ${plan.candBound}")
+    // and the executed rescore plan never re-tokenizes text
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(!planStr.contains("explode"), "pruned probe re-tokenized text")
+  }
+
+  test("incremental postings + impact refresh equals the scan path after every drop") {
+    val idx = tmpDir()
+    val q = query.toDF("q_id", "term")
+    val terms = Seq("alpha", "beta")
+    val (batchA, batchB) = corpusRows.partition(_._1 <= 4L)
+
+    // Drop 0: first four docs. Refresh folds THEIR df/avgdl.
+    Retrieval.bm25PostingsAppend(spark, idx, batchA.toDF("doc_id", "text"), 0L)
+    Retrieval.bm25ImpactsRefresh(spark, idx)
+    val afterA = Retrieval.bm25TopKIndexedAt(spark, idx, q, terms, k = 10).collect().toSeq
+    val scanA = Retrieval.bm25TopK(spark, batchA.toDF("doc_id", "text"), q, k = 10).collect().toSeq
+    assert(afterA == scanA, s"post-drop-0 index diverged:\n$afterA\nvs\n$scanA")
+
+    // Drop 1 (+ a deliberate replay that the batchId stamp must swallow),
+    // then refresh: statistics shift (n_docs 4→6, df/avgdl change), so
+    // EVERY impact changes — the refreshed index must equal a cold scan
+    // over the full corpus.
+    Retrieval.bm25PostingsAppend(spark, idx, batchB.toDF("doc_id", "text"), 1L)
+    Retrieval.bm25PostingsAppend(spark, idx, batchB.toDF("doc_id", "text"), 1L)
+    Retrieval.bm25ImpactsRefresh(spark, idx)
+    val afterB = Retrieval.bm25TopKIndexedAt(spark, idx, q, terms, k = 10).collect().toSeq
+    val scanB = Retrieval.bm25TopK(spark, corpusRows.toDF("doc_id", "text"), q, k = 10).collect().toSeq
+    assert(afterB == scanB, s"post-drop-1 index diverged:\n$afterB\nvs\n$scanB")
+    assert(afterB != afterA, "drop 1 must shift the statistics and the ranking")
+
+    // the replay appended nothing: postings carry exactly batches 0 and 1
+    val lens = graft.ops.SnapshotTable.read(spark, s"$idx/doclens")
+    assert(lens.count() == corpusRows.size.toLong,
+      "replayed drop double-counted doc lengths")
+  }
+
   test("postings are restricted by a semi join before aggregation") {
     val corpus = corpusRows.toDF("doc_id", "text")
     val df = Retrieval.bm25TopK(spark, corpus, query.toDF("q_id", "term"), k = 3)
