@@ -61,16 +61,22 @@ object MaterializedView {
         greatest(col("max_price"), col("d_max")).as("max_price")): _*)
   }
 
-  /** Memoized base-table roots (one bootstrap per corpus dir per JVM;
-    * across JVMs the appendOnce stamps make re-entry a no-op replay). */
+  /** Memoized base-table roots (one bootstrap per corpus CONTENT VERSION
+    * per JVM; across JVMs the appendOnce stamps make re-entry a no-op
+    * replay). Keyed on [[Similarity.corpusVersion]] like bm25IndexBuild and
+    * pqBuild (ADVICE r8): an orders table regenerated in place at the same
+    * path gets a FRESH root — without the key, the (appId, batchId) stamps
+    * would swallow every append as a replay and serve the stale table. */
   private val roots = new scala.collection.concurrent.TrieMap[String, String]()
 
-  private def mvRoot(dir: String): String =
-    roots.getOrElseUpdate(dir, {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private def mvRoot(dir: String): String = {
+    val vdir = s"$dir@${Similarity.corpusVersion(dir, "orders")}"
+    roots.getOrElseUpdate(vdir, {
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
       new java.io.File(
         sys.props("java.io.tmpdir"), s"graft-mv-$tag").getAbsolutePath
     })
+  }
 
   /** Three exactly-once appends of the orders table (split by
     * o_orderkey % 3), each followed by a change-feed-driven refresh of the

@@ -41,8 +41,10 @@ object Retrieval {
   private val B = 0.75
 
   /** The fixture query workload: three multi-term queries over the corpus
-    * vocabulary (mirrored verbatim in the oracle's VALUES clause). */
-  private val queryTerms: Seq[(Long, String)] = Seq(
+    * vocabulary (mirrored verbatim in the oracle's VALUES clause).
+    * `private[graft]`: RetrievalStreamSpec probes the streamed index with
+    * the same workload to compare against [[bm25IngestTwoDropTwin]]. */
+  private[graft] val queryTerms: Seq[(Long, String)] = Seq(
     1L -> "spark", 1L -> "merge", 1L -> "window",
     2L -> "customer", 2L -> "batch", 2L -> "filter",
     3L -> "vector", 3L -> "stream", 3L -> "slow")
@@ -243,14 +245,41 @@ object Retrieval {
         .agg(count(lit(1)).as("df"), max(col("part")).as("maxw")))
   }
 
+  /** Literal-vs-relation threshold for probe term restriction — the
+    * ProductQuant `maxLiteralLut` discipline applied to term sets
+    * (VERDICT r8 #3). At or below, the restriction is an `isin` literal
+    * filter: known at PLAN time, so the term-clustered index's manifest
+    * bounds skip non-overlapping files before any task launches. Above it,
+    * the literal list hits the same wall the dim-768 PQ LUT did (every task
+    * deserializes a workload-sized Expression tree — measured OOM at 3,072
+    * literals × 32 threads, SCALE.md): the restriction becomes a broadcast
+    * semi-join against the term relation instead — one bounded broadcast,
+    * nothing workload-sized in any task closure. Plan-time file skipping is
+    * traded for the run-time broadcast hash filter, which is the correct
+    * trade once the term set itself is large enough to touch most files. */
+  private[graft] val MaxLiteralTerms = 1024
+
+  /** Restrict `df` (any relation with a `term` column) to `terms`, picking
+    * the literal or relation form by [[MaxLiteralTerms]] (overridable for
+    * specs). Both forms are row-identical by construction. */
+  private[graft] def restrictTerms(s: SparkSession, df: DataFrame,
+                                   terms: Seq[String],
+                                   maxLiteral: Int = MaxLiteralTerms): DataFrame = {
+    val ts = terms.distinct
+    if (ts.size <= maxLiteral) df.filter(col("term").isin(ts: _*))
+    else {
+      import s.implicits._
+      df.join(broadcast(ts.toDF("term")), Seq("term"), "left_semi")
+    }
+  }
+
   /** Queried slice of the impact index: `terms` must cover `queries`' term
-    * column and is known at plan time, so the restriction is an `isin`
-    * FILTER (pushed into the clustered scan — file/row-group skipping),
-    * not a join; the probe never touches corpus text or statistics. */
+    * column; the restriction is [[restrictTerms]] (plan-time literal filter
+    * with file skipping for bounded workloads, broadcast semi-join past the
+    * threshold); the probe never touches corpus text or statistics. */
   private def partsFromRoot(s: SparkSession, root: String, queries: DataFrame,
                             terms: Seq[String]): DataFrame =
-    graft.ops.SnapshotTable.read(s, s"$root/impacts")
-      .filter(col("term").isin(terms: _*))
+    restrictTerms(s, graft.ops.SnapshotTable.read(s, s"$root/impacts"), terms)
       .join(broadcast(queries), Seq("term"))
       .select("q_id", "doc_id", "part")
 
@@ -383,8 +412,7 @@ object Retrieval {
 
     // Pruning metadata for the queried terms: O(|workload terms|) rows.
     val statsMap: Map[String, (Long, Double)] =
-      SnapshotTable.read(s, s"$root/termstats")
-        .filter(col("term").isin(terms: _*))
+      restrictTerms(s, SnapshotTable.read(s, s"$root/termstats"), terms)
         .collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue))
         .toMap
@@ -407,8 +435,7 @@ object Retrieval {
         val seedDf = seeds.toSeq.toDF("q_id", "term")
         val seedTerms = seeds.values.toSeq.distinct
         val agg = new graft.functions.TopKByScoreAggregator(k).toColumn
-        SnapshotTable.read(s, s"$root/impacts")
-          .filter(col("term").isin(seedTerms: _*))
+        restrictTerms(s, SnapshotTable.read(s, s"$root/impacts"), seedTerms)
           .join(broadcast(seedDf), Seq("term"))
           .select(col("q_id"), col("doc_id"), col("part").cast("double").as("w"))
           .as[(Long, Long, Double)]
@@ -433,7 +460,12 @@ object Retrieval {
   /** Exact BM25 top-k with max-score pruning (see block comment above).
     * Returns rows identical to [[bm25TopKBatch]] — pruning only removes
     * docs whose score is strictly below the k-th best. `queries` must be a
-    * workload-sized relation (it is collected to plan the pruning). */
+    * workload-sized relation: it is collected ONCE to plan the pruning, and
+    * the rescore plan is rebuilt FROM those collected rows (never from the
+    * incoming DataFrame), so a non-deterministic `queries` (a sample, an
+    * unordered limit) cannot make the θ/essential planning and the executed
+    * rescore see different workloads — the exactness guarantee binds to the
+    * one snapshot the driver saw (ADVICE r8). */
   def bm25TopKPrunedBatch(s: SparkSession, dir: String, queries: DataFrame,
                           terms: Seq[String], k: Int = 5): DataFrame = {
     import graft.ops.SnapshotTable
@@ -442,14 +474,19 @@ object Retrieval {
     def impacts = SnapshotTable.read(s, s"$root/impacts")
 
     val plan = prunePlan(s, dir, queries, terms, k)
+    // The ONE workload snapshot: every downstream join uses this relation,
+    // rebuilt from the rows prunePlan collected.
+    val queriesExec = plan.byQ.toSeq
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term")
     val essential = plan.essential
-    if (!plan.prunesAnything) return bm25TopKBatch(s, dir, queries, terms, k)
+    if (!plan.prunesAnything)
+      return heapRank(s, partsFromIndex(s, dir, queriesExec, terms), k)
 
     // (3) CANDIDATES from essential postings only.
     val essDf = essential.toSeq
       .flatMap { case (q, es) => es.map(q -> _) }.toDF("q_id", "term")
     val essTerms = essential.values.flatten.toSeq.distinct
-    val cand = impacts.filter(col("term").isin(essTerms: _*))
+    val cand = restrictTerms(s, impacts, essTerms)
       .join(broadcast(essDf), Seq("term"))
       .select("q_id", "doc_id").distinct()
     // Driver-known candidate bounds (from Σ essential df) decide the
@@ -461,9 +498,9 @@ object Retrieval {
 
     // (4) RESCORE candidates over the FULL term set; the doc_id join cuts
     // the stopword postings before the (q,doc) shuffle.
-    val rescoreParts = impacts.filter(col("term").isin(terms: _*))
+    val rescoreParts = restrictTerms(s, impacts, terms)
       .join(candDocs, Seq("doc_id"))
-      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(queriesExec), Seq("term"))
       .join(candForSemi, Seq("q_id", "doc_id"), "left_semi")
       .select("q_id", "doc_id", "part")
     heapRank(s, rescoreParts, k)

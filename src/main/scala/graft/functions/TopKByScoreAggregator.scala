@@ -23,9 +23,16 @@ class TopKByScoreAggregator(k: Int)
   // Ranking order: better = higher score, then smaller id. The max-heap
   // under this ordering keeps the WORST candidate at the head for O(log k)
   // eviction: head = lowest score (largest id among score-ties).
+  // Scores compare via java.lang.Double.compare, which is a TOTAL order
+  // even over NaN (NaN sorts above +Inf, so a NaN score ranks "best" —
+  // deterministically — instead of making lt(a,b) and lt(b,a) both false
+  // and corrupting heap eviction; ADVICE r8). Current callers feed
+  // DECIMAL-cast sums so NaN is unreachable there, but the Aggregator is
+  // general-purpose and must stay a lawful ordering for any input.
   private def worstFirst: Ordering[(Double, Long)] =
     Ordering.fromLessThan[(Double, Long)] { case ((s1, i1), (s2, i2)) =>
-      s1 > s2 || (s1 == s2 && i1 < i2) // "less" = better → head is worst
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2) // "less" = better → head is worst
     }
 
   override def zero: mutable.PriorityQueue[(Double, Long)] =
@@ -45,10 +52,15 @@ class TopKByScoreAggregator(k: Int)
     a
   }
 
-  /** Best-first (rank order): sort the k survivors by (score desc, id asc). */
+  /** Best-first (rank order): sort the k survivors by (score desc, id asc)
+    * under the SAME total order the heap evicts by (Double.compare — the
+    * negate-and-sortBy idiom would diverge from it on NaN/-0.0). */
   override def finish(heap: mutable.PriorityQueue[(Double, Long)]): Seq[(Long, Double)] =
     heap.dequeueAll[(Double, Long)].toSeq
-      .sortBy((t: (Double, Long)) => (-t._1, t._2))
+      .sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
       .map((t: (Double, Long)) => (t._2, t._1))
 
   override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =

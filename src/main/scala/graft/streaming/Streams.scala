@@ -239,6 +239,39 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed BM25 index maintenance (VERDICT r8 #1): each micro-batch of
+    * crawled documents is tokenized ONCE and appended to the incremental
+    * postings/doclens tables exactly-once
+    * ([[graft.ext.Retrieval.bm25PostingsAppend]] — (appId, batchId)-stamped
+    * per table, so a replay after a sink-write/checkpoint-advance crash is
+    * swallowed), then the derived impacts + termstats artifacts are
+    * re-committed from the CURRENT postings
+    * ([[graft.ext.Retrieval.bm25ImpactsRefresh]] — a postings-sized plan
+    * that never re-reads text; probes on the previous snapshot version stay
+    * consistent through the atomic manifest swap). The refresh is
+    * deterministic in the postings state, so re-running it after a swallowed
+    * replay re-commits the SAME index — idempotence end to end.
+    * `onBatch` (optional) observes the index root after each refresh — the
+    * probe-after-every-drop hook RetrievalStreamSpec uses to pin
+    * streaming ≡ [[graft.ext.Retrieval.bm25IngestTwoDropTwin]] per stage.
+    * Ledger batchId = streaming batchId (no bootstrap commit here — the
+    * index is BORN from the stream). */
+  def bm25IndexIngestSink(docs: DataFrame, indexRoot: String,
+                          checkpoint: String,
+                          onBatch: (SparkSession, String, Long) => Unit =
+                            (_, _, _) => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.ext.Retrieval.bm25PostingsAppend(
+          s, indexRoot, batch.select("doc_id", "text"), batchId)
+        graft.ext.Retrieval.bm25ImpactsRefresh(s, indexRoot)
+        onBatch(s, indexRoot, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Run an AvailableNow query to completion (test/driver helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

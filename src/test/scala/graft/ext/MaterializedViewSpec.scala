@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
 class MaterializedViewSpec extends SparkSpec {
   import spark.implicits._
 
-  // Mirror of MaterializedView.mvRoot's dir-keyed tag.
-  private def rootFor(dir: String): String =
+  // Mirror of MaterializedView.mvRoot's content-version-keyed tag
+  // (ADVICE r8: the root keys on dir@corpusVersion, not dir alone).
+  private def rootFor(dir: String): String = {
+    val vdir = s"$dir@${Similarity.corpusVersion(dir, "orders")}"
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-mv-" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      "graft-mv-" + vdir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+  }
 
   /** Orders fixture: keys spread so one (status, priority) group exists only
     * in batch 0 (keys ≡ 0 mod 3), one only in batch 2, others span batches. */
@@ -63,6 +66,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(v.contains(2L), s"expected 3 commits (v0..v2), got $v")
     assert(collectView(dir) == got)
     assert(SnapshotTable.currentVersion(spark, rootFor(dir)) == v)
+  }
+
+  test("in-place regeneration of the base table gets a fresh root (no stale view)") {
+    val dir = tmpDir()
+    writeOrders(dir)
+    val got1 = collectView(dir)
+    val root1 = rootFor(dir)
+    // Regenerate the orders table AT THE SAME PATH with different content —
+    // without content-version keying, the (appId, batchId) stamps would
+    // replay every append as a no-op and serve the stale view (ADVICE r8).
+    val fs = new java.io.File(s"$dir/orders.parquet")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    Seq((1L, "X", "1-URGENT", 50.0), (2L, "X", "1-URGENT", 60.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .withColumn("o_custkey", col("o_orderkey") % 4)
+      .withColumn("o_orderdate", lit("1995-01-01").cast("timestamp"))
+      .write.parquet(s"$dir/orders.parquet")
+    val got2 = collectView(dir)
+    assert(rootFor(dir) != root1, "regenerated table must map to a fresh root")
+    assert(got2.map(_._1).toSet == Set("X"), s"stale view served: $got2")
+    assert(got2 != got1)
   }
 
   test("combine is a lattice join: one-sided groups keep their partials") {

@@ -171,6 +171,40 @@ class RetrievalSpec extends SparkSpec {
       "replayed drop double-counted doc lengths")
   }
 
+  test("term restriction: literal and broadcast-semi-join forms are row-identical") {
+    val dir = tmpDir()
+    corpusRows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val q = query.toDF("q_id", "term")
+    val root = Retrieval.bm25IndexBuild(spark, dir)
+    val impacts = graft.ops.SnapshotTable.read(spark, s"$root/impacts")
+
+    // Same term set through both forms of restrictTerms (the threshold is
+    // the only difference): rows must be identical, and the large form must
+    // plan a broadcast semi-join with NO workload-sized In() literal.
+    val ts = Seq("alpha", "beta", "gamma")
+    val lit = Retrieval.restrictTerms(spark, impacts, ts, maxLiteral = 1024)
+    val viaJoin = Retrieval.restrictTerms(spark, impacts, ts, maxLiteral = 1)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("term"), r.getAs[Long]("doc_id"))
+    assert(viaJoin.collect().map(key).sortBy(identity).toSeq ==
+      lit.collect().map(key).sortBy(identity).toSeq)
+    val joinPlan = viaJoin.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("LeftSemi"), s"expected semi join:\n$joinPlan")
+    assert(!joinPlan.contains("In(term"), s"literal leaked into join path:\n$joinPlan")
+
+    // End to end: a probe handed a term list far past MaxLiteralTerms
+    // (padded with absent terms — a wide-vocabulary batch workload) takes
+    // the join path and returns the same rows as the bounded-literal probe.
+    val wide = ts ++ (1 to 2000).map(i => s"zzz_absent_$i")
+    assert(wide.size > Retrieval.MaxLiteralTerms)
+    val narrow = Retrieval.bm25TopKIndexed(spark, dir, q, ts, k = 10)
+    val broad = Retrieval.bm25TopKIndexed(spark, dir, q, wide, k = 10)
+    assert(broad.collect().toSeq == narrow.collect().toSeq)
+    val broadPlan = broad.queryExecution.executedPlan.toString
+    assert(!broadPlan.contains("zzz_absent"),
+      s"workload-sized literal list serialized into the probe plan")
+  }
+
   test("postings are restricted by a semi join before aggregation") {
     val corpus = corpusRows.toDF("doc_id", "text")
     val df = Retrieval.bm25TopK(spark, corpus, query.toDF("q_id", "term"), k = 3)
