@@ -538,14 +538,14 @@ object ScaleRehearsal {
 
     val shuffleRows = time("ivfadc_batch_20kq_shuffle") {
       ext.ProductQuant.ivfadcTopKAll(spark, dir, hugeQ, k = 10,
-        shortlist = 100, lists = nLists, probe = nprobe, broadcastLut = false).count()
+        shortlist = 100, lists = nLists, probe = nprobe, broadcastLut = Some(false)).count()
     }
     println(s"SCALE   shuffle-LUT path: $nQ queries -> $shuffleRows rows (zero batch-scaled broadcast)")
 
     val bcResult = try {
       Right(time("ivfadc_batch_20kq_broadcast") {
         ext.ProductQuant.ivfadcTopKAll(spark, dir, hugeQ, k = 10,
-          shortlist = 100, lists = nLists, probe = nprobe, broadcastLut = true).count()
+          shortlist = 100, lists = nLists, probe = nprobe, broadcastLut = Some(true)).count()
       })
     } catch { case t: Throwable => Left(t) }
     bcResult match {
@@ -557,6 +557,16 @@ object ScaleRehearsal {
         println(s"SCALE   broadcast-LUT path FAILED at $nQ queries: " +
           s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
     }
+
+    // AUTO path (VERDICT r8 #4 done-criterion): broadcastLut = None must
+    // derive the shuffle path from the LUT bound (20k × 8 × 256 ≈ 41M rows
+    // ≫ the 2M threshold) and complete where the forced broadcast OOMs.
+    val autoRows = time("ivfadc_batch_20kq_auto") {
+      ext.ProductQuant.ivfadcTopKAll(spark, dir, hugeQ, k = 10,
+        shortlist = 100, lists = nLists, probe = nprobe).count()
+    }
+    println(s"SCALE   auto path (bound ${nQ * nprobe * 256 / 1000000}M rows > 2M -> shuffle): " +
+      s"$autoRows rows" + (if (autoRows != shuffleRows) " MISMATCH vs forced shuffle" else ""))
   }
 
   /** VERDICT r7 #6: the skew-join story past fixture scale. A 10M-row fact
@@ -733,7 +743,7 @@ object ScaleRehearsal {
     val recall = time("sim768_ivfadc_batch_20q") {
       val got = ext.ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 10,
           shortlist = 100, lists = nLists, probe = nprobe,
-          broadcastLut = false, subs = subs)
+          broadcastLut = Some(false), subs = subs)
         .select("q_id", "vec_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       qids.map(q => brute(q).intersect(got.getOrElse(q, Set.empty)).size).sum / (qids.size * 10.0)
@@ -747,7 +757,7 @@ object ScaleRehearsal {
     val rows = time("sim768_ivfadc_batch_2000q") {
       ext.ProductQuant.ivfadcTopKAll(spark, dir, bigQ, k = 10,
         shortlist = 100, lists = nLists, probe = nprobe,
-        broadcastLut = false, subs = subs).count()
+        broadcastLut = Some(false), subs = subs).count()
     }
     println(s"SCALE   sim768 $nBig-query batch -> $rows rows (shuffle-LUT at dim $width)")
   }

@@ -376,13 +376,13 @@ object ProductQuant {
     * is (queries probing the list) × (codes in it), codes in unprobed
     * lists are never read, and full-float vectors are touched only by each
     * query's shortlist. The broadcast hints fit any probe batch up to
-    * millions of (q_id, list_id) rows; past that, `broadcastLut = false`
+    * millions of (q_id, list_id) rows; past that, `broadcastLut = Some(false)`
     * switches to the list_id-bucketed shuffle join below (VERDICT r7 #1).
     * Amortization vs the single-query probe: centroids, codebooks and the
     * codes scan are shared across the whole batch — measured at 50×, see
     * SCALE.md.
     *
-    * SHUFFLE path (`broadcastLut = false`) — the production shape once the
+    * SHUFFLE path (`broadcastLut = Some(false)`) — the production shape once the
     * per-(query, list) LUT outgrows executor memory (a 1M-query retrieval
     * pass at nprobe=8 is ~2G LUT rows; a broadcast build would OOM the
     * driver long before). Structure:
@@ -413,16 +413,35 @@ object ProductQuant {
     *
     * Per-list skew (a hot list probed by most of the batch) is AQE's
     * skew-join case; the rehearsal measures both paths at a ≥20k-query
-    * batch (SCALE.md). */
+    * batch (SCALE.md).
+    *
+    * STRATEGY SELECTION (VERDICT r8 #4): `broadcastLut = None` (the
+    * default) picks the path from the DRIVER-KNOWN LUT row bound
+    * |batch| × nprobe × |codebook entries| — the same plan-before-run
+    * discipline bm25TopKPrunedBatch applies to its broadcast hints. The
+    * bound costs one count() job over the workload-sized query relation
+    * (cheap next to the probe itself; callers that already know their
+    * batch size force the path with Some(...)). The threshold is set from
+    * the measured wall: at ~41M LUT rows (20k queries × 8 × 256) the
+    * broadcast build OOMs and at ~20M it is 12× slower than the shuffle
+    * (SCALE.md) — [[MaxBroadcastLutRows]] stays well under both. */
+  private[graft] val MaxBroadcastLutRows = 2000000L
+
   def ivfadcTopKAll(s: SparkSession, dir: String, queries: DataFrame, k: Int,
                     shortlist: Int = 100, lists: Int = nLists,
-                    probe: Int = nprobe, broadcastLut: Boolean = true,
-                    subs: Int = m, maxLiteralLut: Int = 512): DataFrame = {
+                    probe: Int = nprobe, broadcastLut: Option[Boolean] = None,
+                    subs: Int = m, maxLiteralLut: Int = 512,
+                    maxBroadcastLutRows: Long = MaxBroadcastLutRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val root = ivfadcBuild(s, dir, lists, subs)
     val e = emb(s, dir)
     val q = queries.select(col("q_id"), col("q_embedding"))
     def qd = expr("transform(q_embedding, x -> CAST(x AS DOUBLE))")
+    val useBroadcast = broadcastLut.getOrElse {
+      val vdir0 = s"$dir@${Similarity.corpusVersion(dir)}"
+      val entries = ivfadcCache((vdir0, lists, subs))._2.size.toLong
+      queries.count() * probe * entries <= maxBroadcastLutRows
+    }
     val probedBase = q.crossJoin(broadcast(Similarity.ivfCentroids(s, dir, lists)))
       .withColumn("c_sim",
         round(Similarity.cosine(col("centroid"), col("q_embedding")), 6))
@@ -431,7 +450,7 @@ object ProductQuant {
       .filter(col("rn") <= probe)
       .select(col("q_id"), col("q_embedding"), col("list_id"),
         col("centroid").as("list_cent"))
-    if (!broadcastLut) {
+    if (!useBroadcast) {
       val vdir = s"$dir@${Similarity.corpusVersion(dir)}"
       val books = ivfadcCache((vdir, lists, subs))._2 // sorted by (sub, code)
       // dense pd/pr offsets per subspace, robust to ragged codebooks
@@ -825,13 +844,13 @@ object ProductQuant {
         k = 3),
       None),
     // The SAME batch through the list_id-bucketed shuffle-join path
-    // (broadcastLut = false, VERDICT r7 #1) — hash-gated against the
+    // (broadcastLut = Some(false), VERDICT r7 #1) — hash-gated against the
     // identical dynamic oracle, so both physical strategies are pinned to
     // one answer.
     Q("x_sim_ivfadc_batch_shuffle",
       (s, dir) => ivfadcTopKAll(s, dir,
         emb(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
-        k = 3, broadcastLut = false),
+        k = 3, broadcastLut = Some(false)),
       None))
 }

@@ -34,10 +34,10 @@ class PqWidthSpec extends SparkSpec {
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     val viaBroadcast = ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 5,
-      shortlist = 30, lists = 4, probe = 2, broadcastLut = true, subs = 16)
+      shortlist = 30, lists = 4, probe = 2, broadcastLut = Some(true), subs = 16)
       .collect().map(_.toString).toSeq
     val viaShuffle = ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 5,
-      shortlist = 30, lists = 4, probe = 2, broadcastLut = false, subs = 16)
+      shortlist = 30, lists = 4, probe = 2, broadcastLut = Some(false), subs = 16)
       .collect().map(_.toString).toSeq
     assert(viaBroadcast.nonEmpty)
     assert(viaBroadcast == viaShuffle,
@@ -46,10 +46,28 @@ class PqWidthSpec extends SparkSpec {
     // sim768 leg needs — the literal projection OOMs past ~512 codebook
     // rows) and pin it to the same answer.
     val viaTableLut = ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 5,
-      shortlist = 30, lists = 4, probe = 2, broadcastLut = false, subs = 16,
+      shortlist = 30, lists = 4, probe = 2, broadcastLut = Some(false), subs = 16,
       maxLiteralLut = 0)
       .collect().map(_.toString).toSeq
     assert(viaBroadcast == viaTableLut,
       "table-derived shuffle LUT diverged from the broadcast path")
+
+    // AUTO selection (VERDICT r8 #4): broadcastLut = None derives the path
+    // from the driver-known LUT bound |batch| × nprobe × |codebook|. With
+    // the default threshold this 5-query batch picks broadcast; with the
+    // threshold forced to 0 it derives the shuffle path. Both must plan
+    // the expected physical shape AND return the forced paths' rows.
+    val autoSmall = ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 5,
+      shortlist = 30, lists = 4, probe = 2, subs = 16)
+    val autoSmallRows = autoSmall.collect().map(_.toString).toSeq
+    assert(autoSmallRows == viaBroadcast, "auto (small batch) diverged")
+    assert(!autoSmall.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "auto should pick the broadcast-LUT path for a bounded batch")
+    val autoBig = ProductQuant.ivfadcTopKAll(spark, dir, queries, k = 5,
+      shortlist = 30, lists = 4, probe = 2, subs = 16, maxBroadcastLutRows = 0L)
+    val autoBigRows = autoBig.collect().map(_.toString).toSeq
+    assert(autoBigRows == viaBroadcast, "auto (forced-over-threshold) diverged")
+    assert(autoBig.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "auto past the threshold should derive the list_id shuffle join")
   }
 }
