@@ -78,6 +78,66 @@ object MaterializedView {
     })
   }
 
+  /** Retraction-capable refresh (VERDICT r8 #2): merge a row-level CDC
+    * delta ([[SnapshotTable.changesDelta]]'s (adds, removes)) into the
+    * standing view — the piece that keeps a dashboard incremental over the
+    * reference's core operation, MERGE upsert, not just over appends.
+    *
+    *   - `cnt` and `total` RETRACT ALGEBRAICALLY (group + adds − removes):
+    *     integers and DECIMAL(18,2) sums form a group, so applying every
+    *     intermediate (add, remove) pair telescopes exactly to the final
+    *     state — no float drift, same argument as [[combine]];
+    *   - `min`/`max` are lattice joins, NOT group elements (removing the
+    *     current min leaves no information about the runner-up), so groups
+    *     TOUCHED BY REMOVES recompute min/max from the post-commit base
+    *     table restricted to those groups. The restriction is a LITERAL
+    *     group-key predicate — driver state O(|touched|) ≤ O(|view|), the
+    *     dashboard-bounded collect this repo's discipline allows — so when
+    *     the table is upserted with `clusterBy = group keys` the manifest
+    *     bounds prune the recompute scan to the touched groups' files;
+    *   - groups whose retracted count reaches 0 drop out of the view.
+    *
+    * Cost per refresh: O(|delta|) for the partials + O(|view|) for the
+    * merge + O(touched groups' rows) for the min/max recompute — never
+    * O(table). */
+  def combineDelta(s: SparkSession, tableRoot: String, mv: DataFrame,
+                   adds: DataFrame, removes: DataFrame): DataFrame = {
+    val keyCols: Seq[Column] = mvKeys.map(col)
+    val a = partial(adds).select(keyCols ++ Seq(
+      col("cnt").as("a_cnt"), col("total").as("a_total"),
+      col("min_price").as("a_min"), col("max_price").as("a_max")): _*)
+    val r = partial(removes).select(keyCols ++ Seq(
+      col("cnt").as("r_cnt"), col("total").as("r_total")): _*)
+    val zero = lit(0).cast("decimal(18,2)")
+    val merged = mv.join(a, mvKeys, "full_outer").join(r, mvKeys, "full_outer")
+      .select(keyCols ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("a_cnt"), lit(0L))
+          - coalesce(col("r_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("total"), zero) + coalesce(col("a_total"), zero)
+          - coalesce(col("r_total"), zero)).as("total"),
+        least(col("min_price"), col("a_min")).as("min_price"),
+        greatest(col("max_price"), col("a_max")).as("max_price"),
+        col("r_cnt").isNotNull.as("touched")): _*)
+      .filter(col("cnt") > 0)
+    // Touched group keys: O(|view|)-bounded driver pull, rebuilt as a
+    // plan-time literal predicate so the base-table scan can file-skip.
+    val touched = r.select(keyCols: _*).collect()
+      .map(row => mvKeys.zipWithIndex
+        .map { case (k, i) => col(k) <=> lit(row.get(i)) }.reduce(_ && _))
+    if (touched.isEmpty) merged.drop("touched")
+    else {
+      val recomputed = partial(
+          SnapshotTable.read(s, tableRoot).filter(touched.reduce(_ || _)))
+        .select(keyCols ++ Seq(
+          col("min_price").as("n_min"), col("max_price").as("n_max")): _*)
+      merged.join(broadcast(recomputed), mvKeys, "left_outer")
+        .select(keyCols ++ Seq(
+          col("cnt"), col("total"),
+          when(col("touched"), col("n_min")).otherwise(col("min_price")).as("min_price"),
+          when(col("touched"), col("n_max")).otherwise(col("max_price")).as("max_price")): _*)
+    }
+  }
+
   /** Three exactly-once appends of the orders table (split by
     * o_orderkey % 3), each followed by a change-feed-driven refresh of the
     * grouped-aggregate view; returns the final view. Deterministic and
@@ -107,6 +167,46 @@ object MaterializedView {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** Upsert-refresh lineage (VERDICT r8 #2 done-criterion): bootstrap the
+    * base table as ONE upsert of the whole orders table (clustered on the
+    * view keys), seed the view, then apply an UPSERT batch that MOVES every
+    * o_orderkey % 7 == 0 row into a brand-new priority group — retraction
+    * must fire in every source group (cnt/total shrink; where the moved row
+    * held a group's min/max, the touched-group recompute must find the
+    * runner-up) and the '9-MOVED' group must materialize from the adds.
+    * The refresh consumes [[SnapshotTable.changesDelta]] over the upsert
+    * commit — never re-reading the un-touched groups' rows — and the DuckDB
+    * oracle recomputes the aggregate from the FINAL table state, so the
+    * hash gate proves retraction ≡ full recompute exactly.
+    *
+    * Rerun-stable: each run re-upserts the same two states (source-wins
+    * merge makes the bootstrap reset any prior run's moves), anchors the
+    * delta on the versions THIS run's upserts returned, and vacuums to
+    * bound version growth across reruns. */
+  def incrementalUpsertMv(s: SparkSession, dir: String): DataFrame = {
+    val root = mvRoot(dir) + "-up"
+    val orders = Tables(s, dir, "orders")
+    val v0 = SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"),
+      clusterBy = mvKeys)
+    val mv0 = partial(SnapshotTable.read(s, root, Some(v0)))
+    val moved = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("9-MOVED"))
+    val v1 = SnapshotTable.upsert(s, root, moved, Seq("o_orderkey"),
+      clusterBy = mvKeys)
+    val (adds, removes) = SnapshotTable.changesDelta(s, root, v0, Some(v1))
+      .getOrElse(throw new IllegalStateException(
+        s"upsert commit $v0 -> $v1 at $root lost its CDC"))
+    val mv = combineDelta(s, root, mv0, adds, removes)
+    val out = mv.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("cnt"), col("total").cast("double").as("total"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_mv_incremental",
       (s, dir) => incrementalMv(s, dir),
@@ -114,6 +214,23 @@ object MaterializedView {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
               min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
               FROM orders GROUP BY 1, 2
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST""")),
+
+    // Retraction-capable refresh over a MERGE upsert: the oracle aggregates
+    // the FINAL table state (orders with the %7 rows moved to '9-MOVED'),
+    // so the hash gate pins retraction == full recompute.
+    Q("x_mv_incremental_upsert",
+      (s, dir) => incrementalUpsertMv(s, dir),
+      Some("""WITH fin AS (SELECT o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                o_totalprice
+              FROM orders)
+              SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+              FROM fin GROUP BY 1, 2
               ORDER BY o_orderstatus ASC NULLS FIRST,
                        o_orderpriority ASC NULLS FIRST"""))
   )

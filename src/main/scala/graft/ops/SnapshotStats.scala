@@ -165,18 +165,35 @@ object SnapshotStats {
 
   private val mapper = new ObjectMapper()
 
+  /** Per-commit row-level change files (the Delta-CDF shape, sized to this
+    * format): `add` files hold the rows this commit introduced, `remove`
+    * files the PRE-IMAGE rows it replaced/deleted. `Some((Nil, Nil))` is a
+    * meaningful value — a rewrite that changed NO rows (compaction,
+    * z-order), which downstream delta consumers treat as an empty delta
+    * rather than a reprocess signal. `None` = the commit recorded no CDC
+    * (append commits don't need it: the manifest file diff IS the add set;
+    * pre-CDC rewrite commits signal "full reprocess"). */
+  type Cdc = (Seq[String], Seq[String])
+
   /** Serialize the full manifest: `files` stays a plain path array (the
     * pre-stats manifest shape, so older manifests and newer readers agree),
     * `stats` carries the per-file column bounds, `txn` (optional) records
     * the (appId, batchId) that produced this version — the idempotent-
-    * replay marker for exactly-once streaming appends. */
+    * replay marker for exactly-once streaming appends — and `cdc`
+    * (optional) the row-level change files. */
   def manifestJson(version: Long, stats: Seq[FileStats],
-                   txn: Option[(String, Long)] = None): String = {
+                   txn: Option[(String, Long)] = None,
+                   cdc: Option[Cdc] = None): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     txn.foreach { case (appId, batchId) =>
       val t = root.putObject("txn")
       t.put("appId", appId); t.put("batchId", batchId)
+    }
+    cdc.foreach { case (adds, removes) =>
+      val c = root.putObject("cdc")
+      val a = c.putArray("add"); adds.foreach(a.add)
+      val r = c.putArray("remove"); removes.foreach(r.add)
     }
     val files = root.putArray("files")
     stats.foreach(f => files.add(f.path))
@@ -235,5 +252,18 @@ object SnapshotStats {
     val t = mapper.readTree(body).get("txn")
     if (t == null || !t.isObject) None
     else Some((t.get("appId").asText, t.get("batchId").asLong))
+  }
+
+  /** The per-commit change files, if this manifest recorded them. */
+  def cdcFromManifest(body: String): Option[Cdc] = {
+    val c = mapper.readTree(body).get("cdc")
+    if (c == null || !c.isObject) None
+    else {
+      def arr(name: String): Seq[String] = Option(c.get(name))
+        .filter(_.isArray)
+        .map(a => (0 until a.size).map(i => a.get(i).asText()))
+        .getOrElse(Seq.empty)
+      Some((arr("add"), arr("remove")))
+    }
   }
 }

@@ -89,6 +89,46 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got2 != got1)
   }
 
+  test("combineDelta retracts: runner-up min/max, emptied groups drop, moved groups appear") {
+    val root = s"${tmpDir()}/orders"
+    // Base table: group A holds its max (30) in the row that will MOVE;
+    // group B will be emptied entirely; group C is untouched.
+    def df(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val base = Seq(
+      (1L, "O", "A", 10.0), (2L, "O", "A", 30.0), (3L, "O", "A", 20.0),
+      (4L, "F", "B", 99.0),
+      (5L, "P", "C", 7.0))
+    val v0 = SnapshotTable.upsert(spark, root, df(base), Seq("o_orderkey"),
+      clusterBy = Seq("o_orderstatus", "o_orderpriority"))
+    val mv0 = MaterializedView.partial(SnapshotTable.read(spark, root, Some(v0)))
+
+    // Upsert: row 2 (A's max) and row 4 (all of B) move to group Z.
+    val moved = Seq((2L, "O", "Z", 30.0), (4L, "F", "Z", 99.0))
+    val v1 = SnapshotTable.upsert(spark, root, df(moved), Seq("o_orderkey"),
+      clusterBy = Seq("o_orderstatus", "o_orderpriority"))
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    val got = MaterializedView.combineDelta(spark, root, mv0, adds, removes)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getDecimal(3).doubleValue(), r.getAs[Double]("min_price"),
+        r.getAs[Double]("max_price"))).toSet
+    assert(got == Set(
+      ("O", "A", 2L, 30.0, 10.0, 20.0), // retracted 30; recompute found max=20
+      ("P", "C", 1L, 7.0, 7.0, 7.0),    // untouched
+      ("O", "Z", 1L, 30.0, 30.0, 30.0), // new group from adds
+      ("F", "Z", 1L, 99.0, 99.0, 99.0)),// B (emptied) must NOT appear
+      s"combineDelta produced $got")
+
+    // full-recompute cross-check: the refreshed view == partial(final state)
+    val full = MaterializedView.partial(SnapshotTable.read(spark, root))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getDecimal(3).doubleValue(), r.getAs[Double]("min_price"),
+        r.getAs[Double]("max_price"))).toSet
+    assert(got == full)
+  }
+
   test("combine is a lattice join: one-sided groups keep their partials") {
     val mv = Seq(("O", "1-URGENT", 2L, BigDecimal("30.50"), 10.0, 20.5))
       .toDF("o_orderstatus", "o_orderpriority", "cnt", "total", "min_price", "max_price")

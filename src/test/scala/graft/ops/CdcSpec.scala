@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Row-level CDC contract on SnapshotTable (VERDICT r8 #2): upsert commits
+  * record source-sized (add, remove) change sets; changesDelta composes
+  * them across appends / upserts / compactions and refuses (None) only for
+  * pre-CDC rewrites; vacuum reference-counts the CDC side-car dirs. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (Long, String, Double)*) =
+    t.toDF("k", "grp", "price")
+
+  private def collectKV(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "grp", "price").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("upsert records post-image adds and pre-image removes; inserts remove nothing") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.upsert(spark, root, rows((1L, "a", 10.0), (2L, "a", 20.0)), Seq("k"))
+    val v0 = SnapshotTable.currentVersion(spark, root).get
+
+    // k=2 updated, k=3 inserted
+    val v1 = SnapshotTable.upsert(spark, root,
+      rows((2L, "b", 25.0), (3L, "a", 30.0)), Seq("k"))
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(collectKV(adds) == Set((2L, "b", 25.0), (3L, "a", 30.0)))
+    assert(collectKV(removes) == Set((2L, "a", 20.0))) // pre-image; insert k=3 absent
+
+    // bootstrap CDC (anchor -1 = before the table existed): everything was
+    // an add, nothing removed
+    val Some((a0, r0)) = SnapshotTable.changesDelta(spark, root, -1L, Some(v0))
+    assert(a0.count() == 2 && r0.count() == 0)
+  }
+
+  test("changesDelta composes appends, upserts and compactions; telescopes algebraically") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.upsert(spark, root, rows((1L, "a", 10.0)), Seq("k"))
+    // append commit (no CDC): file diff is the add set
+    val v1 = SnapshotTable.appendOnce(spark, root, rows((2L, "a", 20.0)), "cdc-spec", 1L)
+    // upsert the SAME key twice: intermediate pairs must telescope
+    val v2 = SnapshotTable.upsert(spark, root, rows((2L, "b", 21.0)), Seq("k"))
+    val v3 = SnapshotTable.upsert(spark, root, rows((2L, "c", 22.0)), Seq("k"))
+    // compaction: identical rows -> empty contribution, NOT a reprocess
+    val v4 = SnapshotTable.compact(spark, root, maxFiles = 1).getOrElse(
+      SnapshotTable.commit(spark, root,
+        SnapshotTable.read(spark, root),
+        cdc = Some((rows().limit(0), rows().limit(0)))))
+
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v4))
+    assert(collectKV(adds).diff(collectKV(removes)) == Set((2L, "c", 22.0)),
+      s"telescoped delta wrong: +${collectKV(adds)} -${collectKV(removes)}")
+    assert(collectKV(removes).subsetOf(Set((2L, "a", 20.0), (2L, "b", 21.0))))
+
+    // a plain commit (pre-CDC rewrite) poisons the interval -> None
+    val v5 = SnapshotTable.commit(spark, root, SnapshotTable.read(spark, root))
+    assert(SnapshotTable.changesDelta(spark, root, v4, Some(v5)).isEmpty,
+      "rewrite without CDC must signal full reprocess")
+    // ...but an interval ending before it stays consumable
+    assert(SnapshotTable.changesDelta(spark, root, v0, Some(v4)).isDefined)
+  }
+
+  test("vacuum reclaims dropped CDC dirs and keeps live ones") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.upsert(spark, root, rows((1L, "a", 10.0)), Seq("k"))
+    SnapshotTable.upsert(spark, root, rows((1L, "b", 11.0)), Seq("k"))
+    val vLast = SnapshotTable.upsert(spark, root, rows((1L, "c", 12.0)), Seq("k"))
+    def cdcDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("cdc-")).map(_.getName).toSet
+    assert(cdcDirs.size == 3, s"expected 3 cdc dirs, got $cdcDirs")
+    // keep=2: the last two manifests (and ONLY their cdc dirs) survive
+    SnapshotTable.vacuum(spark, root, keep = 2)
+    val kept = cdcDirs
+    assert(kept.size == 2 &&
+      kept.exists(_.startsWith(f"cdc-$vLast%08d")) &&
+      kept.exists(_.startsWith(f"cdc-${vLast - 1}%08d")),
+      s"vacuum must keep exactly the live cdc dirs: $kept")
+    // the kept CDC is still readable through the feed
+    val Some((adds, _)) = SnapshotTable.changesDelta(spark, root, vLast - 1, Some(vLast))
+    assert(collectKV(adds) == Set((1L, "c", 12.0)))
+  }
+}
