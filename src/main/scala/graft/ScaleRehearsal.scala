@@ -28,6 +28,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("retrieval")) { retrievalLeg(spark); spark.stop(); return }
+    if (args.contains("retrieval50k")) { retrievalWideTermsLeg(spark); spark.stop(); return }
     if (args.contains("mv")) { mvLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
@@ -35,6 +36,8 @@ object ScaleRehearsal {
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
     if (args.contains("allpairs")) { allpairsLeg(spark); spark.stop(); return }
     if (args.contains("e2e")) { e2eLeg(spark); spark.stop(); return }
+    if (args.contains("e2e50")) { e2eLeg(spark, 50); spark.stop(); return }
+    if (args.contains("e2e100")) { e2eLeg(spark, 100); spark.stop(); return }
     if (args.contains("sim768")) { sim768Leg(spark); spark.stop(); return }
     if (args.contains("skew")) { skewLeg(spark); spark.stop(); return }
     if (args.contains("all")) {
@@ -771,11 +774,11 @@ object ScaleRehearsal {
     * sum of stage walls (each stage reads the previous stage's artifact, so
     * nothing is recomputed across the chain; the one-plan run additionally
     * fuses stages but re-derives the corpus-wide span/novelty frames). */
-  private def e2eLeg(spark: SparkSession): Unit = {
+  private def e2eLeg(spark: SparkSession, mult: Int = 21): Unit = {
     import graft.ops.SnapshotTable
     import ext.EndToEnd
-    val dir = scaleCorpus(spark, 21)
-    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-e2e").getAbsolutePath
+    val dir = scaleCorpus(spark, mult)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft-scale-e2e-$mult").getAbsolutePath
     def rmrf(f: java.io.File): Unit = {
       Option(f.listFiles).toSeq.flatten.foreach(rmrf); f.delete(); ()
     }
@@ -790,7 +793,7 @@ object ScaleRehearsal {
       r
     }
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    println(s"SCALE e2e corpus rows=${d.count()} (21x)")
+    println(s"SCALE e2e corpus rows=${d.count()} (${mult}x)")
 
     stage("s1_gate") {
       SnapshotTable.commit(spark, s"$root/s1", EndToEnd.ingestGate(d))
@@ -950,6 +953,44 @@ object ScaleRehearsal {
     assert(pruned.map(_.toString).toSeq == unpruned.map(_.toString).toSeq,
       "max-score pruned batch diverged from the unpruned path at 50x")
     println(s"SCALE   pruned == unpruned (${pruned.length} rows) — the bound is exact")
+  }
+
+  /** VERDICT r8 #3 done-criterion: a ≥50k-distinct-term probe restriction
+    * over the 50× index. Past [[Retrieval.MaxLiteralTerms]] the restriction
+    * is a broadcast semi-join — nothing workload-sized serializes into task
+    * closures (the literal form at this width would ship a ~50k-entry In()
+    * Expression tree to every task, the dim-768 LUT failure mode). Rows
+    * must equal the bounded-literal probe's exactly. */
+  private def retrievalWideTermsLeg(spark: SparkSession): Unit = {
+    import ext.Retrieval
+    import spark.implicits._
+    val dir = scaleCorpus(spark, 50)
+    println(s"SCALE retrieval50k corpus rows=${spark.read.parquet(s"$dir/documents.parquet").count()} (50x)")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE retrieval_$name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    time("build_or_reuse")(Retrieval.bm25IndexBuild(spark, dir))
+    val fixtureQ = Seq(
+      1L -> "spark", 1L -> "merge", 1L -> "window",
+      2L -> "customer", 2L -> "batch", 2L -> "filter",
+      3L -> "vector", 3L -> "stream", 3L -> "slow")
+    val fq = fixtureQ.toDF("q_id", "term")
+    val fTerms = fixtureQ.map(_._2).distinct
+    val narrow = time("probe_9term_literal") {
+      Retrieval.bm25TopKBatch(spark, dir, fq, fTerms, k = 5).collect()
+    }
+    // Same queries, term set padded to 50,009 distinct terms (a wide-
+    // vocabulary batch manifest): forces the broadcast-semi-join form.
+    val wide = fTerms ++ (0 until 50000).map(i => s"wideterm$i")
+    val viaWide = time("probe_50k_terms_semijoin") {
+      Retrieval.bm25TopKBatch(spark, dir, fq, wide, k = 5).collect()
+    }
+    assert(viaWide.map(_.toString).toSeq == narrow.map(_.toString).toSeq,
+      "50k-term semi-join probe diverged from the literal probe")
+    println(s"SCALE   50k-term probe == 9-term literal probe (${narrow.length} rows), no task-serialization blowup")
   }
 
   /** MV-tier rehearsal (round 8): 21 exactly-once appends of key-shifted
