@@ -67,26 +67,53 @@ object Phrase {
     })
   }
 
+  /** INGEST step: tokenize ONLY `newDocs` and append their positional
+    * postings exactly-once ((appId, batchId)-stamped — a replayed drop is
+    * swallowed). Positions are PER-DOCUMENT facts: unlike BM25 impacts,
+    * which fold corpus-wide df/avgdl and need a refresh per drop, the
+    * positional index is FULLY incremental — appends compose with NO
+    * derived-artifact step, and a probe over the appended index is
+    * row-identical to one over a cold build by construction. At 100 TB each
+    * crawl drop pays exactly its own tokenization, ever. (Appended batches
+    * are not term-clustered like the cold build's commit — recluster via
+    * compaction when file-skipping matters more than ingest latency.) */
+  def positionsAppend(s: SparkSession, indexRoot: String,
+                      newDocs: DataFrame, batchId: Long): Unit = {
+    val toks = newDocs
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"))
+    SnapshotTable.appendOnce(s, s"$indexRoot/positions", positions,
+      "phrase-positions", batchId)
+    ()
+  }
+
+  /** Positions of the probed terms from an EXPLICIT index root (the
+    * incremental-maintenance path). */
+  private def probedPositionsAt(s: SparkSession, indexRoot: String,
+                                terms: Seq[String]): DataFrame =
+    Retrieval.restrictTerms(
+      s, SnapshotTable.read(s, s"$indexRoot/positions"), terms)
+
   /** Positions of the probed terms only (plan-time restriction — see
     * [[Retrieval.restrictTerms]]). */
   private def probedPositions(s: SparkSession, dir: String,
                               terms: Seq[String]): DataFrame =
-    Retrieval.restrictTerms(
-      s, SnapshotTable.read(s, s"${positionsBuild(s, dir)}/positions"), terms)
+    probedPositionsAt(s, positionsBuild(s, dir), terms)
 
-  /** PHRASE probe: per (phrase, doc) exact-occurrence counts (docs with ≥1
-    * occurrence only). `phrases` is a bounded workload (it ships as a
-    * broadcast relation); duplicate terms inside a phrase are handled by
-    * the anchor vote (each instance index votes independently). */
-  def phraseMatch(s: SparkSession, dir: String,
-                  phrases: Seq[(Long, Seq[String])]): DataFrame = {
+  /** PHRASE probe against an explicit index root (the incremental path);
+    * see [[phraseMatch]] for semantics. */
+  def phraseMatchAt(s: SparkSession, indexRoot: String,
+                    phrases: Seq[(Long, Seq[String])]): DataFrame = {
     import s.implicits._
     val inst = phrases.flatMap { case (p, ts) =>
       ts.zipWithIndex.map { case (t, i) => (p, i.toLong, t) }
     }
     val instDf = inst.toDF("p_id", "idx", "term")
     val plens = phrases.map { case (p, ts) => (p, ts.size.toLong) }.toDF("p_id", "n")
-    val hits = probedPositions(s, dir, inst.map(_._3).distinct)
+    val hits = probedPositionsAt(s, indexRoot, inst.map(_._3).distinct)
       .join(broadcast(instDf), Seq("term"))
       .select(col("p_id"), col("idx"), col("doc_id"), explode(col("poss")).as("pos"))
       .select(col("p_id"), col("doc_id"), (col("pos") - col("idx")).as("anchor"))
@@ -95,6 +122,37 @@ object Phrase {
       .filter(col("votes") === col("n"))
       .groupBy("p_id", "doc_id").agg(count(lit(1)).as("n_occ"))
       .orderBy("p_id", "doc_id")
+  }
+
+  /** PHRASE probe: per (phrase, doc) exact-occurrence counts (docs with ≥1
+    * occurrence only). `phrases` is a bounded workload (it ships as a
+    * broadcast relation); duplicate terms inside a phrase are handled by
+    * the anchor vote (each instance index votes independently). */
+  def phraseMatch(s: SparkSession, dir: String,
+                  phrases: Seq[(Long, Seq[String])]): DataFrame =
+    phraseMatchAt(s, positionsBuild(s, dir), phrases)
+
+  /** Fixture lineage for the registered incremental query: the corpus
+    * ingested as two exactly-once drops (doc_id parity) with the second
+    * drop REPLAYED — the appended index must serve phrase matches identical
+    * to a cold build, which the shared oracle checks. Memoized per corpus
+    * content version. */
+  private def incrementalRoot(s: SparkSession, dir: String): String = synchronized {
+    val vdir = s"$dir@${Similarity.corpusVersion(dir, "documents")}#posinc1"
+    roots.getOrElseUpdate(vdir, {
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-pos-$tag").getAbsolutePath
+      if (SnapshotTable.currentVersion(s, s"$root/positions").isEmpty) {
+        val d = docs(s, dir)
+        positionsAppend(s, root, d.filter(pmod(col("doc_id"), lit(2)) === 0), 0L)
+        positionsAppend(s, root, d.filter(pmod(col("doc_id"), lit(2)) === 1), 1L)
+        // replayed drop: the batchId stamp must swallow it, or every
+        // odd-doc phrase count doubles and the hash gate catches it
+        positionsAppend(s, root, d.filter(pmod(col("doc_id"), lit(2)) === 1), 1L)
+      }
+      root
+    })
   }
 
   /** PROXIMITY probe: for each (pair_id, term_a, term_b), the docs where
@@ -151,24 +209,38 @@ object Phrase {
   private val pairValues = fixturePairs
     .map { case (id, a, b) => s"($id, '$a', '$b')" }.mkString(", ")
 
+/** The phrase-match oracle, shared by the cold-build and incremental
+    * queries (the appended index must be bit-identical to a cold build). */
+  private lazy val phraseOracleSql: String =
+    s"""WITH p(p_id, idx, term) AS (VALUES $phraseValues),
+       |plen AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+       |$posSql,
+       |hits AS (SELECT p.p_id, pos.doc_id, pos.pos - p.idx AS anchor
+       |         FROM p JOIN pos ON pos.term = p.term),
+       |anchors AS (SELECT p_id, doc_id, anchor,
+       |            CAST(count(*) AS BIGINT) AS votes
+       |            FROM hits GROUP BY 1, 2, 3)
+       |SELECT a.p_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+       |FROM anchors a JOIN plen ON plen.p_id = a.p_id
+       |WHERE a.votes = plen.n
+       |GROUP BY 1, 2
+       |ORDER BY a.p_id ASC, a.doc_id ASC""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Exact phrase occurrences per document from the positional index.
     Q("x_text_phrase_match",
       (s, dir) => phraseMatch(s, dir, fixturePhrases),
-      Some(s"""WITH p(p_id, idx, term) AS (VALUES $phraseValues),
-              |plen AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
-              |$posSql,
-              |hits AS (SELECT p.p_id, pos.doc_id, pos.pos - p.idx AS anchor
-              |         FROM p JOIN pos ON pos.term = p.term),
-              |anchors AS (SELECT p_id, doc_id, anchor,
-              |            CAST(count(*) AS BIGINT) AS votes
-              |            FROM hits GROUP BY 1, 2, 3)
-              |SELECT a.p_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
-              |FROM anchors a JOIN plen ON plen.p_id = a.p_id
-              |WHERE a.votes = plen.n
-              |GROUP BY 1, 2
-              |ORDER BY a.p_id ASC, a.doc_id ASC""".stripMargin)),
+      Some(phraseOracleSql)),
+
+    // Incrementally-appended positional index (two exactly-once drops, one
+    // replayed): positions are per-document facts, so the appended index
+    // must serve matches BIT-IDENTICAL to the cold build — it shares the
+    // phrase oracle, and a double-applied replay would double every
+    // odd-doc occurrence count.
+    Q("x_text_phrase_incremental",
+      (s, dir) => phraseMatchAt(s, incrementalRoot(s, dir), fixturePhrases),
+      Some(phraseOracleSql)),
 
     // Unordered within-window co-occurrence of term pairs.
     Q("x_text_phrase_prox",

@@ -296,6 +296,34 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Exactly-once REPLACE commit — the whole-snapshot sibling of
+    * [[appendOnce]] for derived artifacts a streaming sink re-materializes
+    * per micro-batch (a standing view refreshed from a change feed). The
+    * manifest carries the (appId, batchId) stamp; a replay of an
+    * already-applied batchId (sink-write/checkpoint-advance crash, or a
+    * crash BETWEEN a base-table append and this derived commit followed by
+    * a retry of both) is detected and skipped, so the base-and-derived pair
+    * advances in lockstep exactly once. Returns the version carrying the
+    * batch (the stamped version on replay, like appendOnce). */
+  def commitOnce(spark: SparkSession, root: String, df: DataFrame,
+                 appId: String, batchId: Long): Long = {
+    var attempt = 0
+    while (true) {
+      if (lastTxn(spark, root, appId).exists(_ >= batchId))
+        return txnVersion(spark, root, appId, batchId)
+          .getOrElse(currentVersion(spark, root).get)
+      val v = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+      try {
+        return commitAt(spark, root, v, df, txn = Some((appId, batchId)))
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 5) throw e // loop re-checks lastTxn before retrying
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Commit targeting an explicit version — the CAS core. A crash between
     * data write and manifest rename leaves an INVISIBLE orphan dir (readers
     * only follow manifests) which vacuum eventually sweeps; the unique

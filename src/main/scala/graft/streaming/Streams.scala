@@ -272,6 +272,50 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed materialized-view maintenance: each micro-batch of orders
+    * rows lands in the BASE SnapshotTable exactly-once (appendOnce) and the
+    * standing VIEW SnapshotTable is refreshed from exactly that commit's
+    * change feed — the dashboard table stays current over an unbounded
+    * ingest stream while the refresh never re-reads the base table.
+    *
+    * The two tables advance in LOCKSTEP under the same (appId, batchId)
+    * ledger: the base append is stamped; the view commit goes through
+    * [[graft.ops.SnapshotTable.commitOnce]] with its own stamp, so every
+    * crash window is covered —
+    *   - replayed batch after the checkpoint lagged both commits: both
+    *     stamps swallow it;
+    *   - crash BETWEEN base append and view refresh, then retry: the base
+    *     append is swallowed and returns the STAMPED version, the view
+    *     refresh (still unstamped) re-derives its delta from that exact
+    *     version pair and applies it once.
+    * View readers always see an atomic snapshot (manifest swap); the view's
+    * version history is itself time-travelable. */
+  def mvRefreshSink(orders: DataFrame, baseRoot: String, viewRoot: String,
+                    appId: String, checkpoint: String): DataStreamWriter[Row] =
+    orders.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.SnapshotTable
+        import graft.ext.MaterializedView
+        val v = SnapshotTable.appendOnce(s, baseRoot, batch, appId, batchId)
+        if (!SnapshotTable.lastTxn(s, viewRoot, appId).exists(_ >= batchId)) {
+          val refreshed = SnapshotTable.currentVersion(s, viewRoot) match {
+            case None => // view is born from this batch's snapshot
+              MaterializedView.partial(SnapshotTable.read(s, baseRoot, Some(v)))
+            case Some(_) =>
+              val delta = SnapshotTable.changes(s, baseRoot, v - 1, Some(v))
+              MaterializedView.combine(
+                SnapshotTable.read(s, viewRoot), MaterializedView.partial(delta))
+          }
+          SnapshotTable.commitOnce(s, viewRoot,
+            refreshed.localCheckpoint(), // plan must not read view files the commit supersedes
+            appId, batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Run an AvailableNow query to completion (test/driver helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

@@ -59,6 +59,25 @@ class PhraseSpec extends SparkSpec {
     assert(w1 == Seq((1L, 2L, 2L)), s"window 1: $w1")
   }
 
+  test("incrementally appended positions == cold build; replayed drop swallowed") {
+    val dir = mkCorpus()
+    val idx = tmpDir() + "/posidx"
+    val (a, b) = corpusRows.partition(_._1 <= 3L)
+    Phrase.positionsAppend(spark, idx, a.toDF("doc_id", "text"), 0L)
+    Phrase.positionsAppend(spark, idx, b.toDF("doc_id", "text"), 1L)
+    // replayed drop: a double-applied append would double docs 4-5's
+    // position lists and corrupt every anchor count
+    Phrase.positionsAppend(spark, idx, b.toDF("doc_id", "text"), 1L)
+    val phrases = Seq(10L -> Seq("alpha", "beta"), 20L -> Seq("go", "go"))
+    val inc = Phrase.phraseMatchAt(spark, idx, phrases).collect().map(_.toString).toSeq
+    val cold = Phrase.phraseMatch(spark, dir, phrases).collect().map(_.toString).toSeq
+    assert(inc == cold, s"incremental index diverged:\n$inc\nvs\n$cold")
+    val posRows = graft.ops.SnapshotTable.read(spark, s"$idx/positions").count()
+    val coldRows = graft.ops.SnapshotTable
+      .read(spark, s"${Phrase.positionsBuild(spark, dir)}/positions").count()
+    assert(posRows == coldRows, "replayed drop double-appended position rows")
+  }
+
   test("probe reads the positional index, never re-tokenizes text") {
     val dir = mkCorpus()
     val probe = Phrase.phraseMatch(spark, dir, Seq(10L -> Seq("alpha", "beta")))
