@@ -539,6 +539,25 @@ object SnapshotTable {
       }
     }
 
+  /** Re-cluster the CURRENT snapshot on `clusterBy` as a new version with
+    * identical rows — the maintenance op that restores plan-time file
+    * skipping after incremental appends have interleaved key ranges across
+    * batch files (each appendOnce lands its own files; after N drops a key
+    * probe must open N files' worth of overlapping ranges). Like [[compact]]
+    * it records an EMPTY change set, so delta consumers skip it rather than
+    * reprocessing. Run it off the ingest path at whatever cadence the
+    * probe-latency/ingest-cost trade demands (Delta's OPTIMIZE cadence). */
+  def recluster(spark: SparkSession, root: String, clusterBy: Seq[String],
+                numFiles: Int = 32): Long = {
+    require(clusterBy.nonEmpty, "recluster needs at least one cluster column")
+    val cur = read(spark, root)
+      .localCheckpoint() // the commit supersedes the files this plan reads
+    val cols = clusterBy.map(cur.col)
+    commit(spark, root,
+      cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      cdc = Some((cur.limit(0), cur.limit(0))))
+  }
+
   /** Drop all snapshots and manifests older than the latest `keep` versions.
     * `keep >= 1` — vacuum(0) would delete the current version and leave the
     * table permanently unreadable (the same guard Delta's retention has). */

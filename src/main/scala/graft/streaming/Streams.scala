@@ -272,6 +272,25 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed positional-index maintenance: each micro-batch of crawled
+    * documents appends its positional postings exactly-once
+    * ([[graft.ext.Phrase.positionsAppend]]). Positions are per-document
+    * facts (no corpus-wide statistics), so unlike the BM25 sink there is NO
+    * refresh step — the sink is one stamped append per batch, and a phrase
+    * probe over the streamed index is row-identical to a cold build at any
+    * point. Periodic [[graft.ops.SnapshotTable.recluster]] restores
+    * term-range file skipping off the ingest path. */
+  def phraseIndexIngestSink(docs: DataFrame, indexRoot: String,
+                            checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Phrase.positionsAppend(
+          batch.sparkSession, indexRoot, batch.select("doc_id", "text"), batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed materialized-view maintenance: each micro-batch of orders
     * rows lands in the BASE SnapshotTable exactly-once (appendOnce) and the
     * standing VIEW SnapshotTable is refreshed from exactly that commit's

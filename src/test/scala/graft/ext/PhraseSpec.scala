@@ -78,6 +78,40 @@ class PhraseSpec extends SparkSpec {
     assert(posRows == coldRows, "replayed drop double-appended position rows")
   }
 
+  test("streamed positional ingest == cold build; replay swallowed") {
+    val dir = mkCorpus()
+    val base = tmpDir()
+    val idx = s"$base/posidx"
+    val shardDir = s"$base/shard"
+    def writeShard(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = new java.io.File(tmpDir(), "w")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(shardDir)
+      dst.mkdirs()
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dst, s"$name.parquet").toPath)
+    }
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$shardDir/*.parquet")
+      val q = graft.streaming.Streams.phraseIndexIngestSink(src, idx, ckpt).start()
+      q.awaitTermination()
+    }
+    val (a, b) = corpusRows.map(r => (r._1, r._2)).partition(_._1 <= 3L)
+    writeShard("a", a); runStream(s"$base/ckpt")
+    writeShard("b", b); runStream(s"$base/ckpt")
+    val phrases = Seq(10L -> Seq("alpha", "beta"), 20L -> Seq("go", "go"))
+    val streamed = Phrase.phraseMatchAt(spark, idx, phrases).collect().map(_.toString).toSeq
+    val cold = Phrase.phraseMatch(spark, dir, phrases).collect().map(_.toString).toSeq
+    assert(streamed == cold, s"streamed index diverged:\n$streamed\nvs\n$cold")
+    // fresh-checkpoint replay: one big batch 0, already stamped -> no-op
+    val n = graft.ops.SnapshotTable.read(spark, s"$idx/positions").count()
+    runStream(s"$base/ckpt2")
+    assert(graft.ops.SnapshotTable.read(spark, s"$idx/positions").count() == n,
+      "replayed stream double-appended positions")
+  }
+
   test("probe reads the positional index, never re-tokenizes text") {
     val dir = mkCorpus()
     val probe = Phrase.phraseMatch(spark, dir, Seq(10L -> Seq("alpha", "beta")))

@@ -62,6 +62,32 @@ class CdcSpec extends SparkSpec {
     assert(SnapshotTable.changesDelta(spark, root, v0, Some(v4)).isDefined)
   }
 
+  test("recluster: identical rows, empty delta contribution, file skipping restored") {
+    val root = s"${tmpDir()}/t"
+    // Three appends interleave the key ranges across batch files: a key
+    // probe must open every batch's files.
+    (0 until 3).foreach { b =>
+      SnapshotTable.appendOnce(spark, root,
+        (0 until 30).map(i => ((b * 100 + i).toLong, s"g${i % 3}", i.toDouble))
+          .toDF("k", "grp", "price"),
+        "recluster-spec", b.toLong)
+    }
+    val before = SnapshotTable.read(spark, root).collect().map(_.toString).toSet
+    val vBefore = SnapshotTable.currentVersion(spark, root).get
+
+    val v = SnapshotTable.recluster(spark, root, Seq("grp"), numFiles = 3)
+    assert(SnapshotTable.read(spark, root).collect().map(_.toString).toSet == before,
+      "recluster changed rows")
+    // delta consumers must see NOTHING from the recluster commit
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, vBefore, Some(v))
+    assert(adds.count() == 0 && removes.count() == 0)
+    // and the clustered snapshot must file-skip on the cluster key
+    val (df, idx) = SnapshotTable.readTracked(spark, root)
+    df.filter(col("grp") === "g1").agg(count(lit(1))).collect()
+    assert(idx.exists(i => i.lastSelected < i.totalFiles),
+      s"expected pruning after recluster: ${idx.map(i => (i.lastSelected, i.totalFiles))}")
+  }
+
   test("vacuum reclaims dropped CDC dirs and keeps live ones") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.upsert(spark, root, rows((1L, "a", 10.0)), Seq("k"))
