@@ -207,6 +207,38 @@ object MaterializedView {
     out
   }
 
+  /** Delete-refresh lineage: bootstrap the base table as one clustered
+    * upsert, seed the view, then DELETE every o_orderkey % 5 == 0 row —
+    * the [[SnapshotTable.delete]] commit's CDC is pure retraction (add =
+    * empty), so the refresh exercises [[combineDelta]]'s remove leg alone:
+    * cnt/total shrink algebraically in every group and every group is
+    * remove-touched, so min/max recompute must find the surviving extrema.
+    * The DuckDB oracle aggregates the post-delete predicate directly, so
+    * the hash gate proves retraction refresh ≡ full recompute. Rerun-stable
+    * the same way as [[incrementalUpsertMv]]: the bootstrap upsert restores
+    * the deleted rows on a rerun, the delete re-fires, and vacuum bounds
+    * version growth. */
+  def incrementalDeleteMv(s: SparkSession, dir: String): DataFrame = {
+    val root = mvRoot(dir) + "-del"
+    val orders = Tables(s, dir, "orders")
+    val v0 = SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"),
+      clusterBy = mvKeys)
+    val mv0 = partial(SnapshotTable.read(s, root, Some(v0)))
+    val v1 = SnapshotTable.delete(s, root, col("o_orderkey") % 5 === 0)
+    val (adds, removes) = SnapshotTable.changesDelta(s, root, v0, Some(v1))
+      .getOrElse(throw new IllegalStateException(
+        s"delete commit $v0 -> $v1 at $root lost its CDC"))
+    val mv = combineDelta(s, root, mv0, adds, removes)
+    val out = mv.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("cnt"), col("total").cast("double").as("total"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_mv_incremental",
       (s, dir) => incrementalMv(s, dir),
@@ -231,6 +263,18 @@ object MaterializedView {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
               min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
               FROM fin GROUP BY 1, 2
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST""")),
+
+    // Retraction-only refresh over a predicate DELETE: the oracle
+    // aggregates the surviving rows directly, pinning the delete commit's
+    // CDC + combineDelta remove leg against a full recompute.
+    Q("x_mv_incremental_delete",
+      (s, dir) => incrementalDeleteMv(s, dir),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+              FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1, 2
               ORDER BY o_orderstatus ASC NULLS FIRST,
                        o_orderpriority ASC NULLS FIRST"""))
   )

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Manifest-committed snapshot table — the atomic-swap upgrade of
   * `Upsert.upsertParquet`'s rename discipline (round-1 roadmap; reference
@@ -444,6 +444,65 @@ object SnapshotTable {
       }
     }
     compact(spark, root, maxFiles).getOrElse(committed)
+  }
+
+  /** Predicate DELETE as a new snapshot — the DML triad's third member
+    * beside append and MERGE upsert, with Delta-style FILE-GRANULAR
+    * copy-on-write: files holding no matching row are CARRIED into the new
+    * manifest by entry (never read for data, never rewritten) and only the
+    * touched files are rewritten without their matching rows. The touched
+    * set comes from one scan of the predicate's matches projected to
+    * `input_file_name()` — a driver pull of file PATHS, O(touched files),
+    * never rows — and that scan itself file-skips off the manifest bounds,
+    * so a key-targeted delete on a clustered 100 TB table reads and
+    * rewrites a handful of files, not the table.
+    *
+    * SQL DELETE semantics: a NULL predicate keeps the row (only TRUE
+    * deletes). The commit records CDC (add = empty, remove = the deleted
+    * pre-image rows), so [[changesDelta]] → `MaterializedView.combineDelta`
+    * consumes a delete as pure retraction with no special casing. Returns
+    * the current version unchanged when nothing matches. Deleting EVERY
+    * row is refused (an empty snapshot has no schema-bearing files; drop
+    * the table instead — the reference's own delete path is
+    * `client.delete_table`, never an empty table). */
+  def delete(spark: SparkSession, root: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    def norm(p: String): String = new Path(p).toUri.getPath
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"delete on a table with no committed version at $root"))
+      val cur = read(spark, root, Some(v))
+      // Filter keeps only TRUE rows (NULL drops), which IS the delete-match
+      // set — and the bare predicate (no null-handling wrapper) stays
+      // pushable, so this scan file-skips off the manifest bounds.
+      val touched = cur.filter(predicate).select(input_file_name())
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+      if (touched.isEmpty) return v
+      val (touchedE, keptE) =
+        currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
+      val touchedRows = spark.read.parquet(touchedE.map(_.path): _*)
+      // keep = NOT TRUE (so NULL keeps): the wrapper is fine here, this
+      // plan only ever reads the already-pruned touched files.
+      val rewritten = touchedRows.filter(not(coalesce(predicate, lit(false))))
+      // Refuse a delete of EVERY row: the manifest's per-file row counts
+      // give the carried total driver-side (zero-row part files from prior
+      // rewrites carry but hold nothing), and only when that is 0 does the
+      // emptiness probe on the rewrite run.
+      if (keptE.map(_.rows).sum == 0 && rewritten.isEmpty)
+        throw new IllegalStateException(
+          s"delete would remove every row of $root; drop the table instead")
+      try {
+        return commitAt(spark, root, v + 1, rewritten, carry = keptE,
+          cdc = Some((cur.limit(0), touchedRows.filter(predicate))))
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 3) throw e // loop re-reads the winner's version
+      }
+    }
+    -1L // unreachable
   }
 
   /** Incremental change feed between two versions, as the rows in files

@@ -88,6 +88,51 @@ class CdcSpec extends SparkSpec {
       s"expected pruning after recluster: ${idx.map(i => (i.lastSelected, i.totalFiles))}")
   }
 
+  test("delete: SQL NULL semantics, pure-retraction CDC, no-match no-op") {
+    val root = s"${tmpDir()}/t"
+    // grp NULL on k=4: `grp === "a"` is NULL there -> the row must SURVIVE
+    val v0 = SnapshotTable.upsert(spark, root,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "grp", "price")
+        .union(Seq((4L, 40.0)).toDF("k", "price")
+          .select(col("k"), lit(null: String).as("grp"), col("price"))),
+      Seq("k"))
+    val v1 = SnapshotTable.delete(spark, root, col("grp") === "a")
+    assert(SnapshotTable.read(spark, root).select("k").as[Long].collect().toSet
+      == Set(3L, 4L), "delete must keep NULL-predicate rows")
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(adds.count() == 0, "delete CDC must add nothing")
+    assert(collectKV(removes) == Set((1L, "a", 10.0), (2L, "a", 20.0)))
+    // nothing matches -> same version back, no commit
+    assert(SnapshotTable.delete(spark, root, col("grp") === "zzz") == v1)
+    assert(SnapshotTable.currentVersion(spark, root).contains(v1))
+    // deleting every remaining row is refused (empty snapshot is unreadable)
+    intercept[IllegalStateException] {
+      SnapshotTable.delete(spark, root, lit(true))
+    }
+  }
+
+  test("delete is file-granular copy-on-write: untouched files carry by entry") {
+    val root = s"${tmpDir()}/t"
+    // Range-clustered on k into 4 files; the delete targets ONE key range.
+    SnapshotTable.commitClustered(spark, root,
+      (0 until 400).map(i => (i.toLong, s"g${i % 3}", i.toDouble))
+        .toDF("k", "grp", "price"),
+      clusterBy = Seq("k"), numFiles = 4)
+    def fileSet = SnapshotTable.read(spark, root)
+      .select(input_file_name()).distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    val before = fileSet
+    assert(before.size == 4, s"fixture wants 4 clustered files, got ${before.size}")
+    SnapshotTable.delete(spark, root, col("k").between(10, 20))
+    val after = fileSet
+    assert((after & before).size == 3,
+      s"expected 3 of 4 files carried untouched; before=$before after=$after")
+    assert((after -- before).size == (after.size - 3),
+      "only the touched file may be rewritten")
+    assert(SnapshotTable.read(spark, root).count() == 400 - 11)
+  }
+
   test("vacuum reclaims dropped CDC dirs and keeps live ones") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.upsert(spark, root, rows((1L, "a", 10.0)), Seq("k"))
