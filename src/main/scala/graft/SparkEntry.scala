@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{CorpusOps, Dedup, EndToEnd, Enrich, EventAnalytics, GraphOps, Ingest, MaterializedView, Multimodal, Phrase, PipelineOps, ProductQuant, Retrieval, Selection, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusOps, Dedup, EndToEnd, Enrich, EventAnalytics, GraphOps, HybridRetrieval, Ingest, MaterializedView, Multimodal, Phrase, PipelineOps, ProductQuant, Retrieval, Selection, Similarity, Sketches, TextAnalysis}
 import graft.ops.{MergeInto, Q, Relational, Relational2, Relational3, Relational4, Scalars, SkewAndBuckets, SqlFrontDoor}
 import graft.sources.SourceQueries
 import graft.streaming.Streams
@@ -19,7 +19,7 @@ object SparkEntry {
       PipelineOps.qs ++ Enrich.qs ++ GraphOps.qs ++ EventAnalytics.qs ++ Streams.qs ++
       SourceQueries.qs ++ MergeInto.qs ++ SqlFrontDoor.qs ++ CorpusOps.qs ++ Ingest.qs ++
       ProductQuant.qs ++ Selection.qs ++ Sketches.qs ++ EndToEnd.qs ++
-      Retrieval.qs ++ MaterializedView.qs ++ Phrase.qs
+      Retrieval.qs ++ MaterializedView.qs ++ Phrase.qs ++ HybridRetrieval.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: existing-ids scan + anti-join + MERGE shape

@@ -625,9 +625,11 @@ object Retrieval {
 
   /** The complete BM25 computation as self-contained SQL over
     * `documents WHERE pred` — one text shared by the plain oracle
-    * (pred=TRUE, used by all five single-corpus queries) and each stage of
-    * the ingest oracle, so every gate checks the same math. */
-  private def bm25SqlOver(pred: String): String =
+    * (pred=TRUE, used by all five single-corpus queries), each stage of
+    * the ingest oracle, and the hybrid-fusion oracle's lexical leg
+    * (`k` widens the per-query rank cut for fusion legs), so every gate
+    * checks the same math. */
+  private[ext] def bm25SqlOver(pred: String, k: Int = 5): String =
     s"""WITH q(q_id, term) AS (VALUES $queryValues),
               d AS (SELECT doc_id,
                     string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -658,6 +660,6 @@ object Retrieval {
                      FROM agg)
               SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
                      round(CAST(score AS DOUBLE), 6) AS bm25
-              FROM rk WHERE rank <= 5
+              FROM rk WHERE rank <= $k
               ORDER BY q_id ASC, rank ASC"""
 }
