@@ -30,6 +30,7 @@ object ScaleRehearsal {
     if (args.contains("retrieval")) { retrievalLeg(spark); spark.stop(); return }
     if (args.contains("retrieval50k")) { retrievalWideTermsLeg(spark); spark.stop(); return }
     if (args.contains("mv")) { mvLeg(spark); spark.stop(); return }
+    if (args.contains("recluster")) { reclusterLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
@@ -1072,6 +1073,68 @@ object ScaleRehearsal {
     * group-key predicate must prune the clustered table scan to the touched
     * groups' files (the upsert itself rewrites the table — that is the
     * commit's cost, priced separately and honestly). */
+  /** Table-maintenance leg: 24 exactly-once drops whose key ranges fully
+    * interleave (every drop spans the whole key space — the worst case an
+    * ingest stream produces), so a narrow key probe must open EVERY file.
+    * `recluster` then rewrites the snapshot range-clustered on k, and the
+    * identical probe is re-measured: the evidence row is files-planned
+    * before/after plus walls. A key-targeted DELETE follows on the
+    * clustered table, demonstrating the copy-on-write file economics at
+    * the same scale (touched files rewritten, rest carried by entry). */
+  private def reclusterLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-recluster").getAbsolutePath
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles).toSeq.flatten.foreach(rm); x.delete(); ()
+    }
+    rm(new java.io.File(root))
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val drops = 24
+    val perDrop = 200000L
+    time(s"recluster_ingest_${drops}_drops_4.8M") {
+      (0 until drops).foreach { b =>
+        val df = spark.range(perDrop).select(
+          (col("id") * drops + b).as("k"),          // full-range interleave
+          (col("id") % 97).cast("long").as("grp"),
+          (col("id") % 1000).cast("double").as("price"))
+          .coalesce(4)                               // 4 files per drop
+        SnapshotTable.appendOnce(spark, root, df, "recluster-rehearsal", b.toLong)
+      }
+    }
+
+    def probe(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      val (df, idx) = SnapshotTable.readTracked(spark, root)
+      df.filter(col("k").between(2000000L, 2010000L))
+        .agg(sum(col("price"))).collect()
+      val sel = idx.map(i => s"${i.lastSelected} of ${i.totalFiles}").getOrElse("untracked")
+      println(f"SCALE recluster_probe_$tag ${(System.nanoTime() - t0) / 1e9}%.2f s, files planned $sel")
+    }
+    probe("before"); probe("before_warm")
+    time("recluster_rewrite") {
+      SnapshotTable.recluster(spark, root, Seq("k"), numFiles = 48)
+    }
+    probe("after"); probe("after_warm")
+
+    // DELETE on the clustered table: one narrow key range -> one touched
+    // file rewritten, 47 carried by manifest entry.
+    val filesBefore = SnapshotTable.read(spark, root).inputFiles.toSet
+    val vDel = time("recluster_delete_key_range") {
+      SnapshotTable.delete(spark, root, col("k").between(2000000L, 2010000L))
+    }
+    val filesAfter = SnapshotTable.read(spark, root, Some(vDel)).inputFiles.toSet
+    println(s"SCALE recluster_delete carried ${(filesAfter & filesBefore).size} " +
+      s"of ${filesBefore.size} files, rewrote ${(filesAfter -- filesBefore).size}; " +
+      s"rows now ${SnapshotTable.read(spark, root).count()}")
+  }
+
   private def mvUpsertLeg(spark: SparkSession): Unit = {
     import ext.MaterializedView
     import graft.ops.SnapshotTable
