@@ -183,9 +183,11 @@ object SnapshotStats {
     * (optional) the row-level change files. */
   def manifestJson(version: Long, stats: Seq[FileStats],
                    txn: Option[(String, Long)] = None,
-                   cdc: Option[Cdc] = None): String = {
+                   cdc: Option[Cdc] = None,
+                   schemaJson: Option[String] = None): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
+    schemaJson.foreach(root.put("schema", _))
     txn.foreach { case (appId, batchId) =>
       val t = root.putObject("txn")
       t.put("appId", appId); t.put("batchId", batchId)
@@ -245,6 +247,18 @@ object SnapshotStats {
     case "long" => n.asLong
     case "double" => n.asDouble
     case _ => n.asText
+  }
+
+  /** The table schema this manifest declared at commit time (the Delta-log
+    * pattern: schema lives in METADATA, never re-derived from data files —
+    * which is what lets files written before a column existed stay in the
+    * table untouched and read back NULL for it). Absent on pre-evolution
+    * manifests; readers fall back to a data-file footer. */
+  def schemaFromManifest(body: String): Option[org.apache.spark.sql.types.StructType] = {
+    val s = mapper.readTree(body).get("schema")
+    if (s == null || !s.isTextual) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(s.asText)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** The (appId, batchId) transaction marker, if this manifest has one. */

@@ -111,12 +111,16 @@ object SnapshotTable {
     val body = readManifestBody(fs, manifestPath(root, v))
     val files = filesFromBody(body, manifestPath(root, v))
     val stats = SnapshotStats.statsFromManifest(body)
+    // The manifest's declared schema wins (schema evolution: files written
+    // before a column existed are still listed and read NULL for it; time
+    // travel sees each version's own schema). Pre-schema manifests fall
+    // back to a footer.
+    val declared = SnapshotStats.schemaFromManifest(body)
     if (stats.isEmpty || stats.map(_.path).sorted != files.sorted)
-      (spark.read.parquet(files: _*), None)
+      (declared.foldLeft(spark.read)(_ schema _).parquet(files: _*), None)
     else {
       val index = new SnapshotFileIndex(spark, new Path(root), stats)
-      // Snapshot files share one writer schema; one footer is authoritative.
-      val dataSchema = spark.read.parquet(files.head).schema
+      val dataSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index,
         partitionSchema = new org.apache.spark.sql.types.StructType(),
@@ -254,6 +258,38 @@ object SnapshotTable {
         .contains((appId, batchId)))
   }
 
+  /** Additive schema-evolution merge (Delta `mergeSchema` semantics): new
+    * columns APPEND, nullable — files written before the column existed
+    * stay in the table and read NULL for it; existing columns keep their
+    * exact type (a retype is REFUSED — silent coercion corrupts every
+    * older file's reads); an old column absent from the incoming batch
+    * goes nullable (the new files hold no values for it). */
+  private[ops] def evolveSchema(old: org.apache.spark.sql.types.StructType,
+                                incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    val oldByName = old.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach(f => oldByName.get(f.name).foreach { of =>
+      require(of.dataType == f.dataType,
+        s"schema evolution cannot retype column ${f.name}: ${of.dataType} -> ${f.dataType}")
+    })
+    org.apache.spark.sql.types.StructType(
+      old.fields.map(f =>
+        if (incomingByName.contains(f.name)) f else f.copy(nullable = true)) ++
+      incoming.fields.filterNot(f => oldByName.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
+  /** Version `v`'s declared schema (manifest metadata; pre-schema manifests
+    * fall back to one data-file footer). */
+  private def schemaOf(spark: SparkSession, root: String, v: Long)
+      : org.apache.spark.sql.types.StructType = {
+    val fs = fsOf(spark, root)
+    val body = readManifestBody(fs, manifestPath(root, v))
+    SnapshotStats.schemaFromManifest(body).getOrElse(
+      spark.read.parquet(filesFromBody(body, manifestPath(root, v)).head).schema)
+  }
+
   /** Exactly-once APPEND for streaming `foreachBatch` sinks — the Delta
     * `txn` pattern. Appends `df` as a new version whose manifest is the old
     * file list PLUS the new files (nothing rewritten), stamped with
@@ -285,7 +321,8 @@ object SnapshotTable {
           case None => commitAt(spark, root, 0L, df, Nil, Some((appId, batchId)))
           case Some(v) =>
             commitAt(spark, root, v + 1, df,
-              currentEntries(spark, root, v), Some((appId, batchId)))
+              currentEntries(spark, root, v), Some((appId, batchId)),
+              tableSchema = Some(evolveSchema(schemaOf(spark, root, v), df.schema)))
         }
       } catch {
         case e: ConcurrentWriteException =>
@@ -338,7 +375,8 @@ object SnapshotTable {
                             df: DataFrame,
                             carry: Seq[SnapshotStats.FileStats] = Nil,
                             txn: Option[(String, Long)] = None,
-                            cdc: Option[(DataFrame, DataFrame)] = None): Long = {
+                            cdc: Option[(DataFrame, DataFrame)] = None,
+                            tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val fs = fsOf(spark, root)
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val snapDir = new Path(root, f"snap-$v%08d-$token")
@@ -366,7 +404,11 @@ object SnapshotTable {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
       .map(st => SnapshotStats.fromFooter(conf, st.getPath, st.getLen))
-    val body = SnapshotStats.manifestJson(v, carry ++ stats.toSeq, txn, cdcPaths)
+    // Every manifest declares its table schema (Delta-log pattern): for an
+    // evolving append, `tableSchema` is the MERGED schema so carried files
+    // written before a column existed read back NULL for it.
+    val body = SnapshotStats.manifestJson(v, carry ++ stats.toSeq, txn, cdcPaths,
+      Some(tableSchema.getOrElse(df.schema).json))
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
@@ -428,10 +470,24 @@ object SnapshotTable {
             commit(spark, root, clustered(source),
               cdc = Some((source, source.limit(0))))
           case Some(v) =>
-            val cur = read(spark, root, Some(v))
-            val srcKeys = source.select(keys.map(source.col): _*).distinct()
+            val cur0 = read(spark, root, Some(v))
+            // Additive schema evolution: align BOTH sides onto the merged
+            // schema (missing columns become typed NULLs) before the merge,
+            // so a source that grew a column upserts without a migration
+            // and a source missing an old column null-fills it for ITS keys
+            // only (unmatched target rows keep their values).
+            val evolved = evolveSchema(cur0.schema, source.schema)
+            def align(df: DataFrame): DataFrame = {
+              import org.apache.spark.sql.functions.lit
+              df.select(evolved.map(f =>
+                if (df.columns.contains(f.name)) df.col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)): _*)
+            }
+            val cur = align(cur0)
+            val src = align(source)
+            val srcKeys = src.select(keys.map(src.col): _*).distinct()
             val removed = cur.join(srcKeys, keys, "left_semi")
-            val merged = Upsert.merge(cur, source, keys)
+            val merged = Upsert.merge(cur, src, keys)
               .localCheckpoint() // cut lineage: the plan must not re-read files vacuum may later drop
             val added = merged.join(srcKeys, keys, "left_semi")
             commit(spark, root, clustered(merged), cdc = Some((added, removed)))
@@ -505,6 +561,66 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Predicate UPDATE — same file-granular copy-on-write as [[delete]]:
+    * only files holding a TRUE-matching row are rewritten (matching rows
+    * get `set`'s expressions applied, the rest of the file's rows pass
+    * through untouched), everything else carries by manifest entry. `set`
+    * columns must already exist (adding columns is [[upsert]]-with-
+    * evolution's job; a typo'd column name must fail loudly, not grow the
+    * schema). CDC: remove = pre-image of matching rows, add = their
+    * post-image — an update is retraction + insertion to a downstream MV,
+    * which is exactly how `combineDelta` consumes it. Returns the current
+    * version unchanged when nothing matches. */
+  def update(spark: SparkSession, root: String, predicate: Column,
+             set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    def norm(p: String): String = new Path(p).toUri.getPath
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"update on a table with no committed version at $root"))
+      val cur = read(spark, root, Some(v))
+      val missing = set.keySet -- cur.columns.toSet
+      require(missing.isEmpty,
+        s"update SET names absent columns: ${missing.mkString(", ")}")
+      val touched = cur.filter(predicate).select(input_file_name())
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+      if (touched.isEmpty) return v
+      val (touchedE, keptE) =
+        currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
+      val touchedRows = spark.read.parquet(touchedE.map(_.path): _*)
+      val hit = coalesce(predicate, lit(false))
+      val schema = schemaOf(spark, root, v)
+      val rewritten = touchedRows.select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(hit, e.cast(f.dataType)).otherwise(touchedRows.col(f.name)).as(f.name)
+          case None => touchedRows.col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      // Post-image = SET applied to the matched PRE-rows (re-filtering the
+      // rewrite by the predicate would lose rows whose update changed a
+      // predicate column out from under it).
+      val pre = touchedRows.filter(predicate)
+      val post = pre.select(schema.fields.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(pre.col(f.name))
+      }.toIndexedSeq: _*)
+      try {
+        return commitAt(spark, root, v + 1, rewritten, carry = keptE,
+          cdc = Some((post, pre)),
+          tableSchema = Some(schema))
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 3) throw e // loop re-reads the winner's version
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Incremental change feed between two versions, as the rows in files
     * ADDED after `fromVersion` (exclusive) up to `toVersion` (inclusive,
     * default current). For append-written tables (appendOnce) this is the
@@ -526,7 +642,10 @@ object SnapshotTable {
     val added = after.filterNot(before)
     if (added.isEmpty)
       read(spark, root, Some(to)).limit(0)
-    else spark.read.parquet(added: _*)
+    // mergeSchema: an interval spanning a schema evolution mixes file
+    // schemas; the merge cost is bounded by the DELTA's footers, never the
+    // table's.
+    else spark.read.option("mergeSchema", "true").parquet(added: _*)
   }
 
   /** Row-level change feed between two versions: `Some((adds, removes))`
@@ -570,7 +689,9 @@ object SnapshotTable {
     }
     def readOrEmpty(paths: Seq[String]): DataFrame =
       if (paths.isEmpty) read(spark, root, Some(to)).limit(0)
-      else spark.read.parquet(paths: _*)
+      // mergeSchema: change files on either side of a schema evolution mix
+      // schemas; cost is bounded by the delta's footers.
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
     Some((readOrEmpty(adds.result()), readOrEmpty(removes.result())))
   }
 

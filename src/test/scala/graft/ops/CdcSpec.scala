@@ -133,6 +133,28 @@ class CdcSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 400 - 11)
   }
 
+  test("update: copy-on-write SET with pre/post CDC; predicate-column updates keep their post-image") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.upsert(spark, root,
+      rows((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)), Seq("k"))
+    // The update MOVES matching rows out of the predicate ('a' -> 'z') and
+    // doubles price — the post-image must still be captured.
+    val v1 = SnapshotTable.update(spark, root, col("grp") === "a",
+      Map("grp" -> lit("z"), "price" -> (col("price") * 2)))
+    assert(collectKV(SnapshotTable.read(spark, root)) ==
+      Set((1L, "z", 20.0), (2L, "z", 40.0), (3L, "b", 30.0)))
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(collectKV(adds) == Set((1L, "z", 20.0), (2L, "z", 40.0)),
+      "post-image must reflect SET even when it moves rows out of the predicate")
+    assert(collectKV(removes) == Set((1L, "a", 10.0), (2L, "a", 20.0)))
+    // no match -> same version; unknown SET column -> loud failure
+    assert(SnapshotTable.update(spark, root, col("grp") === "nope",
+      Map("price" -> lit(0.0))) == v1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.update(spark, root, lit(true), Map("typo" -> lit(1)))
+    }
+  }
+
   test("vacuum reclaims dropped CDC dirs and keeps live ones") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.upsert(spark, root, rows((1L, "a", 10.0)), Seq("k"))

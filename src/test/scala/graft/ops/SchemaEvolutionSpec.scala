@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Additive schema evolution on SnapshotTable (Delta mergeSchema
+  * semantics): the manifest DECLARES each version's schema, so files
+  * written before a column existed stay in the table untouched and read
+  * NULL for it; time travel sees each version's own schema; retypes are
+  * refused. */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("appendOnce with a new column: old files read NULL, time travel keeps old schema") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "grp"), "evo-spec", 0L)
+    val v1 = SnapshotTable.appendOnce(spark, root,
+      Seq((3L, "c", 9.5)).toDF("k", "grp", "score"), "evo-spec", 1L)
+
+    val cur = SnapshotTable.read(spark, root, Some(v1))
+    assert(cur.columns.toSeq == Seq("k", "grp", "score"),
+      s"evolved schema must append the new column: ${cur.columns.toSeq}")
+    val rows = cur.select("k", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(9.5)),
+      "pre-evolution rows must read NULL for the new column")
+
+    // Time travel: the v0 manifest declared the 2-column schema.
+    assert(SnapshotTable.read(spark, root, Some(v0)).columns.toSeq == Seq("k", "grp"))
+  }
+
+  test("appendOnce missing an old column null-fills it for the new rows only") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a", 1.0)).toDF("k", "grp", "score"), "evo-spec", 0L)
+    SnapshotTable.appendOnce(spark, root,
+      Seq((2L, "b")).toDF("k", "grp"), "evo-spec", 1L)
+    val rows = SnapshotTable.read(spark, root).select("k", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> Some(1.0), 2L -> None))
+  }
+
+  test("upsert evolution: grown source updates in place, old rows null-fill; retype refused") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.upsert(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "grp"), Seq("k"))
+    val v1 = SnapshotTable.upsert(spark, root,
+      Seq((2L, "B", 7.0), (3L, "c", 8.0)).toDF("k", "grp", "score"), Seq("k"))
+    val rows = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "B", Some(7.0)), (3L, "c", Some(8.0))))
+    // CDC across the evolution stays consumable (mergeSchema on the feed)
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(adds.count() == 2 && removes.count() == 1)
+    assert(adds.columns.contains("score"))
+
+    intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, root,
+        Seq((4L, 99L, 1.0)).toDF("k", "grp", "score"), Seq("k")) // grp retyped
+    }
+  }
+
+  test("file-skipping still prunes after evolution (old files lack the new column's stats)") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      (0 until 100).map(i => (i.toLong, s"g$i")).toDF("k", "grp"), "evo-spec", 0L)
+    SnapshotTable.appendOnce(spark, root,
+      (100 until 200).map(i => (i.toLong, s"g$i", i * 1.0)).toDF("k", "grp", "score"),
+      "evo-spec", 1L)
+    val (df, idx) = SnapshotTable.readTracked(spark, root)
+    // k-predicate prunes to the second append's files
+    df.filter(col("k") >= 150).agg(count(lit(1))).collect()
+    assert(idx.exists(i => i.lastSelected < i.totalFiles),
+      s"k-bounds must still prune: ${idx.map(i => (i.lastSelected, i.totalFiles))}")
+    // score-predicate must DEGRADE TO KEEP on pre-evolution files (no stats),
+    // never prune them out: the count must still be exact.
+    assert(df.filter(col("score").isNull).count() == 100)
+  }
+}
