@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{CorpusOps, Dedup, EndToEnd, Enrich, EventAnalytics, GraphOps, HybridRetrieval, Ingest, MaterializedView, Multimodal, Phrase, PipelineOps, ProductQuant, Retrieval, Selection, Similarity, Sketches, TextAnalysis}
-import graft.ops.{MergeInto, Q, Relational, Relational2, Relational3, Relational4, Scalars, SkewAndBuckets, SqlFrontDoor}
+import graft.ops.{Evolution, MergeInto, Q, Relational, Relational2, Relational3, Relational4, Scalars, SkewAndBuckets, SqlFrontDoor}
 import graft.sources.SourceQueries
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
@@ -19,7 +19,8 @@ object SparkEntry {
       PipelineOps.qs ++ Enrich.qs ++ GraphOps.qs ++ EventAnalytics.qs ++ Streams.qs ++
       SourceQueries.qs ++ MergeInto.qs ++ SqlFrontDoor.qs ++ CorpusOps.qs ++ Ingest.qs ++
       ProductQuant.qs ++ Selection.qs ++ Sketches.qs ++ EndToEnd.qs ++
-      Retrieval.qs ++ MaterializedView.qs ++ Phrase.qs ++ HybridRetrieval.qs
+      Retrieval.qs ++ MaterializedView.qs ++ Phrase.qs ++ HybridRetrieval.qs ++
+      Evolution.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: existing-ids scan + anti-join + MERGE shape

@@ -239,6 +239,41 @@ object MaterializedView {
     out
   }
 
+  /** Update-refresh lineage: bootstrap as one clustered upsert, seed the
+    * view, then predicate-UPDATE every o_orderkey % 11 == 0 row — moving it
+    * into a new priority group AND doubling its price. The
+    * [[SnapshotTable.update]] commit's CDC is (post-image, pre-image), so
+    * the refresh exercises BOTH combineDelta legs on the same rows:
+    * retraction out of every source group (cnt/total shrink; vacated
+    * min/max recompute to the runner-up) and insertion into the
+    * '8-UPDATED' group whose extrema come from doubled prices. The DuckDB
+    * oracle applies the same CASE rewrite to the raw table, pinning
+    * update-CDC refresh ≡ full recompute. Rerun-stable like
+    * [[incrementalUpsertMv]]: the source-wins bootstrap upsert resets any
+    * prior run's update, and vacuum bounds version growth. */
+  def incrementalUpdateMv(s: SparkSession, dir: String): DataFrame = {
+    val root = mvRoot(dir) + "-updml"
+    val orders = Tables(s, dir, "orders")
+    val v0 = SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"),
+      clusterBy = mvKeys)
+    val mv0 = partial(SnapshotTable.read(s, root, Some(v0)))
+    val v1 = SnapshotTable.update(s, root, col("o_orderkey") % 11 === 0,
+      Map("o_orderpriority" -> lit("8-UPDATED"),
+          "o_totalprice" -> (col("o_totalprice") * 2)))
+    val (adds, removes) = SnapshotTable.changesDelta(s, root, v0, Some(v1))
+      .getOrElse(throw new IllegalStateException(
+        s"update commit $v0 -> $v1 at $root lost its CDC"))
+    val mv = combineDelta(s, root, mv0, adds, removes)
+    val out = mv.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("cnt"), col("total").cast("double").as("total"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_mv_incremental",
       (s, dir) => incrementalMv(s, dir),
@@ -275,6 +310,26 @@ object MaterializedView {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
               min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
               FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1, 2
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST""")),
+
+    // Retract-and-insert refresh over a predicate UPDATE: the update's CDC
+    // carries the pre-images out of their groups and the rewritten
+    // post-images into '8-UPDATED' (price doubled — exact in binary, so the
+    // doubled extrema hash identically in both engines). Oracle = the same
+    // CASE rewrite aggregated from the raw table.
+    Q("x_mv_incremental_update",
+      (s, dir) => incrementalUpdateMv(s, dir),
+      Some("""WITH fin AS (SELECT o_orderstatus,
+                CASE WHEN o_orderkey % 11 = 0 THEN '8-UPDATED'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+              FROM orders)
+              SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+              FROM fin GROUP BY 1, 2
               ORDER BY o_orderstatus ASC NULLS FIRST,
                        o_orderpriority ASC NULLS FIRST"""))
   )

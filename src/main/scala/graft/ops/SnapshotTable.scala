@@ -538,7 +538,12 @@ object SnapshotTable {
       if (touched.isEmpty) return v
       val (touchedE, keptE) =
         currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
-      val touchedRows = spark.read.parquet(touchedE.map(_.path): _*)
+      // Read with the DECLARED schema: on an evolved table a touched
+      // pre-evolution file lacks the new columns and must fill NULL, and
+      // the rewrite must land with the full schema or the commit's
+      // manifest would regress the table to the touched file's footer.
+      val schema = schemaOf(spark, root, v)
+      val touchedRows = spark.read.schema(schema).parquet(touchedE.map(_.path): _*)
       // keep = NOT TRUE (so NULL keeps): the wrapper is fine here, this
       // plan only ever reads the already-pruned touched files.
       val rewritten = touchedRows.filter(not(coalesce(predicate, lit(false))))
@@ -551,7 +556,8 @@ object SnapshotTable {
           s"delete would remove every row of $root; drop the table instead")
       try {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
-          cdc = Some((cur.limit(0), touchedRows.filter(predicate))))
+          cdc = Some((cur.limit(0), touchedRows.filter(predicate))),
+          tableSchema = Some(schema))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -590,9 +596,11 @@ object SnapshotTable {
       if (touched.isEmpty) return v
       val (touchedE, keptE) =
         currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
-      val touchedRows = spark.read.parquet(touchedE.map(_.path): _*)
-      val hit = coalesce(predicate, lit(false))
+      // Declared schema for the same reason as [[delete]]: evolved tables
+      // mix file schemas, and the rewrite must not regress the manifest.
       val schema = schemaOf(spark, root, v)
+      val touchedRows = spark.read.schema(schema).parquet(touchedE.map(_.path): _*)
+      val hit = coalesce(predicate, lit(false))
       val rewritten = touchedRows.select(schema.fields.map { f =>
         set.get(f.name) match {
           case Some(e) =>
@@ -709,8 +717,11 @@ object SnapshotTable {
         val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
         val n = math.max(1L, math.min(maxFiles.toLong,
           (totalBytes + targetBytes - 1) / targetBytes)).toInt
-        // coalesce (not repartition): pure narrow bin-packing, no shuffle
-        val packed = spark.read.parquet(files: _*).coalesce(n)
+        // coalesce (not repartition): pure narrow bin-packing, no shuffle.
+        // Declared schema: post-evolution compaction mixes file schemas —
+        // pre-evolution rows materialize NULL for the grown columns.
+        val packed = spark.read.schema(schemaOf(spark, root, v))
+          .parquet(files: _*).coalesce(n)
         // Rows are identical by construction, so the commit records an
         // EMPTY change set — a delta consumer skips compactions instead of
         // misreading the file rewrite as a reprocess signal.

@@ -80,4 +80,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     // never prune them out: the count must still be exact.
     assert(df.filter(col("score").isNull).count() == 100)
   }
+
+  test("UPDATE/DELETE/compact on an evolved table keep the declared schema") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "grp"), "evo-spec", 0L)
+    SnapshotTable.appendOnce(spark, root,
+      Seq((3L, "c", 9.5)).toDF("k", "grp", "score"), "evo-spec", 1L)
+
+    def state(): (Seq[String], Set[(Long, String, Option[Double])]) = {
+      val df = SnapshotTable.read(spark, root)
+      (df.columns.toSeq, df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet)
+    }
+
+    // UPDATE whose predicate touches the NEW column on a PRE-evolution
+    // file (score IS NULL there): the touched file must read NULL-filled,
+    // not throw, and the rewrite must not regress the declared schema.
+    SnapshotTable.update(spark, root, col("score").isNull && col("k") === 1L,
+      Map("grp" -> lit("z")))
+    assert(state() == (Seq("k", "grp", "score"),
+      Set((1L, "z", None), (2L, "b", None), (3L, "c", Some(9.5)))))
+
+    // DELETE from a pre-evolution file: same declared-schema contract.
+    SnapshotTable.delete(spark, root, col("k") === 2L)
+    assert(state() == (Seq("k", "grp", "score"),
+      Set((1L, "z", None), (3L, "c", Some(9.5)))))
+
+    // Compaction mixes pre- and post-evolution files into one rewrite:
+    // pre-evolution rows materialize NULL for the grown column.
+    assert(SnapshotTable.compact(spark, root, maxFiles = 1).nonEmpty,
+      "fixture must actually compact (expected >1 file before)")
+    assert(state() == (Seq("k", "grp", "score"),
+      Set((1L, "z", None), (3L, "c", Some(9.5)))))
+  }
 }
