@@ -1133,6 +1133,28 @@ object ScaleRehearsal {
     println(s"SCALE recluster_delete carried ${(filesAfter & filesBefore).size} " +
       s"of ${filesBefore.size} files, rewrote ${(filesAfter -- filesBefore).size}; " +
       s"rows now ${SnapshotTable.read(spark, root).count()}")
+
+    // UPDATE on the clustered table: identical copy-on-write economics —
+    // the narrow key range touches one file, SET rewrites it, the rest
+    // carry by manifest entry.
+    val filesBeforeU = SnapshotTable.read(spark, root).inputFiles.toSet
+    val vUpd = time("recluster_update_key_range") {
+      SnapshotTable.update(spark, root, col("k").between(3000000L, 3010000L),
+        Map("price" -> (col("price") * 2)))
+    }
+    val filesAfterU = SnapshotTable.read(spark, root, Some(vUpd)).inputFiles.toSet
+    println(s"SCALE recluster_update carried ${(filesAfterU & filesBeforeU).size} " +
+      s"of ${filesBeforeU.size} files, rewrote ${(filesAfterU -- filesBeforeU).size}")
+
+    // DROP COLUMN at the same scale: metadata-only — the wall is a KB
+    // manifest write regardless of table size, and zero files move.
+    val filesBeforeD = SnapshotTable.read(spark, root).inputFiles.toSet
+    time("recluster_drop_column") {
+      SnapshotTable.dropColumn(spark, root, "grp")
+    }
+    val after = SnapshotTable.read(spark, root)
+    println(s"SCALE recluster_drop_column files untouched " +
+      s"${after.inputFiles.toSet == filesBeforeD}, schema now ${after.columns.mkString(",")}")
   }
 
   private def mvUpsertLeg(spark: SparkSession): Unit = {

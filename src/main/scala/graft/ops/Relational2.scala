@@ -63,7 +63,7 @@ object Relational2 {
 
     // HLL approx_count_distinct — the scale path for A1-style existence
     // counting (no shuffle of the full key set). Rows-only: estimates differ
-    // across engines by design; ApproxSpec pins the error envelope.
+    // across engines by design; GraftExtensionsSpec pins the error envelope.
     Q("r2_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -184,10 +184,17 @@ object SnapshotStats {
   def manifestJson(version: Long, stats: Seq[FileStats],
                    txn: Option[(String, Long)] = None,
                    cdc: Option[Cdc] = None,
-                   schemaJson: Option[String] = None): String = {
+                   schemaJson: Option[String] = None,
+                   dropped: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     schemaJson.foreach(root.put("schema", _))
+    if (dropped.nonEmpty) {
+      // Tombstoned column names (see SnapshotTable.dropColumn): inherited
+      // by every later manifest so a re-add stays refused after any number
+      // of subsequent commits.
+      val d = root.putArray("dropped"); dropped.foreach(d.add)
+    }
     txn.foreach { case (appId, batchId) =>
       val t = root.putObject("txn")
       t.put("appId", appId); t.put("batchId", batchId)
@@ -259,6 +266,14 @@ object SnapshotStats {
     if (s == null || !s.isTextual) None
     else Some(org.apache.spark.sql.types.DataType.fromJson(s.asText)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Column names dropped at or before this manifest's version (empty for
+    * manifests that never saw a drop). */
+  def droppedFromManifest(body: String): Seq[String] = {
+    val d = mapper.readTree(body).get("dropped")
+    if (d == null || !d.isArray) Seq.empty
+    else (0 until d.size).map(d.get(_).asText)
   }
 
   /** The (appId, batchId) transaction marker, if this manifest has one. */

@@ -265,7 +265,8 @@ object SnapshotTable {
     * older file's reads); an old column absent from the incoming batch
     * goes nullable (the new files hold no values for it). */
   private[ops] def evolveSchema(old: org.apache.spark.sql.types.StructType,
-                                incoming: org.apache.spark.sql.types.StructType)
+                                incoming: org.apache.spark.sql.types.StructType,
+                                dropped: Set[String] = Set.empty)
       : org.apache.spark.sql.types.StructType = {
     val incomingByName = incoming.fields.map(f => f.name -> f).toMap
     val oldByName = old.fields.map(f => f.name -> f).toMap
@@ -273,6 +274,10 @@ object SnapshotTable {
       require(of.dataType == f.dataType,
         s"schema evolution cannot retype column ${f.name}: ${of.dataType} -> ${f.dataType}")
     })
+    val revived = incoming.fieldNames.filterNot(oldByName.contains).filter(dropped)
+    require(revived.isEmpty,
+      s"cannot re-add dropped column(s) ${revived.mkString(", ")}: files written " +
+        "before the drop still hold their orphaned values and would resurface them")
     org.apache.spark.sql.types.StructType(
       old.fields.map(f =>
         if (incomingByName.contains(f.name)) f else f.copy(nullable = true)) ++
@@ -289,6 +294,11 @@ object SnapshotTable {
     SnapshotStats.schemaFromManifest(body).getOrElse(
       spark.read.parquet(filesFromBody(body, manifestPath(root, v)).head).schema)
   }
+
+  /** Version `v`'s tombstoned column names. */
+  private def droppedOf(spark: SparkSession, root: String, v: Long): Set[String] =
+    SnapshotStats.droppedFromManifest(
+      readManifestBody(fsOf(spark, root), manifestPath(root, v))).toSet
 
   /** Exactly-once APPEND for streaming `foreachBatch` sinks — the Delta
     * `txn` pattern. Appends `df` as a new version whose manifest is the old
@@ -322,7 +332,8 @@ object SnapshotTable {
           case Some(v) =>
             commitAt(spark, root, v + 1, df,
               currentEntries(spark, root, v), Some((appId, batchId)),
-              tableSchema = Some(evolveSchema(schemaOf(spark, root, v), df.schema)))
+              tableSchema = Some(evolveSchema(schemaOf(spark, root, v), df.schema,
+                droppedOf(spark, root, v))))
         }
       } catch {
         case e: ConcurrentWriteException =>
@@ -406,9 +417,19 @@ object SnapshotTable {
       .map(st => SnapshotStats.fromFooter(conf, st.getPath, st.getLen))
     // Every manifest declares its table schema (Delta-log pattern): for an
     // evolving append, `tableSchema` is the MERGED schema so carried files
-    // written before a column existed read back NULL for it.
+    // written before a column existed read back NULL for it. Tombstoned
+    // column names INHERIT from the predecessor manifest so a re-add stays
+    // refused through any number of later commits (vacuum always keeps the
+    // current manifest, so the chain never breaks).
+    val inherited =
+      if (v == 0L) Nil
+      else {
+        val prev = manifestPath(root, v - 1)
+        if (fs.exists(prev)) SnapshotStats.droppedFromManifest(readManifestBody(fs, prev))
+        else Nil
+      }
     val body = SnapshotStats.manifestJson(v, carry ++ stats.toSeq, txn, cdcPaths,
-      Some(tableSchema.getOrElse(df.schema).json))
+      Some(tableSchema.getOrElse(df.schema).json), inherited)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
@@ -426,6 +447,55 @@ object SnapshotTable {
         s"version $v at $root was committed by a concurrent writer")
     }
     v
+  }
+
+  /** Metadata-only DROP COLUMN: commits a new version whose manifest lists
+    * the SAME file entries with a declared schema omitting `name` — zero
+    * data files read or rewritten (at 100 TB a drop is a KB manifest write),
+    * readers project the column away because the declared schema wins, and
+    * time travel still sees it at older versions. The name is TOMBSTONED in
+    * the manifest (inherited by all later commits): re-adding it through
+    * append/upsert evolution is REFUSED, because the untouched files still
+    * hold the orphaned values and would silently resurface them under the
+    * new column — the hazard Delta's column-mapping physical ids exist for;
+    * without a physical/logical name split, refusal is the only safe
+    * contract. The commit carries no CDC: surviving columns' rows are
+    * unchanged, so delta consumers of those columns correctly see nothing
+    * (a consumer OF the dropped column fails loudly at plan time on its
+    * next refresh — the column no longer resolves). */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"dropColumn on a table with no committed version at $root"))
+      val schema = schemaOf(spark, root, v)
+      require(schema.fieldNames.contains(name),
+        s"dropColumn: no column $name in ${schema.fieldNames.mkString(", ")}")
+      require(schema.fields.length > 1,
+        s"dropColumn would leave $root with no columns; drop the table instead")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      val fs = fsOf(spark, root)
+      val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val body = SnapshotStats.manifestJson(v + 1, currentEntries(spark, root, v),
+        schemaJson = Some(newSchema.json),
+        dropped = (droppedOf(spark, root, v) + name).toSeq.sorted)
+      val mdir = new Path(root, ManifestDir)
+      fs.mkdirs(mdir)
+      val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dest = manifestPath(root, v + 1)
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        attempt += 1
+        if (attempt >= 3) throw new ConcurrentWriteException(
+          s"version ${v + 1} at $root was committed by a concurrent writer")
+        // loop re-reads the winner's version and re-derives the schema
+      } else return v + 1
+    }
+    -1L // unreachable
   }
 
   /** MERGE-upsert as a new snapshot: bootstrap on first commit (S7), else
@@ -476,7 +546,8 @@ object SnapshotTable {
             // so a source that grew a column upserts without a migration
             // and a source missing an old column null-fills it for ITS keys
             // only (unmatched target rows keep their values).
-            val evolved = evolveSchema(cur0.schema, source.schema)
+            val evolved = evolveSchema(cur0.schema, source.schema,
+              droppedOf(spark, root, v))
             def align(df: DataFrame): DataFrame = {
               import org.apache.spark.sql.functions.lit
               df.select(evolved.map(f =>
@@ -652,8 +723,18 @@ object SnapshotTable {
       read(spark, root, Some(to)).limit(0)
     // mergeSchema: an interval spanning a schema evolution mixes file
     // schemas; the merge cost is bounded by the DELTA's footers, never the
-    // table's.
-    else spark.read.option("mergeSchema", "true").parquet(added: _*)
+    // table's. The feed then lands on the END version's DECLARED schema:
+    // columns added mid-interval null-fill for earlier files, and a column
+    // dropped mid-interval does NOT resurface from files that still hold
+    // its bytes.
+    else {
+      import org.apache.spark.sql.functions.lit
+      val merged = spark.read.option("mergeSchema", "true").parquet(added: _*)
+      val have = merged.columns.toSet
+      merged.select(schemaOf(spark, root, to).fields.map(f =>
+        if (have(f.name)) merged.col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    }
   }
 
   /** Row-level change feed between two versions: `Some((adds, removes))`

@@ -114,4 +114,55 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(state() == (Seq("k", "grp", "score"),
       Set((1L, "z", None), (3L, "c", Some(9.5)))))
   }
+
+  test("dropColumn is metadata-only; tombstone survives later commits and refuses re-add") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "grp", "score"), "evo-spec", 0L)
+    val filesBefore = SnapshotTable.read(spark, root).inputFiles.toSet
+
+    val v1 = SnapshotTable.dropColumn(spark, root, "score")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "grp"))
+    assert(cur.inputFiles.toSet == filesBefore, "a drop must not touch data files")
+    // Time travel still sees the column at the pre-drop version.
+    assert(SnapshotTable.read(spark, root, Some(v0)).columns.contains("score"))
+
+    // A later unrelated commit inherits the tombstone...
+    SnapshotTable.appendOnce(spark, root,
+      Seq((3L, "c")).toDF("k", "grp"), "evo-spec", 1L)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    // ...so re-adding the dropped name is still refused (old files hold
+    // orphaned values that would resurface), via append AND upsert.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendOnce(spark, root,
+        Seq((4L, "d", 4.0)).toDF("k", "grp", "score"), "evo-spec", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, root,
+        Seq((1L, "a", 9.0)).toDF("k", "grp", "score"), Seq("k"))
+    }
+    // A DIFFERENT new column still evolves freely after the drop.
+    SnapshotTable.appendOnce(spark, root,
+      Seq((5L, "e", 11L)).toDF("k", "grp", "views"), "evo-spec", 3L)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "grp", "views"))
+
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, root, "absent")
+    }
+
+    // Change feed across a drop: the delta's FILES still hold the dropped
+    // column's bytes (they were appended before the drop), but the feed
+    // lands on the end version's declared schema — no resurfacing.
+    val root2 = s"${tmpDir()}/t2"
+    val w0 = SnapshotTable.appendOnce(spark, root2,
+      Seq((1L, "a")).toDF("k", "grp"), "evo-spec", 0L)
+    SnapshotTable.appendOnce(spark, root2,
+      Seq((2L, "b", 2.0)).toDF("k", "grp", "score"), "evo-spec", 1L)
+    SnapshotTable.dropColumn(spark, root2, "score")
+    val feed = SnapshotTable.changes(spark, root2, w0)
+    assert(feed.columns.toSeq == Seq("k", "grp"),
+      s"feed must not resurface a dropped column: ${feed.columns.toSeq}")
+    assert(feed.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
