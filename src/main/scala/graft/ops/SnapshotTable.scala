@@ -449,6 +449,51 @@ object SnapshotTable {
     v
   }
 
+  /** Metadata-only RESTORE (Delta's RESTORE TABLE ... VERSION AS OF): commits
+    * a NEW version whose manifest lists exactly `toVersion`'s file entries,
+    * declared schema, and tombstone set — zero data moves, and history stays
+    * intact (the bad versions remain time-travelable until vacuum; a restore
+    * is an append to the log, never a rewind of it). Restoring to a version
+    * BEFORE a dropColumn brings the column back legitimately: the restored
+    * file set is exactly the old one, so the values are real, not orphans —
+    * which is why the tombstone set is restored rather than inherited.
+    * Retained-version requirement falls out of the manifest read: vacuum
+    * keeps every dir a kept manifest references, so if `toVersion`'s
+    * manifest is still on disk its files are too, and if vacuum dropped it
+    * the read fails loudly. The commit carries no CDC — a restore's row
+    * delta is table-sized by nature; [[changesDelta]] over it returns None,
+    * the honest full-reprocess signal for downstream views. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"restore on a table with no committed version at $root"))
+      require(toVersion <= v,
+        s"restore target $toVersion is ahead of current version $v at $root")
+      if (toVersion == v) return v
+      val fs = fsOf(spark, root)
+      val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val body = SnapshotStats.manifestJson(v + 1,
+        currentEntries(spark, root, toVersion),
+        schemaJson = Some(schemaOf(spark, root, toVersion).json),
+        dropped = droppedOf(spark, root, toVersion).toSeq.sorted)
+      val mdir = new Path(root, ManifestDir)
+      fs.mkdirs(mdir)
+      val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dest = manifestPath(root, v + 1)
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        attempt += 1
+        if (attempt >= 3) throw new ConcurrentWriteException(
+          s"version ${v + 1} at $root was committed by a concurrent writer")
+      } else return v + 1
+    }
+    -1L // unreachable
+  }
+
   /** Metadata-only DROP COLUMN: commits a new version whose manifest lists
     * the SAME file entries with a declared schema omitting `name` — zero
     * data files read or rewritten (at 100 TB a drop is a KB manifest write),

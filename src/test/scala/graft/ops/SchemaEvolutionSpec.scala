@@ -165,4 +165,48 @@ class SchemaEvolutionSpec extends SparkSpec {
       s"feed must not resurface a dropped column: ${feed.columns.toSeq}")
     assert(feed.collect().map(_.getLong(0)).toSet == Set(2L))
   }
+
+  test("restore is metadata-only rollback: rows, schema, and tombstones all rewind") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a")).toDF("k", "grp"), "evo-spec", 0L)
+    val v1 = SnapshotTable.appendOnce(spark, root,
+      Seq((2L, "b", 2.0)).toDF("k", "grp", "score"), "evo-spec", 1L)
+    SnapshotTable.dropColumn(spark, root, "score")
+    val v3 = SnapshotTable.delete(spark, root, col("k") === 1L)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "grp"))
+    assert(SnapshotTable.read(spark, root).count() == 1)
+
+    // Restore to before the drop AND the delete: both rewind, history
+    // stays (the restore is a new version, not a log rewind).
+    val filesAtV1 = SnapshotTable.read(spark, root, Some(v1)).inputFiles.toSet
+    val v4 = SnapshotTable.restore(spark, root, v1)
+    assert(v4 == v3 + 1)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "grp", "score"))
+    assert(cur.count() == 2)
+    assert(cur.inputFiles.toSet == filesAtV1, "restore must not move data")
+    assert(SnapshotTable.read(spark, root, Some(v3)).count() == 1,
+      "pre-restore versions must stay time-travelable")
+
+    // The tombstone rewound with the restore: score is a live column again
+    // (its restored values are real, not orphans), so evolving on top of
+    // it is ordinary — and a FRESH append carrying score succeeds.
+    SnapshotTable.appendOnce(spark, root,
+      Seq((3L, "c", 3.0)).toDF("k", "grp", "score"), "evo-spec", 2L)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+
+    // A restore target ahead of current is refused; restore-to-current is
+    // a no-op returning the current version.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, root, 99L)
+    }
+    val vCur = SnapshotTable.currentVersion(spark, root).get
+    assert(SnapshotTable.restore(spark, root, vCur) == vCur)
+
+    // Vacuum after a restore: the current manifest references dirs written
+    // many versions ago — reference counting must keep exactly those alive.
+    SnapshotTable.vacuum(spark, root, keep = 1)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
 }
