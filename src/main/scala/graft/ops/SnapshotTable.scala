@@ -875,6 +875,51 @@ object SnapshotTable {
       cdc = Some((cur.limit(0), cur.limit(0))))
   }
 
+  /** Table history from the retained manifest log (Delta's DESCRIBE HISTORY
+    * shape): one row per retained version with its file/row/byte totals,
+    * exactly-once stamp, CDC presence, and declared column list — the audit
+    * surface for "which batch landed when, and what did it change". Commit
+    * KIND is derived, not stored: file-set algebra against the predecessor
+    * separates pure appends (old files ⊂ new) from rewrites, and a
+    * same-file-set commit is metadata-only (dropColumn/restore). Driver
+    * cost is O(retained versions) KB-sized manifest reads — vacuum bounds
+    * it; the result is a small local DataFrame, safe to show() or join. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    val versions =
+      if (!fs.exists(mdir)) Seq.empty[Long]
+      else fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }).sorted
+    val byV = versions.map { v =>
+      val body = readManifestBody(fs, manifestPath(root, v))
+      (v, filesFromBody(body, manifestPath(root, v)).toSet,
+        SnapshotStats.statsFromManifest(body),
+        SnapshotStats.txnFromManifest(body),
+        SnapshotStats.cdcFromManifest(body).isDefined,
+        SnapshotStats.schemaFromManifest(body).map(_.fieldNames.toSeq).getOrElse(Nil))
+    }
+    val rows = byV.zipWithIndex.map { case ((v, files, stats, txn, hasCdc, cols), i) =>
+      val kind =
+        if (i == 0) "bootstrap" // oldest RETAINED; predecessors may be vacuumed
+        else {
+          val prev = byV(i - 1)._2
+          if (files == prev) "metadata"
+          else if (prev.subsetOf(files)) "append"
+          else "rewrite"
+        }
+      (v, kind, files.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
+        txn.map(_._1), txn.map(_._2), hasCdc, cols)
+    }
+    rows.toDF("version", "kind", "num_files", "total_rows", "total_bytes",
+      "txn_app_id", "txn_batch_id", "has_cdc", "columns")
+      .orderBy(col("version").desc)
+  }
+
   /** Drop all snapshots and manifests older than the latest `keep` versions.
     * `keep >= 1` — vacuum(0) would delete the current version and leave the
     * table permanently unreadable (the same guard Delta's retention has). */

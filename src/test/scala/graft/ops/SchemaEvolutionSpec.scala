@@ -209,4 +209,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     SnapshotTable.vacuum(spark, root, keep = 1)
     assert(SnapshotTable.read(spark, root).count() == 3)
   }
+
+  test("history derives commit kinds from file-set algebra and surfaces stamps") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a", 1.0)).toDF("k", "grp", "score"), "evo-spec", 0L)  // v0 bootstrap
+    SnapshotTable.appendOnce(spark, root,
+      Seq((2L, "b", 2.0)).toDF("k", "grp", "score"), "evo-spec", 1L)  // v1 append
+    SnapshotTable.dropColumn(spark, root, "score")                    // v2 metadata
+    SnapshotTable.upsert(spark, root,
+      Seq((1L, "z")).toDF("k", "grp"), Seq("k"))                      // v3 rewrite (CDC)
+
+    val h = SnapshotTable.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(h.keySet == Set(0L, 1L, 2L, 3L))
+    assert(h(0L).getString(1) == "bootstrap")
+    assert(h(1L).getString(1) == "append")
+    assert(h(2L).getString(1) == "metadata")
+    assert(h(3L).getString(1) == "rewrite")
+    // Stamps surface on the appendOnce commits, CDC on the upsert.
+    assert(h(1L).getString(5) == "evo-spec" && h(1L).getLong(6) == 1L)
+    assert(h(3L).getBoolean(7), "upsert commit must report has_cdc")
+    // The drop's metadata row shows the shrunken column list at zero moves.
+    assert(h(2L).getSeq[String](8) == Seq("k", "grp"))
+    assert(h(2L).getLong(2) == h(1L).getLong(2), "metadata commit keeps file count")
+  }
 }
