@@ -210,6 +210,46 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 3)
   }
 
+  test("streamed appendOnce sink absorbs a producer schema upgrade across restarts") {
+    import org.apache.spark.sql.types._
+    val root = s"${tmpDir()}/t"
+    val src1 = s"${tmpDir()}/src1"; val src2 = s"${tmpDir()}/src2"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "grp")
+      .coalesce(1).write.parquet(src1)
+    Seq((3L, "c", 3.0)).toDF("k", "grp", "score")
+      .coalesce(1).write.parquet(src2)
+
+    // Run 1: the original producer ships (k, grp).
+    val schema1 = StructType(Seq(
+      StructField("k", LongType), StructField("grp", StringType)))
+    graft.streaming.Streams.appendOnceSink(
+        spark.readStream.schema(schema1).parquet(src1),
+        root, "evo-stream-v1", tmpDir() + "/ckpt1")
+      .start().awaitTermination()
+
+    // Run 2: the upgraded producer ships a grown schema from a fresh
+    // checkpoint — the sink's appendOnce evolves the table in place,
+    // no migration job between deploys.
+    val schema2 = schema1.add(StructField("score", DoubleType))
+    graft.streaming.Streams.appendOnceSink(
+        spark.readStream.schema(schema2).parquet(src2),
+        root, "evo-stream-v2", tmpDir() + "/ckpt2")
+      .start().awaitTermination()
+
+    val rows = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.0))))
+
+    // A downgraded replay (old producer re-ships its batch 0 under ITS
+    // appId) is swallowed by the stamp, not re-appended with NULL score.
+    graft.streaming.Streams.appendOnceSink(
+        spark.readStream.schema(schema1).parquet(src1),
+        root, "evo-stream-v1", tmpDir() + "/ckpt3")
+      .start().awaitTermination()
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
   test("history derives commit kinds from file-set algebra and surfaces stamps") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.appendOnce(spark, root,
