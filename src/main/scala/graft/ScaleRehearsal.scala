@@ -31,6 +31,7 @@ object ScaleRehearsal {
     if (args.contains("retrieval50k")) { retrievalWideTermsLeg(spark); spark.stop(); return }
     if (args.contains("mv")) { mvLeg(spark); spark.stop(); return }
     if (args.contains("recluster")) { reclusterLeg(spark); spark.stop(); return }
+    if (args.contains("bloom")) { bloomLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
@@ -1155,6 +1156,68 @@ object ScaleRehearsal {
     val after = SnapshotTable.read(spark, root)
     println(s"SCALE recluster_drop_column files untouched " +
       s"${after.inputFiles.toSet == filesBeforeD}, schema now ${after.columns.mkString(",")}")
+  }
+
+  /** Bloom-skipping leg: the SAME fully-interleaved 24-drop ingest as
+    * [[reclusterLeg]] (every drop's files span ~the whole key space), built
+    * TWICE — bounds-only vs bloom-configured — and point-probed. Bounds can
+    * only narrow a point lookup to one file PER DROP (24 planned); the
+    * per-file blooms exclude the 23 drops that cannot hold the key. The leg
+    * also reports the honest costs: ingest wall with the per-file bloom
+    * build, and the manifest growth from inlined base64 blooms (the scale
+    * path past ~hundreds of files is Delta-style side-car bloom files; at
+    * this format's file counts the inline manifest stays driver-KB/MB). */
+  private def bloomLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import org.apache.spark.sql.functions.col
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles).toSeq.flatten.foreach(rm); x.delete(); ()
+    }
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val drops = 24
+    val perDrop = 200000L
+    def ingest(root: String, bloom: Boolean): Unit = {
+      rm(new java.io.File(root))
+      (0 until drops).foreach { b =>
+        val df = spark.range(perDrop).select(
+          (col("id") * drops + b).as("k"),
+          (col("id") % 97).cast("long").as("grp"),
+          (col("id") % 1000).cast("double").as("price"))
+          .coalesce(4)
+        SnapshotTable.appendOnce(spark, root, df, "bloom-rehearsal", b.toLong)
+        if (bloom && b == 0) SnapshotTable.setBloomColumns(spark, root, Seq("k"))
+      }
+    }
+    val plain = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-bloom-plain").getAbsolutePath
+    val bloomy = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-bloom-on").getAbsolutePath
+    time(s"bloom_ingest_plain_${drops}_drops_4.8M")(ingest(plain, bloom = false))
+    time(s"bloom_ingest_bloomed_${drops}_drops_4.8M")(ingest(bloomy, bloom = true))
+
+    val probeKey = 123456L * drops + 12 // lives in drop 12 only
+    def probe(root: String, tag: String): Unit = {
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        val (df, idx) = SnapshotTable.readTracked(spark, root)
+        val n = df.filter(col("k") === probeKey).count()
+        val sel = idx.map(i => s"${i.lastSelected} of ${i.totalFiles}").getOrElse("untracked")
+        println(f"SCALE bloom_point_probe_${tag}_$pass ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          s"rows $n, files planned $sel")
+      }
+    }
+    probe(plain, "bounds_only")
+    probe(bloomy, "bloomed")
+    def manifestBytes(root: String): Long = {
+      val d = new java.io.File(root, "_manifests")
+      Option(d.listFiles).toSeq.flatten.filter(_.getName.endsWith(".json"))
+        .map(_.length).max
+    }
+    println(s"SCALE bloom_manifest_bytes plain ${manifestBytes(plain)}, " +
+      s"bloomed ${manifestBytes(bloomy)}")
   }
 
   private def mvUpsertLeg(spark: SparkSession): Unit = {

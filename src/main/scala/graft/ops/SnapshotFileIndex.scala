@@ -118,7 +118,8 @@ private[ops] object SnapshotPruning {
   private def hasNonNulls(f: FileStats, col: String): Boolean =
     statsFor(f, col).forall(c => c.nulls == -1L || f.rows == 0L || c.nulls < f.rows)
 
-  /** Is `attr <op> v` satisfiable inside [min, max]? */
+  /** Is `attr <op> v` satisfiable inside [min, max] (and, for equality,
+    * inside the file's bloom filter when one was committed)? */
   private def cmpPossible(f: FileStats, col: String, v: Any, op: String): Boolean =
     statsFor(f, col) match {
       case None => true
@@ -127,16 +128,52 @@ private[ops] object SnapshotPruning {
         if (c.nulls >= 0 && f.rows > 0 && c.nulls == f.rows) false
         else (c.min, c.max, litToDomain(v, c.kind)) match {
           case (Some(mn), Some(mx), Some(d)) => op match {
-            case "eq" => cmp(mn, d, c.kind) <= 0 && cmp(mx, d, c.kind) >= 0
+            case "eq" => cmp(mn, d, c.kind) <= 0 && cmp(mx, d, c.kind) >= 0 &&
+              bloomMightContain(f, col, d)
             case "lt" => cmp(mn, d, c.kind) < 0
             case "le" => cmp(mn, d, c.kind) <= 0
             case "gt" => cmp(mx, d, c.kind) > 0
             case "ge" => cmp(mx, d, c.kind) >= 0
             case _ => true
           }
+          // Bounds may be absent (truncated binary stats) while the bloom
+          // is not — equality can still prune on the bloom alone.
+          case (_, _, Some(d)) if op == "eq" => bloomMightContain(f, col, d)
           case _ => true
         }
     }
+
+  // Deserialized-bloom cache: manifests are re-parsed per read, but the
+  // base64 payload for a given (immutable file, column) never changes.
+  // Bounded sweep keeps a long-lived JVM (tests, notebooks) from pinning
+  // every table it ever read.
+  private val bloomCache =
+    new scala.collection.concurrent.TrieMap[(String, String),
+      org.apache.spark.util.sketch.BloomFilter]()
+
+  /** MAY a row of this file hold `d` for `col`, per its committed bloom?
+    * No bloom (pre-config file, unsupported type) → keep. ~1% false
+    * positives cost I/O, never correctness — the scan re-filters rows. */
+  private def bloomMightContain(f: FileStats, col: String, d: Any): Boolean = {
+    val b64 = f.bloom.get(col).orElse(
+      f.bloom.collectFirst { case (k, b) if k.equalsIgnoreCase(col) => b })
+    b64 match {
+      case None => true
+      case Some(payload) =>
+        if (bloomCache.size > 8192) bloomCache.clear()
+        val bf = bloomCache.getOrElseUpdate((f.path, col),
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(payload))))
+        d match {
+          // Build side (DataFrameStatFunctions.bloomFilter) puts integral
+          // columns as longs and strings as UTF-8 bytes; mirror it exactly.
+          case l: Long => bf.mightContainLong(l)
+          case s: String => bf.mightContainString(s)
+          case _ => true
+        }
+    }
+  }
 
   /** `attr LIKE 'p%'`: some string with prefix p can live in [min, max]
     * iff max >= p and min < succ(p) (p with its last non-0xFF byte

@@ -45,9 +45,16 @@ object SnapshotStats {
   final case class ColStats(kind: String, min: Option[Any], max: Option[Any],
                             nulls: Long)
 
-  /** Stats for one data file. `cols` keys are top-level column names. */
+  /** Stats for one data file. `cols` keys are top-level column names.
+    * `bloom` (optional, per configured column — see
+    * `SnapshotTable.setBloomColumns`) carries a base64
+    * `org.apache.spark.util.sketch.BloomFilter` over the column's values in
+    * THIS file: the point-lookup complement of the (min, max) bounds, which
+    * prune nothing when every file's range spans the key space (the
+    * fully-interleaved-appends shape). */
   final case class FileStats(path: String, bytes: Long, rows: Long,
-                             cols: Map[String, ColStats])
+                             cols: Map[String, ColStats],
+                             bloom: Map[String, String] = Map.empty)
 
   /** Read one file's footer and fold its row-group stats. `fileLen` is the
     * file's REAL length (from the directory listing): it lands in the
@@ -185,10 +192,17 @@ object SnapshotStats {
                    txn: Option[(String, Long)] = None,
                    cdc: Option[Cdc] = None,
                    schemaJson: Option[String] = None,
-                   dropped: Seq[String] = Nil): String = {
+                   dropped: Seq[String] = Nil,
+                   bloomOn: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     schemaJson.foreach(root.put("schema", _))
+    if (bloomOn.nonEmpty) {
+      // Table-level bloom config (see SnapshotTable.setBloomColumns):
+      // inherited by every later manifest; each commit builds per-file
+      // blooms for ITS new files over these columns.
+      val b = root.putArray("bloomOn"); bloomOn.foreach(b.add)
+    }
     if (dropped.nonEmpty) {
       // Tombstoned column names (see SnapshotTable.dropColumn): inherited
       // by every later manifest so a re-add stays refused after any number
@@ -210,6 +224,10 @@ object SnapshotStats {
     stats.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path); o.put("bytes", f.bytes); o.put("rows", f.rows)
+      if (f.bloom.nonEmpty) {
+        val bl = o.putObject("bloom")
+        f.bloom.toSeq.sortBy(_._1).foreach { case (c, b64) => bl.put(c, b64) }
+      }
       val cols = o.putObject("cols")
       f.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
         val cn = cols.putObject(name)
@@ -246,8 +264,19 @@ object SnapshotStats {
           e.getKey -> ColStats(kind, mn, mx, c.get("nulls").asLong)
         }.toMap
       }.getOrElse(Map.empty[String, ColStats])
-      FileStats(f.get("path").asText, f.get("bytes").asLong, f.get("rows").asLong, cols)
+      val bloom = Option(f.get("bloom")).filter(_.isObject).map { bn =>
+        bn.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
+      FileStats(f.get("path").asText, f.get("bytes").asLong, f.get("rows").asLong,
+        cols, bloom)
     }
+  }
+
+  /** Bloom-indexed column names this manifest's table is configured for. */
+  def bloomOnFromManifest(body: String): Seq[String] = {
+    val b = mapper.readTree(body).get("bloomOn")
+    if (b == null || !b.isArray) Seq.empty
+    else (0 until b.size).map(b.get(_).asText)
   }
 
   private def readVal(n: JsonNode, kind: String): Any = kind match {

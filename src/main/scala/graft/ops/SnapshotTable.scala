@@ -300,6 +300,68 @@ object SnapshotTable {
     SnapshotStats.droppedFromManifest(
       readManifestBody(fsOf(spark, root), manifestPath(root, v))).toSet
 
+  /** Version `v`'s bloom-indexed column config. */
+  private def bloomOnOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    SnapshotStats.bloomOnFromManifest(
+      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+
+  private def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Configure per-file BLOOM FILTERS for `cols` (integral/string) — the
+    * point-lookup complement of min/max skipping: after N interleaved
+    * appends every file's key RANGE spans the whole space and bounds prune
+    * nothing, but a per-file bloom still answers "this key cannot be in
+    * this file" with ~1% false positives, so an equality probe plans ~the
+    * true file count instead of all of them (Delta's bloom-filter-index
+    * shape, carried in the manifest instead of side-cars at this format's
+    * scale). Metadata-only commit: the config is INHERITED by every later
+    * manifest, and each subsequent commit builds blooms for ITS new files —
+    * one delta-sized scan per configured column at write time, never a
+    * table scan. Files written before the config carry no bloom and
+    * degrade to keep; a compact/recluster rewrite backfills them. */
+  def setBloomColumns(spark: SparkSession, root: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "setBloomColumns needs at least one column")
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"setBloomColumns on a table with no committed version at $root"))
+      val schema = schemaOf(spark, root, v)
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"setBloomColumns: no column $c in ${schema.fieldNames.mkString(", ")}"))
+        require(bloomSupported(f.dataType),
+          s"bloom filters support integral/string columns; $c is ${f.dataType}")
+      }
+      val fs = fsOf(spark, root)
+      val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val body = SnapshotStats.manifestJson(v + 1, currentEntries(spark, root, v),
+        schemaJson = Some(schema.json),
+        dropped = droppedOf(spark, root, v).toSeq.sorted,
+        bloomOn = cols.distinct.sorted)
+      val mdir = new Path(root, ManifestDir)
+      fs.mkdirs(mdir)
+      val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dest = manifestPath(root, v + 1)
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        attempt += 1
+        if (attempt >= 3) throw new ConcurrentWriteException(
+          s"version ${v + 1} at $root was committed by a concurrent writer")
+      } else return v + 1
+    }
+    -1L // unreachable
+  }
+
   /** Exactly-once APPEND for streaming `foreachBatch` sinks — the Delta
     * `txn` pattern. Appends `df` as a new version whose manifest is the old
     * file list PLUS the new files (nothing rewritten), stamped with
@@ -418,18 +480,39 @@ object SnapshotTable {
     // Every manifest declares its table schema (Delta-log pattern): for an
     // evolving append, `tableSchema` is the MERGED schema so carried files
     // written before a column existed read back NULL for it. Tombstoned
-    // column names INHERIT from the predecessor manifest so a re-add stays
-    // refused through any number of later commits (vacuum always keeps the
-    // current manifest, so the chain never breaks).
-    val inherited =
-      if (v == 0L) Nil
+    // column names and the bloom config INHERIT from the predecessor
+    // manifest so both survive through any number of later commits (vacuum
+    // always keeps the current manifest, so the chain never breaks).
+    val (inherited, bloomOn) =
+      if (v == 0L) (Nil, Nil)
       else {
         val prev = manifestPath(root, v - 1)
-        if (fs.exists(prev)) SnapshotStats.droppedFromManifest(readManifestBody(fs, prev))
-        else Nil
+        if (fs.exists(prev)) {
+          val pb = readManifestBody(fs, prev)
+          (SnapshotStats.droppedFromManifest(pb), SnapshotStats.bloomOnFromManifest(pb))
+        } else (Nil, Nil)
       }
-    val body = SnapshotStats.manifestJson(v, carry ++ stats.toSeq, txn, cdcPaths,
-      Some(tableSchema.getOrElse(df.schema).json), inherited)
+    // Per-file bloom build for THIS commit's new files (carried entries
+    // keep the blooms they were committed with): one job per (new file,
+    // configured column) — delta-sized reads, never the table. Expected
+    // item count = the file's row count (an upper bound on distincts keeps
+    // the configured fpp honest).
+    val newStats =
+      if (bloomOn.isEmpty) stats.toSeq
+      else stats.toSeq.map { fst =>
+        val fdf = spark.read.parquet(fst.path)
+        val applicable = bloomOn.filter(c =>
+          fdf.schema.fields.exists(f => f.name == c && bloomSupported(f.dataType)))
+        if (applicable.isEmpty || fst.rows == 0L) fst
+        else fst.copy(bloom = applicable.map { c =>
+          val bf = fdf.stat.bloomFilter(c, math.max(fst.rows, 1L), 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        }.toMap)
+      }
+    val body = SnapshotStats.manifestJson(v, carry ++ newStats, txn, cdcPaths,
+      Some(tableSchema.getOrElse(df.schema).json), inherited, bloomOn)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
@@ -477,7 +560,8 @@ object SnapshotTable {
       val body = SnapshotStats.manifestJson(v + 1,
         currentEntries(spark, root, toVersion),
         schemaJson = Some(schemaOf(spark, root, toVersion).json),
-        dropped = droppedOf(spark, root, toVersion).toSeq.sorted)
+        dropped = droppedOf(spark, root, toVersion).toSeq.sorted,
+        bloomOn = bloomOnOf(spark, root, toVersion))
       val mdir = new Path(root, ManifestDir)
       fs.mkdirs(mdir)
       val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
@@ -525,7 +609,8 @@ object SnapshotTable {
       val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val body = SnapshotStats.manifestJson(v + 1, currentEntries(spark, root, v),
         schemaJson = Some(newSchema.json),
-        dropped = (droppedOf(spark, root, v) + name).toSeq.sorted)
+        dropped = (droppedOf(spark, root, v) + name).toSeq.sorted,
+        bloomOn = bloomOnOf(spark, root, v).filterNot(_ == name))
       val mdir = new Path(root, ManifestDir)
       fs.mkdirs(mdir)
       val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
