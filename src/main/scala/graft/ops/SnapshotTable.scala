@@ -494,22 +494,35 @@ object SnapshotTable {
       }
     // Per-file bloom build for THIS commit's new files (carried entries
     // keep the blooms they were committed with): one job per (new file,
-    // configured column) — delta-sized reads, never the table. Expected
-    // item count = the file's row count (an upper bound on distincts keeps
-    // the configured fpp honest).
+    // configured column) — delta-sized reads, never the table — submitted
+    // CONCURRENTLY (Spark's scheduler interleaves them; the serial form
+    // paid per-job overhead × files). Expected item count = the file's row
+    // count (an upper bound on distincts keeps the configured fpp honest).
     val newStats =
       if (bloomOn.isEmpty) stats.toSeq
-      else stats.toSeq.map { fst =>
-        val fdf = spark.read.parquet(fst.path)
-        val applicable = bloomOn.filter(c =>
-          fdf.schema.fields.exists(f => f.name == c && bloomSupported(f.dataType)))
-        if (applicable.isEmpty || fst.rows == 0L) fst
-        else fst.copy(bloom = applicable.map { c =>
-          val bf = fdf.stat.bloomFilter(c, math.max(fst.rows, 1L), 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-        }.toMap)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, math.max(1, stats.length)))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val built = stats.toSeq.map { fst =>
+            Future {
+              val fdf = spark.read.parquet(fst.path)
+              val applicable = bloomOn.filter(c =>
+                fdf.schema.fields.exists(f => f.name == c && bloomSupported(f.dataType)))
+              if (applicable.isEmpty || fst.rows == 0L) fst
+              else fst.copy(bloom = applicable.map { c =>
+                val bf = fdf.stat.bloomFilter(c, math.max(fst.rows, 1L), 0.01)
+                val bos = new java.io.ByteArrayOutputStream()
+                bf.writeTo(bos)
+                c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+              }.toMap)
+            }
+          }
+          Await.result(Future.sequence(built), Duration.Inf)
+        } finally pool.shutdown()
       }
     val body = SnapshotStats.manifestJson(v, carry ++ newStats, txn, cdcPaths,
       Some(tableSchema.getOrElse(df.schema).json), inherited, bloomOn)
