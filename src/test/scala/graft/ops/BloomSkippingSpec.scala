@@ -41,6 +41,10 @@ class BloomSkippingSpec extends SparkSpec {
     // absent from it keeps the bloom-less file (degrade-to-keep), and the
     // bloom'd files prune — correctness never depends on the bloom.
     assert(planned(col("k") === 0L) == ((1L, 1)))
+    // IN-lists go through the same per-value equality analysis: 8000 keeps
+    // its one true file, 5555 is inside both files' ranges but in neither
+    // bloom — one file planned for the whole list.
+    assert(planned(col("k").isin(8000L, 5555L)) == ((1L, 1)))
   }
 
   test("rewrites backfill blooms; carried entries keep theirs") {
