@@ -1216,8 +1216,15 @@ object ScaleRehearsal {
       Option(d.listFiles).toSeq.flatten.filter(_.getName.endsWith(".json"))
         .map(_.length).max
     }
+    def sidecarBytes(root: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.startsWith("_bloom-")).map(_.length).sum
+    }
     println(s"SCALE bloom_manifest_bytes plain ${manifestBytes(plain)}, " +
-      s"bloomed ${manifestBytes(bloomy)}")
+      s"bloomed ${manifestBytes(bloomy)}, bloom sidecars ${sidecarBytes(bloomy)}")
   }
 
   private def mvUpsertLeg(spark: SparkSession): Unit = {

@@ -152,25 +152,39 @@ private[ops] object SnapshotPruning {
       org.apache.spark.util.sketch.BloomFilter]()
 
   /** MAY a row of this file hold `d` for `col`, per its committed bloom?
-    * No bloom (pre-config file, unsupported type) → keep. ~1% false
-    * positives cost I/O, never correctness — the scan re-filters rows. */
+    * No bloom (pre-config file, unsupported type) → keep; an unreadable
+    * side-car also keeps (pruning is never a correctness dependency). ~1%
+    * false positives cost I/O only — the scan re-filters rows. */
   private def bloomMightContain(f: FileStats, col: String, d: Any): Boolean = {
-    val b64 = f.bloom.get(col).orElse(
+    val ref = f.bloom.get(col).orElse(
       f.bloom.collectFirst { case (k, b) if k.equalsIgnoreCase(col) => b })
-    b64 match {
+    ref match {
       case None => true
       case Some(payload) =>
         if (bloomCache.size > 8192) bloomCache.clear()
-        val bf = bloomCache.getOrElseUpdate((f.path, col),
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(
-              java.util.Base64.getDecoder.decode(payload))))
-        d match {
-          // Build side (DataFrameStatFunctions.bloomFilter) puts integral
-          // columns as longs and strings as UTF-8 bytes; mirror it exactly.
-          case l: Long => bf.mightContainLong(l)
-          case s: String => bf.mightContainString(s)
-          case _ => true
+        val loaded = scala.util.Try {
+          bloomCache.getOrElseUpdate((f.path, col), {
+            // Side-car path (the committed layout) or inline base64 (the
+            // degenerate fallback — payload without a path separator).
+            val in: java.io.InputStream =
+              if (payload.contains('/')) {
+                val p = new Path(payload)
+                p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+              } else new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(payload))
+            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            finally in.close()
+          })
+        }
+        loaded match {
+          case scala.util.Failure(_) => true
+          case scala.util.Success(bf) => d match {
+            // Build side (DataFrameStatFunctions.bloomFilter) puts integral
+            // columns as longs and strings as UTF-8 bytes; mirror it exactly.
+            case l: Long => bf.mightContainLong(l)
+            case s: String => bf.mightContainString(s)
+            case _ => true
+          }
         }
     }
   }

@@ -47,11 +47,13 @@ object SnapshotStats {
 
   /** Stats for one data file. `cols` keys are top-level column names.
     * `bloom` (optional, per configured column — see
-    * `SnapshotTable.setBloomColumns`) carries a base64
-    * `org.apache.spark.util.sketch.BloomFilter` over the column's values in
-    * THIS file: the point-lookup complement of the (min, max) bounds, which
-    * prune nothing when every file's range spans the key space (the
-    * fully-interleaved-appends shape). */
+    * `SnapshotTable.setBloomColumns`) points at a side-car
+    * `org.apache.spark.util.sketch.BloomFilter` file over the column's
+    * values in THIS file (path inside the data file's own snapshot dir, so
+    * it shares visibility and vacuum lifecycle): the point-lookup
+    * complement of the (min, max) bounds, which prune nothing when every
+    * file's range spans the key space (the fully-interleaved-appends
+    * shape). */
   final case class FileStats(path: String, bytes: Long, rows: Long,
                              cols: Map[String, ColStats],
                              bloom: Map[String, String] = Map.empty)

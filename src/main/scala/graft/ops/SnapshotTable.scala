@@ -498,6 +498,12 @@ object SnapshotTable {
     // CONCURRENTLY (Spark's scheduler interleaves them; the serial form
     // paid per-job overhead × files). Expected item count = the file's row
     // count (an upper bound on distincts keeps the configured fpp honest).
+    // Filters land as SIDE-CAR files INSIDE the snapshot dir
+    // (`_bloom-<dataFile>.<col>`, underscore-hidden from any dir-based
+    // discovery), written BEFORE the manifest CAS so they share the data's
+    // visibility and vacuum lifecycle; the manifest carries only their
+    // PATHS — a 50k-row file's ~60 KB filter would otherwise balloon the
+    // manifest every commit re-writes (the Delta bloom-index layout).
     val newStats =
       if (bloomOn.isEmpty) stats.toSeq
       else {
@@ -515,9 +521,10 @@ object SnapshotTable {
               if (applicable.isEmpty || fst.rows == 0L) fst
               else fst.copy(bloom = applicable.map { c =>
                 val bf = fdf.stat.bloomFilter(c, math.max(fst.rows, 1L), 0.01)
-                val bos = new java.io.ByteArrayOutputStream()
-                bf.writeTo(bos)
-                c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+                val p = new Path(snapDir, s"_bloom-${new Path(fst.path).getName}.$c")
+                val out = fs.create(p, false)
+                try bf.writeTo(out) finally out.close()
+                c -> p.toString
               }.toMap)
             }
           }
