@@ -82,6 +82,44 @@ class BloomSkippingSpec extends SparkSpec {
       s"backfilled blooms must prune: planned $afterRecluster of ${idx2.get.totalFiles}")
   }
 
+  test("bloom side-cars live and die with their snapshot dirs across vacuum") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      Seq((1L, "a")).toDF("k", "grp").coalesce(1), "bloom-spec", 0L)
+    SnapshotTable.setBloomColumns(spark, root, Seq("k"))
+    SnapshotTable.appendOnce(spark, root,
+      Seq((10L, "b"), (9000L, "c")).toDF("k", "grp").coalesce(1), "bloom-spec", 1L)
+    SnapshotTable.appendOnce(spark, root,
+      Seq((20L, "d"), (8000L, "e")).toDF("k", "grp").coalesce(1), "bloom-spec", 2L)
+    SnapshotTable.vacuum(spark, root, keep = 1)
+
+    def sidecars(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.startsWith("_bloom-"))
+    }
+    // Append manifests SHARE dirs, so after keep=1 all three data dirs are
+    // still referenced by the current manifest — side-cars survive with
+    // them, and the probe still prunes off them.
+    assert(sidecars().size == 2, s"expected 2 surviving side-cars: ${sidecars()}")
+    val (df, idx) = SnapshotTable.readTracked(spark, root)
+    assert(df.filter(col("k") === 8000L).count() == 1)
+    assert(idx.get.lastSelected == 1)
+
+    // A full rewrite (upsert) supersedes the old dirs: vacuum now sweeps
+    // them INCLUDING their side-cars, and the rewrite's own backfilled
+    // blooms are the only ones left.
+    SnapshotTable.upsert(spark, root,
+      Seq((8000L, "E2")).toDF("k", "grp"), Seq("k"))
+    SnapshotTable.vacuum(spark, root, keep = 1)
+    assert(SnapshotTable.read(spark, root).count() == 5)
+    val left = sidecars()
+    assert(left.nonEmpty, "the rewrite must backfill blooms")
+    assert(left.forall(_.getPath.contains("snap-00000004")) ||
+           left.forall(f => !f.getPath.contains("snap-00000001")),
+      s"swept dirs must not leak side-cars: $left")
+  }
+
   test("config refuses unsupported types and absent columns; drop removes it") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.appendOnce(spark, root,
