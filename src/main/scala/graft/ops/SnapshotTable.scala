@@ -173,7 +173,14 @@ object SnapshotTable {
     * dominant column instead, or pre-transform (log, hash) the skewed
     * dimension. */
   def commitZOrdered(spark: SparkSession, root: String, df: DataFrame,
-                     zorderBy: Seq[String], numFiles: Int = 32): Long = {
+                     zorderBy: Seq[String], numFiles: Int = 32): Long =
+    commit(spark, root, zClustered(df, zorderBy, numFiles))
+
+  /** `df` repartitioned + sorted along the Morton curve of `zorderBy` —
+    * the write shape shared by [[commitZOrdered]] and z-order
+    * [[recluster]]. */
+  private def zClustered(df: DataFrame, zorderBy: Seq[String],
+                         numFiles: Int): DataFrame = {
     require(zorderBy.size >= 2 && zorderBy.size <= 3,
       s"z-order needs 2-3 columns (got ${zorderBy.size}); use commitClustered for 1")
     import org.apache.spark.sql.functions._
@@ -201,11 +208,10 @@ object SnapshotTable {
         shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * d + dim)
       }
     }.reduce(_ + _)
-    commit(spark, root,
-      df.withColumn("__z", zval)
-        .repartitionByRange(numFiles, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z"))
+    df.withColumn("__z", zval)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
   }
 
   /** Current version's file entries, reconstructing bytes-only entries when
@@ -970,14 +976,20 @@ object SnapshotTable {
     * reprocessing. Run it off the ingest path at whatever cadence the
     * probe-latency/ingest-cost trade demands (Delta's OPTIMIZE cadence). */
   def recluster(spark: SparkSession, root: String, clusterBy: Seq[String],
-                numFiles: Int = 32): Long = {
+                numFiles: Int = 32, zorder: Boolean = false): Long = {
     require(clusterBy.nonEmpty, "recluster needs at least one cluster column")
     val cur = read(spark, root)
       .localCheckpoint() // the commit supersedes the files this plan reads
-    val cols = clusterBy.map(cur.col)
-    commit(spark, root,
-      cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
-      cdc = Some((cur.limit(0), cur.limit(0))))
+    // zorder = OPTIMIZE ZORDER BY: the Morton-curve layout serves filters
+    // on ANY of the 2-3 named dimensions, where range clustering serves
+    // only its leading column. Same empty change set either way.
+    val clustered =
+      if (zorder) zClustered(cur, clusterBy, numFiles)
+      else {
+        val cols = clusterBy.map(cur.col)
+        cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    commit(spark, root, clustered, cdc = Some((cur.limit(0), cur.limit(0))))
   }
 
   /** Table history from the retained manifest log (Delta's DESCRIBE HISTORY

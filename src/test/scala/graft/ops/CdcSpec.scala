@@ -88,6 +88,34 @@ class CdcSpec extends SparkSpec {
       s"expected pruning after recluster: ${idx.map(i => (i.lastSelected, i.totalFiles))}")
   }
 
+  test("z-order recluster: identical rows, empty delta, pruning on BOTH dimensions") {
+    val root = s"${tmpDir()}/t"
+    // Appends interleave BOTH key ranges across files: neither a k probe
+    // nor a ts probe can prune, and range-reclustering on one column would
+    // fix only that column.
+    (0 until 4).foreach { b =>
+      SnapshotTable.appendOnce(spark, root,
+        (0 until 64).map(i => ((i * 4 + b).toLong, (255 - i * 4 - b).toLong, i.toDouble))
+          .toDF("k", "ts", "price").coalesce(2),
+        "zre-spec", b.toLong)
+    }
+    val before = SnapshotTable.read(spark, root).collect().map(_.toString).toSet
+    val vBefore = SnapshotTable.currentVersion(spark, root).get
+
+    val v = SnapshotTable.recluster(spark, root, Seq("k", "ts"),
+      numFiles = 8, zorder = true)
+    assert(SnapshotTable.read(spark, root).collect().map(_.toString).toSet == before)
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, vBefore, Some(v))
+    assert(adds.count() == 0 && removes.count() == 0)
+    // Morton layout prunes narrow probes on EITHER dimension.
+    Seq(col("k") < 32L, col("ts") < 32L).foreach { p =>
+      val (df, idx) = SnapshotTable.readTracked(spark, root)
+      df.filter(p).agg(count(lit(1))).collect()
+      assert(idx.exists(i => i.lastSelected < i.totalFiles),
+        s"expected z-order pruning on $p: ${idx.map(i => (i.lastSelected, i.totalFiles))}")
+    }
+  }
+
   test("delete: SQL NULL semantics, pure-retraction CDC, no-match no-op") {
     val root = s"${tmpDir()}/t"
     // grp NULL on k=4: `grp === "a"` is NULL there -> the row must SURVIVE
