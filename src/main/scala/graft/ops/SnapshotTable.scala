@@ -992,6 +992,24 @@ object SnapshotTable {
     commit(spark, root, clustered, cdc = Some((cur.limit(0), cur.limit(0))))
   }
 
+  /** Metadata-only row count: when the manifest's stats cover every listed
+    * file (every commit since stats were introduced), `count(*)` is the sum
+    * of per-file footer row counts — zero data I/O at any table size, the
+    * same trick Spark's own OptimizeMetadataOnlyQuery/parquet-count path
+    * plays, here answered from the manifest without even touching footers.
+    * Falls back to a real count for pre-stats manifests. */
+  def rowCount(spark: SparkSession, root: String, asOf: Option[Long] = None): Long = {
+    val v = asOf.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    val fs = fsOf(spark, root)
+    val body = readManifestBody(fs, manifestPath(root, v))
+    val files = filesFromBody(body, manifestPath(root, v))
+    val stats = SnapshotStats.statsFromManifest(body)
+    if (files.nonEmpty && stats.map(_.path).sorted == files.sorted)
+      stats.map(_.rows).sum
+    else read(spark, root, Some(v)).count()
+  }
+
   /** Table history from the retained manifest log (Delta's DESCRIBE HISTORY
     * shape): one row per retained version with its file/row/byte totals,
     * exactly-once stamp, CDC presence, and declared column list — the audit

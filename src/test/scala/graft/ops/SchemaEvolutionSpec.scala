@@ -250,6 +250,21 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 3)
   }
 
+  test("rowCount answers from the manifest and tracks DML exactly") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      (0L until 100L).map(i => (i, s"g${i % 5}")).toDF("k", "grp"), "rc-spec", 0L)
+    assert(SnapshotTable.rowCount(spark, root) == 100L)
+    SnapshotTable.delete(spark, root, col("k") % 10 === 0L)
+    assert(SnapshotTable.rowCount(spark, root) == 90L)
+    val v = SnapshotTable.upsert(spark, root,
+      Seq((200L, "new")).toDF("k", "grp"), Seq("k"))
+    assert(SnapshotTable.rowCount(spark, root, Some(v)) == 91L)
+    // Manifest-answered == scan-answered, at a time-traveled version too.
+    assert(SnapshotTable.rowCount(spark, root) ==
+      SnapshotTable.read(spark, root).count())
+  }
+
   test("history derives commit kinds from file-set algebra and surfaces stamps") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.appendOnce(spark, root,
