@@ -195,10 +195,18 @@ object SnapshotStats {
                    cdc: Option[Cdc] = None,
                    schemaJson: Option[String] = None,
                    dropped: Seq[String] = Nil,
-                   bloomOn: Seq[String] = Nil): String = {
+                   bloomOn: Seq[String] = Nil,
+                   constraints: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     schemaJson.foreach(root.put("schema", _))
+    if (constraints.nonEmpty) {
+      // Named CHECK constraints (see SnapshotTable.setCheckConstraint):
+      // inherited by later manifests; every commit enforces them on ITS
+      // new rows before the CAS.
+      val cn = root.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
+    }
     if (bloomOn.nonEmpty) {
       // Table-level bloom config (see SnapshotTable.setBloomColumns):
       // inherited by every later manifest; each commit builds per-file
@@ -272,6 +280,14 @@ object SnapshotStats {
       FileStats(f.get("path").asText, f.get("bytes").asLong, f.get("rows").asLong,
         cols, bloom)
     }
+  }
+
+  /** Named CHECK constraints (name → SQL boolean expression) declared at or
+    * before this manifest's version. */
+  def constraintsFromManifest(body: String): Map[String, String] = {
+    val c = mapper.readTree(body).get("constraints")
+    if (c == null || !c.isObject) Map.empty
+    else c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
 
   /** Bloom-indexed column names this manifest's table is configured for. */

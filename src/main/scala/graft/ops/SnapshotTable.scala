@@ -311,6 +311,37 @@ object SnapshotTable {
     SnapshotStats.bloomOnFromManifest(
       readManifestBody(fsOf(spark, root), manifestPath(root, v)))
 
+  /** Version `v`'s named CHECK constraints. */
+  private def constraintsOf(spark: SparkSession, root: String,
+                            v: Long): Map[String, String] =
+    SnapshotStats.constraintsFromManifest(
+      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+
+  /** One CAS attempt at a METADATA-ONLY commit (no data written): used by
+    * dropColumn / restore / setBloomColumns / constraint ops. Returns true
+    * on the rename win; the caller's loop re-derives its payload from the
+    * winner's version on false. */
+  private def tryCommitMeta(spark: SparkSession, root: String, target: Long,
+                            entries: Seq[SnapshotStats.FileStats],
+                            schema: org.apache.spark.sql.types.StructType,
+                            dropped: Seq[String], bloomOn: Seq[String],
+                            constraints: Map[String, String]): Boolean = {
+    val fs = fsOf(spark, root)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val body = SnapshotStats.manifestJson(target, entries,
+      schemaJson = Some(schema.json), dropped = dropped, bloomOn = bloomOn,
+      constraints = constraints)
+    val mdir = new Path(root, ManifestDir)
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, f".manifest-$target%08d-$token.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = manifestPath(root, target)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false); false
+    } else true
+  }
+
   private def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
@@ -346,24 +377,78 @@ object SnapshotTable {
         require(bloomSupported(f.dataType),
           s"bloom filters support integral/string columns; $c is ${f.dataType}")
       }
-      val fs = fsOf(spark, root)
-      val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      val body = SnapshotStats.manifestJson(v + 1, currentEntries(spark, root, v),
-        schemaJson = Some(schema.json),
-        dropped = droppedOf(spark, root, v).toSeq.sorted,
-        bloomOn = cols.distinct.sorted)
-      val mdir = new Path(root, ManifestDir)
-      fs.mkdirs(mdir)
-      val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val dest = manifestPath(root, v + 1)
-      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-        fs.delete(tmp, false)
-        attempt += 1
-        if (attempt >= 3) throw new ConcurrentWriteException(
-          s"version ${v + 1} at $root was committed by a concurrent writer")
-      } else return v + 1
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
+          schema, droppedOf(spark, root, v).toSeq.sorted, cols.distinct.sorted,
+          constraintsOf(spark, root, v)))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
+    }
+    -1L // unreachable
+  }
+
+  /** Column names a parsed CHECK expression references (unresolved, so the
+    * names come straight off the tree). */
+  private def constraintRefs(spark: SparkSession, sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.name.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
+  /** Declare a named CHECK constraint (Delta `ADD CONSTRAINT` semantics):
+    * SQL-standard CHECK — a row violates only when the expression is FALSE
+    * (NULL passes, which is what lets a constraint on an evolved column
+    * hold over pre-evolution rows). The EXISTING table is validated first
+    * (one scan — declaring a constraint the data already breaks must fail
+    * loudly, not poison future commits), then a metadata-only commit
+    * records it; every later commit enforces it on ITS new rows before the
+    * manifest CAS, so a violating append/upsert/UPDATE never becomes
+    * visible. Enforcement cost is one delta-sized scan per commit — the
+    * same honest shape as the bloom build, never a table scan. */
+  def setCheckConstraint(spark: SparkSession, root: String, name: String,
+                         checkSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && checkSql.nonEmpty, "constraint needs name + SQL")
+    constraintRefs(spark, checkSql) // parse now: a typo must fail here
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"setCheckConstraint on a table with no committed version at $root"))
+      val violating = read(spark, root, Some(v))
+        .filter(not(coalesce(expr(checkSql), lit(true)))).limit(1).count()
+      require(violating == 0L,
+        s"existing rows violate CHECK $name ($checkSql); clean the data first")
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
+          schemaOf(spark, root, v), droppedOf(spark, root, v).toSeq.sorted,
+          bloomOnOf(spark, root, v),
+          constraintsOf(spark, root, v) + (name -> checkSql)))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
+    }
+    -1L // unreachable
+  }
+
+  /** Remove a named CHECK constraint (metadata-only). */
+  def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"dropCheckConstraint on a table with no committed version at $root"))
+      val cons = constraintsOf(spark, root, v)
+      require(cons.contains(name),
+        s"no CHECK constraint $name on $root (have: ${cons.keys.mkString(", ")})")
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
+          schemaOf(spark, root, v), droppedOf(spark, root, v).toSeq.sorted,
+          bloomOnOf(spark, root, v), cons - name))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
     }
     -1L // unreachable
   }
@@ -489,15 +574,35 @@ object SnapshotTable {
     // column names and the bloom config INHERIT from the predecessor
     // manifest so both survive through any number of later commits (vacuum
     // always keeps the current manifest, so the chain never breaks).
-    val (inherited, bloomOn) =
-      if (v == 0L) (Nil, Nil)
+    val (inherited, bloomOn, constraints) =
+      if (v == 0L) (Nil, Nil, Map.empty[String, String])
       else {
         val prev = manifestPath(root, v - 1)
         if (fs.exists(prev)) {
           val pb = readManifestBody(fs, prev)
-          (SnapshotStats.droppedFromManifest(pb), SnapshotStats.bloomOnFromManifest(pb))
-        } else (Nil, Nil)
+          (SnapshotStats.droppedFromManifest(pb),
+            SnapshotStats.bloomOnFromManifest(pb),
+            SnapshotStats.constraintsFromManifest(pb))
+        } else (Nil, Nil, Map.empty[String, String])
       }
+    // CHECK enforcement on THIS commit's new rows (SQL semantics: only
+    // FALSE violates — NULL passes, so constraints on evolved columns hold
+    // over rows that predate them), BEFORE the CAS: a violating
+    // append/upsert/UPDATE/compact never becomes visible, and the attempt
+    // cleans up like a CAS loser. One delta-sized scan per constraint.
+    if (constraints.nonEmpty && stats.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val newDf = spark.read.schema(tableSchema.getOrElse(df.schema))
+        .parquet(stats.map(_.path).toIndexedSeq: _*)
+      constraints.foreach { case (n, sql) =>
+        if (newDf.filter(not(coalesce(expr(sql), lit(true)))).limit(1).count() > 0) {
+          fs.delete(snapDir, true)
+          if (cdcPaths.isDefined) fs.delete(cdcDir, true)
+          throw new IllegalArgumentException(
+            s"commit to $root violates CHECK $n ($sql); rejected")
+        }
+      }
+    }
     // Per-file bloom build for THIS commit's new files (carried entries
     // keep the blooms they were committed with): one job per (new file,
     // configured column) — delta-sized reads, never the table — submitted
@@ -538,7 +643,7 @@ object SnapshotTable {
         } finally pool.shutdown()
       }
     val body = SnapshotStats.manifestJson(v, carry ++ newStats, txn, cdcPaths,
-      Some(tableSchema.getOrElse(df.schema).json), inherited, bloomOn)
+      Some(tableSchema.getOrElse(df.schema).json), inherited, bloomOn, constraints)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
@@ -581,25 +686,18 @@ object SnapshotTable {
       require(toVersion <= v,
         s"restore target $toVersion is ahead of current version $v at $root")
       if (toVersion == v) return v
-      val fs = fsOf(spark, root)
-      val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      val body = SnapshotStats.manifestJson(v + 1,
-        currentEntries(spark, root, toVersion),
-        schemaJson = Some(schemaOf(spark, root, toVersion).json),
-        dropped = droppedOf(spark, root, toVersion).toSeq.sorted,
-        bloomOn = bloomOnOf(spark, root, toVersion))
-      val mdir = new Path(root, ManifestDir)
-      fs.mkdirs(mdir)
-      val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val dest = manifestPath(root, v + 1)
-      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-        fs.delete(tmp, false)
-        attempt += 1
-        if (attempt >= 3) throw new ConcurrentWriteException(
-          s"version ${v + 1} at $root was committed by a concurrent writer")
-      } else return v + 1
+      // Constraints rewind with everything else: the restored rows were
+      // validated under the TARGET version's constraint set, not any
+      // declared since.
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, toVersion),
+          schemaOf(spark, root, toVersion),
+          droppedOf(spark, root, toVersion).toSeq.sorted,
+          bloomOnOf(spark, root, toVersion),
+          constraintsOf(spark, root, toVersion)))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
     }
     -1L // unreachable
   }
@@ -631,25 +729,24 @@ object SnapshotTable {
         s"dropColumn would leave $root with no columns; drop the table instead")
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name))
-      val fs = fsOf(spark, root)
-      val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      val body = SnapshotStats.manifestJson(v + 1, currentEntries(spark, root, v),
-        schemaJson = Some(newSchema.json),
-        dropped = (droppedOf(spark, root, v) + name).toSeq.sorted,
-        bloomOn = bloomOnOf(spark, root, v).filterNot(_ == name))
-      val mdir = new Path(root, ManifestDir)
-      fs.mkdirs(mdir)
-      val tmp = new Path(mdir, f".manifest-${v + 1}%08d-$token.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val dest = manifestPath(root, v + 1)
-      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-        fs.delete(tmp, false)
-        attempt += 1
-        if (attempt >= 3) throw new ConcurrentWriteException(
-          s"version ${v + 1} at $root was committed by a concurrent writer")
-        // loop re-reads the winner's version and re-derives the schema
-      } else return v + 1
+      // A CHECK constraint referencing the column would fail analysis on
+      // every later commit's enforcement — refuse the drop, name the
+      // constraint (drop the constraint first, deliberately).
+      val cons = constraintsOf(spark, root, v)
+      val referencing = cons.filter { case (_, sql) =>
+        constraintRefs(spark, sql).contains(name.toLowerCase(java.util.Locale.ROOT))
+      }.keys
+      require(referencing.isEmpty,
+        s"dropColumn $name is referenced by CHECK constraint(s) " +
+          s"${referencing.mkString(", ")}; drop them first")
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
+          newSchema, (droppedOf(spark, root, v) + name).toSeq.sorted,
+          bloomOnOf(spark, root, v).filterNot(_ == name), cons))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
+      // loop re-reads the winner's version and re-derives the schema
     }
     -1L // unreachable
   }
