@@ -65,6 +65,46 @@ object Evolution {
       .orderBy("o_orderstatus")
   }
 
+  /** CHECK-constraint gate as an oracle-paired lineage: bootstrap the
+    * table, declare `o_totalprice > 0` (validated against existing rows),
+    * prove a violating upsert is REJECTED ATOMICALLY (the table must read
+    * as if it never happened), then land a valid upsert that doubles the
+    * %13 keys' prices. The DuckDB oracle aggregates the same CASE rewrite
+    * of the raw table — hash-green means the rejected commit left zero
+    * trace AND the accepted one landed exactly once. Rerun-stable: the
+    * source-wins bootstrap resets prior runs' doubling, re-declaring the
+    * same constraint name is idempotent on the map, and vacuum bounds
+    * version growth. */
+  def constraintGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = evoRoot(dir) + "-cons"
+    val orders = Tables(s, dir, "orders")
+    SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"))
+    SnapshotTable.setCheckConstraint(s, root, "price_pos", "o_totalprice > 0")
+    val rejected =
+      try {
+        SnapshotTable.upsert(s, root,
+          orders.limit(50).withColumn("o_totalprice", lit(-1.0)),
+          Seq("o_orderkey"))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(rejected, "violating upsert must be rejected")
+    SnapshotTable.upsert(s, root,
+      orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"))
+    val out = SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_schema_evolution",
       (s, dir) => evolvedAppend(s, dir),
@@ -73,6 +113,19 @@ object Evolution {
                          THEN o_orderpriority END) AS with_prio,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY 1
+              ORDER BY o_orderstatus ASC NULLS FIRST""")),
+
+    // The rejected upsert must leave zero trace and the accepted one must
+    // land exactly once: the oracle is the CASE rewrite of the raw table.
+    Q("x_constraint_gate",
+      (s, dir) => constraintGate(s, dir),
+      Some("""WITH fin AS (SELECT o_orderstatus,
+                CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+              FROM orders)
+              SELECT o_orderstatus, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM fin GROUP BY 1
               ORDER BY o_orderstatus ASC NULLS FIRST"""))
   )
 }
