@@ -32,6 +32,7 @@ object ScaleRehearsal {
     if (args.contains("mv")) { mvLeg(spark); spark.stop(); return }
     if (args.contains("recluster")) { reclusterLeg(spark); spark.stop(); return }
     if (args.contains("bloom")) { bloomLeg(spark); spark.stop(); return }
+    if (args.contains("constraint")) { constraintLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
@@ -1225,6 +1226,62 @@ object ScaleRehearsal {
     }
     println(s"SCALE bloom_manifest_bytes plain ${manifestBytes(plain)}, " +
       s"bloomed ${manifestBytes(bloomy)}, bloom sidecars ${sidecarBytes(bloomy)}")
+  }
+
+  /** CHECK-enforcement cost leg: the same 24-drop ingest with and without
+    * two declared constraints. Each commit pays one delta-sized validation
+    * scan per constraint (never a table scan) — the wall delta is the
+    * price of "a violating commit can never become visible". */
+  private def constraintLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import org.apache.spark.sql.functions.col
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles).toSeq.flatten.foreach(rm); x.delete(); ()
+    }
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val drops = 24
+    val perDrop = 200000L
+    def ingest(root: String, constrained: Boolean): Unit = {
+      rm(new java.io.File(root))
+      (0 until drops).foreach { b =>
+        val df = spark.range(perDrop).select(
+          (col("id") * drops + b).as("k"),
+          (col("id") % 97).cast("long").as("grp"),
+          (col("id") % 1000).cast("double").as("price"))
+          .coalesce(4)
+        SnapshotTable.appendOnce(spark, root, df, "cons-rehearsal", b.toLong)
+        if (constrained && b == 0) {
+          SnapshotTable.setCheckConstraint(spark, root, "price_range",
+            "price >= 0.0 AND price < 1000.0")
+          SnapshotTable.setCheckConstraint(spark, root, "grp_domain", "grp < 97")
+        }
+      }
+    }
+    val plain = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-cons-plain").getAbsolutePath
+    val gated = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-cons-on").getAbsolutePath
+    time(s"constraint_ingest_plain_${drops}_drops_4.8M")(ingest(plain, constrained = false))
+    time(s"constraint_ingest_gated_${drops}_drops_4.8M")(ingest(gated, constrained = true))
+    // A violating drop against the 4.8M-row table: rejected without
+    // touching the table, and the rejection cost is DELTA-sized.
+    val bad = spark.range(1000L).select(
+      (col("id") + 10000000L).as("k"),
+      (col("id") % 97).cast("long").as("grp"),
+      (col("id") - 500L).cast("double").as("price")) // negatives violate
+    val vBefore = SnapshotTable.currentVersion(spark, gated).get
+    time("constraint_violating_drop_rejected") {
+      try {
+        SnapshotTable.appendOnce(spark, gated, bad, "cons-rehearsal", 99L)
+        throw new IllegalStateException("violating drop must be rejected")
+      } catch { case _: IllegalArgumentException => () }
+    }
+    println(s"SCALE constraint_reject_atomic version unchanged " +
+      s"${SnapshotTable.currentVersion(spark, gated).contains(vBefore)}, " +
+      s"rows ${SnapshotTable.rowCount(spark, gated)}")
   }
 
   private def mvUpsertLeg(spark: SparkSession): Unit = {
