@@ -31,6 +31,7 @@ object ScaleRehearsal {
     if (args.contains("retrieval50k")) { retrievalWideTermsLeg(spark); spark.stop(); return }
     if (args.contains("mv")) { mvLeg(spark); spark.stop(); return }
     if (args.contains("recluster")) { reclusterLeg(spark); spark.stop(); return }
+    if (args.contains("bloom48")) { bloomLeg(spark, 48); spark.stop(); return }
     if (args.contains("bloom")) { bloomLeg(spark); spark.stop(); return }
     if (args.contains("constraint")) { constraintLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
@@ -1168,7 +1169,7 @@ object ScaleRehearsal {
     * build, and the manifest growth from inlined base64 blooms (the scale
     * path past ~hundreds of files is Delta-style side-car bloom files; at
     * this format's file counts the inline manifest stays driver-KB/MB). */
-  private def bloomLeg(spark: SparkSession): Unit = {
+  private def bloomLeg(spark: SparkSession, drops: Int = 24): Unit = {
     import graft.ops.SnapshotTable
     import org.apache.spark.sql.functions.col
     def rm(x: java.io.File): Unit = {
@@ -1180,7 +1181,6 @@ object ScaleRehearsal {
       println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val drops = 24
     val perDrop = 200000L
     def ingest(root: String, bloom: Boolean): Unit = {
       rm(new java.io.File(root))
@@ -1196,8 +1196,9 @@ object ScaleRehearsal {
     }
     val plain = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-bloom-plain").getAbsolutePath
     val bloomy = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-bloom-on").getAbsolutePath
-    time(s"bloom_ingest_plain_${drops}_drops_4.8M")(ingest(plain, bloom = false))
-    time(s"bloom_ingest_bloomed_${drops}_drops_4.8M")(ingest(bloomy, bloom = true))
+    val mrows = drops * perDrop / 1000000L
+    time(s"bloom_ingest_plain_${drops}_drops_${mrows}M")(ingest(plain, bloom = false))
+    time(s"bloom_ingest_bloomed_${drops}_drops_${mrows}M")(ingest(bloomy, bloom = true))
 
     val probeKey = 123456L * drops + 12 // lives in drop 12 only
     def probe(root: String, tag: String): Unit = {
