@@ -1133,22 +1133,26 @@ object SnapshotTable {
         SnapshotStats.statsFromManifest(body),
         SnapshotStats.txnFromManifest(body),
         SnapshotStats.cdcFromManifest(body).isDefined,
-        SnapshotStats.schemaFromManifest(body).map(_.fieldNames.toSeq).getOrElse(Nil))
+        SnapshotStats.schemaFromManifest(body).map(_.fieldNames.toSeq).getOrElse(Nil),
+        SnapshotStats.constraintsFromManifest(body).keys.toSeq.sorted,
+        SnapshotStats.bloomOnFromManifest(body))
     }
-    val rows = byV.zipWithIndex.map { case ((v, files, stats, txn, hasCdc, cols), i) =>
-      val kind =
-        if (i == 0) "bootstrap" // oldest RETAINED; predecessors may be vacuumed
-        else {
-          val prev = byV(i - 1)._2
-          if (files == prev) "metadata"
-          else if (prev.subsetOf(files)) "append"
-          else "rewrite"
-        }
-      (v, kind, files.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
-        txn.map(_._1), txn.map(_._2), hasCdc, cols)
+    val rows = byV.zipWithIndex.map {
+      case ((v, files, stats, txn, hasCdc, cols, cons, bloomOn), i) =>
+        val kind =
+          if (i == 0) "bootstrap" // oldest RETAINED; predecessors may be vacuumed
+          else {
+            val prev = byV(i - 1)._2
+            if (files == prev) "metadata"
+            else if (prev.subsetOf(files)) "append"
+            else "rewrite"
+          }
+        (v, kind, files.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
+          txn.map(_._1), txn.map(_._2), hasCdc, cols, cons, bloomOn)
     }
     rows.toDF("version", "kind", "num_files", "total_rows", "total_bytes",
-      "txn_app_id", "txn_batch_id", "has_cdc", "columns")
+      "txn_app_id", "txn_batch_id", "has_cdc", "columns",
+      "constraints", "bloom_on")
       .orderBy(col("version").desc)
   }
 

@@ -288,5 +288,14 @@ class SchemaEvolutionSpec extends SparkSpec {
     // The drop's metadata row shows the shrunken column list at zero moves.
     assert(h(2L).getSeq[String](8) == Seq("k", "grp"))
     assert(h(2L).getLong(2) == h(1L).getLong(2), "metadata commit keeps file count")
+
+    // Declared governance surfaces per version: a constraint set after the
+    // upsert appears on ITS version's row onward, not retroactively.
+    SnapshotTable.setCheckConstraint(spark, root, "k_pos", "k > 0")
+    val h2 = SnapshotTable.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(h2(4L).getString(1) == "metadata")
+    assert(h2(4L).getSeq[String](9) == Seq("k_pos"))
+    assert(h2(3L).getSeq[String](9).isEmpty)
   }
 }
