@@ -435,12 +435,18 @@ object ProductQuant {
     import org.apache.spark.sql.expressions.Window
     val root = ivfadcBuild(s, dir, lists, subs)
     val e = emb(s, dir)
-    val q = queries.select(col("q_id"), col("q_embedding"))
+    // Auto path: pin the batch BEFORE counting it (ADVICE r9) — the count
+    // and the executed probe must see the SAME rows (a non-deterministic
+    // source could mis-size the path choice), and the collect-once
+    // discipline avoids a second source scan. Forced paths skip the pin:
+    // no count runs, so the caller's plan flows through untouched.
+    val q0 = queries.select(col("q_id"), col("q_embedding"))
+    val q = if (broadcastLut.isEmpty) q0.localCheckpoint() else q0
     def qd = expr("transform(q_embedding, x -> CAST(x AS DOUBLE))")
     val useBroadcast = broadcastLut.getOrElse {
       val vdir0 = s"$dir@${Similarity.corpusVersion(dir)}"
       val entries = ivfadcCache((vdir0, lists, subs))._2.size.toLong
-      queries.count() * probe * entries <= maxBroadcastLutRows
+      q.count() * probe * entries <= maxBroadcastLutRows
     }
     val probedBase = q.crossJoin(broadcast(Similarity.ivfCentroids(s, dir, lists)))
       .withColumn("c_sim",

@@ -62,14 +62,27 @@ object Relational2 {
               ORDER BY l_returnflag ASC NULLS FIRST""")),
 
     // HLL approx_count_distinct — the scale path for A1-style existence
-    // counting (no shuffle of the full key set). Rows-only: estimates differ
-    // across engines by design; GraftExtensionsSpec pins the error envelope.
+    // counting (no shuffle of the full key set). The raw estimate is
+    // engine-specific, so it never reaches the output: the query emits the
+    // EXACT distinct count plus a pass flag asserting the estimate landed
+    // within 3× the sketch's configured rsd (0.05 → 15%) — the oracle pins
+    // the exact value and expects the flag TRUE, so an estimator drift
+    // flips the flag and fails the hash gate instead of hiding behind
+    // `no_oracle` (VERDICT r9 #7). The md5-anchored sibling
+    // (x_sketch_hll_md5) remains the deterministic hash anchor.
     Q("r2_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx_parts") - col("n_parts"))
+            <= col("n_parts") * 0.15).as("approx_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                TRUE AS approx_ok
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag ASC NULLS FIRST""")),
 
     // UNION ALL (bag semantics, no dedup shuffle — vs U3's UNION).
     Q("r2_union_all",

@@ -426,19 +426,33 @@ object Relational3 {
 
     // A: approximate percentiles (quantile sketch — the partial-aggregable
     // companion to a6's exact interpolation, like HLL is to count distinct).
-    // Rows-only: the sketch estimate is engine-specific; the error envelope
-    // vs the exact quantile is pinned by GraftExtensionsSpec.
+    // The sketch estimate is engine-specific, so it never reaches the
+    // output: the query emits the EXACT interpolated quantiles plus pass
+    // flags asserting the sketch landed within 5% relative — the oracle
+    // pins the exact values and expects the flags TRUE, so estimator drift
+    // fails the hash gate instead of hiding behind `no_oracle` (VERDICT r9
+    // #7). The md5 bottom-k sibling below stays the hash-anchored
+    // estimator.
     Q("a11_approx_percentile",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
             array(lit(0.5), lit(0.95)), lit(10000)).as("p"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          element_at(col("p"), 1).as("p50"),
-          element_at(col("p"), 2).as("p95"), col("n"))
+        .select(col("l_returnflag"), col("p50"), col("p95"), col("n"),
+          (abs(element_at(col("p"), 1) - col("p50"))
+            <= col("p50") * 0.05).as("p50_ok"),
+          (abs(element_at(col("p"), 2) - col("p95"))
+            <= col("p95") * 0.05).as("p95_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+                count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag ASC NULLS FIRST""")),
 
     // A: the approximate-percentile tier's HASH-GATED member (VERDICT r7
     // #7, the x_sketch_hll_md5 move): a deterministic bottom-k sample

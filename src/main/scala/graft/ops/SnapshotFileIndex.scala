@@ -58,9 +58,14 @@ final class SnapshotFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // The SESSION's Hadoop configuration reaches the bloom side-car opens
+    // (ADVICE r9): a fresh Configuration() lacks the filesystem credentials
+    // (S3A keys, kerberos) the session carries, so every open would throw,
+    // be swallowed, and silently degrade bloom pruning to keep-all.
+    val conf = spark.sparkContext.hadoopConfiguration
     val kept = statuses.filter { st =>
       byPath.get(st.getPath.toString).forall(f =>
-        dataFilters.forall(SnapshotPruning.mightMatch(_, f)))
+        dataFilters.forall(SnapshotPruning.mightMatch(_, f, conf)))
     }
     lastSelected = kept.length
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
@@ -69,30 +74,32 @@ final class SnapshotFileIndex(
 
 private[ops] object SnapshotPruning {
 
-  /** Can any row of a file with stats `f` satisfy `e`? (MAY-analysis.) */
-  def mightMatch(e: Expression, f: FileStats): Boolean = e match {
-    case And(l, r) => mightMatch(l, f) && mightMatch(r, f)
-    case Or(l, r) => mightMatch(l, f) || mightMatch(r, f)
+  /** Can any row of a file with stats `f` satisfy `e`? (MAY-analysis.)
+    * `conf` is the session's Hadoop configuration, used to open bloom
+    * side-car files on filesystems that need configured credentials. */
+  def mightMatch(e: Expression, f: FileStats, conf: org.apache.hadoop.conf.Configuration): Boolean = e match {
+    case And(l, r) => mightMatch(l, f, conf) && mightMatch(r, f, conf)
+    case Or(l, r) => mightMatch(l, f, conf) || mightMatch(r, f, conf)
 
-    case EqualTo(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "eq")
-    case EqualTo(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "eq")
+    case EqualTo(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "eq", conf)
+    case EqualTo(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "eq", conf)
     case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
-      if (v == null) hasNulls(f, a.name) else cmpPossible(f, a.name, v, "eq")
+      if (v == null) hasNulls(f, a.name) else cmpPossible(f, a.name, v, "eq", conf)
     case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
-      if (v == null) hasNulls(f, a.name) else cmpPossible(f, a.name, v, "eq")
-    case LessThan(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "lt")
-    case LessThan(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "gt")
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "le")
-    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "ge")
-    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "gt")
-    case GreaterThan(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "lt")
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "ge")
-    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "le")
+      if (v == null) hasNulls(f, a.name) else cmpPossible(f, a.name, v, "eq", conf)
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "lt", conf)
+    case LessThan(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "gt", conf)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "le", conf)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "ge", conf)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "gt", conf)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "lt", conf)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpPossible(f, a.name, v, "ge", conf)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmpPossible(f, a.name, v, "le", conf)
 
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-      list.exists { case Literal(v, _) => v != null && cmpPossible(f, a.name, v, "eq") }
+      list.exists { case Literal(v, _) => v != null && cmpPossible(f, a.name, v, "eq", conf) }
     case InSet(a: AttributeReference, hset) if hset.size <= 10000 =>
-      hset.exists(v => v != null && cmpPossible(f, a.name, v, "eq"))
+      hset.exists(v => v != null && cmpPossible(f, a.name, v, "eq", conf))
 
     case IsNull(a: AttributeReference) => hasNulls(f, a.name)
     case IsNotNull(a: AttributeReference) => hasNonNulls(f, a.name)
@@ -120,7 +127,8 @@ private[ops] object SnapshotPruning {
 
   /** Is `attr <op> v` satisfiable inside [min, max] (and, for equality,
     * inside the file's bloom filter when one was committed)? */
-  private def cmpPossible(f: FileStats, col: String, v: Any, op: String): Boolean =
+  private def cmpPossible(f: FileStats, col: String, v: Any, op: String,
+                          conf: org.apache.hadoop.conf.Configuration): Boolean =
     statsFor(f, col) match {
       case None => true
       case Some(c) =>
@@ -129,7 +137,7 @@ private[ops] object SnapshotPruning {
         else (c.min, c.max, litToDomain(v, c.kind)) match {
           case (Some(mn), Some(mx), Some(d)) => op match {
             case "eq" => cmp(mn, d, c.kind) <= 0 && cmp(mx, d, c.kind) >= 0 &&
-              bloomMightContain(f, col, d)
+              bloomMightContain(f, col, d, conf)
             case "lt" => cmp(mn, d, c.kind) < 0
             case "le" => cmp(mn, d, c.kind) <= 0
             case "gt" => cmp(mx, d, c.kind) > 0
@@ -138,7 +146,7 @@ private[ops] object SnapshotPruning {
           }
           // Bounds may be absent (truncated binary stats) while the bloom
           // is not — equality can still prune on the bloom alone.
-          case (_, _, Some(d)) if op == "eq" => bloomMightContain(f, col, d)
+          case (_, _, Some(d)) if op == "eq" => bloomMightContain(f, col, d, conf)
           case _ => true
         }
     }
@@ -155,7 +163,8 @@ private[ops] object SnapshotPruning {
     * No bloom (pre-config file, unsupported type) → keep; an unreadable
     * side-car also keeps (pruning is never a correctness dependency). ~1%
     * false positives cost I/O only — the scan re-filters rows. */
-  private def bloomMightContain(f: FileStats, col: String, d: Any): Boolean = {
+  private def bloomMightContain(f: FileStats, col: String, d: Any,
+                                conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val ref = f.bloom.get(col).orElse(
       f.bloom.collectFirst { case (k, b) if k.equalsIgnoreCase(col) => b })
     ref match {
@@ -169,7 +178,7 @@ private[ops] object SnapshotPruning {
             val in: java.io.InputStream =
               if (payload.contains('/')) {
                 val p = new Path(payload)
-                p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+                p.getFileSystem(conf).open(p)
               } else new java.io.ByteArrayInputStream(
                 java.util.Base64.getDecoder.decode(payload))
             try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

@@ -264,30 +264,41 @@ object SnapshotTable {
         .contains((appId, batchId)))
   }
 
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
   /** Additive schema-evolution merge (Delta `mergeSchema` semantics): new
     * columns APPEND, nullable — files written before the column existed
     * stay in the table and read NULL for it; existing columns keep their
     * exact type (a retype is REFUSED — silent coercion corrupts every
     * older file's reads); an old column absent from the incoming batch
-    * goes nullable (the new files hold no values for it). */
+    * goes nullable (the new files hold no values for it).
+    *
+    * Names resolve CASE-INSENSITIVELY, matching Spark's default
+    * `spark.sql.caseSensitive=false` analysis (ADVICE r9): a batch shipping
+    * 'Price' against an existing 'price' is the SAME column — it must hit
+    * the retype check and keep the table's declared casing, not append a
+    * duplicate field the next read chokes on. Tombstoned names match the
+    * same way, so a dropped 'flag' cannot sneak back in as 'FLAG'. */
   private[ops] def evolveSchema(old: org.apache.spark.sql.types.StructType,
                                 incoming: org.apache.spark.sql.types.StructType,
                                 dropped: Set[String] = Set.empty)
       : org.apache.spark.sql.types.StructType = {
-    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
-    val oldByName = old.fields.map(f => f.name -> f).toMap
-    incoming.fields.foreach(f => oldByName.get(f.name).foreach { of =>
+    val incomingLc = incoming.fields.map(f => lc(f.name)).toSet
+    val oldByLc = old.fields.map(f => lc(f.name) -> f).toMap
+    incoming.fields.foreach(f => oldByLc.get(lc(f.name)).foreach { of =>
       require(of.dataType == f.dataType,
         s"schema evolution cannot retype column ${f.name}: ${of.dataType} -> ${f.dataType}")
     })
-    val revived = incoming.fieldNames.filterNot(oldByName.contains).filter(dropped)
+    val droppedLc = dropped.map(lc)
+    val revived = incoming.fieldNames
+      .filterNot(n => oldByLc.contains(lc(n))).filter(n => droppedLc(lc(n)))
     require(revived.isEmpty,
       s"cannot re-add dropped column(s) ${revived.mkString(", ")}: files written " +
         "before the drop still hold their orphaned values and would resurface them")
     org.apache.spark.sql.types.StructType(
       old.fields.map(f =>
-        if (incomingByName.contains(f.name)) f else f.copy(nullable = true)) ++
-      incoming.fields.filterNot(f => oldByName.contains(f.name))
+        if (incomingLc(lc(f.name))) f else f.copy(nullable = true)) ++
+      incoming.fields.filterNot(f => oldByLc.contains(lc(f.name)))
         .map(_.copy(nullable = true)))
   }
 
@@ -801,11 +812,15 @@ object SnapshotTable {
             // only (unmatched target rows keep their values).
             val evolved = evolveSchema(cur0.schema, source.schema,
               droppedOf(spark, root, v))
+            // Case-insensitive resolution, like evolveSchema: a source
+            // shipping 'Price' must FEED the declared 'price' (aliased to
+            // the table's casing), not null-fill it.
             def align(df: DataFrame): DataFrame = {
               import org.apache.spark.sql.functions.lit
+              val byLc = df.columns.map(c => lc(c) -> c).toMap
               df.select(evolved.map(f =>
-                if (df.columns.contains(f.name)) df.col(f.name)
-                else lit(null).cast(f.dataType).as(f.name)): _*)
+                byLc.get(lc(f.name)).map(c => df.col(c).as(f.name))
+                  .getOrElse(lit(null).cast(f.dataType).as(f.name))): _*)
             }
             val cur = align(cur0)
             val src = align(source)
@@ -873,9 +888,16 @@ object SnapshotTable {
       val rewritten = touchedRows.filter(not(coalesce(predicate, lit(false))))
       // Refuse a delete of EVERY row: the manifest's per-file row counts
       // give the carried total driver-side (zero-row part files from prior
-      // rewrites carry but hold nothing), and only when that is 0 does the
-      // emptiness probe on the rewrite run.
-      if (keptE.map(_.rows).sum == 0 && rewritten.isEmpty)
+      // rewrites carry but hold nothing), and only when that is 0 do the
+      // emptiness probes run. Pre-stats (legacy) manifests FABRICATE rows=0
+      // (currentEntries), so a zero sum is only trusted after a limit(1)
+      // probe of the kept files themselves (ADVICE r9) — otherwise a
+      // legitimate delete that merely empties the touched files would be
+      // wrongly refused on such a table.
+      val keptEmpty = keptE.map(_.rows).sum == 0 &&
+        (keptE.isEmpty ||
+          spark.read.schema(schema).parquet(keptE.map(_.path): _*).isEmpty)
+      if (keptEmpty && rewritten.isEmpty)
         throw new IllegalStateException(
           s"delete would remove every row of $root; drop the table instead")
       try {
@@ -1029,11 +1051,24 @@ object SnapshotTable {
       }
       prev = files
     }
+    // The feed lands on the END version's DECLARED schema, exactly like
+    // [[changes]] (ADVICE r9): columns added mid-interval null-fill for
+    // earlier change files, and a column dropped mid-interval must NOT
+    // resurface its orphaned values from pre-drop CDC side-cars — that is
+    // the hazard the tombstone contract exists to prevent.
+    lazy val endSchema = schemaOf(spark, root, to)
     def readOrEmpty(paths: Seq[String]): DataFrame =
       if (paths.isEmpty) read(spark, root, Some(to)).limit(0)
-      // mergeSchema: change files on either side of a schema evolution mix
-      // schemas; cost is bounded by the delta's footers.
-      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else {
+        import org.apache.spark.sql.functions.lit
+        // mergeSchema: change files on either side of a schema evolution mix
+        // schemas; cost is bounded by the delta's footers.
+        val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        val have = merged.columns.toSet
+        merged.select(endSchema.fields.map(f =>
+          if (have(f.name)) merged.col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      }
     Some((readOrEmpty(adds.result()), readOrEmpty(removes.result())))
   }
 

@@ -298,4 +298,44 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(h2(4L).getSeq[String](9) == Seq("k_pos"))
     assert(h2(3L).getSeq[String](9).isEmpty)
   }
+
+  test("case-variant column names resolve to the existing column, not a duplicate (ADVICE r9)") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.appendOnce(spark, root,
+      Seq((1L, 10.0)).toDF("k", "price"), "evo-case", 0L)
+    // Same column, different case: must APPEND under the declared name
+    // 'price' (values flowing in), never duplicate the field.
+    SnapshotTable.appendOnce(spark, root,
+      Seq((2L, 20.0)).toDF("k", "Price"), "evo-case", 1L)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "price"),
+      s"case-variant append must not duplicate the column: ${cur.columns.toSeq}")
+    assert(cur.filter(col("price") === 20.0).count() == 1,
+      "the case-variant batch's values must land in the existing column")
+
+    // A case-variant RETYPE must still be refused.
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.appendOnce(spark, root,
+        Seq((3L, "oops")).toDF("k", "PRICE"), "evo-case", 2L)
+    }
+    assert(e.getMessage.contains("retype"))
+
+    // Upsert through the case variant: values update the declared column.
+    SnapshotTable.upsert(spark, root,
+      Seq((1L, 11.0)).toDF("K", "PRICE"), Seq("k"))
+    val rows = SnapshotTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 11.0, 2L -> 20.0))
+
+    // Tombstones match case-insensitively: a dropped column cannot sneak
+    // back in under different case.
+    SnapshotTable.appendOnce(spark, root,
+      Seq((4L, 40.0, "x")).toDF("k", "price", "tag"), "evo-case", 3L)
+    SnapshotTable.dropColumn(spark, root, "tag")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.appendOnce(spark, root,
+        Seq((5L, 50.0, "y")).toDF("k", "price", "TAG"), "evo-case", 4L)
+    }
+    assert(e2.getMessage.contains("re-add"))
+  }
 }
