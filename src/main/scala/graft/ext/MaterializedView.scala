@@ -33,33 +33,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object MaterializedView {
 
-  private val mvKeys = Seq("o_orderstatus", "o_orderpriority")
+  /** The pilot view, now an INSTANCE of the generalized [[MvSpec]]
+    * operator (VERDICT r9 #1): orders grouped by (status, priority) with
+    * count / exact decimal sum / min / max. The legacy `partial`/
+    * `combine`/`combineDelta` entry points below delegate to it — every
+    * existing consumer (streaming MV-refresh sink, rehearsal legs, the
+    * four x_mv_* lineages) now runs THROUGH the parameterized op. */
+  val ordersSpec: MvSpec = MvSpec(
+    Seq("o_orderstatus", "o_orderpriority"),
+    Seq(MvAgg.Count("cnt"),
+      MvAgg.Sum("o_totalprice", "total", Some("decimal(18,2)")),
+      MvAgg.Min("o_totalprice", "min_price"),
+      MvAgg.Max("o_totalprice", "max_price")))
+
+  private def mvKeys = ordersSpec.keys
 
   /** Constant-width combinable partials for one slice of `orders`. */
-  def partial(df: DataFrame): DataFrame =
-    df.groupBy(mvKeys.map(col): _*)
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
-        min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price"))
+  def partial(df: DataFrame): DataFrame = ordersSpec.partial(df)
 
-  /** Merge a delta's partials into the standing view. Spark's
-    * least/greatest skip nulls, which is exactly the lattice join needed
-    * for groups present on only one side of the full-outer join. */
-  def combine(mv: DataFrame, delta: DataFrame): DataFrame = {
-    val keyCols: Seq[Column] = mvKeys.map(col)
-    val d = delta.select(keyCols ++ Seq(
-      col("cnt").as("d_cnt"), col("total").as("d_total"),
-      col("min_price").as("d_min"), col("max_price").as("d_max")): _*)
-    mv.join(d, mvKeys, "full_outer")
-      .select(keyCols ++ Seq(
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-        (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
-          coalesce(col("d_total"), lit(0).cast("decimal(18,2)"))).as("total"),
-        least(col("min_price"), col("d_min")).as("min_price"),
-        greatest(col("max_price"), col("d_max")).as("max_price")): _*)
-  }
+  /** Merge a delta's partials into the standing view (insert-only). */
+  def combine(mv: DataFrame, delta: DataFrame): DataFrame =
+    ordersSpec.combine(mv, delta)
 
   /** Memoized base-table roots (one bootstrap per corpus CONTENT VERSION
     * per JVM; across JVMs the appendOnce stamps make re-entry a no-op
@@ -78,65 +72,27 @@ object MaterializedView {
     })
   }
 
+  /** [[mvRoot]] generalized to any base table (same content-version
+    * keying; the table name joins the key so two tables of one corpus
+    * never share a root). */
+  private def mvRootFor(s: SparkSession, dir: String, table: String): String = {
+    val vdir = s"$dir@${Similarity.corpusVersion(dir, table)}"
+    roots.getOrElseUpdate(s"$table:$vdir", {
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-mv-$table-$tag").getAbsolutePath
+    })
+  }
+
   /** Retraction-capable refresh (VERDICT r8 #2): merge a row-level CDC
     * delta ([[SnapshotTable.changesDelta]]'s (adds, removes)) into the
-    * standing view — the piece that keeps a dashboard incremental over the
-    * reference's core operation, MERGE upsert, not just over appends.
-    *
-    *   - `cnt` and `total` RETRACT ALGEBRAICALLY (group + adds − removes):
-    *     integers and DECIMAL(18,2) sums form a group, so applying every
-    *     intermediate (add, remove) pair telescopes exactly to the final
-    *     state — no float drift, same argument as [[combine]];
-    *   - `min`/`max` are lattice joins, NOT group elements (removing the
-    *     current min leaves no information about the runner-up), so groups
-    *     TOUCHED BY REMOVES recompute min/max from the post-commit base
-    *     table restricted to those groups. The restriction is a LITERAL
-    *     group-key predicate — driver state O(|touched|) ≤ O(|view|), the
-    *     dashboard-bounded collect this repo's discipline allows — so when
-    *     the table is upserted with `clusterBy = group keys` the manifest
-    *     bounds prune the recompute scan to the touched groups' files;
-    *   - groups whose retracted count reaches 0 drop out of the view.
-    *
-    * Cost per refresh: O(|delta|) for the partials + O(|view|) for the
-    * merge + O(touched groups' rows) for the min/max recompute — never
-    * O(table). */
+    * standing view — see [[MvSpec.combineDelta]] for the algebra
+    * (algebraic count/sum retraction, touched-group-only min/max
+    * recompute, the restrictTerms threshold discipline on the touched-key
+    * restriction). */
   def combineDelta(s: SparkSession, tableRoot: String, mv: DataFrame,
-                   adds: DataFrame, removes: DataFrame): DataFrame = {
-    val keyCols: Seq[Column] = mvKeys.map(col)
-    val a = partial(adds).select(keyCols ++ Seq(
-      col("cnt").as("a_cnt"), col("total").as("a_total"),
-      col("min_price").as("a_min"), col("max_price").as("a_max")): _*)
-    val r = partial(removes).select(keyCols ++ Seq(
-      col("cnt").as("r_cnt"), col("total").as("r_total")): _*)
-    val zero = lit(0).cast("decimal(18,2)")
-    val merged = mv.join(a, mvKeys, "full_outer").join(r, mvKeys, "full_outer")
-      .select(keyCols ++ Seq(
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("a_cnt"), lit(0L))
-          - coalesce(col("r_cnt"), lit(0L))).as("cnt"),
-        (coalesce(col("total"), zero) + coalesce(col("a_total"), zero)
-          - coalesce(col("r_total"), zero)).as("total"),
-        least(col("min_price"), col("a_min")).as("min_price"),
-        greatest(col("max_price"), col("a_max")).as("max_price"),
-        col("r_cnt").isNotNull.as("touched")): _*)
-      .filter(col("cnt") > 0)
-    // Touched group keys: O(|view|)-bounded driver pull, rebuilt as a
-    // plan-time literal predicate so the base-table scan can file-skip.
-    val touched = r.select(keyCols: _*).collect()
-      .map(row => mvKeys.zipWithIndex
-        .map { case (k, i) => col(k) <=> lit(row.get(i)) }.reduce(_ && _))
-    if (touched.isEmpty) merged.drop("touched")
-    else {
-      val recomputed = partial(
-          SnapshotTable.read(s, tableRoot).filter(touched.reduce(_ || _)))
-        .select(keyCols ++ Seq(
-          col("min_price").as("n_min"), col("max_price").as("n_max")): _*)
-      merged.join(broadcast(recomputed), mvKeys, "left_outer")
-        .select(keyCols ++ Seq(
-          col("cnt"), col("total"),
-          when(col("touched"), col("n_min")).otherwise(col("min_price")).as("min_price"),
-          when(col("touched"), col("n_max")).otherwise(col("max_price")).as("max_price")): _*)
-    }
-  }
+                   adds: DataFrame, removes: DataFrame): DataFrame =
+    ordersSpec.combineDelta(s, tableRoot, mv, adds, removes)
 
   /** Three exactly-once appends of the orders table (split by
     * o_orderkey % 3), each followed by a change-feed-driven refresh of the
@@ -274,6 +230,50 @@ object MaterializedView {
     out
   }
 
+  /** A SECOND view instance through the same generalized operator
+    * (VERDICT r9 #1 done-criterion): events by event_type with count,
+    * exact decimal sum, AVG (the algebraic (sum, count) pair — the agg
+    * the pilot view lacked), min and max. */
+  val eventsSpec: MvSpec = MvSpec(
+    Seq("event_type"),
+    Seq(MvAgg.Count("cnt"),
+      MvAgg.Sum("value", "total", Some("decimal(18,2)")),
+      MvAgg.Avg("value", "avg_value", Some("decimal(18,2)")),
+      MvAgg.Min("value", "min_value"),
+      MvAgg.Max("value", "max_value")))
+
+  /** Delete-refresh lineage for the events view: bootstrap the base table
+    * as one clustered upsert, seed the view, DELETE every
+    * event_id % 3 == 0 row (pure retraction touching every group — avg
+    * must retract its (sum, count) pair exactly, min/max must recompute
+    * to the surviving extrema), refresh off the commit's CDC, and read
+    * out through [[MvSpec.finish]]. The DuckDB oracle aggregates the
+    * surviving predicate directly, so the hash gate pins the generalized
+    * operator's avg retraction ≡ a full recompute. Rerun-stable like the
+    * orders lineages: the source-wins bootstrap re-inserts prior runs'
+    * deletions and vacuum bounds version growth. */
+  def incrementalEventsAvgMv(s: SparkSession, dir: String): DataFrame = {
+    val root = mvRootFor(s, dir, "events") + "-ev"
+    val events = Tables(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    val v0 = SnapshotTable.upsert(s, root, events, Seq("event_id"),
+      clusterBy = eventsSpec.keys)
+    val mv0 = eventsSpec.partial(SnapshotTable.read(s, root, Some(v0)))
+    val v1 = SnapshotTable.delete(s, root, col("event_id") % 3 === 0)
+    val (adds, removes) = SnapshotTable.changesDelta(s, root, v0, Some(v1))
+      .getOrElse(throw new IllegalStateException(
+        s"delete commit $v0 -> $v1 at $root lost its CDC"))
+    val mv = eventsSpec.combineDelta(s, root, mv0, adds, removes)
+    val out = eventsSpec.finish(mv)
+      .select(col("event_type"), col("cnt"),
+        col("total").cast("double").as("total"),
+        col("avg_value"), col("min_value"), col("max_value"))
+      .orderBy("event_type")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_mv_incremental",
       (s, dir) => incrementalMv(s, dir),
@@ -331,6 +331,21 @@ object MaterializedView {
               min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
               FROM fin GROUP BY 1, 2
               ORDER BY o_orderstatus ASC NULLS FIRST,
-                       o_orderpriority ASC NULLS FIRST"""))
+                       o_orderpriority ASC NULLS FIRST""")),
+
+    // Second view instance through the generalized MvSpec (VERDICT r9 #1):
+    // events by event_type with AVG — the algebraic (sum, count) pair
+    // retracting under a predicate DELETE. Oracle = full recompute over
+    // the surviving rows; avg is CAST(exact decimal sum AS DOUBLE)/count
+    // in both engines, so the quotient hashes identically.
+    Q("x_mv_events_avg",
+      (s, dir) => incrementalEventsAvgMv(s, dir),
+      Some("""SELECT event_type, count(*) AS cnt,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+                AS avg_value,
+              min(value) AS min_value, max(value) AS max_value
+              FROM events WHERE event_id % 3 <> 0 GROUP BY 1
+              ORDER BY event_type ASC NULLS FIRST"""))
   )
 }
