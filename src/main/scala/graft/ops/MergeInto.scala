@@ -51,8 +51,10 @@ case class MergeInto(
   def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeInto =
     copy(notMatchedInsert = Some(condition))
 
-  /** Lower to one full-outer join + projection. Output schema = target's. */
-  def result(): DataFrame = {
+  /** The lowered full-outer join plus the clause predicates — ONE join
+    * definition shared by [[result]] and [[changes]], so the merged rows
+    * and the change sets can never disagree on clause algebra. */
+  private def lowered: (DataFrame, Column, Column, Column, Column, Column) = {
     require(keys.nonEmpty, "MergeInto requires on(keys)")
     val missing = target.columns.filterNot(source.columns.contains)
     require(missing.isEmpty, s"source lacks target columns: ${missing.mkString(",")}")
@@ -64,15 +66,40 @@ case class MergeInto(
     val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
     val tOnly = col("s.__s").isNull
     val sOnly = col("t.__t").isNull
-    val delCond = matchedDelete.map(c => matched && c).getOrElse(lit(false))
-    val updCond = matchedUpdate.map(c => matched && c.getOrElse(lit(true))).getOrElse(lit(false))
-    val insCond = notMatchedInsert.map(c => sOnly && c.getOrElse(lit(true))).getOrElse(lit(false))
+    // SQL MERGE clause conditions: NULL = not satisfied (the coalesce
+    // keeps a NULL condition from poisoning the keep/takeSource algebra
+    // through three-valued logic).
+    def sat(c: Column): Column = coalesce(c, lit(false))
+    val delCond = matchedDelete.map(c => matched && sat(c)).getOrElse(lit(false))
+    val updCond = matchedUpdate.map(c => matched && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
+    val insCond = notMatchedInsert.map(c => sOnly && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
+    (t.join(s, joinCond, "full_outer"), matched, tOnly, delCond, updCond, insCond)
+  }
+
+  /** Lower to one full-outer join + projection. Output schema = target's. */
+  def result(): DataFrame = {
+    val (joined, matched, tOnly, delCond, updCond, insCond) = lowered
     val keep = tOnly || (matched && !delCond) || insCond
     val takeSource = insCond || (updCond && !delCond)
     val projected = target.columns.map { c =>
       when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
-    t.join(s, joinCond, "full_outer").filter(keep).select(projected.toIndexedSeq: _*)
+    joined.filter(keep).select(projected.toIndexedSeq: _*)
+  }
+
+  /** The row-level (adds, removes) this merge implies — the CDC a
+    * table-level commit records ([[SnapshotTable.mergeInto]]): removes =
+    * pre-images of matched rows the clauses delete or update, adds =
+    * post-images of updated rows plus inserted rows. To a downstream MV a
+    * MERGE is retraction + insertion, exactly how `MvSpec.combineDelta`
+    * consumes it. Both frames take the target's schema. */
+  def changes(): (DataFrame, DataFrame) = {
+    val (joined, matched, _, delCond, updCond, insCond) = lowered
+    val removes = joined.filter(matched && (delCond || updCond))
+      .select(target.columns.map(c => col(s"t.$c").as(c)).toIndexedSeq: _*)
+    val adds = joined.filter(insCond || (matched && updCond && !delCond))
+      .select(target.columns.map(c => col(s"s.$c").as(c)).toIndexedSeq: _*)
+    (adds, removes)
   }
 }
 
@@ -88,6 +115,83 @@ object MergeInto {
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),
       col("o_orderstatus").as("st"))
+
+  /** One root per corpus CONTENT VERSION per JVM (the mvRoot keying). */
+  private val roots = new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def miRoot(dir: String, suffix: String): String = {
+    val vdir = s"$dir@${graft.ext.Similarity.corpusVersion(dir, "orders")}"
+    roots.getOrElseUpdate(s"$suffix:$vdir", {
+      val tag = vdir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-mi$suffix-$tag").getAbsolutePath
+    })
+  }
+
+  /** j12's exact clause algebra as a TABLE-LEVEL commit (VERDICT r9 #3):
+    * bootstrap the target as a plain snapshot commit (an unconditional
+    * REPLACE — rerun-stable even though the merge's insert arm adds keys
+    * a source-wins upsert could never remove), run the conditional
+    * MERGE INTO against the table, read the committed version back. The
+    * oracle is j12's FULL OUTER JOIN + CASE rewrite, so the hash gate
+    * pins the file-granular commit ≡ the DataFrame combinator ≡ the SQL
+    * clause algebra. */
+  def mergeIntoTableLineage(s: SparkSession, dir: String): DataFrame = {
+    val root = miRoot(dir, "-tbl")
+    val tgt = orders3(s, dir).filter(col("o_orderkey") % 4 =!= 3)
+    val src = orders3(s, dir).filter(col("o_orderkey") % 2 === 0)
+      .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+    SnapshotTable.commit(s, root, tgt)
+    val v1 = SnapshotTable.mergeInto(s, root, src, Seq("o_orderkey"),
+      matchedUpdate = Some(None),
+      matchedDelete = Some(col("s.st") === "F"),
+      notMatchedInsert = Some(Some(col("s.price") > 150000)))
+    val out = SnapshotTable.read(s, root, Some(v1))
+      .select(col("o_orderkey"), col("price").cast("double").as("price"),
+        col("st"))
+      .orderBy("o_orderkey")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
+  /** The merge commit's CDC driving an incremental MV refresh (VERDICT r9
+    * #3 done-criterion): seed a by-status view over the bootstrapped
+    * table, run the same conditional MERGE INTO, refresh the view from
+    * [[SnapshotTable.changesDelta]] through the generalized
+    * `MvSpec.combineDelta` — delete arms retract, update arms retract +
+    * insert, insert arms insert, vacated extrema recompute. Oracle = the
+    * aggregate of j12's rewrite, so hash-green means merge-CDC refresh ≡
+    * full recompute. */
+  def mergeMvRefreshLineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{MvAgg, MvSpec}
+    val spec = MvSpec(Seq("st"),
+      Seq(MvAgg.Count("cnt"),
+        MvAgg.Sum("price", "total", Some("decimal(18,2)")),
+        MvAgg.Min("price", "min_price"),
+        MvAgg.Max("price", "max_price")))
+    val root = miRoot(dir, "-mv")
+    val tgt = orders3(s, dir).filter(col("o_orderkey") % 4 =!= 3)
+    val src = orders3(s, dir).filter(col("o_orderkey") % 2 === 0)
+      .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+    val v0 = SnapshotTable.commit(s, root, tgt)
+    val mv0 = spec.partial(SnapshotTable.read(s, root, Some(v0)))
+    val v1 = SnapshotTable.mergeInto(s, root, src, Seq("o_orderkey"),
+      matchedUpdate = Some(None),
+      matchedDelete = Some(col("s.st") === "F"),
+      notMatchedInsert = Some(Some(col("s.price") > 150000)))
+    val (adds, removes) = SnapshotTable.changesDelta(s, root, v0, Some(v1))
+      .getOrElse(throw new IllegalStateException(
+        s"merge commit $v0 -> $v1 at $root lost its CDC"))
+    val out = spec.finish(spec.combineDelta(s, root, mv0, adds, removes))
+      .select(col("st"), col("cnt"), col("total").cast("double").as("total"),
+        col("min_price").cast("double").as("min_price"),
+        col("max_price").cast("double").as("max_price"))
+      .orderBy("st")
+      .localCheckpoint() // materialize before vacuum drops old versions
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -130,6 +234,65 @@ object MergeInto {
               WHERE (tp AND NOT sp)
                  OR (tp AND sp AND sst <> 'F')
                  OR (sp AND NOT tp AND sprice > 150000)
-              ORDER BY o_orderkey ASC NULLS FIRST"""))
+              ORDER BY o_orderkey ASC NULLS FIRST""")),
+
+    // The SAME clause algebra as a table-level commit (VERDICT r9 #3):
+    // conditional delete + update + insert arms in one file-granular
+    // MERGE INTO commit; oracle = j12's FULL OUTER JOIN + CASE rewrite.
+    Q("x_merge_into_table",
+      (s, dir) => mergeIntoTableLineage(s, dir),
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 4 <> 3),
+              s AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 2 = 0),
+              m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      t.o_orderkey IS NOT NULL AS tp, s.o_orderkey IS NOT NULL AS sp,
+                      t.price AS tprice, t.st AS tst, s.price AS sprice, s.st AS sst
+                    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+              SELECT o_orderkey,
+                CAST(CASE WHEN (sp AND NOT tp) OR (tp AND sp AND sst <> 'F')
+                     THEN sprice ELSE tprice END AS DOUBLE) AS price,
+                CASE WHEN (sp AND NOT tp) OR (tp AND sp AND sst <> 'F')
+                     THEN sst ELSE tst END AS st
+              FROM m
+              WHERE (tp AND NOT sp)
+                 OR (tp AND sp AND sst <> 'F')
+                 OR (sp AND NOT tp AND sprice > 150000)
+              ORDER BY o_orderkey ASC NULLS FIRST""")),
+
+    // The merge commit's CDC refreshing a by-status MV through the
+    // generalized MvSpec: oracle = the aggregate of the same rewrite, so
+    // hash-green pins merge-CDC refresh == full recompute.
+    Q("x_mv_incremental_merge",
+      (s, dir) => mergeMvRefreshLineage(s, dir),
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 4 <> 3),
+              s AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 2 = 0),
+              m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      t.o_orderkey IS NOT NULL AS tp, s.o_orderkey IS NOT NULL AS sp,
+                      t.price AS tprice, t.st AS tst, s.price AS sprice, s.st AS sst
+                    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey),
+              fin AS (SELECT
+                CASE WHEN (sp AND NOT tp) OR (tp AND sp AND sst <> 'F')
+                     THEN sprice ELSE tprice END AS price,
+                CASE WHEN (sp AND NOT tp) OR (tp AND sp AND sst <> 'F')
+                     THEN sst ELSE tst END AS st
+              FROM m
+              WHERE (tp AND NOT sp)
+                 OR (tp AND sp AND sst <> 'F')
+                 OR (sp AND NOT tp AND sprice > 150000))
+              SELECT st, count(*) AS cnt,
+                CAST(sum(price) AS DOUBLE) AS total,
+                CAST(min(price) AS DOUBLE) AS min_price,
+                CAST(max(price) AS DOUBLE) AS max_price
+              FROM fin GROUP BY 1
+              ORDER BY st ASC NULLS FIRST"""))
   )
 }

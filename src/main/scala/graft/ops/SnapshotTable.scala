@@ -841,6 +841,91 @@ object SnapshotTable {
     compact(spark, root, maxFiles).getOrElse(committed)
   }
 
+  /** Table-level conditional MERGE INTO (VERDICT r9 #3): the [[MergeInto]]
+    * clause surface — matched-delete, conditional update, conditional
+    * insert — lowered onto the table as ONE file-granular copy-on-write
+    * commit recording row-level CDC. This completes the reference's MERGE
+    * statement (main.py:349-358, the unconditional form [[upsert]]
+    * already covers) with its SQL-standard conditional arms.
+    *
+    * File granularity mirrors [[delete]]/[[update]]: the touched set =
+    * every file holding a key present in `source` (a null-safe semi-join
+    * projected to `input_file_name()` — a driver pull of file PATHS,
+    * O(touched files), and the probe itself file-skips off manifest
+    * bounds/blooms on a clustered table); untouched files CARRY by
+    * manifest entry, never read. Every key the table shares with the
+    * source lives in a touched file BY CONSTRUCTION, so the merge
+    * combinator runs over the touched rows alone and "not matched" there
+    * means not in the table at all. CDC: removes = pre-images of deleted
+    * and updated matched rows, adds = updated post-images plus inserted
+    * rows — a MERGE is retraction + insertion to a downstream MV, which
+    * is exactly how `MvSpec.combineDelta` consumes it. Auto-compacts past
+    * `maxFiles` like [[upsert]] (the merge is the reference's hot
+    * recurring op; without compaction N merges accrete N small-file
+    * batches). */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keys: Seq[String],
+                matchedUpdate: Option[Option[Column]] = None,
+                matchedDelete: Option[Column] = None,
+                notMatchedInsert: Option[Option[Column]] = None,
+                maxFiles: Int = 64): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keys.nonEmpty, "mergeInto needs key columns")
+    def norm(p: String): String = new Path(p).toUri.getPath
+    var attempt = 0
+    var committed = -1L
+    var done = false
+    while (!done) {
+      try {
+        val v = currentVersion(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"mergeInto on a table with no committed version at $root"))
+        val cur = read(spark, root, Some(v))
+        val schema = schemaOf(spark, root, v)
+        // Null-safe key probe: a NULL source key must mark the files
+        // holding NULL-key rows (the merge's own match is null-safe), or
+        // those rows would survive untouched AND re-insert.
+        val srcKeys = source
+          .select(keys.map(k => source(k).as(s"__sk_$k")): _*).distinct()
+        // input_file_name() resolves on the single-source side only, so
+        // it is projected BEFORE the semi-join.
+        val withFile = cur.withColumn("__file", input_file_name())
+        val touched = withFile.join(srcKeys,
+            keys.map(k => withFile(k) <=> srcKeys(s"__sk_$k")).reduce(_ && _),
+            "left_semi")
+          .select(col("__file"))
+          .distinct().collect().map(r => norm(r.getString(0))).toSet
+        if (touched.isEmpty && notMatchedInsert.isEmpty) return v
+        val (touchedE, keptE) =
+          currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
+        // Declared schema, like delete/update: evolved tables mix file
+        // schemas and the rewrite must not regress the manifest.
+        val targetRows =
+          if (touchedE.isEmpty) cur.limit(0)
+          else spark.read.schema(schema).parquet(touchedE.map(_.path): _*)
+        val mi = MergeInto(targetRows, source, keys,
+          matchedUpdate, matchedDelete, notMatchedInsert)
+        // Pin outputs to the DECLARED types: clause projections coerce
+        // through when(), and a source column arriving wider (decimal
+        // growth) must not leak past the manifest's declared schema.
+        def declared(df: DataFrame): DataFrame =
+          df.select(schema.fields.map(f =>
+            df(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        val rewritten = declared(mi.result())
+        val (adds, removes) = mi.changes()
+        committed = commitAt(spark, root, v + 1, rewritten, carry = keptE,
+          cdc = Some((declared(adds), declared(removes))),
+          tableSchema = Some(schema))
+        done = true
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 3) throw e // loop re-reads the winner's version
+      }
+    }
+    compact(spark, root, maxFiles).getOrElse(committed)
+  }
+
   /** Predicate DELETE as a new snapshot — the DML triad's third member
     * beside append and MERGE upsert, with Delta-style FILE-GRANULAR
     * copy-on-write: files holding no matching row are CARRIED into the new

@@ -65,4 +65,72 @@ class MergeIntoSpec extends SparkSpec {
     })
     assert(joins.size == 1, s"expected exactly one join, got: $joins")
   }
+
+  test("table-level mergeInto: file-granular commit, CDC telescopes to the final state") {
+    val root = s"${tmpDir()}/t"
+    // Range-clustered bootstrap: keys 1..40 in 4 files of 10; the merge
+    // source touches keys 5..12 only, so exactly 2 files rewrite.
+    val v0 = SnapshotTable.commitClustered(spark, root,
+      frame(1 to 40), Seq("k"), numFiles = 4)
+    val filesBefore = SnapshotTable.history(spark, root)
+      .filter(col("version") === v0).select("num_files").head().getLong(0)
+    assert(filesBefore == 4L)
+    val src = frame(5 to 12).withColumn("v1", lit("merged"))
+      .unionAll(frame(100 to 102).withColumn("v1", lit("new")))
+    val v1 = SnapshotTable.mergeInto(spark, root, src, Seq("k"),
+      matchedUpdate = Some(None),
+      matchedDelete = Some(col("s.k") % 2 === 0),
+      notMatchedInsert = Some(None))
+    // Semantics: matched evens 6,8,10,12 delete; matched odds 5,7,9,11
+    // update to "merged"; 100..102 insert as "new"; everything else
+    // survives untouched.
+    val fin = SnapshotTable.read(spark, root, Some(v1))
+    val byK = fin.select("k", "v1").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!byK.contains(6L) && !byK.contains(12L), "matched evens must delete")
+    assert(byK(5L) == "merged" && byK(11L) == "merged", "matched odds must update")
+    assert(byK(100L) == "new" && byK(102L) == "new", "source-only keys must insert")
+    assert(byK(4L) != "merged" && byK.contains(40L), "untouched rows survive")
+    assert(fin.count() == 40 - 4 + 3)
+
+    // File granularity: the 2 non-overlapping files carried by entry.
+    val before = SnapshotTable.read(spark, root, Some(v0)).inputFiles.toSet
+    val after = SnapshotTable.read(spark, root, Some(v1)).inputFiles.toSet
+    assert((before & after).size == 2,
+      s"exactly the 2 untouched files must carry: ${(before & after).size}")
+
+    // CDC telescopes: view(v0) + adds - removes == view(v1), including the
+    // vacated-extrema recompute, through the generalized MvSpec.
+    val spec = graft.ext.MvSpec(Seq("v1"),
+      Seq(graft.ext.MvAgg.Count("cnt"), graft.ext.MvAgg.Min("v2", "mn"),
+        graft.ext.MvAgg.Max("v2", "mx")))
+    val mv0 = spec.partial(SnapshotTable.read(spark, root, Some(v0)))
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    val got = spec.finish(spec.combineDelta(spark, root, mv0, adds, removes))
+      .collect().map(_.toString).toSet
+    val full = spec.finish(spec.partial(fin)).collect().map(_.toString).toSet
+    assert(got == full, "merge CDC must telescope to the final state")
+  }
+
+  test("table-level mergeInto: NULL source keys match NULL target keys (no duplication)") {
+    val root = s"${tmpDir()}/t"
+    val tgt = Seq((Some(1L), "a", 1.0), (None, "nullk", 2.0), (Some(3L), "c", 3.0))
+      .toDF("k", "v1", "v2")
+    SnapshotTable.commit(spark, root, tgt)
+    val src = Seq((Option.empty[Long], "nullk-updated", 9.0))
+      .toDF("k", "v1", "v2")
+    val v1 = SnapshotTable.mergeInto(spark, root, src, Seq("k"),
+      matchedUpdate = Some(None), notMatchedInsert = Some(None))
+    val fin = SnapshotTable.read(spark, root, Some(v1))
+      .select("v1").collect().map(_.getString(0)).toSet
+    assert(fin == Set("a", "nullk-updated", "c"),
+      s"NULL key must update in place, not duplicate: $fin")
+  }
+
+  test("table-level mergeInto: no matches and no insert clause is a no-op version") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.commit(spark, root, frame(1 to 5))
+    val v1 = SnapshotTable.mergeInto(spark, root, frame(50 to 55), Seq("k"),
+      matchedUpdate = Some(None))
+    assert(v1 == v0, "nothing to do must not commit a version")
+  }
 }
