@@ -274,6 +274,65 @@ object MaterializedView {
     out
   }
 
+  /** MV refresh as a SUBSCRIBER of the streaming change-feed source
+    * (VERDICT r9 #2 done-criterion): bootstrap the base table and seed
+    * the view, land an upsert (group moves + doubled prices) and a
+    * predicate delete as ordinary table commits, then let a
+    * `readStream.format("graft-cdf")` stream — anchored at the bootstrap
+    * version, one table version per micro-batch — drive the refresh
+    * through [[MvSpec.combineDelta]]. The producer never wires the view:
+    * the table's manifest log IS the stream. The DuckDB oracle recomputes
+    * the final state, so hash-green pins streamed CDF refresh ≡ full
+    * recompute. Rerun-stable: the source-wins bootstrap resets moves and
+    * re-inserts deletions, the stream anchors on THIS run's bootstrap
+    * version with a fresh checkpoint, and vacuum bounds version growth. */
+  def streamedCdcMv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = mvRoot(dir) + "-cdc"
+    val orders = Tables(s, dir, "orders")
+    val mvKeys = ordersSpec.keys
+    val v0 = SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"),
+      clusterBy = mvKeys)
+    var view = ordersSpec.partial(SnapshotTable.read(s, root, Some(v0)))
+      .localCheckpoint()
+    SnapshotTable.upsert(s, root,
+      orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_orderpriority", lit("7-CDC"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"), clusterBy = mvKeys)
+    SnapshotTable.delete(s, root, col("o_orderkey") % 6 === 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val q = s.readStream.format("graft-cdf")
+      .option("root", root)
+      .option("startVersion", v0.toString)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val adds = batch.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        val removes = batch.filter(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version")
+        // localCheckpoint: the view chain must not re-read CDC files a
+        // later vacuum may drop, and per-batch lineage stays constant.
+        view = ordersSpec.combineDelta(s, root, view, adds, removes)
+          .localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = view.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("cnt"), col("total").cast("double").as("total"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .localCheckpoint()
+    SnapshotTable.vacuum(s, root, keep = 1)
+    out
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_mv_incremental",
       (s, dir) => incrementalMv(s, dir),
@@ -346,6 +405,25 @@ object MaterializedView {
                 AS avg_value,
               min(value) AS min_value, max(value) AS max_value
               FROM events WHERE event_id % 3 <> 0 GROUP BY 1
-              ORDER BY event_type ASC NULLS FIRST"""))
+              ORDER BY event_type ASC NULLS FIRST""")),
+
+    // The change-feed SOURCE driving the refresh (VERDICT r9 #2): the view
+    // subscribes to the table's CDC through readStream.format("graft-cdf"),
+    // one version per micro-batch; oracle = full recompute of the final
+    // state (upsert's moves+doubling, then the delete's survivors).
+    Q("st_mv_cdc",
+      (s, dir) => streamedCdcMv(s, dir),
+      Some("""WITH fin AS (SELECT o_orderstatus,
+                CASE WHEN o_orderkey % 9 = 0 THEN '7-CDC'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 6 <> 1)
+              SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+              FROM fin GROUP BY 1, 2
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST"""))
   )
 }

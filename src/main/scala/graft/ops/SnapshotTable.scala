@@ -1157,6 +1157,65 @@ object SnapshotTable {
     Some((readOrEmpty(adds.result()), readOrEmpty(removes.result())))
   }
 
+  /** The change feed of (fromVersion, toVersion] as ONE DataFrame in the
+    * Delta-CDF row shape: every version's adds tagged `_change_type =
+    * 'insert'` and removes tagged `'delete'`, each stamped with its
+    * `_commit_version` — the batch the streaming CDF source
+    * (`graft.sources.CdfSource`) serves per micro-batch, also directly
+    * usable by batch consumers that want per-version provenance.
+    *
+    * Rows project onto `onSchema` (the source's plan-time schema; columns
+    * added mid-interval null-fill, dropped columns never resurface — the
+    * [[changesDelta]] projection rule). Unlike changesDelta, a pre-CDC
+    * rewrite commit THROWS instead of returning None: a streaming
+    * consumer has no full-reprocess fallback mid-stream, so the honest
+    * behavior is to fail the stream loudly (Delta's CDF does the same
+    * when CDC was not enabled for a commit). */
+  def changesFeed(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Long,
+                  onSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"changesFeed($fromVersion, $toVersion) is inverted")
+    val fs = fsOf(spark, root)
+    var prev =
+      if (fromVersion < 0) Set.empty[String]
+      else readManifest(fs, manifestPath(root, fromVersion)).toSet
+    val parts = Seq.newBuilder[DataFrame]
+    def slice(paths: Seq[String], kind: String, v: Long): Unit =
+      if (paths.nonEmpty) {
+        val merged = spark.read.option("mergeSchema", "true")
+          .parquet(paths.sorted: _*)
+        val have = merged.columns.toSet
+        parts += merged.select(onSchema.fields.map(f =>
+            if (have(f.name)) merged.col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+      }
+    for (v <- fromVersion + 1 to toVersion) {
+      val body = readManifestBody(fs, manifestPath(root, v))
+      val files = filesFromBody(body, manifestPath(root, v)).toSet
+      SnapshotStats.cdcFromManifest(body) match {
+        case Some((a, r)) => slice(a, "insert", v); slice(r, "delete", v)
+        case None if prev.subsetOf(files) =>
+          slice((files -- prev).toSeq, "insert", v)
+        case None => throw new IllegalStateException(
+          s"version $v of $root is a rewrite without CDC; " +
+            "the change feed cannot cross it")
+      }
+      prev = files
+    }
+    val feedSchema = org.apache.spark.sql.types.StructType(onSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val zero = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), feedSchema)
+    parts.result().foldLeft(zero)(_ unionByName _)
+  }
+
   /** Bin-pack the CURRENT snapshot into at most `maxFiles` files of roughly
     * `targetBytes` each, committed as a new version with identical rows
     * (Delta's OPTIMIZE shape: compaction is just another commit, readers of
