@@ -35,6 +35,7 @@ object ScaleRehearsal {
     if (args.contains("bloom")) { bloomLeg(spark); spark.stop(); return }
     if (args.contains("constraint")) { constraintLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
+    if (args.contains("concurrency")) { concurrencyLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
@@ -1351,5 +1352,133 @@ object ScaleRehearsal {
     val b = full.collect().map(key).toMap
     assert(a == b, "retraction refresh diverged from full recompute")
     println(s"SCALE   mvup retraction refresh == recompute over ${a.size} groups (exact)")
+  }
+
+  /** Concurrent-writer rehearsal (VERDICT r9 #4): 8 real threads racing
+    * mixed DML — 4 stripe upserts (each a full 2.1M-row read-merge-commit),
+    * 2 exactly-once appends, a stripe delete, and a recluster — on ONE
+    * table. Ops touch disjoint key stripes, so every serial order produces
+    * the same final state: the leg asserts the racing schedule reaches
+    * exactly that state, the manifest log stays gapless (no version lost
+    * or duplicated), and the CDC chain telescopes to the final table.
+    * Economics: CAS losses (each = one discarded snapshot write redone
+    * against the winner) and racing-vs-serial wall measure what optimistic
+    * concurrency costs at rewrite-heavy contention — the honest number a
+    * 100 TB deployment sizes its writer parallelism by. */
+  private def concurrencyLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+
+    def freshRoot(tag: String): String = {
+      val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft-scale-conc-$tag")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).toSeq.flatten.foreach(rm); x.delete(); ()
+      }
+      rm(f)
+      f.getAbsolutePath
+    }
+    val n = 2100000L
+    val base = spark.range(n).select(col("id").as("k"),
+      lit("base").as("who"), (col("id") % 997).cast("double").as("v"))
+
+    // The 8 ops, parameterized by table root so the serial baseline and
+    // the racing schedule run the IDENTICAL work. Appended keys sit ABOVE
+    // n and ≡0 mod 8 — outside the delete stripe (%8==7) and absent from
+    // every upsert source — so all 8 ops pairwise commute.
+    def stripe(root: String, i: Int): Unit = {
+      SnapshotTable.upsert(spark, root,
+        spark.range(n).filter(col("id") % 8 === i)
+          .select(col("id").as("k"), lit(s"w$i").as("who"),
+            (col("id") * 2).cast("double").as("v")),
+        Seq("k")); ()
+    }
+    // Each appender is its OWN producer stream (distinct appId): the
+    // (appId, batchId) ledger is a per-stream monotonic high-water mark,
+    // so two concurrent appends sharing an appId with out-of-order
+    // batchIds would (correctly) swallow the lower one as a replay — the
+    // first cut of this leg hit exactly that.
+    def append(root: String, j: Long): Unit = {
+      SnapshotTable.appendOnce(spark, root,
+        spark.range(50000L).select((lit(n) + lit(j) + col("id") * 8).as("k"),
+          concat(lit("app"), lit(j)).as("who"), lit(-1.0).as("v")),
+        s"conc-leg-$j", 0L); ()
+    }
+    def ops(root: String): Seq[() => Unit] =
+      (0 until 4).map(i => () => stripe(root, i)) ++ Seq(
+        () => append(root, 0L),
+        () => append(root, 8L),
+        () => { SnapshotTable.delete(spark, root, col("k") % 8 === 7 && col("k") < n); () },
+        () => { SnapshotTable.recluster(spark, root, Seq("k"), numFiles = 16); () })
+
+    def runAll(root: String, parallel: Boolean): Double = {
+      SnapshotTable.upsert(spark, root, base, Seq("k"))
+      val work = ops(root)
+      val t0 = System.nanoTime()
+      if (!parallel) work.foreach(_.apply())
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+        val futs = work.map(w => pool.submit(new Runnable {
+          def run(): Unit = {
+            var done = false
+            while (!done) {
+              // A writer whose bounded internal retries exhaust re-enters —
+              // the production writer loop (Delta's optimistic-concurrency
+              // shape: retry until serialized).
+              try { w(); done = true }
+              catch { case _: SnapshotTable.ConcurrentWriteException => () }
+            }
+          }
+        }))
+        pool.shutdown()
+        futs.foreach(_.get())
+        require(pool.awaitTermination(1, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val serialWall = runAll(freshRoot("serial"), parallel = false)
+    println(f"SCALE conc serial 8-op schedule $serialWall%.1f s (2.1M-row table)")
+
+    val root = freshRoot("race")
+    val lossesBefore = SnapshotTable.casLosses.get()
+    val raceWall = runAll(root, parallel = true)
+    val losses = SnapshotTable.casLosses.get() - lossesBefore
+    println(f"SCALE conc racing 8-thread schedule $raceWall%.1f s, " +
+      f"CAS losses=$losses (each = one discarded snapshot write)")
+
+    // Linearizability: the racing schedule must reach the serial state.
+    val fin = SnapshotTable.read(spark, root).localCheckpoint()
+    val cnts = fin.groupBy("who").count().as[(String, Long)].collect().toMap
+    val perStripe = spark.range(n).filter(col("id") % 8 === 0).count()
+    (0 until 4).foreach(i => assert(cnts(s"w$i") == perStripe,
+      s"stripe w$i lost rows under the race: ${cnts.get(s"w$i")} != $perStripe"))
+    assert(cnts("app0") == 50000L && cnts("app8") == 50000L, s"appends lost: $cnts")
+    assert(fin.filter(col("k") % 8 === 7 && col("k") < n).isEmpty,
+      "deleted stripe resurfaced")
+    val deleted = spark.range(n).filter(col("id") % 8 === 7).count()
+    assert(fin.count() == n - deleted + 100000L,
+      s"row count off: ${fin.count()} != ${n - deleted + 100000L}")
+
+    // No version lost or duplicated: gapless manifest log.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+      .map(_.getPath.getName).collect {
+        case s if s.matches("manifest-\\d{8}\\.json") => s.substring(9, 17).toLong
+      }.sorted.toSeq
+    assert(versions == (0L to versions.max),
+      s"manifest log must be gapless: $versions")
+    println(s"SCALE conc versions committed=${versions.size} (gapless), " +
+      "final state == unique serial result")
+
+    // CDC chain consistency across the whole interleaving: adds minus
+    // removes telescopes to the final table (recluster contributes an
+    // empty delta; appends contribute their file diffs).
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, -1L)
+    val net = adds.exceptAll(removes)
+    assert(net.exceptAll(fin).isEmpty && fin.exceptAll(net).isEmpty,
+      "CDC chain diverged from the final state under the race")
+    println("SCALE conc CDC chain telescopes exactly to the final state")
   }
 }

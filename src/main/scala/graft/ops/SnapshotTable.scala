@@ -41,6 +41,12 @@ object SnapshotTable {
     * data was removed). Re-read and retry to serialize after the winner. */
   final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
+  /** CAS losses observed by this JVM (a manifest rename that found the
+    * version already taken) — the retry-economics observable the
+    * concurrency rehearsal reads: each loss = one discarded snapshot write
+    * redone against the winner's version. Monotonic, never reset. */
+  val casLosses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val ManifestDir = "_manifests"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
   private val SnapRe = raw"snap-(\d{8})(-[0-9a-f]{8})?".r
@@ -349,7 +355,7 @@ object SnapshotTable {
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dest = manifestPath(root, target)
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false); false
+      fs.delete(tmp, false); casLosses.incrementAndGet(); false
     } else true
   }
 
@@ -481,7 +487,14 @@ object SnapshotTable {
     * batch, a compaction), anchoring a change feed on the replay's return
     * value would otherwise read the wrong version pair. Falls back to
     * currentVersion only when vacuum has already dropped the stamped
-    * manifest, in which case no change-feed anchor for it exists anyway. */
+    * manifest, in which case no change-feed anchor for it exists anyway.
+    *
+    * CONTRACT: batchIds under one appId form a MONOTONIC stream (the
+    * streaming-sink shape this exists for) — the ledger is a per-appId
+    * high-water mark, so concurrent appends sharing an appId with
+    * out-of-order batchIds are deliberately swallowed as replays.
+    * Independent concurrent producers must write under distinct appIds
+    * (exercised by `ScaleRehearsal concurrency`). */
   def appendOnce(spark: SparkSession, root: String, df: DataFrame,
                  appId: String, batchId: Long): Long = {
     var attempt = 0
@@ -668,6 +681,7 @@ object SnapshotTable {
       fs.delete(tmp, false)
       fs.delete(snapDir, true)
       if (cdcPaths.isDefined) fs.delete(cdcDir, true)
+      casLosses.incrementAndGet()
       throw new ConcurrentWriteException(
         s"version $v at $root was committed by a concurrent writer")
     }
@@ -800,8 +814,9 @@ object SnapshotTable {
         committed = currentVersion(spark, root) match {
           case None =>
             // Bootstrap: everything is an insert; the CDC add set is the
-            // whole source, removes are empty.
-            commit(spark, root, clustered(source),
+            // whole source, removes are empty. Target version 0 is PINNED:
+            // a concurrent bootstrap must conflict, not stack.
+            commitAt(spark, root, 0L, clustered(source),
               cdc = Some((source, source.limit(0))))
           case Some(v) =>
             val cur0 = read(spark, root, Some(v))
@@ -829,7 +844,13 @@ object SnapshotTable {
             val merged = Upsert.merge(cur, src, keys)
               .localCheckpoint() // cut lineage: the plan must not re-read files vacuum may later drop
             val added = merged.join(srcKeys, keys, "left_semi")
-            commit(spark, root, clustered(merged), cdc = Some((added, removed)))
+            // Target v+1 is PINNED to the version this merge READ
+            // (ConcurrencySpec): deriving it at commit time would let a
+            // commit that landed in between be silently erased by this
+            // rewrite instead of raising the CAS conflict the retry loop
+            // exists to serialize.
+            commitAt(spark, root, v + 1, clustered(merged),
+              cdc = Some((added, removed)))
         }
         done = true
       } catch {
@@ -1237,9 +1258,13 @@ object SnapshotTable {
           .parquet(files: _*).coalesce(n)
         // Rows are identical by construction, so the commit records an
         // EMPTY change set — a delta consumer skips compactions instead of
-        // misreading the file rewrite as a reprocess signal.
-        Some(commit(spark, root, packed,
+        // misreading the file rewrite as a reprocess signal. Target v+1 is
+        // PINNED to the version read; a commit racing in between makes
+        // this maintenance pass a clean loser (the next compaction
+        // retries), never an eraser of the winner's rows.
+        try Some(commitAt(spark, root, v + 1, packed,
           cdc = Some((packed.limit(0), packed.limit(0)))))
+        catch { case _: ConcurrentWriteException => None }
       }
     }
 
@@ -1254,18 +1279,33 @@ object SnapshotTable {
   def recluster(spark: SparkSession, root: String, clusterBy: Seq[String],
                 numFiles: Int = 32, zorder: Boolean = false): Long = {
     require(clusterBy.nonEmpty, "recluster needs at least one cluster column")
-    val cur = read(spark, root)
-      .localCheckpoint() // the commit supersedes the files this plan reads
-    // zorder = OPTIMIZE ZORDER BY: the Morton-curve layout serves filters
-    // on ANY of the 2-3 named dimensions, where range clustering serves
-    // only its leading column. Same empty change set either way.
-    val clustered =
-      if (zorder) zClustered(cur, clusterBy, numFiles)
-      else {
-        val cols = clusterBy.map(cur.col)
-        cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"recluster on a table with no committed version at $root"))
+      val cur = read(spark, root, Some(v))
+        .localCheckpoint() // the commit supersedes the files this plan reads
+      // zorder = OPTIMIZE ZORDER BY: the Morton-curve layout serves filters
+      // on ANY of the 2-3 named dimensions, where range clustering serves
+      // only its leading column. Same empty change set either way. Target
+      // v+1 pinned to the version read (serializability — see compact).
+      val clustered =
+        if (zorder) zClustered(cur, clusterBy, numFiles)
+        else {
+          val cols = clusterBy.map(cur.col)
+          cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+        }
+      try {
+        return commitAt(spark, root, v + 1, clustered,
+          cdc = Some((cur.limit(0), cur.limit(0))))
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 3) throw e // loop re-reads the winner's version
       }
-    commit(spark, root, clustered, cdc = Some((cur.limit(0), cur.limit(0))))
+    }
+    -1L // unreachable
   }
 
   /** Metadata-only row count: when the manifest's stats cover every listed
