@@ -105,6 +105,47 @@ object Evolution {
     out
   }
 
+  /** Column-mapping lineage (VERDICT r9 #5 done-criterion): append the
+    * even-key half WITH o_orderpriority, DROP the column (orphaning those
+    * values), RE-ADD it by appending the odd-key half (fresh physical id —
+    * the orphaned even-key values must stay invisible), then RENAME it to
+    * `prio2` metadata-only. The aggregate distinguishes old-NULL from new
+    * values per status group: `with_prio` counts ONLY the odd keys (a
+    * resurfacing bug would count evens too) and `top_prio` proves the new
+    * values flow under the renamed logical. Rerun-stable: both appends
+    * are (appId, batchId)-stamped replays on rerun, and the two DDL steps
+    * are guarded on the current schema, so the lineage is idempotent. */
+  def columnMappingLineage(s: SparkSession, dir: String): DataFrame = {
+    val root = evoRoot(dir) + "-map"
+    val orders = Tables(s, dir, "orders")
+    SnapshotTable.appendOnce(s, root,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority"),
+      "graft-map", 0L)
+    if (SnapshotTable.read(s, root).columns.contains("o_orderpriority")
+        && !SnapshotTable.read(s, root).columns.contains("prio2"))
+      SnapshotTable.dropColumn(s, root, "o_orderpriority")
+    SnapshotTable.appendOnce(s, root,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority"),
+      "graft-map", 1L)
+    if (SnapshotTable.read(s, root).columns.contains("o_orderpriority"))
+      SnapshotTable.renameColumn(s, root, "o_orderpriority", "prio2")
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        // Counts only rows whose column carries the RE-ADDED physical:
+        // a resurfacing bug would also count the even keys' orphans.
+        count(col("prio2")).as("with_prio"),
+        max(col("prio2")).as("top_prio"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_schema_evolution",
       (s, dir) => evolvedAppend(s, dir),
@@ -126,6 +167,21 @@ object Evolution {
               SELECT o_orderstatus, count(*) AS cnt,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM fin GROUP BY 1
+              ORDER BY o_orderstatus ASC NULLS FIRST""")),
+
+    // Column-mapping lineage: drop -> re-add (fresh physical) -> rename.
+    // with_prio/top_prio see ONLY the odd keys' re-added values; the
+    // oracle's CASE encodes exactly that — orphaned even-key values
+    // resurfacing would flip both columns and fail the hash.
+    Q("x_column_mapping",
+      (s, dir) => columnMappingLineage(s, dir),
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+              count(CASE WHEN o_orderkey % 2 = 1
+                         THEN o_orderpriority END) AS with_prio,
+              max(CASE WHEN o_orderkey % 2 = 1
+                       THEN o_orderpriority END) AS top_prio,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1
               ORDER BY o_orderstatus ASC NULLS FIRST"""))
   )
 }

@@ -196,10 +196,28 @@ object SnapshotStats {
                    schemaJson: Option[String] = None,
                    dropped: Seq[String] = Nil,
                    bloomOn: Seq[String] = Nil,
-                   constraints: Map[String, String] = Map.empty): String = {
+                   constraints: Map[String, String] = Map.empty,
+                   mapping: Map[String, String] = Map.empty,
+                   usedPhys: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     schemaJson.foreach(root.put("schema", _))
+    if (mapping.nonEmpty) {
+      // Logical → PHYSICAL column names (Delta column-mapping shape,
+      // names instead of ids at this format's scale): identity entries
+      // are omitted. The declared schema speaks logical; data files and
+      // their stats/blooms speak physical. What this buys: RENAME is a
+      // metadata-only remap, and a dropped name can be RE-ADDED under a
+      // fresh physical id without resurfacing orphaned bytes.
+      val mp = root.putObject("mapping")
+      mapping.toSeq.sortBy(_._1).foreach { case (l, p) => mp.put(l, p) }
+    }
+    if (usedPhys.nonEmpty) {
+      // Every physical name EVER assigned in this table's lineage
+      // (monotonic): a new logical column may only take a physical name
+      // not in this set, so bytes under retired names stay orphaned.
+      val up = root.putArray("usedPhys"); usedPhys.foreach(up.add)
+    }
     if (constraints.nonEmpty) {
       // Named CHECK constraints (see SnapshotTable.setCheckConstraint):
       // inherited by later manifests; every commit enforces them on ITS
@@ -288,6 +306,22 @@ object SnapshotStats {
     val c = mapper.readTree(body).get("constraints")
     if (c == null || !c.isObject) Map.empty
     else c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
+  /** Logical → physical column mapping (empty = identity for every
+    * column, which is every manifest written before round 10). */
+  def mappingFromManifest(body: String): Map[String, String] = {
+    val m = mapper.readTree(body).get("mapping")
+    if (m == null || !m.isObject) Map.empty
+    else m.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
+  /** Physical names ever assigned in this table's lineage (empty on
+    * pre-mapping manifests; readers seed it from schema + tombstones). */
+  def usedPhysFromManifest(body: String): Seq[String] = {
+    val u = mapper.readTree(body).get("usedPhys")
+    if (u == null || !u.isArray) Seq.empty
+    else (0 until u.size).map(u.get(_).asText)
   }
 
   /** Bloom-indexed column names this manifest's table is configured for. */

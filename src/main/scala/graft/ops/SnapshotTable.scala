@@ -120,13 +120,19 @@ object SnapshotTable {
     // The manifest's declared schema wins (schema evolution: files written
     // before a column existed are still listed and read NULL for it; time
     // travel sees each version's own schema). Pre-schema manifests fall
-    // back to a footer.
+    // back to a footer. The SCAN speaks physical names (that is what the
+    // files, footer stats and blooms carry); the logical projection on top
+    // is identity — and elided — for tables that never renamed/re-added.
     val declared = SnapshotStats.schemaFromManifest(body)
-    if (stats.isEmpty || stats.map(_.path).sorted != files.sorted)
-      (declared.foldLeft(spark.read)(_ schema _).parquet(files: _*), None)
-    else {
+    val mapping = SnapshotStats.mappingFromManifest(body)
+    if (stats.isEmpty || stats.map(_.path).sorted != files.sorted) {
+      val raw = declared.map(d => spark.read.schema(physSchema(d, mapping)))
+        .getOrElse(spark.read).parquet(files: _*)
+      (declared.map(d => fromPhysical(raw, d, mapping)).getOrElse(raw), None)
+    } else {
       val index = new SnapshotFileIndex(spark, new Path(root), stats)
-      val dataSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
+      val dataSchema = declared.map(physSchema(_, mapping))
+        .getOrElse(spark.read.parquet(files.head).schema)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index,
         partitionSchema = new org.apache.spark.sql.types.StructType(),
@@ -134,7 +140,8 @@ object SnapshotTable {
         bucketSpec = None,
         fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         options = Map.empty)(spark)
-      (spark.baseRelationToDataFrame(relation), Some(index))
+      val raw = spark.baseRelationToDataFrame(relation)
+      (declared.map(d => fromPhysical(raw, d, mapping)).getOrElse(raw), Some(index))
     }
   }
 
@@ -283,11 +290,12 @@ object SnapshotTable {
     * `spark.sql.caseSensitive=false` analysis (ADVICE r9): a batch shipping
     * 'Price' against an existing 'price' is the SAME column — it must hit
     * the retype check and keep the table's declared casing, not append a
-    * duplicate field the next read chokes on. Tombstoned names match the
-    * same way, so a dropped 'flag' cannot sneak back in as 'FLAG'. */
+    * duplicate field the next read chokes on. Re-adding a DROPPED name is
+    * legal since column mapping (VERDICT r9 #5): [[assignPhysical]] gives
+    * the revived logical a FRESH physical id, so the orphaned bytes in
+    * untouched files stay orphaned. */
   private[ops] def evolveSchema(old: org.apache.spark.sql.types.StructType,
-                                incoming: org.apache.spark.sql.types.StructType,
-                                dropped: Set[String] = Set.empty)
+                                incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     val incomingLc = incoming.fields.map(f => lc(f.name)).toSet
     val oldByLc = old.fields.map(f => lc(f.name) -> f).toMap
@@ -295,17 +303,94 @@ object SnapshotTable {
       require(of.dataType == f.dataType,
         s"schema evolution cannot retype column ${f.name}: ${of.dataType} -> ${f.dataType}")
     })
-    val droppedLc = dropped.map(lc)
-    val revived = incoming.fieldNames
-      .filterNot(n => oldByLc.contains(lc(n))).filter(n => droppedLc(lc(n)))
-    require(revived.isEmpty,
-      s"cannot re-add dropped column(s) ${revived.mkString(", ")}: files written " +
-        "before the drop still hold their orphaned values and would resurface them")
     org.apache.spark.sql.types.StructType(
       old.fields.map(f =>
         if (incomingLc(lc(f.name))) f else f.copy(nullable = true)) ++
       incoming.fields.filterNot(f => oldByLc.contains(lc(f.name)))
         .map(_.copy(nullable = true)))
+  }
+
+  // --- column mapping (logical <-> physical names) ------------------------
+  //
+  // The declared schema speaks LOGICAL names; data files, their footer
+  // stats, and bloom side-cars speak PHYSICAL names (the Delta
+  // column-mapping design, names instead of ids at this format's scale).
+  // For tables that never rename or re-add, the mapping is empty and every
+  // code path below is the identity — zero plan-shape change.
+
+  /** Logical → physical (non-identity entries only) at version `v`. */
+  private def mappingOf(spark: SparkSession, root: String, v: Long): Map[String, String] =
+    SnapshotStats.mappingFromManifest(
+      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+
+  /** Every physical name ever assigned at or before `v`. Pre-mapping
+    * manifests carry none, so the set is SEEDED from the declared schema's
+    * physical names plus the tombstoned names — exactly the names whose
+    * bytes may still live in retained files. */
+  private def usedPhysOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val body = readManifestBody(fsOf(spark, root), manifestPath(root, v))
+    val recorded = SnapshotStats.usedPhysFromManifest(body)
+    val mapping = SnapshotStats.mappingFromManifest(body)
+    val schemaPhys = SnapshotStats.schemaFromManifest(body).toSeq
+      .flatMap(_.fieldNames).map(n => mapping.getOrElse(n, n))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    (recorded ++ schemaPhys ++ SnapshotStats.droppedFromManifest(body))
+      .foreach(n => if (!seen.exists(_.equalsIgnoreCase(n))) seen += n)
+    seen.toSeq
+  }
+
+  private def physName(mapping: Map[String, String], logical: String): String =
+    mapping.getOrElse(logical, logical)
+
+  /** `schema` with every field renamed to its physical name. */
+  private def physSchema(schema: org.apache.spark.sql.types.StructType,
+                         mapping: Map[String, String])
+      : org.apache.spark.sql.types.StructType =
+    if (mapping.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = physName(mapping, f.name))))
+
+  /** Rename a LOGICAL frame's columns to physical for writing. */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty || !df.columns.exists(mapping.contains)) df
+    else df.select(df.columns.map(c =>
+      mapping.get(c).map(p => df.col(c).as(p)).getOrElse(df.col(c))).toIndexedSeq: _*)
+
+  /** Project a PHYSICAL frame onto the declared logical schema. */
+  private def fromPhysical(df: DataFrame,
+                           declared: org.apache.spark.sql.types.StructType,
+                           mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(declared.fields.map(f =>
+      df.col(physName(mapping, f.name)).as(f.name)).toIndexedSeq: _*)
+
+  /** Physical-name assignment for the columns `evolved` ADDS over `old`:
+    * the logical name itself when it was never used in this table's
+    * lineage, else a fresh `name_<k>` — which is what makes re-adding a
+    * dropped (or renamed-away) name safe: the revived logical reads NULL
+    * from every older file instead of resurfacing orphaned bytes. */
+  private def assignPhysical(old: org.apache.spark.sql.types.StructType,
+                             evolved: org.apache.spark.sql.types.StructType,
+                             mapping: Map[String, String],
+                             usedPhys: Seq[String])
+      : (Map[String, String], Seq[String]) = {
+    val used = scala.collection.mutable.Set(usedPhys.map(lc): _*)
+    val out = scala.collection.mutable.ArrayBuffer(usedPhys: _*)
+    var m = mapping
+    val oldLc = old.fieldNames.map(lc).toSet
+    evolved.fields.filterNot(f => oldLc(lc(f.name))).foreach { f =>
+      val phys =
+        if (!used(lc(f.name))) f.name
+        else {
+          var k = 1
+          while (used(lc(s"${f.name}_$k"))) k += 1
+          s"${f.name}_$k"
+        }
+      if (phys != f.name) m += (f.name -> phys)
+      used += lc(phys)
+      out += phys
+    }
+    (m, out.toSeq)
   }
 
   /** Version `v`'s declared schema (manifest metadata; pre-schema manifests
@@ -342,12 +427,14 @@ object SnapshotTable {
                             entries: Seq[SnapshotStats.FileStats],
                             schema: org.apache.spark.sql.types.StructType,
                             dropped: Seq[String], bloomOn: Seq[String],
-                            constraints: Map[String, String]): Boolean = {
+                            constraints: Map[String, String],
+                            mapping: Map[String, String],
+                            usedPhys: Seq[String]): Boolean = {
     val fs = fsOf(spark, root)
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val body = SnapshotStats.manifestJson(target, entries,
       schemaJson = Some(schema.json), dropped = dropped, bloomOn = bloomOn,
-      constraints = constraints)
+      constraints = constraints, mapping = mapping, usedPhys = usedPhys)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$target%08d-$token.json.tmp")
@@ -396,7 +483,8 @@ object SnapshotTable {
       }
       if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
           schema, droppedOf(spark, root, v).toSeq.sorted, cols.distinct.sorted,
-          constraintsOf(spark, root, v)))
+          constraintsOf(spark, root, v),
+          mappingOf(spark, root, v), usedPhysOf(spark, root, v)))
         return v + 1
       attempt += 1
       if (attempt >= 3) throw new ConcurrentWriteException(
@@ -440,7 +528,8 @@ object SnapshotTable {
       if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
           schemaOf(spark, root, v), droppedOf(spark, root, v).toSeq.sorted,
           bloomOnOf(spark, root, v),
-          constraintsOf(spark, root, v) + (name -> checkSql)))
+          constraintsOf(spark, root, v) + (name -> checkSql),
+          mappingOf(spark, root, v), usedPhysOf(spark, root, v)))
         return v + 1
       attempt += 1
       if (attempt >= 3) throw new ConcurrentWriteException(
@@ -461,7 +550,8 @@ object SnapshotTable {
         s"no CHECK constraint $name on $root (have: ${cons.keys.mkString(", ")})")
       if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
           schemaOf(spark, root, v), droppedOf(spark, root, v).toSeq.sorted,
-          bloomOnOf(spark, root, v), cons - name))
+          bloomOnOf(spark, root, v), cons - name,
+          mappingOf(spark, root, v), usedPhysOf(spark, root, v)))
         return v + 1
       attempt += 1
       if (attempt >= 3) throw new ConcurrentWriteException(
@@ -507,10 +597,16 @@ object SnapshotTable {
         return target match {
           case None => commitAt(spark, root, 0L, df, Nil, Some((appId, batchId)))
           case Some(v) =>
+            val oldSchema = schemaOf(spark, root, v)
+            val evolved = evolveSchema(oldSchema, df.schema)
+            // New columns get physical ids that avoid every name ever
+            // used — a re-added dropped name reads NULL from old files
+            // instead of resurfacing orphaned bytes (column mapping).
+            val assigned = assignPhysical(oldSchema, evolved,
+              mappingOf(spark, root, v), usedPhysOf(spark, root, v))
             commitAt(spark, root, v + 1, df,
               currentEntries(spark, root, v), Some((appId, batchId)),
-              tableSchema = Some(evolveSchema(schemaOf(spark, root, v), df.schema,
-                droppedOf(spark, root, v))))
+              tableSchema = Some(evolved), meta = Some(assigned))
         }
       } catch {
         case e: ConcurrentWriteException =>
@@ -564,21 +660,52 @@ object SnapshotTable {
                             carry: Seq[SnapshotStats.FileStats] = Nil,
                             txn: Option[(String, Long)] = None,
                             cdc: Option[(DataFrame, DataFrame)] = None,
-                            tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+                            tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                            meta: Option[(Map[String, String], Seq[String])] = None): Long = {
     val fs = fsOf(spark, root)
+    // Column-mapping metadata: explicit from an evolving caller
+    // (appendOnce/upsert assigning fresh physical ids), else inherited
+    // from the predecessor manifest like tombstones/blooms/constraints.
+    val (inherited, bloomOn, constraints, prevMapping, prevUsed) =
+      if (v == 0L) (Nil, Nil, Map.empty[String, String], Map.empty[String, String], Nil)
+      else {
+        val prev = manifestPath(root, v - 1)
+        if (fs.exists(prev)) {
+          val pb = readManifestBody(fs, prev)
+          (SnapshotStats.droppedFromManifest(pb),
+            SnapshotStats.bloomOnFromManifest(pb),
+            SnapshotStats.constraintsFromManifest(pb),
+            SnapshotStats.mappingFromManifest(pb),
+            usedPhysOf(spark, root, v - 1))
+        } else (Nil, Nil, Map.empty[String, String],
+          Map.empty[String, String], Nil)
+      }
+    val (mapping, usedPhys0) = meta.getOrElse((prevMapping, prevUsed))
+    val logicalSchema = tableSchema.getOrElse(df.schema)
+    // usedPhys stays monotonic even across callers that didn't evolve.
+    val usedPhys = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      (usedPhys0 ++ logicalSchema.fieldNames.map(physName(mapping, _)))
+        .foreach(n => if (!seen.exists(_.equalsIgnoreCase(n))) seen += n)
+      seen.toSeq
+    }
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val snapDir = new Path(root, f"snap-$v%08d-$token")
     val cdcDir = new Path(root, f"cdc-$v%08d-$token")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
+    // Data files speak PHYSICAL names (identity — and a no-op — unless the
+    // table has renamed/re-added columns).
+    toPhysical(df, mapping).write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
     // Row-level change sets (when recorded) land BEFORE the manifest CAS —
     // like the snapshot data, they become visible only when the manifest
     // naming them does, and a crashed attempt leaves only an invisible
     // orphan dir for vacuum. Empty sides serialize as empty path arrays
-    // ("rows unchanged" is a meaningful CDC value — compaction).
+    // ("rows unchanged" is a meaningful CDC value — compaction). CDC
+    // side-cars speak physical names like the data files; the feed readers
+    // project back through the end version's mapping.
     val cdcPaths: Option[SnapshotStats.Cdc] = cdc.map { case (addDf, removeDf) =>
       def writeSide(side: String, d: DataFrame): Seq[String] = {
         val p = new Path(cdcDir, side)
-        d.write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
+        toPhysical(d, mapping).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
         fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
           .filter(_.getLen > 0)
           .map(_.getPath.toString).sorted.toSeq
@@ -592,32 +719,18 @@ object SnapshotTable {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
       .map(st => SnapshotStats.fromFooter(conf, st.getPath, st.getLen))
-    // Every manifest declares its table schema (Delta-log pattern): for an
-    // evolving append, `tableSchema` is the MERGED schema so carried files
-    // written before a column existed read back NULL for it. Tombstoned
-    // column names and the bloom config INHERIT from the predecessor
-    // manifest so both survive through any number of later commits (vacuum
-    // always keeps the current manifest, so the chain never breaks).
-    val (inherited, bloomOn, constraints) =
-      if (v == 0L) (Nil, Nil, Map.empty[String, String])
-      else {
-        val prev = manifestPath(root, v - 1)
-        if (fs.exists(prev)) {
-          val pb = readManifestBody(fs, prev)
-          (SnapshotStats.droppedFromManifest(pb),
-            SnapshotStats.bloomOnFromManifest(pb),
-            SnapshotStats.constraintsFromManifest(pb))
-        } else (Nil, Nil, Map.empty[String, String])
-      }
     // CHECK enforcement on THIS commit's new rows (SQL semantics: only
     // FALSE violates — NULL passes, so constraints on evolved columns hold
     // over rows that predate them), BEFORE the CAS: a violating
     // append/upsert/UPDATE/compact never becomes visible, and the attempt
     // cleans up like a CAS loser. One delta-sized scan per constraint.
+    // Constraints speak logical names — project the physical files back.
     if (constraints.nonEmpty && stats.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val newDf = spark.read.schema(tableSchema.getOrElse(df.schema))
-        .parquet(stats.map(_.path).toIndexedSeq: _*)
+      val newDf = fromPhysical(
+        spark.read.schema(physSchema(logicalSchema, mapping))
+          .parquet(stats.map(_.path).toIndexedSeq: _*),
+        logicalSchema, mapping)
       constraints.foreach { case (n, sql) =>
         if (newDf.filter(not(coalesce(expr(sql), lit(true)))).limit(1).count() > 0) {
           fs.delete(snapDir, true)
@@ -651,7 +764,10 @@ object SnapshotTable {
           val built = stats.toSeq.map { fst =>
             Future {
               val fdf = spark.read.parquet(fst.path)
-              val applicable = bloomOn.filter(c =>
+              // Config names are logical; files (and pushed-down filter
+              // attributes at prune time) are physical — build and key by
+              // the PHYSICAL name.
+              val applicable = bloomOn.map(physName(mapping, _)).filter(c =>
                 fdf.schema.fields.exists(f => f.name == c && bloomSupported(f.dataType)))
               if (applicable.isEmpty || fst.rows == 0L) fst
               else fst.copy(bloom = applicable.map { c =>
@@ -667,7 +783,8 @@ object SnapshotTable {
         } finally pool.shutdown()
       }
     val body = SnapshotStats.manifestJson(v, carry ++ newStats, txn, cdcPaths,
-      Some(tableSchema.getOrElse(df.schema).json), inherited, bloomOn, constraints)
+      Some(logicalSchema.json), inherited, bloomOn, constraints,
+      mapping, usedPhys)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
@@ -718,7 +835,68 @@ object SnapshotTable {
           schemaOf(spark, root, toVersion),
           droppedOf(spark, root, toVersion).toSeq.sorted,
           bloomOnOf(spark, root, toVersion),
-          constraintsOf(spark, root, toVersion)))
+          constraintsOf(spark, root, toVersion),
+          mappingOf(spark, root, toVersion), usedPhysOf(spark, root, toVersion)))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
+    }
+    -1L // unreachable
+  }
+
+  /** The table's logical → physical column mapping at `asOf` (empty =
+    * identity — every table that never renamed or re-added a column). */
+  def columnMapping(spark: SparkSession, root: String,
+                    asOf: Option[Long] = None): Map[String, String] = {
+    val v = asOf.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    mappingOf(spark, root, v)
+  }
+
+  /** Metadata-only RENAME COLUMN (VERDICT r9 #5 — Delta column-mapping's
+    * headline move): the declared schema's field takes the new LOGICAL
+    * name while the mapping pins it to the SAME physical name the data
+    * files already carry — zero files read or rewritten at any table
+    * size, and time travel still reads every historical version under its
+    * own names. The vacated logical name's physical stays in `usedPhys`,
+    * so a later column named `from` gets a FRESH physical id and can
+    * never resurface this column's bytes. Refused while a CHECK
+    * constraint references `from` (the constraint text would silently
+    * stop resolving — drop or re-declare it first, deliberately); the
+    * bloom config follows the rename. No CDC: rows are unchanged, and a
+    * delta consumer OF the renamed column fails loudly at plan time on
+    * its next refresh, exactly like dropColumn. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Long = {
+    require(from != to, s"renameColumn: '$from' -> '$to' is a no-op request")
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"renameColumn on a table with no committed version at $root"))
+      val schema = schemaOf(spark, root, v)
+      require(schema.fieldNames.contains(from),
+        s"renameColumn: no column $from in ${schema.fieldNames.mkString(", ")}")
+      require(!schema.fieldNames.exists(n => n.equalsIgnoreCase(to) && n != from),
+        s"renameColumn: column $to already exists")
+      val cons = constraintsOf(spark, root, v)
+      val referencing = cons.filter { case (_, sql) =>
+        constraintRefs(spark, sql).contains(lc(from))
+      }.keys
+      require(referencing.isEmpty,
+        s"renameColumn $from is referenced by CHECK constraint(s) " +
+          s"${referencing.mkString(", ")}; drop them first")
+      val mapping = mappingOf(spark, root, v)
+      val phys = physName(mapping, from)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      val newMapping0 = (mapping - from) + (to -> phys)
+      val newMapping = newMapping0.filter { case (l, p) => l != p }
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
+          newSchema, droppedOf(spark, root, v).toSeq.sorted,
+          bloomOnOf(spark, root, v).map(c => if (c == from) to else c),
+          cons, newMapping, usedPhysOf(spark, root, v)))
         return v + 1
       attempt += 1
       if (attempt >= 3) throw new ConcurrentWriteException(
@@ -732,15 +910,15 @@ object SnapshotTable {
     * data files read or rewritten (at 100 TB a drop is a KB manifest write),
     * readers project the column away because the declared schema wins, and
     * time travel still sees it at older versions. The name is TOMBSTONED in
-    * the manifest (inherited by all later commits): re-adding it through
-    * append/upsert evolution is REFUSED, because the untouched files still
-    * hold the orphaned values and would silently resurface them under the
-    * new column — the hazard Delta's column-mapping physical ids exist for;
-    * without a physical/logical name split, refusal is the only safe
-    * contract. The commit carries no CDC: surviving columns' rows are
-    * unchanged, so delta consumers of those columns correctly see nothing
-    * (a consumer OF the dropped column fails loudly at plan time on its
-    * next refresh — the column no longer resolves). */
+    * the manifest (inherited by all later commits, and folded into the
+    * used-physical-name set): since column mapping (VERDICT r9 #5),
+    * RE-ADDING the name through append/upsert evolution is LEGAL — the
+    * revived logical gets a FRESH physical id, so the orphaned values in
+    * untouched files stay invisible and pre-drop rows read NULL for it.
+    * The commit carries no CDC: surviving columns' rows are unchanged, so
+    * delta consumers of those columns correctly see nothing (a consumer OF
+    * the dropped column fails loudly at plan time on its next refresh —
+    * the column no longer resolves). */
   def dropColumn(spark: SparkSession, root: String, name: String): Long = {
     var attempt = 0
     while (true) {
@@ -766,7 +944,8 @@ object SnapshotTable {
           s"${referencing.mkString(", ")}; drop them first")
       if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
           newSchema, (droppedOf(spark, root, v) + name).toSeq.sorted,
-          bloomOnOf(spark, root, v).filterNot(_ == name), cons))
+          bloomOnOf(spark, root, v).filterNot(_ == name), cons,
+          mappingOf(spark, root, v) - name, usedPhysOf(spark, root, v)))
         return v + 1
       attempt += 1
       if (attempt >= 3) throw new ConcurrentWriteException(
@@ -825,8 +1004,9 @@ object SnapshotTable {
             // so a source that grew a column upserts without a migration
             // and a source missing an old column null-fills it for ITS keys
             // only (unmatched target rows keep their values).
-            val evolved = evolveSchema(cur0.schema, source.schema,
-              droppedOf(spark, root, v))
+            val evolved = evolveSchema(cur0.schema, source.schema)
+            val assigned = assignPhysical(cur0.schema, evolved,
+              mappingOf(spark, root, v), usedPhysOf(spark, root, v))
             // Case-insensitive resolution, like evolveSchema: a source
             // shipping 'Price' must FEED the declared 'price' (aliased to
             // the table's casing), not null-fill it.
@@ -850,7 +1030,8 @@ object SnapshotTable {
             // rewrite instead of raising the CAS conflict the retry loop
             // exists to serialize.
             commitAt(spark, root, v + 1, clustered(merged),
-              cdc = Some((added, removed)))
+              cdc = Some((added, removed)),
+              tableSchema = Some(evolved), meta = Some(assigned))
         }
         done = true
       } catch {
@@ -920,10 +1101,14 @@ object SnapshotTable {
         val (touchedE, keptE) =
           currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
         // Declared schema, like delete/update: evolved tables mix file
-        // schemas and the rewrite must not regress the manifest.
+        // schemas and the rewrite must not regress the manifest. Files
+        // speak physical names; the merge runs on the logical projection.
+        val mapping = mappingOf(spark, root, v)
         val targetRows =
           if (touchedE.isEmpty) cur.limit(0)
-          else spark.read.schema(schema).parquet(touchedE.map(_.path): _*)
+          else fromPhysical(
+            spark.read.schema(physSchema(schema, mapping))
+              .parquet(touchedE.map(_.path): _*), schema, mapping)
         val mi = MergeInto(targetRows, source, keys,
           matchedUpdate, matchedDelete, notMatchedInsert)
         // Pin outputs to the DECLARED types: clause projections coerce
@@ -987,8 +1172,12 @@ object SnapshotTable {
       // pre-evolution file lacks the new columns and must fill NULL, and
       // the rewrite must land with the full schema or the commit's
       // manifest would regress the table to the touched file's footer.
+      // Physical names on disk; logical projection for the predicate.
       val schema = schemaOf(spark, root, v)
-      val touchedRows = spark.read.schema(schema).parquet(touchedE.map(_.path): _*)
+      val mapping = mappingOf(spark, root, v)
+      val touchedRows = fromPhysical(
+        spark.read.schema(physSchema(schema, mapping))
+          .parquet(touchedE.map(_.path): _*), schema, mapping)
       // keep = NOT TRUE (so NULL keeps): the wrapper is fine here, this
       // plan only ever reads the already-pruned touched files.
       val rewritten = touchedRows.filter(not(coalesce(predicate, lit(false))))
@@ -1002,7 +1191,8 @@ object SnapshotTable {
       // wrongly refused on such a table.
       val keptEmpty = keptE.map(_.rows).sum == 0 &&
         (keptE.isEmpty ||
-          spark.read.schema(schema).parquet(keptE.map(_.path): _*).isEmpty)
+          spark.read.schema(physSchema(schema, mapping))
+            .parquet(keptE.map(_.path): _*).isEmpty)
       if (keptEmpty && rewritten.isEmpty)
         throw new IllegalStateException(
           s"delete would remove every row of $root; drop the table instead")
@@ -1051,7 +1241,10 @@ object SnapshotTable {
       // Declared schema for the same reason as [[delete]]: evolved tables
       // mix file schemas, and the rewrite must not regress the manifest.
       val schema = schemaOf(spark, root, v)
-      val touchedRows = spark.read.schema(schema).parquet(touchedE.map(_.path): _*)
+      val mapping = mappingOf(spark, root, v)
+      val touchedRows = fromPhysical(
+        spark.read.schema(physSchema(schema, mapping))
+          .parquet(touchedE.map(_.path): _*), schema, mapping)
       val hit = coalesce(predicate, lit(false))
       val rewritten = touchedRows.select(schema.fields.map { f =>
         set.get(f.name) match {
@@ -1112,9 +1305,14 @@ object SnapshotTable {
       import org.apache.spark.sql.functions.lit
       val merged = spark.read.option("mergeSchema", "true").parquet(added: _*)
       val have = merged.columns.toSet
-      merged.select(schemaOf(spark, root, to).fields.map(f =>
-        if (have(f.name)) merged.col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // Files speak physical names; the feed lands on the end version's
+      // LOGICAL schema through its mapping (identity when never renamed).
+      val mapping = mappingOf(spark, root, to)
+      merged.select(schemaOf(spark, root, to).fields.map { f =>
+        val p = physName(mapping, f.name)
+        if (have(p)) merged.col(p).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
     }
   }
 
@@ -1163,17 +1361,21 @@ object SnapshotTable {
     // resurface its orphaned values from pre-drop CDC side-cars — that is
     // the hazard the tombstone contract exists to prevent.
     lazy val endSchema = schemaOf(spark, root, to)
+    lazy val endMapping = mappingOf(spark, root, to)
     def readOrEmpty(paths: Seq[String]): DataFrame =
       if (paths.isEmpty) read(spark, root, Some(to)).limit(0)
       else {
         import org.apache.spark.sql.functions.lit
         // mergeSchema: change files on either side of a schema evolution mix
-        // schemas; cost is bounded by the delta's footers.
+        // schemas; cost is bounded by the delta's footers. Files speak
+        // physical names; project through the end version's mapping.
         val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         val have = merged.columns.toSet
-        merged.select(endSchema.fields.map(f =>
-          if (have(f.name)) merged.col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        merged.select(endSchema.fields.map { f =>
+          val p = physName(endMapping, f.name)
+          if (have(p)) merged.col(p).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
       }
     Some((readOrEmpty(adds.result()), readOrEmpty(removes.result())))
   }
@@ -1194,7 +1396,8 @@ object SnapshotTable {
     * when CDC was not enabled for a commit). */
   def changesFeed(spark: SparkSession, root: String, fromVersion: Long,
                   toVersion: Long,
-                  onSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+                  onSchema: org.apache.spark.sql.types.StructType,
+                  onMapping: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion,
       s"changesFeed($fromVersion, $toVersion) is inverted")
@@ -1208,9 +1411,13 @@ object SnapshotTable {
         val merged = spark.read.option("mergeSchema", "true")
           .parquet(paths.sorted: _*)
         val have = merged.columns.toSet
-        parts += merged.select(onSchema.fields.map(f =>
-            if (have(f.name)) merged.col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        // physical on disk -> the caller's (stream-start) logical schema;
+        // renames keep their physical, so one mapping serves the interval.
+        parts += merged.select(onSchema.fields.map { f =>
+            val p = physName(onMapping, f.name)
+            if (have(p)) merged.col(p).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v))
       }
@@ -1254,8 +1461,11 @@ object SnapshotTable {
         // coalesce (not repartition): pure narrow bin-packing, no shuffle.
         // Declared schema: post-evolution compaction mixes file schemas —
         // pre-evolution rows materialize NULL for the grown columns.
-        val packed = spark.read.schema(schemaOf(spark, root, v))
-          .parquet(files: _*).coalesce(n)
+        val cSchema = schemaOf(spark, root, v)
+        val cMapping = mappingOf(spark, root, v)
+        val packed = fromPhysical(
+          spark.read.schema(physSchema(cSchema, cMapping))
+            .parquet(files: _*), cSchema, cMapping).coalesce(n)
         // Rows are identical by construction, so the commit records an
         // EMPTY change set — a delta consumer skips compactions instead of
         // misreading the file rewrite as a reprocess signal. Target v+1 is

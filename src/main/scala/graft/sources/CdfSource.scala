@@ -41,6 +41,12 @@ final class CdfSource(spark: SparkSession, root: String, startVersion: Long,
                       maxVersionsPerTrigger: Long) extends Source {
 
   private val tableSchema: StructType = CdfSource.declaredSchema(spark, root)
+  // Logical -> physical mapping at stream start: renames keep their
+  // physical, so one snapshot of it serves the whole stream; columns
+  // re-added after start are not in tableSchema and stay invisible until
+  // a restart (the streaming schema contract).
+  private val tableMapping: Map[String, String] =
+    SnapshotTable.columnMapping(spark, root)
 
   override val schema: StructType = CdfSource.feedSchema(tableSchema)
 
@@ -72,7 +78,7 @@ final class CdfSource(spark: SparkSession, root: String, startVersion: Long,
     val to = versionOf(end)
     planned = math.max(planned, to) // restart: re-learn the engine's position
     CdfSource.internal(
-      SnapshotTable.changesFeed(spark, root, from, to, tableSchema))
+      SnapshotTable.changesFeed(spark, root, from, to, tableSchema, tableMapping))
   }
 
   override def stop(): Unit = ()

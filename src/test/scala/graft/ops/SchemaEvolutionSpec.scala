@@ -115,7 +115,7 @@ class SchemaEvolutionSpec extends SparkSpec {
       Set((1L, "z", None), (3L, "c", Some(9.5)))))
   }
 
-  test("dropColumn is metadata-only; tombstone survives later commits and refuses re-add") {
+  test("dropColumn is metadata-only; re-add gets a fresh physical id (no resurfacing)") {
     val root = s"${tmpDir()}/t"
     val v0 = SnapshotTable.appendOnce(spark, root,
       Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "grp", "score"), "evo-spec", 0L)
@@ -132,20 +132,30 @@ class SchemaEvolutionSpec extends SparkSpec {
     SnapshotTable.appendOnce(spark, root,
       Seq((3L, "c")).toDF("k", "grp"), "evo-spec", 1L)
     assert(SnapshotTable.read(spark, root).count() == 3)
-    // ...so re-adding the dropped name is still refused (old files hold
-    // orphaned values that would resurface), via append AND upsert.
-    intercept[IllegalArgumentException] {
-      SnapshotTable.appendOnce(spark, root,
-        Seq((4L, "d", 4.0)).toDF("k", "grp", "score"), "evo-spec", 2L)
-    }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.upsert(spark, root,
-        Seq((1L, "a", 9.0)).toDF("k", "grp", "score"), Seq("k"))
-    }
+    // ...and RE-ADDING the dropped name is legal since column mapping
+    // (VERDICT r9 #5): the revived logical takes a FRESH physical id, so
+    // the v0 files' orphaned score bytes stay invisible — pre-drop rows
+    // read NULL, only the re-adding batch's values surface.
+    SnapshotTable.appendOnce(spark, root,
+      Seq((4L, "d", 4.0)).toDF("k", "grp", "score"), "evo-spec", 2L)
+    val readd = SnapshotTable.read(spark, root).select("k", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(readd == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some(4.0)),
+      s"orphaned pre-drop values must NOT resurface: $readd")
+    assert(SnapshotTable.columnMapping(spark, root).get("score").exists(_ != "score"),
+      "the revived column must carry a fresh physical name")
+    // The re-added column UPDATES through upsert like any other.
+    SnapshotTable.upsert(spark, root,
+      Seq((1L, "a", 9.0)).toDF("k", "grp", "score"), Seq("k"))
+    val afterUp = SnapshotTable.read(spark, root)
+      .filter(col("k") === 1L).select("score").head()
+    assert(afterUp.getDouble(0) == 9.0)
     // A DIFFERENT new column still evolves freely after the drop.
     SnapshotTable.appendOnce(spark, root,
       Seq((5L, "e", 11L)).toDF("k", "grp", "views"), "evo-spec", 3L)
-    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "grp", "views"))
+    assert(SnapshotTable.read(spark, root).columns.toSeq ==
+      Seq("k", "grp", "score", "views"))
 
     intercept[IllegalArgumentException] {
       SnapshotTable.dropColumn(spark, root, "absent")
@@ -327,15 +337,17 @@ class SchemaEvolutionSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rows == Map(1L -> 11.0, 2L -> 20.0))
 
-    // Tombstones match case-insensitively: a dropped column cannot sneak
-    // back in under different case.
+    // Tombstones match case-insensitively: a dropped column re-added
+    // under a DIFFERENT case still gets a fresh physical id, so the
+    // orphaned values cannot sneak back in through the case variant.
     SnapshotTable.appendOnce(spark, root,
       Seq((4L, 40.0, "x")).toDF("k", "price", "tag"), "evo-case", 3L)
     SnapshotTable.dropColumn(spark, root, "tag")
-    val e2 = intercept[IllegalArgumentException] {
-      SnapshotTable.appendOnce(spark, root,
-        Seq((5L, 50.0, "y")).toDF("k", "price", "TAG"), "evo-case", 4L)
-    }
-    assert(e2.getMessage.contains("re-add"))
+    SnapshotTable.appendOnce(spark, root,
+      Seq((5L, 50.0, "y")).toDF("k", "price", "TAG"), "evo-case", 4L)
+    val tags = SnapshotTable.read(spark, root).select("k", "TAG").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tags(4L).isEmpty && tags(5L).contains("y"),
+      s"case-variant re-add must not resurface orphaned values: $tags")
   }
 }
