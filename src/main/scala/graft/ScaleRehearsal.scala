@@ -36,6 +36,7 @@ object ScaleRehearsal {
     if (args.contains("constraint")) { constraintLeg(spark); spark.stop(); return }
     if (args.contains("mvupsert")) { mvUpsertLeg(spark); spark.stop(); return }
     if (args.contains("concurrency")) { concurrencyLeg(spark); spark.stop(); return }
+    if (args.contains("mvhc")) { mvHighCardLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
@@ -1352,6 +1353,67 @@ object ScaleRehearsal {
     val b = full.collect().map(key).toMap
     assert(a == b, "retraction refresh diverged from full recompute")
     println(s"SCALE   mvup retraction refresh == recompute over ${a.size} groups (exact)")
+  }
+
+  /** High-cardinality MV refresh (the MvSpec semi-join path at scale):
+    * a 50k-group view over a 3.2M-row table, delete-touched in ~31k
+    * groups — far past any literal-predicate threshold (the expression-
+    * size wall ProductQuant measured at ~200k serialized nodes). The
+    * refresh must route the touched-key restriction through the broadcast
+    * null-safe semi-join, stay delta-sized, and equal a full recompute
+    * exactly. */
+  private def mvHighCardLeg(spark: SparkSession): Unit = {
+    import graft.ext.{MvAgg, MvSpec}
+    import graft.ops.SnapshotTable
+    import org.apache.spark.sql.functions.col
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-mvhc").getAbsolutePath
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles).toSeq.flatten.foreach(rm); x.delete(); ()
+    }
+    rm(new java.io.File(root))
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val base = Tables(spark, "/root/testdata/sf0.1", "orders")
+    val big = (0 until 21).map(i => base.select(
+      (col("o_orderkey") + org.apache.spark.sql.functions.lit(i.toLong * 1000000000L)).as("o_orderkey"),
+      (col("o_orderkey") % 50000).as("grp"), col("o_totalprice"))).reduce(_ unionByName _)
+    val spec = MvSpec(Seq("grp"),
+      Seq(MvAgg.Count("cnt"),
+        MvAgg.Sum("o_totalprice", "total", Some("decimal(18,2)")),
+        MvAgg.Avg("o_totalprice", "avg_price", Some("decimal(18,2)")),
+        MvAgg.Min("o_totalprice", "min_price"),
+        MvAgg.Max("o_totalprice", "max_price")))
+    val v0 = time("mvhc_bootstrap_upsert_3.2M") {
+      SnapshotTable.upsert(spark, root, big, Seq("o_orderkey"), clusterBy = Seq("grp"))
+    }
+    val view0 = time("mvhc_seed_view_50k_groups") {
+      spec.partial(SnapshotTable.read(spark, root, Some(v0))).localCheckpoint()
+    }
+    println(s"SCALE mvhc view groups=${view0.count()}")
+    val v1 = time("mvhc_delete_commit") {
+      SnapshotTable.delete(spark, root, col("o_orderkey") % 101 === 0)
+    }
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    val touched = removes.select("grp").distinct().count()
+    println(s"SCALE mvhc touched groups=$touched (semi-join path: > any literal threshold)")
+    val refreshed = time("mvhc_refresh_semijoin") {
+      spec.combineDelta(spark, root, view0, adds, removes).localCheckpoint()
+    }
+    val full = time("mvhc_full_recompute") {
+      spec.partial(SnapshotTable.read(spark, root)).localCheckpoint()
+    }
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0) ->
+      (r.getAs[Long]("cnt"), r.getDecimal(2).stripTrailingZeros,
+        r.getDecimal(3).stripTrailingZeros, r.getAs[Long]("__c_avg_price"),
+        r.getAs[Double]("min_price"), r.getAs[Double]("max_price"))
+    val a = refreshed.collect().map(key).toMap
+    val b = full.collect().map(key).toMap
+    assert(a == b, "semi-join refresh diverged from full recompute")
+    println(s"SCALE   mvhc semi-join refresh == recompute over ${a.size} groups (exact)")
   }
 
   /** Concurrent-writer rehearsal (VERDICT r9 #4): 8 real threads racing
