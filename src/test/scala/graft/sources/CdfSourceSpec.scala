@@ -87,6 +87,16 @@ class CdfSourceSpec extends SparkSpec {
       s"restart must emit ONLY the new commit: ${canon(rows2)}")
     assert(canon(rows2) == canon(SnapshotTable.changesFeed(spark, root, v4 - 1, v4,
       SnapshotTable.read(spark, root, Some(v0)).schema).collect().toSeq))
+
+    // Scale shape: a CDC-backed batch reads ONLY the commit's side-car
+    // files — disjoint from the table's data files, so a feed consumer
+    // never rescans the table no matter how big it grows.
+    val feed = SnapshotTable.changesFeed(spark, root, v4 - 1, v4,
+      SnapshotTable.read(spark, root, Some(v0)).schema)
+    val tableFiles = SnapshotTable.read(spark, root, Some(v4)).inputFiles.toSet
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.toSet.intersect(tableFiles).isEmpty,
+      "the change feed must read CDC side-cars, never table data files")
   }
 
   test("compaction emits an empty delta, not a reprocess; vacuumed history fails loudly") {
