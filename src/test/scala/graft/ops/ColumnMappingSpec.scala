@@ -52,6 +52,17 @@ class ColumnMappingSpec extends SparkSpec {
       Seq((100L, "hundred", 1.0)).toDF("k", "label", "score"), Seq("k"))
     assert(SnapshotTable.read(spark, root).filter(col("label") === "hundred").count() == 1)
     assert(SnapshotTable.read(spark, root).filter(col("label") === "v5").count() == 1)
+
+    // Table-level MERGE INTO through the mapping: the touched-file probe,
+    // the clause projection, and the CDC all speak the renamed logical.
+    val vM = SnapshotTable.mergeInto(spark, root,
+      Seq((5L, "merged5", 0.5), (200L, "two-hundred", 2.0)).toDF("k", "label", "score"),
+      Seq("k"), matchedUpdate = Some(None), notMatchedInsert = Some(None))
+    val after = SnapshotTable.read(spark, root, Some(vM))
+    assert(after.filter(col("label") === "merged5").count() == 1)
+    assert(after.filter(col("label") === "two-hundred").count() == 1)
+    val Some((mAdds, _)) = SnapshotTable.changesDelta(spark, root, vM - 1, Some(vM))
+    assert(mAdds.columns.contains("label") && mAdds.count() == 2)
   }
 
   test("re-add after drop and add-after-rename both take fresh physical ids") {
