@@ -36,7 +36,13 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * time); a pre-CDC rewrite commit fails the stream loudly (no
   * full-reprocess fallback exists mid-stream). Vacuum discipline is the
   * subscriber's SLA: retain at least as many versions as the slowest
-  * subscriber lags, like any log-compacted feed. */
+  * subscriber lags, like any log-compacted feed.
+  *
+  * Trigger note: `Trigger.AvailableNow` snapshots the source's FIRST
+  * getOffset as its end target, so combined with `maxVersionsPerTrigger`
+  * it consumes exactly one bounded batch and stops — drive bounded
+  * streams on the default trigger (`processAllAvailable` in tests, or a
+  * standing query) and keep AvailableNow for the unbounded form. */
 final class CdfSource(spark: SparkSession, root: String, startVersion: Long,
                       maxVersionsPerTrigger: Long) extends Source {
 

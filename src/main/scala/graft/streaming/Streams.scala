@@ -335,6 +335,73 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Standing MV maintenance as a CHANGE-FEED SUBSCRIBER (round 10 — the
+    * capstone wiring of `MvSpec` onto the `graft-cdf` source): a
+    * `readStream` over the BASE table's change feed drives
+    * retraction-capable refreshes of a VIEW SnapshotTable, exactly once.
+    * Unlike [[mvRefreshSink]] (where the producer's own foreachBatch
+    * hand-wires the view), the view here is a pure SUBSCRIBER — the base
+    * table is written by anyone (appends, upserts, DELETEs, MERGE INTO),
+    * and this stream keeps the dashboard current from the CDC alone.
+    *
+    *   - batch = one-or-more table versions' (insert, delete) rows from
+    *     the CDF source; inserts/deletes feed `MvSpec.combineDelta`
+    *     (algebraic count/sum/avg retraction; min/max touched-group
+    *     recompute);
+    *   - the view bootstraps from `spec.partial(base @ startVersion)` on
+    *     its first batch, so seed + deltas anchor on one version chain;
+    *   - view commits go through [[graft.ops.SnapshotTable.commitOnce]]
+    *     under (appId, streaming batchId) — a replay after a
+    *     sink-write/checkpoint-advance crash is swallowed, so the view
+    *     advances exactly once;
+    *   - view readers always see an atomic snapshot (manifest swap).
+    *
+    * Consistency note: counts/sums/avgs are EXACTLY the telescoped CDC of
+    * the versions consumed; min/max recomputes read the base's CURRENT
+    * committed version, so mid-stream they can run ahead of the
+    * cnt/sum watermark by in-flight commits — they re-converge on the
+    * batch that consumes those commits (read-committed extrema over
+    * exactly-once aggregates; `MvCdcSinkSpec` pins convergence). */
+  def mvCdcSink(spark: SparkSession, tableRoot: String, viewRoot: String,
+                spec: graft.ext.MvSpec, appId: String, checkpoint: String,
+                startVersion: Long,
+                maxVersionsPerTrigger: Int = 0): DataStreamWriter[Row] = {
+    import graft.ops.SnapshotTable
+    val reader = spark.readStream.format("graft-cdf")
+      .option("root", tableRoot)
+      .option("startVersion", startVersion.toString)
+    (if (maxVersionsPerTrigger > 0)
+      reader.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+    else reader).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (!SnapshotTable.lastTxn(s, viewRoot, appId).exists(_ >= batchId)) {
+          val view0 = SnapshotTable.currentVersion(s, viewRoot) match {
+            case None => // seed: the view of the anchor version
+              spec.partial(SnapshotTable.read(s, tableRoot, Some(startVersion)))
+            case Some(_) => SnapshotTable.read(s, viewRoot)
+          }
+          val adds = batch.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val removes = batch.filter(col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+          val refreshed = spec.combineDelta(s, tableRoot, view0, adds, removes)
+          SnapshotTable.commitOnce(s, viewRoot,
+            refreshed.localCheckpoint(), // plan must not read view files this commit supersedes
+            appId, batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      // AvailableNow snapshots the source's first getOffset as ITS target,
+      // so under a version bound it would stop after one bounded batch —
+      // the bounded form runs on the default trigger (drain with
+      // processAllAvailable, or leave it running as a live subscriber).
+      .trigger(if (maxVersionsPerTrigger > 0) Trigger.ProcessingTime(0L)
+               else Trigger.AvailableNow())
+  }
+
   /** Run an AvailableNow query to completion (test/driver helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.{MvAgg, MvSpec}
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** The CDF-subscriber MV sink ([[Streams.mvCdcSink]]): a view
+  * SnapshotTable tracks a base table written by arbitrary DML through the
+  * change-feed source alone — final view ≡ full recompute, restarts pick
+  * up only new commits, and a whole-stream replay under the same ledger
+  * is swallowed. */
+class MvCdcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = MvSpec(
+    Seq("g"),
+    Seq(MvAgg.Count("cnt"),
+      MvAgg.Sum("v", "total", Some("decimal(18,2)")),
+      MvAgg.Avg("v", "avg_v", Some("decimal(18,2)")),
+      MvAgg.Min("v", "min_v"),
+      MvAgg.Max("v", "max_v")))
+
+  private def viewRows(root: String): Set[String] =
+    spec.finish(SnapshotTable.read(spark, root)).collect().map(_.toString).toSet
+
+  private def recompute(tableRoot: String): Set[String] =
+    spec.finish(spec.partial(SnapshotTable.read(spark, tableRoot)))
+      .collect().map(_.toString).toSet
+
+  private def drain(tableRoot: String, viewRoot: String, appId: String,
+                    ckpt: String, v0: Long): Unit = {
+    val q = Streams.mvCdcSink(spark, tableRoot, viewRoot, spec, appId, ckpt,
+      startVersion = v0, maxVersionsPerTrigger = 1).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("subscriber view tracks appends/upserts/deletes; restart and replay exactly-once") {
+    val base = s"${tmpDir()}/base"
+    val view = s"${tmpDir()}/view"
+    val ckpt = s"${tmpDir()}/ckpt"
+    val appId = "mv-cdc-spec"
+
+    val v0 = SnapshotTable.upsert(spark, base,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"),
+      Seq("k"))
+    SnapshotTable.appendOnce(spark, base,
+      Seq((4L, "b", 40.0), (5L, "c", 50.0)).toDF("k", "g", "v"), "producer", 0L)
+    SnapshotTable.upsert(spark, base,
+      Seq((2L, "z", 99.0)).toDF("k", "g", "v"), Seq("k")) // group move
+    SnapshotTable.delete(spark, base, col("k") === 3L)    // empties no group? b keeps k=4
+
+    drain(base, view, appId, ckpt, v0)
+    assert(viewRows(view) == recompute(base),
+      "streamed subscriber view must equal a full recompute")
+    val versionsAfterFirst = SnapshotTable.currentVersion(spark, view).get
+    assert(versionsAfterFirst >= 2,
+      "one-version-per-trigger must commit the view per micro-batch")
+
+    // More DML, then RESTART from the same checkpoint: only new commits
+    // apply, and the view converges again.
+    SnapshotTable.update(spark, base, col("g") === "c",
+      Map("v" -> lit(55.0)))
+    SnapshotTable.mergeInto(spark, base,
+      Seq((6L, "a", 60.0), (4L, "b", 44.0)).toDF("k", "g", "v"), Seq("k"),
+      matchedUpdate = Some(None), notMatchedInsert = Some(None))
+    drain(base, view, appId, ckpt, v0)
+    assert(viewRows(view) == recompute(base),
+      "restart must fold only the new commits and still equal recompute")
+
+    // Whole-stream REPLAY (fresh checkpoint, same appId/ledger): every
+    // batchId is already stamped on the view — swallowed, view unchanged.
+    val versionBefore = SnapshotTable.currentVersion(spark, view).get
+    drain(base, view, appId, s"${tmpDir()}/ckpt2", v0)
+    assert(SnapshotTable.currentVersion(spark, view).get == versionBefore,
+      "a replayed stream under the same ledger must commit nothing")
+    assert(viewRows(view) == recompute(base))
+  }
+}
