@@ -240,11 +240,20 @@ private[ops] object SnapshotPruning {
     case ("double", f: Float) => if (f.isNaN) None else Some(f.toDouble)
     case ("string", u: UTF8String) => Some(u.toString)
     case ("string", s: String) => Some(s)
+    // Int-backed decimal bounds: align the literal onto the COLUMN's
+    // scale exactly (setScale without rounding — a literal needing
+    // rounding, or overflowing long, degrades to keep).
+    case (k, d: org.apache.spark.sql.types.Decimal) if k.startsWith("dec:") =>
+      try Some(d.toJavaBigDecimal
+        .setScale(k.drop(4).toInt).unscaledValue.longValueExact)
+      catch { case _: ArithmeticException => None }
     case _ => None
   }
 
   private def cmp(a: Any, b: Any, kind: String): Int = kind match {
     case "long" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case k if k.startsWith("dec:") =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case _ => cmpBytes(a.asInstanceOf[String].getBytes(StandardCharsets.UTF_8),
                        b.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))

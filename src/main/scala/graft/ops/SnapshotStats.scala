@@ -147,6 +147,22 @@ object SnapshotStats {
       case _ => None
     }
   }
+  /** Int-backed decimals (precision ≤ 18 — Spark's storage for them):
+    * bounds are the UNSCALED long; the kind string carries the scale
+    * (`dec:2`) so the prune side can align a Catalyst Decimal literal
+    * exactly. FLBA-backed wide decimals stay unpruned (degrade-to-keep).
+    * Without this every price/amount predicate on a derived table read
+    * all files — decimal columns are exactly where the engine's
+    * exactness discipline puts money values. */
+  private final case class DecimalDomain(scale: Int) extends Domain {
+    val kind = s"dec:$scale"
+    val ord: Ordering[Any] = Ordering.by(_.asInstanceOf[Long])
+    def toDomain(v: Any): Option[Any] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case _ => None
+    }
+  }
 
   /** Which domain (if any) a parquet primitive + logical annotation maps to. */
   private def domainOf(p: PrimitiveTypeName,
@@ -158,6 +174,8 @@ object SnapshotStats {
       case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, i: IntLogicalTypeAnnotation)
         if i.isSigned => Some(LongDomain)
       case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => Some(LongDomain)
+      case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+            d: DecimalLogicalTypeAnnotation) => Some(DecimalDomain(d.getScale))
       case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
         t.getUnit match {
           case TimeUnit.MICROS => Some(LongDomain)
@@ -201,6 +219,10 @@ object SnapshotStats {
                    usedPhys: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
+    // Commit wall-clock (epoch millis): powers age-based retention
+    // (`vacuumOlderThan`) and the history audit's timestamp column. Never
+    // part of any query result — manifests stay rerun-stable artifacts.
+    root.put("ts", System.currentTimeMillis())
     schemaJson.foreach(root.put("schema", _))
     if (mapping.nonEmpty) {
       // Logical → PHYSICAL column names (Delta column-mapping shape,
@@ -308,6 +330,12 @@ object SnapshotStats {
     else c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
 
+  /** Commit wall-clock (epoch millis), -1 for pre-timestamp manifests. */
+  def tsFromManifest(body: String): Long = {
+    val t = mapper.readTree(body).get("ts")
+    if (t == null || !t.isNumber) -1L else t.asLong
+  }
+
   /** Logical → physical column mapping (empty = identity for every
     * column, which is every manifest written before round 10). */
   def mappingFromManifest(body: String): Map[String, String] = {
@@ -334,6 +362,7 @@ object SnapshotStats {
   private def readVal(n: JsonNode, kind: String): Any = kind match {
     case "long" => n.asLong
     case "double" => n.asDouble
+    case k if k.startsWith("dec:") => n.asLong // unscaled long
     case _ => n.asText
   }
 

@@ -1564,10 +1564,11 @@ object SnapshotTable {
         SnapshotStats.cdcFromManifest(body).isDefined,
         SnapshotStats.schemaFromManifest(body).map(_.fieldNames.toSeq).getOrElse(Nil),
         SnapshotStats.constraintsFromManifest(body).keys.toSeq.sorted,
-        SnapshotStats.bloomOnFromManifest(body))
+        SnapshotStats.bloomOnFromManifest(body),
+        SnapshotStats.tsFromManifest(body))
     }
     val rows = byV.zipWithIndex.map {
-      case ((v, files, stats, txn, hasCdc, cols, cons, bloomOn), i) =>
+      case ((v, files, stats, txn, hasCdc, cols, cons, bloomOn, ts), i) =>
         val kind =
           if (i == 0) "bootstrap" // oldest RETAINED; predecessors may be vacuumed
           else {
@@ -1577,12 +1578,44 @@ object SnapshotTable {
             else "rewrite"
           }
         (v, kind, files.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
-          txn.map(_._1), txn.map(_._2), hasCdc, cols, cons, bloomOn)
+          txn.map(_._1), txn.map(_._2), hasCdc, cols, cons, bloomOn,
+          if (ts < 0) None else Some(new java.sql.Timestamp(ts)))
     }
     rows.toDF("version", "kind", "num_files", "total_rows", "total_bytes",
       "txn_app_id", "txn_batch_id", "has_cdc", "columns",
-      "constraints", "bloom_on")
+      "constraints", "bloom_on", "committed_at")
       .orderBy(col("version").desc)
+  }
+
+  /** AGE-based retention (Delta's `RETAIN <n> HOURS` shape): drop
+    * snapshots and manifests whose commit timestamp is older than
+    * `maxAgeMs`, always keeping at least the `keepLast` newest versions
+    * whatever their age (the current version can never be reclaimed).
+    * Pre-timestamp manifests count as infinitely old — they were written
+    * before this knob existed, so an age policy legitimately retires
+    * them. Deletion shares [[vacuum]]'s reference-counted discipline:
+    * data dirs die only when no KEPT manifest references them, so
+    * time travel keeps working for every retained version. */
+  def vacuumOlderThan(spark: SparkSession, root: String, maxAgeMs: Long,
+                      keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"vacuumOlderThan keepLast must be >= 1 (got $keepLast)")
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) return
+    val versions = fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val expired = versions.dropRight(keepLast).takeWhile { v =>
+      val ts = SnapshotStats.tsFromManifest(
+        readManifestBody(fs, manifestPath(root, v)))
+      ts < cutoff // pre-timestamp (-1) is always expired
+    }
+    // Version-count vacuum over the SURVIVOR count reuses the
+    // ref-counted deletion path (a prefix of versions expired ⇒ keeping
+    // the suffix is exactly keep = total − expired).
+    if (expired.nonEmpty) vacuum(spark, root, versions.size - expired.size)
   }
 
   /** Drop all snapshots and manifests older than the latest `keep` versions.

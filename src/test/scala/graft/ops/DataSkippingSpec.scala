@@ -60,6 +60,29 @@ class DataSkippingSpec extends SparkSpec {
     assert(selected == 1, s"expected 1 of $total files, planned $selected")
   }
 
+  test("decimal predicates prune on unscaled-long bounds (round 10)") {
+    val root = tmpDir() + "/tbl"
+    val df = spark.range(1000).toDF("k")
+      .withColumn("price", (col("k") * 7).cast("decimal(18,2)"))
+    SnapshotTable.commitClustered(spark, root, df, Seq("price"), numFiles = 10)
+    // equality + range on the decimal column: bounds carry the scale so
+    // the Catalyst Decimal literal aligns exactly
+    val (sEq, total) = prunedCount(root,
+      _.filter(col("price") === lit(BigDecimal("2947.00"))),
+      _.filter(col("price") === lit(BigDecimal("2947.00"))))
+    assert(sEq == 1, s"decimal equality planned $sEq of $total files")
+    val (sRange, _) = prunedCount(root,
+      _.filter(col("price") >= lit(BigDecimal("6000.00"))),
+      _.filter(col("price") >= lit(BigDecimal("6000.00"))))
+    assert(sRange <= 2, s"decimal range planned $sRange files")
+    // a literal the column's scale cannot represent exactly degrades to
+    // keep-all (MAY-analysis), never to a wrong answer
+    val (sOdd, t2) = prunedCount(root,
+      _.filter(col("price") === lit(BigDecimal("2947.001"))),
+      _.filter(col("price") === lit(BigDecimal("2947.001"))))
+    assert(sOdd <= t2)
+  }
+
   test("IN-list and double-range predicates prune") {
     val (root, _) = clusteredTable()
     val (sIn, _) = prunedCount(root,

@@ -242,4 +242,27 @@ class SnapshotTableSpec extends SparkSpec {
     // older manifests are gone
     intercept[Exception](SnapshotTable.read(spark, root, asOf = Some(0L)).collect())
   }
+
+  test("age-based retention: vacuumOlderThan drops only expired versions, never the newest") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.appendOnce(spark, root, Seq((1L, "a")).toDF("k", "v"), "age", 0L)
+    SnapshotTable.appendOnce(spark, root, Seq((2L, "b")).toDF("k", "v"), "age", 1L)
+    SnapshotTable.appendOnce(spark, root, Seq((3L, "c")).toDF("k", "v"), "age", 2L)
+
+    // Commit timestamps surface in the audit.
+    val hist = SnapshotTable.history(spark, root).collect()
+    assert(hist.forall(!_.isNullAt(11)), "history must carry committed_at")
+
+    // Everything is fresh: a 1 h policy retires nothing, time travel holds.
+    SnapshotTable.vacuumOlderThan(spark, root, maxAgeMs = 3600L * 1000)
+    assert(SnapshotTable.read(spark, root, Some(0L)).count() == 1)
+
+    // A zero-age policy expires every version except the keepLast floor;
+    // the survivor stays readable (ref-counted dirs — appends share them).
+    Thread.sleep(10)
+    SnapshotTable.vacuumOlderThan(spark, root, maxAgeMs = 0L, keepLast = 2)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    assert(SnapshotTable.read(spark, root, Some(1L)).count() == 2)
+    intercept[Exception](SnapshotTable.read(spark, root, Some(0L)).collect())
+  }
 }
