@@ -327,8 +327,10 @@ object SnapshotTable {
     * manifests carry none, so the set is SEEDED from the declared schema's
     * physical names plus the tombstoned names — exactly the names whose
     * bytes may still live in retained files. */
-  private def usedPhysOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
-    val body = readManifestBody(fsOf(spark, root), manifestPath(root, v))
+  private def usedPhysOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    usedPhysOfBody(readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+
+  private def usedPhysOfBody(body: String): Seq[String] = {
     val recorded = SnapshotStats.usedPhysFromManifest(body)
     val mapping = SnapshotStats.mappingFromManifest(body)
     val schemaPhys = SnapshotStats.schemaFromManifest(body).toSeq
@@ -676,7 +678,7 @@ object SnapshotTable {
             SnapshotStats.bloomOnFromManifest(pb),
             SnapshotStats.constraintsFromManifest(pb),
             SnapshotStats.mappingFromManifest(pb),
-            usedPhysOf(spark, root, v - 1))
+            usedPhysOfBody(pb))
         } else (Nil, Nil, Map.empty[String, String],
           Map.empty[String, String], Nil)
       }

@@ -99,6 +99,20 @@ class CdfSourceSpec extends SparkSpec {
       "the change feed must read CDC side-cars, never table data files")
   }
 
+  test("a subscriber crossing a RESTORE fails loudly (table-sized delta has no CDC)") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.upsert(spark, root,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Seq("k"))
+    SnapshotTable.upsert(spark, root, Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
+    SnapshotTable.restore(spark, root, v0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, s"${tmpDir()}/ckpt", startVersion = v0, maxPerTrigger = 0L)
+    }
+    assert(e.getMessage.contains("rewrite without CDC") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrite without CDC")),
+      s"restore must fail the stream, not misread: ${e.getMessage}")
+  }
+
   test("compaction emits an empty delta, not a reprocess; vacuumed history fails loudly") {
     val root = s"${tmpDir()}/t"
     (0 to 5).foreach(i => SnapshotTable.appendOnce(spark, root,
