@@ -1389,6 +1389,10 @@ object SnapshotTable {
     * (`graft.sources.CdfSource`) serves per micro-batch, also directly
     * usable by batch consumers that want per-version provenance.
     *
+    * Plan size grows with the interval's VERSION COUNT (one union arm per
+    * commit side) — a long backfill should flow through the source's
+    * `maxVersionsPerTrigger` bound rather than one giant batch.
+    *
     * Rows project onto `onSchema` (the source's plan-time schema; columns
     * added mid-interval null-fill, dropped columns never resurface — the
     * [[changesDelta]] projection rule). Unlike changesDelta, a pre-CDC

@@ -92,6 +92,17 @@ class ColumnMappingSpec extends SparkSpec {
     val tags = SnapshotTable.read(spark, root).select("k", "tag").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(tags == Map(1L -> None, 2L -> None, 3L -> Some("third")), s"got $tags")
+
+    // Rename CHAIN onto a vacated logical: w -> weight, then tag -> w.
+    // Logical 'w' now reads tag's physical; the ORIGINAL w bytes stay
+    // reachable only as 'weight'; nothing crosses.
+    SnapshotTable.renameColumn(spark, root, "w", "weight")
+    SnapshotTable.renameColumn(spark, root, "tag", "w")
+    val chained = SnapshotTable.read(spark, root)
+      .select("k", "weight", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(chained == Set(
+      (1L, 1.0, None), (2L, 2.0, None), (3L, 3.0, Some("third"))), s"got $chained")
   }
 
   test("rename refused while a CHECK references it; bloom config follows a rename") {
