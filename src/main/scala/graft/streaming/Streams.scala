@@ -378,8 +378,12 @@ object Streams {
         val s = batch.sparkSession
         if (!SnapshotTable.lastTxn(s, viewRoot, appId).exists(_ >= batchId)) {
           val view0 = SnapshotTable.currentVersion(s, viewRoot) match {
-            case None => // seed: the view of the anchor version
-              spec.partial(SnapshotTable.read(s, tableRoot, Some(startVersion)))
+            case None => // seed: the view of the anchor version; an anchor
+              // BEFORE the table existed (startVersion < 0 — the feed
+              // carries the bootstrap itself) seeds empty.
+              if (startVersion < 0)
+                spec.partial(SnapshotTable.read(s, tableRoot).limit(0))
+              else spec.partial(SnapshotTable.read(s, tableRoot, Some(startVersion)))
             case Some(_) => SnapshotTable.read(s, viewRoot)
           }
           val adds = batch.filter(col("_change_type") === "insert")
