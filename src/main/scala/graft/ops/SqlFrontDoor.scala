@@ -86,6 +86,43 @@ object SqlFrontDoor {
                SELECT 'closed' AS tier, o_totalprice AS price
                FROM orders WHERE o_orderstatus = 'F') u
          GROUP BY tier
-         ORDER BY tier ASC NULLS FIRST""")
+         ORDER BY tier ASC NULLS FIRST"""),
+
+    // The SQL front door OVER THE TABLE FORMAT (round 10): a SnapshotTable
+    // registered as a temp view and queried by the same portable SQL a
+    // BigQuery user would write — the key-range WHERE file-skips through
+    // the manifest bounds because the bootstrap commit range-clustered on
+    // the key (the clause reaches SnapshotFileIndex as a pushed data
+    // filter; DataSkippingSpec pins the pruning itself). Rerun-stable:
+    // the bootstrap commit resets the table each run, vacuum bounds
+    // version growth. Oracle = the identical aggregate over raw orders.
+    Q("sql_snapshot_view",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-sqlsnap-" + s"$dir@${graft.ext.Similarity.corpusVersion(dir, "orders")}"
+            .replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+        SnapshotTable.commitClustered(s, root,
+          Tables(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          Seq("o_orderkey"), numFiles = 16)
+        SnapshotTable.read(s, root).createOrReplaceTempView("snap_orders")
+        val out = s.sql(
+          """SELECT o_orderstatus, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM snap_orders
+             WHERE o_orderkey BETWEEN 1000 AND 20000
+             GROUP BY o_orderstatus
+             ORDER BY o_orderstatus ASC NULLS FIRST""")
+          .localCheckpoint() // materialize before vacuum drops old versions
+        SnapshotTable.vacuum(s, root, keep = 1)
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders
+              WHERE o_orderkey BETWEEN 1000 AND 20000
+              GROUP BY o_orderstatus
+              ORDER BY o_orderstatus ASC NULLS FIRST"""))
   )
 }
