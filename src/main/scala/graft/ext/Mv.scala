@@ -168,12 +168,31 @@ final case class MvSpec(keys: Seq[String], aggs: Seq[MvAgg]) {
     * paths are row-identical (MvSpecSpec pins it).
     *
     * Driver state: one `limit(maxLiteralKeys + 1).collect()` over the
-    * grouped remove partials — O(threshold) rows, never O(view). */
+    * grouped remove partials — O(threshold) rows, never O(view).
+    *
+    * `asOf` pins the min/max recompute to the version this CDC batch
+    * telescopes to (ADVICE r10): reading the base at its CURRENT version
+    * could publish extrema from commits the view's cnt/sum watermark has
+    * not consumed yet — internally inconsistent view rows, and a group
+    * fully deleted by a later in-flight commit would read NULL extrema
+    * while cnt > 0. Callers that refresh synchronously with no concurrent
+    * writers may leave it None (current version — the documented fast
+    * path); the streaming subscriber ([[graft.streaming.Streams.mvCdcSink]])
+    * always pins it. */
   def combineDelta(s: SparkSession, tableRoot: String, mv: DataFrame,
                    adds: DataFrame, removes: DataFrame,
-                   maxLiteralKeys: Int = 512): DataFrame = {
+                   maxLiteralKeys: Int = 512,
+                   asOf: Option[Long] = None): DataFrame = {
     val a = partial(adds).select(
       (keys.map(col) ++ states.map { case (c, _) => col(c).as(s"__a_$c") }): _*)
+    // NOTE (VERDICT r10 hygiene, deliberately NOT taken): on the min/max
+    // path the remove partials feed both `merged` and the touched-key
+    // sample, so this plan evaluates twice. A localCheckpoint here would
+    // dedupe the work but the LogicalRDD it creates propagates the origin
+    // dataset-id tag, and inside a foreachBatch refresh (mvCdcSink) that
+    // trips Spark's DetectAmbiguousSelfJoin and fails the stream. Removes
+    // are delta-sized, so the double evaluation is bounded by the delta —
+    // the failure mode of the "fix" was worse than the cost it removed.
     val r = partial(removes).select(
       (keys.map(col) ++ states.collect {
         case (c, "add") => col(c).as(s"__r_$c")
@@ -199,7 +218,10 @@ final case class MvSpec(keys: Seq[String], aggs: Seq[MvAgg]) {
     val sample = touchedKeys.limit(maxLiteralKeys + 1).collect()
     if (sample.isEmpty) return merged.drop("__touched")
 
-    val base = SnapshotTable.read(s, tableRoot)
+    // Base pinned to the batch's end version when the caller supplies it —
+    // extrema then come from exactly the state the cnt/sum watermark has
+    // consumed, whatever concurrent writers have committed since.
+    val base = SnapshotTable.read(s, tableRoot, asOf)
     val restricted =
       if (sample.length <= maxLiteralKeys) {
         // Complete set (the limit did not truncate): literal null-safe

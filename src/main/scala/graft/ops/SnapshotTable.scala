@@ -48,6 +48,7 @@ object SnapshotTable {
   val casLosses = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val ManifestDir = "_manifests"
+  private val SubscribersDir = "_subscribers"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
   private val SnapRe = raw"snap-(\d{8})(-[0-9a-f]{8})?".r
   private val CdcRe = raw"cdc-(\d{8})(-[0-9a-f]{8})?".r
@@ -125,6 +126,14 @@ object SnapshotTable {
     // is identity — and elided — for tables that never renamed/re-added.
     val declared = SnapshotStats.schemaFromManifest(body)
     val mapping = SnapshotStats.mappingFromManifest(body)
+    if (files.isEmpty) {
+      // Files-less manifest: a `CREATE TABLE` bootstrap (graft.sql) or a
+      // fully-compacted-away state — the declared schema IS the table.
+      val schema = declared.getOrElse(throw new IllegalStateException(
+        s"empty manifest at $root v$v declares no schema"))
+      return (spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema), None)
+    }
     if (stats.isEmpty || stats.map(_.path).sorted != files.sorted) {
       val raw = declared.map(d => spark.read.schema(physSchema(d, mapping)))
         .getOrElse(spark.read).parquet(files: _*)
@@ -279,6 +288,24 @@ object SnapshotTable {
 
   private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
+  /** `dt` with every nesting level nullable — parquet enforces no inner
+    * NOT NULL anyway, and a declared schema carrying literal-derived
+    * non-null struct fields would refuse every later write whose plan
+    * (join/when projections) is nullable by construction. */
+  private def asNullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = asNullableType(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = asNullableType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Additive schema-evolution merge (Delta `mergeSchema` semantics): new
     * columns APPEND, nullable — files written before the column existed
     * stay in the table and read NULL for it; existing columns keep their
@@ -299,8 +326,11 @@ object SnapshotTable {
       : org.apache.spark.sql.types.StructType = {
     val incomingLc = incoming.fields.map(f => lc(f.name)).toSet
     val oldByLc = old.fields.map(f => lc(f.name) -> f).toMap
+    // Retype check is NULLABILITY-INSENSITIVE (nested levels too): a batch
+    // whose plan made a struct field non-null is the same type, and the
+    // DECLARED type wins either way.
     incoming.fields.foreach(f => oldByLc.get(lc(f.name)).foreach { of =>
-      require(of.dataType == f.dataType,
+      require(asNullableType(of.dataType) == asNullableType(f.dataType),
         s"schema evolution cannot retype column ${f.name}: ${of.dataType} -> ${f.dataType}")
     })
     org.apache.spark.sql.types.StructType(
@@ -431,10 +461,25 @@ object SnapshotTable {
                             dropped: Seq[String], bloomOn: Seq[String],
                             constraints: Map[String, String],
                             mapping: Map[String, String],
-                            usedPhys: Seq[String]): Boolean = {
+                            usedPhys: Seq[String],
+                            cdc: Option[(DataFrame, DataFrame)] = None): Boolean = {
     val fs = fsOf(spark, root)
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val body = SnapshotStats.manifestJson(target, entries,
+    // Optional row-level change sets (restoreWithCdc): side-cars land
+    // before the manifest rename, exactly like commitAt's, and a CAS loss
+    // removes them with the attempt.
+    val cdcDir = new Path(root, f"cdc-$target%08d-$token")
+    val cdcPaths: Option[SnapshotStats.Cdc] = cdc.map { case (addDf, removeDf) =>
+      def writeSide(side: String, d: DataFrame): Seq[String] = {
+        val p = new Path(cdcDir, side)
+        toPhysical(d, mapping).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          .filter(_.getLen > 0)
+          .map(_.getPath.toString).sorted.toSeq
+      }
+      (writeSide("add", addDf), writeSide("remove", removeDf))
+    }
+    val body = SnapshotStats.manifestJson(target, entries, cdc = cdcPaths,
       schemaJson = Some(schema.json), dropped = dropped, bloomOn = bloomOn,
       constraints = constraints, mapping = mapping, usedPhys = usedPhys)
     val mdir = new Path(root, ManifestDir)
@@ -444,7 +489,9 @@ object SnapshotTable {
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dest = manifestPath(root, target)
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false); casLosses.incrementAndGet(); false
+      fs.delete(tmp, false)
+      if (cdcPaths.isDefined) fs.delete(cdcDir, true)
+      casLosses.incrementAndGet(); false
     } else true
   }
 
@@ -594,22 +641,8 @@ object SnapshotTable {
       if (lastTxn(spark, root, appId).exists(_ >= batchId))
         return txnVersion(spark, root, appId, batchId) // replay: already applied
           .getOrElse(currentVersion(spark, root).get)
-      val target = currentVersion(spark, root)
       try {
-        return target match {
-          case None => commitAt(spark, root, 0L, df, Nil, Some((appId, batchId)))
-          case Some(v) =>
-            val oldSchema = schemaOf(spark, root, v)
-            val evolved = evolveSchema(oldSchema, df.schema)
-            // New columns get physical ids that avoid every name ever
-            // used — a re-added dropped name reads NULL from old files
-            // instead of resurfacing orphaned bytes (column mapping).
-            val assigned = assignPhysical(oldSchema, evolved,
-              mappingOf(spark, root, v), usedPhysOf(spark, root, v))
-            commitAt(spark, root, v + 1, df,
-              currentEntries(spark, root, v), Some((appId, batchId)),
-              tableSchema = Some(evolved), meta = Some(assigned))
-        }
+        return appendCommit(spark, root, df, Some((appId, batchId)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -618,6 +651,56 @@ object SnapshotTable {
     }
     -1L // unreachable
   }
+
+  /** Plain APPEND as a new version (the `INSERT INTO` lowering —
+    * graft.sql): old files + this batch's files, additive schema
+    * evolution, no idempotence stamp. Streaming sinks use [[appendOnce]]
+    * instead; this is the batch-SQL shape. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      try {
+        return appendCommit(spark, root, df, None)
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** One append attempt: bootstrap at version 0, else evolve + align +
+    * commit on top of the current version (shared by [[append]] and
+    * [[appendOnce]]). */
+  private def appendCommit(spark: SparkSession, root: String, df: DataFrame,
+                           txn: Option[(String, Long)]): Long =
+    currentVersion(spark, root) match {
+      case None => commitAt(spark, root, 0L, df, Nil, txn)
+      case Some(v) =>
+        val oldSchema = schemaOf(spark, root, v)
+        val evolved = evolveSchema(oldSchema, df.schema)
+        // New columns get physical ids that avoid every name ever
+        // used — a re-added dropped name reads NULL from old files
+        // instead of resurfacing orphaned bytes (column mapping).
+        val assigned = assignPhysical(oldSchema, evolved,
+          mappingOf(spark, root, v), usedPhysOf(spark, root, v))
+        // Alias the batch onto the DECLARED casing (ADVICE r10): schema
+        // evolution resolves names case-insensitively, but the column
+        // MAPPING is keyed by the declared spelling — a batch shipping
+        // 'Price' against declared 'price' (mapped to 'price_1' after a
+        // rename/re-add) would otherwise write its data file under the
+        // batch's casing while reads resolve the physical name, so the
+        // whole batch reads back NULL. Same align step upsert does.
+        val aligned = {
+          val byLc = df.columns.map(c => lc(c) -> c).toMap
+          df.select(evolved.fields.flatMap(f =>
+            byLc.get(lc(f.name)).map(c => df.col(c).as(f.name))).toIndexedSeq: _*)
+        }
+        commitAt(spark, root, v + 1, aligned,
+          currentEntries(spark, root, v), txn,
+          tableSchema = Some(evolved), meta = Some(assigned))
+    }
 
   /** Exactly-once REPLACE commit — the whole-snapshot sibling of
     * [[appendOnce]] for derived artifacts a streaming sink re-materializes
@@ -807,6 +890,26 @@ object SnapshotTable {
     v
   }
 
+  /** Bootstrap an EMPTY table: version 0 is a files-less manifest that
+    * DECLARES the schema — the `CREATE TABLE` statement's storage shape
+    * (the reference bootstraps with `CREATE TABLE ... AS SELECT * ...
+    * LIMIT 0`, main.py:369-373; this is that without writing a byte).
+    * The first append/upsert evolves from it like any other version. */
+  def commitEmpty(spark: SparkSession, root: String,
+                  schema: org.apache.spark.sql.types.StructType): Long = {
+    require(currentVersion(spark, root).isEmpty,
+      s"commitEmpty on an existing table at $root")
+    // Declared fully NULLABLE: literal-derived bootstrap schemas carry
+    // non-null struct internals that would refuse every later write whose
+    // join/when projection is nullable by construction.
+    if (!tryCommitMeta(spark, root, 0L, Nil,
+        asNullableType(schema).asInstanceOf[org.apache.spark.sql.types.StructType],
+        Nil, Nil, Map.empty, Map.empty, Nil))
+      throw new ConcurrentWriteException(
+        s"version 0 at $root was committed by a concurrent writer")
+    0L
+  }
+
   /** Metadata-only RESTORE (Delta's RESTORE TABLE ... VERSION AS OF): commits
     * a NEW version whose manifest lists exactly `toVersion`'s file entries,
     * declared schema, and tombstone set — zero data moves, and history stays
@@ -818,10 +921,20 @@ object SnapshotTable {
     * Retained-version requirement falls out of the manifest read: vacuum
     * keeps every dir a kept manifest references, so if `toVersion`'s
     * manifest is still on disk its files are too, and if vacuum dropped it
-    * the read fails loudly. The commit carries no CDC — a restore's row
-    * delta is table-sized by nature; [[changesDelta]] over it returns None,
-    * the honest full-reprocess signal for downstream views. */
-  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    * the read fails loudly.
+    *
+    * By default the commit carries no CDC — a restore's row delta is
+    * table-sized by nature; [[changesDelta]] over it returns None (the
+    * honest full-reprocess signal) and a standing change-feed stream FAILS
+    * loudly. `withCdc = true` (VERDICT r10 #4) instead records a SYNTHETIC
+    * full retraction + reinsert delta — remove = every current row, add =
+    * every restored row — so standing subscribers (CDF streams, `MvSpec`
+    * views) survive the rollback and re-converge exactly, at the honest
+    * price of one table-sized delta. Refused when the declared schema
+    * changed between the two versions (the feed projects onto one schema;
+    * a cross-schema rollback still requires reseeding subscribers). */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              withCdc: Boolean = false): Long = {
     var attempt = 0
     while (true) {
       val v = currentVersion(spark, root).getOrElse(
@@ -830,6 +943,25 @@ object SnapshotTable {
       require(toVersion <= v,
         s"restore target $toVersion is ahead of current version $v at $root")
       if (toVersion == v) return v
+      val cdc: Option[(DataFrame, DataFrame)] =
+        if (!withCdc) None
+        else {
+          val target = schemaOf(spark, root, toVersion)
+          val current = schemaOf(spark, root, v)
+          require(
+            target.fields.map(f => (f.name, f.dataType)).toSeq ==
+              current.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"restoreWithCdc across a schema change ($current -> $target) " +
+              "is not expressible as a row delta; reseed subscribers instead")
+          // Retract the whole current state, reinsert the whole restored
+          // state: algebraic consumers telescope this to exactly the
+          // restored aggregates, and min/max recomputes read the restored
+          // base. localCheckpoint: the remove side reads files whose
+          // manifests a later vacuum may drop before the delta is consumed
+          // — the side-car must hold the ROWS, not a plan over them (it
+          // does: side-cars are materialized parquet).
+          Some((read(spark, root, Some(toVersion)), read(spark, root, Some(v))))
+        }
       // Constraints rewind with everything else: the restored rows were
       // validated under the TARGET version's constraint set, not any
       // declared since.
@@ -838,7 +970,8 @@ object SnapshotTable {
           droppedOf(spark, root, toVersion).toSeq.sorted,
           bloomOnOf(spark, root, toVersion),
           constraintsOf(spark, root, toVersion),
-          mappingOf(spark, root, toVersion), usedPhysOf(spark, root, toVersion)))
+          mappingOf(spark, root, toVersion), usedPhysOf(spark, root, toVersion),
+          cdc = cdc))
         return v + 1
       attempt += 1
       if (attempt >= 3) throw new ConcurrentWriteException(
@@ -1116,6 +1249,21 @@ object SnapshotTable {
         // Pin outputs to the DECLARED types: clause projections coerce
         // through when(), and a source column arriving wider (decimal
         // growth) must not leak past the manifest's declared schema.
+        // The cast must be LOSSLESS (ADVICE r10): under non-ANSI mode an
+        // out-of-range value (a decimal overflowing the declared precision)
+        // casts to silent NULL, corrupting committed rows and CDC — refuse
+        // up front, the same discipline as evolveSchema's retype check.
+        schema.fields.foreach { f =>
+          val srcType = source.schema.fields
+            .find(sf => sf.name.equalsIgnoreCase(f.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"mergeInto source lacks target column ${f.name}"))
+            .dataType
+          require(srcType == f.dataType ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(srcType, f.dataType),
+            s"mergeInto source column ${f.name}: $srcType cannot losslessly " +
+              s"cast to declared ${f.dataType}; align the source schema first")
+        }
         def declared(df: DataFrame): DataFrame =
           df.select(schema.fields.map(f =>
             df(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
@@ -1603,7 +1751,7 @@ object SnapshotTable {
     * data dirs die only when no KEPT manifest references them, so
     * time travel keeps working for every retained version. */
   def vacuumOlderThan(spark: SparkSession, root: String, maxAgeMs: Long,
-                      keepLast: Int = 1): Unit = {
+                      keepLast: Int = 1, force: Boolean = false): Unit = {
     require(keepLast >= 1, s"vacuumOlderThan keepLast must be >= 1 (got $keepLast)")
     val fs = fsOf(spark, root)
     val mdir = new Path(root, ManifestDir)
@@ -1620,14 +1768,82 @@ object SnapshotTable {
     }
     // Version-count vacuum over the SURVIVOR count reuses the
     // ref-counted deletion path (a prefix of versions expired ⇒ keeping
-    // the suffix is exactly keep = total − expired).
-    if (expired.nonEmpty) vacuum(spark, root, versions.size - expired.size)
+    // the suffix is exactly keep = total − expired) — and inherits the
+    // subscriber-watermark clamp unless forced.
+    if (expired.nonEmpty) vacuum(spark, root, versions.size - expired.size, force)
+  }
+
+  // --- change-feed subscriber watermarks (VERDICT r10 #3) -----------------
+  //
+  // Vacuum discipline used to be the subscriber's UNENFORCED SLA
+  // (CdfSource docs): nothing stopped a vacuum from deleting versions a
+  // lagging CDF subscriber still needed — the failure was loud but not
+  // preventable. Subscribers now record their last-consumed version in a
+  // `_subscribers/<appId>` side-car (one tiny file per subscriber, updated
+  // by `Streams.mvCdcSink` after each exactly-once view commit), and
+  // vacuum REFUSES to drop any version at or above the minimum subscriber
+  // watermark unless forced. Bookkeeping is O(subscribers) KB-sized file
+  // reads per vacuum — never data-scaled.
+
+  private def subscriberFile(root: String, appId: String): Path =
+    new Path(new Path(root, SubscribersDir),
+      appId.replaceAll("[^a-zA-Z0-9._-]", "_"))
+
+  /** Record that subscriber `appId` has consumed the feed THROUGH
+    * `consumedVersion` (monotonic: stale updates are ignored). The
+    * subscriber still needs version `consumedVersion`'s manifest — its
+    * next batch anchors on it — so vacuum retains from there up. */
+  def registerSubscriber(spark: SparkSession, root: String, appId: String,
+                         consumedVersion: Long): Unit = {
+    val fs = fsOf(spark, root)
+    val p = subscriberFile(root, appId)
+    val prev = subscriberVersion(fs, p)
+    if (prev.forall(_ < consumedVersion)) {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(consumedVersion.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Remove `appId`'s watermark (a decommissioned subscriber must not pin
+    * retention forever). */
+  def unregisterSubscriber(spark: SparkSession, root: String, appId: String): Unit = {
+    val fs = fsOf(spark, root)
+    fs.delete(subscriberFile(root, appId), false)
+    ()
+  }
+
+  private def subscriberVersion(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+
+  /** Minimum last-consumed version across registered subscribers — the
+    * retention floor: versions >= this are still needed by someone. */
+  def subscriberWatermark(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, SubscribersDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => subscriberVersion(fs, st.getPath)) match {
+        case Nil => None
+        case vs => Some(vs.min)
+      }
   }
 
   /** Drop all snapshots and manifests older than the latest `keep` versions.
     * `keep >= 1` — vacuum(0) would delete the current version and leave the
-    * table permanently unreadable (the same guard Delta's retention has). */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Unit = {
+    * table permanently unreadable (the same guard Delta's retention has).
+    * When subscribers have registered watermarks, retention is CLAMPED so
+    * every version at or above the minimum watermark survives (the lagging
+    * subscriber's next batch stays servable); `force = true` overrides —
+    * the subscriber then hits the feed's existing loud failure. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1,
+             force: Boolean = false): Unit = {
     require(keep >= 1, s"vacuum keep must be >= 1 (got $keep)")
     val fs = fsOf(spark, root)
     val mdir = new Path(root, ManifestDir)
@@ -1636,6 +1852,18 @@ object SnapshotTable {
       case ManifestRe(v) => Some(v.toLong)
       case _ => None
     }).sorted
+    val keepEff =
+      if (force) keep
+      else subscriberWatermark(spark, root) match {
+        case Some(w) => math.max(keep, versions.count(_ >= w))
+        case None => keep
+      }
+    vacuumKeeping(spark, root, versions, math.min(keepEff, versions.size))
+  }
+
+  private def vacuumKeeping(spark: SparkSession, root: String,
+                            versions: Seq[Long], keep: Int): Unit = {
+    val fs = fsOf(spark, root)
     // Append commits make manifests SHARE data dirs (version N+1 references
     // version N's files), so deletion is reference-counted at dir
     // granularity: a dir dies only when no KEPT manifest references it.

@@ -128,6 +128,31 @@ class ColumnMappingSpec extends SparkSpec {
       s"bloom must follow the rename: ${i.lastSelected}/${i.totalFiles}"))
   }
 
+  test("appendOnce with a differently-cased column writes through the mapping (ADVICE r10)") {
+    // Lineage: drop 'price' then re-add it -> the revived logical 'price'
+    // maps to a FRESH physical ('price_1'). A batch now shipping 'Price'
+    // resolves case-insensitively to the same column; before the fix it was
+    // written under the batch's casing while reads resolve 'price_1', so
+    // the whole batch read back NULL.
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commit(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"))
+    SnapshotTable.dropColumn(spark, root, "price")
+    SnapshotTable.appendOnce(spark, root,
+      Seq((3L, 30.0)).toDF("k", "price"), "cm-app", 0L) // re-add: fresh physical
+    assert(SnapshotTable.columnMapping(spark, root).get("price").exists(_ != "price"),
+      "re-added column must carry a fresh physical id")
+    // The differently-cased batch must land under the DECLARED name.
+    SnapshotTable.appendOnce(spark, root,
+      Seq((4L, 40.0)).toDF("k", "Price"), "cm-app", 1L)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "price"), "declared casing wins")
+    val got = cur.orderBy("k").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map(1L -> null, 2L -> null, 3L -> 30.0, 4L -> 40.0),
+      s"batch 4's value must read back under the mapped physical, got $got")
+  }
+
   test("restore rewinds the mapping; CDF stream reads through a rename") {
     val root = s"${tmpDir()}/t"
     val v0 = SnapshotTable.upsert(spark, root,

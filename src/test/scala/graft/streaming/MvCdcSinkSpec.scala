@@ -76,5 +76,55 @@ class MvCdcSinkSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, view).get == versionBefore,
       "a replayed stream under the same ledger must commit nothing")
     assert(viewRows(view) == recompute(base))
+
+    // The sink advanced its vacuum watermark on the base (VERDICT r10 #3):
+    // the consumed head is registered, so a default vacuum cannot strand
+    // this subscriber.
+    assert(SnapshotTable.subscriberWatermark(spark, base)
+      .contains(SnapshotTable.currentVersion(spark, base).get),
+      "mvCdcSink must register its consumed version as the vacuum watermark")
+  }
+
+  test("restore(withCdc = true) mid-stream: the view re-converges to the restored state (VERDICT r10 #4)") {
+    val base = s"${tmpDir()}/base"
+    val view = s"${tmpDir()}/view"
+    val ckpt = s"${tmpDir()}/ckpt"
+    val appId = "mv-cdc-restore"
+
+    val v0 = SnapshotTable.upsert(spark, base,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"),
+      Seq("k"))
+    // Anchor BEFORE the bootstrap so the first drain consumes it (the
+    // feed carries the bootstrap's CDC when startVersion = -1).
+    drain(base, view, appId, ckpt, -1L)
+    assert(viewRows(view) == recompute(base))
+
+    // Drift the table, let the view track it...
+    SnapshotTable.upsert(spark, base,
+      Seq((2L, "z", 99.0), (4L, "c", 40.0)).toDF("k", "g", "v"), Seq("k"))
+    SnapshotTable.delete(spark, base, col("k") === 1L)
+    drain(base, view, appId, ckpt, -1L)
+    assert(viewRows(view) == recompute(base))
+
+    // ... then ROLL BACK with the CDC bridge: the synthetic full
+    // retraction + reinsert flows through the standing subscriber and the
+    // view re-converges to the restored state exactly — no reseeding.
+    SnapshotTable.restore(spark, base, v0, withCdc = true)
+    drain(base, view, appId, ckpt, -1L)
+    assert(viewRows(view) == recompute(base),
+      "view must re-converge to the restored state through the CDC bridge")
+    assert(recompute(base) == spec.finish(spec.partial(
+      SnapshotTable.read(spark, base, Some(v0)))).collect().map(_.toString).toSet,
+      "sanity: current state IS the restored state")
+
+    // Cross-schema rollbacks stay refused — the feed projects onto one
+    // schema, so the bridge cannot express them as a row delta.
+    val vPre = SnapshotTable.currentVersion(spark, base).get
+    SnapshotTable.appendOnce(spark, base,
+      Seq((9L, "x", 1.0, "extra")).toDF("k", "g", "v", "note"), "evolver", 0L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, base, vPre, withCdc = true)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
   }
 }
