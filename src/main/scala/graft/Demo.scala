@@ -12,6 +12,7 @@ object Demo {
     val target = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-demo").toString) + "/tickets"
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

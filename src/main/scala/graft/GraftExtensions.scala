@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.functions.{ArrayDot, RepetitionStats, ShingleHashes, SimHash64}
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL-string DML/DDL over the table format (VERDICT r10 #1): lowers
+    // MERGE INTO / DELETE / UPDATE / CTAS / INSERT over graft.sql
+    // catalog tables onto SnapshotTable's commit machinery, and swaps
+    // catalog SELECT scans onto the file-skipping SnapshotFileIndex read
+    // path. Pair with spark.sql.catalog.graft = graft.sql.GraftCatalog.
+    e.injectResolutionRule(session => new graft.sql.GraftSqlRule(session))
     e.injectFunction((
       new FunctionIdentifier("clean_html"),
       new ExpressionInfo(classOf[CleanHtml].getName, "clean_html"),

@@ -20,7 +20,7 @@ object SparkEntry {
       SourceQueries.qs ++ MergeInto.qs ++ SqlFrontDoor.qs ++ CorpusOps.qs ++ Ingest.qs ++
       ProductQuant.qs ++ Selection.qs ++ Sketches.qs ++ EndToEnd.qs ++
       Retrieval.qs ++ MaterializedView.qs ++ Phrase.qs ++ HybridRetrieval.qs ++
-      Evolution.qs
+      Evolution.qs ++ graft.sql.SqlDml.qs ++ graft.pipeline.TicketSync.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: existing-ids scan + anti-join + MERGE shape

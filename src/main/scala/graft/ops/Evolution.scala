@@ -78,9 +78,15 @@ object Evolution {
   def constraintGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val root = evoRoot(dir) + "-cons"
+    val tag = s"$dir@${graft.ext.Similarity.corpusVersion(dir, "orders")}"
     val orders = Tables(s, dir, "orders")
-    SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"))
-    SnapshotTable.setCheckConstraint(s, root, "price_pos", "o_totalprice > 0")
+    // Seed = bootstrap upsert + the constraint declaration (VERDICT r10
+    // #5: both were per-run setup; restore rewinds constraints with the
+    // rest of the metadata, so the seed version carries price_pos).
+    val v0 = SeededLineage.seed(s, root, tag) {
+      SnapshotTable.upsert(s, root, orders, Seq("o_orderkey"))
+      SnapshotTable.setCheckConstraint(s, root, "price_pos", "o_totalprice > 0")
+    }
     val rejected =
       try {
         SnapshotTable.upsert(s, root,
@@ -100,8 +106,8 @@ object Evolution {
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double").as("total"))
       .orderBy("o_orderstatus")
-      .localCheckpoint() // materialize before vacuum drops old versions
-    SnapshotTable.vacuum(s, root, keep = 1)
+      .localCheckpoint() // materialize before reset drops the DML version
+    SeededLineage.reset(s, root, tag, v0)
     out
   }
 

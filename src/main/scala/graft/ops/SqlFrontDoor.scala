@@ -98,25 +98,25 @@ object SqlFrontDoor {
     // version growth. Oracle = the identical aggregate over raw orders.
     Q("sql_snapshot_view",
       (s, dir) => {
-        import org.apache.spark.sql.functions.col
+        val tag = s"$dir@${graft.ext.Similarity.corpusVersion(dir, "orders")}"
         val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-sqlsnap-" + s"$dir@${graft.ext.Similarity.corpusVersion(dir, "orders")}"
-            .replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
-        SnapshotTable.commitClustered(s, root,
-          Tables(s, dir, "orders")
-            .select("o_orderkey", "o_orderstatus", "o_totalprice"),
-          Seq("o_orderkey"), numFiles = 16)
+          "graft-sqlsnap-" + tag.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+        // Read-only lineage: seed once per corpus, no reset needed
+        // (VERDICT r10 #5 — the clustered bootstrap was per-run setup).
+        SeededLineage.seed(s, root, tag) {
+          SnapshotTable.commitClustered(s, root,
+            Tables(s, dir, "orders")
+              .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            Seq("o_orderkey"), numFiles = 16)
+        }
         SnapshotTable.read(s, root).createOrReplaceTempView("snap_orders")
-        val out = s.sql(
+        s.sql(
           """SELECT o_orderstatus, count(*) AS cnt,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              FROM snap_orders
              WHERE o_orderkey BETWEEN 1000 AND 20000
              GROUP BY o_orderstatus
              ORDER BY o_orderstatus ASC NULLS FIRST""")
-          .localCheckpoint() // materialize before vacuum drops old versions
-        SnapshotTable.vacuum(s, root, keep = 1)
-        out
       },
       Some("""SELECT o_orderstatus, count(*) AS cnt,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1,0 +1,224 @@
+package graft.sql
+
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over the SnapshotTable format (VERDICT r10 #1): the
+  * registration that lets the reference's LITERAL SQL surface — `MERGE
+  * INTO` (main.py:349-358), `CREATE TABLE ... AS SELECT ... LIMIT 0`
+  * (main.py:369-373), `DELETE FROM` / `UPDATE`, `SELECT DISTINCT`
+  * (main.py:85-89) — execute through `spark.sql(...)` against tables this
+  * engine owns. Register with:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/wh")
+  *   // + spark.sql.extensions = graft.GraftExtensions (the DML lowering)
+  * }}}
+  *
+  * Identifier `graft.ns.t` maps to the SnapshotTable root
+  * `<warehouse>/ns/t`. The catalog serves NAME RESOLUTION and metadata
+  * (SHOW TABLES / DESCRIBE / EXISTS / DROP / time travel); the data paths
+  * — SELECT scans and every DML statement — are lowered by
+  * [[GraftSqlRule]] onto the EXISTING engine machinery
+  * ([[SnapshotTable.read]] with its file-skipping SnapshotFileIndex,
+  * `mergeInto`, `delete`, `update`, `commit`), so SQL strings and the
+  * Scala API share one commit protocol, one CDC record, one constraint
+  * gate. This is the Delta split (DeltaCatalog + DeltaAnalysis): the v2
+  * catalog carries identity, session-extension rules carry execution —
+  * which is what keeps micro-batch DataFrame plans, manifest-bound file
+  * skipping and copy-on-write DML available to SQL without re-implementing
+  * them as raw `PartitionReader`s. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-warehouse")
+        .getAbsolutePath)
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Path-safe segment: table/namespace names become directory names. */
+  private def seg(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("..") && !s.startsWith("."),
+      s"illegal identifier segment '$s'")
+    s
+  }
+
+  /** SnapshotTable root for an identifier (the catalog's single source of
+    * name→storage truth; exposed so tests and query fns can cross-check). */
+  def rootOf(ident: Identifier): String =
+    ((warehouse +: ident.namespace().toSeq.map(seg)) :+ seg(ident.name()))
+      .mkString("/")
+
+  private def dirOf(namespace: Array[String]): java.io.File =
+    new java.io.File((warehouse +: namespace.toSeq.map(seg)).mkString("/"))
+
+  private def isTable(root: String): Boolean =
+    SnapshotTable.currentVersion(spark, root).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    if (!dir.isDirectory) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    dir.listFiles().toSeq
+      .filter(f => f.isDirectory && new java.io.File(f, "_manifests").isDirectory)
+      .map(f => Identifier.of(namespace, f.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try isTable(rootOf(ident)) catch { case _: IllegalArgumentException => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftTable(root, s"$catalogName.$ident", asOf = None)
+  }
+
+  /** SQL time travel: `SELECT ... FROM graft.ns.t VERSION AS OF 3` — the
+    * manifest log already serves any retained version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftTable(root, s"$catalogName.$ident", asOf = Some(version.trim.toLong))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster via commitClustered/recluster, not partition transforms")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    // Empty version 0: a files-less manifest DECLARING the schema — the
+    // `CREATE TABLE ... LIMIT 0` bootstrap (reference main.py:369-373)
+    // without writing a single data byte.
+    SnapshotTable.commitEmpty(spark, root, schema)
+    new GraftTable(root, s"$catalogName.$ident", asOf = None)
+  }
+
+  /** ALTER TABLE surface, mapped onto the format's metadata-only DDL:
+    * RENAME COLUMN → [[SnapshotTable.renameColumn]] (column mapping),
+    * DROP COLUMN → [[SnapshotTable.dropColumn]] (tombstones). Other
+    * changes are refused loudly — adding columns is schema evolution's
+    * job on the next append/upsert, retypes are refused by design. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested rename unsupported")
+        SnapshotTable.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested drop unsupported")
+        SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on graft tables")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new org.apache.hadoop.fs.Path(rootOf(oldIdent))
+    val to = new org.apache.hadoop.fs.Path(rootOf(newIdent))
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // --- SupportsNamespaces (SHOW TABLES IN / CREATE NAMESPACE) --------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val wh = new java.io.File(warehouse)
+    if (!wh.isDirectory) Array.empty
+    else wh.listFiles().toSeq.filter(_.isDirectory)
+      .filterNot(f => new java.io.File(f, "_manifests").isDirectory)
+      .map(f => Array(f.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = dirOf(namespace)
+      if (!dir.isDirectory) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+      dir.listFiles().toSeq.filter(_.isDirectory)
+        .filterNot(f => new java.io.File(f, "_manifests").isDirectory)
+        .map(f => namespace :+ f.getName).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || dirOf(namespace).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    dirOf(namespace).mkdirs(); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace)
+    if (!dir.isDirectory) false
+    else {
+      require(cascade || dir.listFiles().isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
+
+/** Catalog-resolved handle to one SnapshotTable. Carries identity (root,
+  * optional pinned version) for [[GraftSqlRule]] to lower against; claims
+  * read/write capabilities so analysis-time capability checks pass — the
+  * rule replaces every touching plan before physical planning, which is
+  * where those capabilities would otherwise be exercised. */
+final class GraftTable(val root: String, ident: String,
+                       val asOf: Option[Long]) extends Table {
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType =
+    SnapshotTable.read(SparkSession.active, root, asOf).schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    m.put("location", root)
+    asOf.foreach(v => m.put("asOf", v.toString))
+    m
+  }
+}

@@ -1,0 +1,330 @@
+package graft.sql
+
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.{ColumnBridge, Frames}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Analyzer rule lowering SQL statements over [[GraftCatalog]] tables onto
+  * the SnapshotTable engine (VERDICT r10 #1). Spark's OWN parser produces
+  * the plans; this rule routes them, during resolution, to the existing
+  * commit machinery — the same split Delta ships (DeltaCatalog for
+  * identity, DeltaAnalysis for lowering):
+  *
+  *   - `SELECT ... FROM graft.ns.t [VERSION AS OF v]` — the v2 relation is
+  *     replaced by [[SnapshotTable.read]]'s plan (attribute ids preserved
+  *     via an aliasing Project), so SQL scans go through the SAME
+  *     HadoopFsRelation + SnapshotFileIndex as the Scala API: manifest-
+  *     bound file skipping, bloom pruning, column mapping — nothing
+  *     re-implemented (GraftCatalogSpec plan-gates the pruning);
+  *   - `MERGE INTO` (the reference's literal statement, main.py:349-358)
+  *     → [[SnapshotTable.mergeInto]] — file-granular copy-on-write + CDC;
+  *   - `DELETE FROM` / `UPDATE` → [[SnapshotTable.delete]]/`update`;
+  *   - `CREATE TABLE ... AS SELECT` (main.py:369-373, incl. `LIMIT 0`)
+  *     / `CREATE OR REPLACE TABLE ... AS SELECT` → snapshot commits;
+  *   - `INSERT INTO` → [[SnapshotTable.append]];
+  *     `INSERT OVERWRITE` (full) → a replace commit.
+  *
+  * DML statements wait (returned unchanged) until the analyzer has
+  * resolved their conditions against the v2 relation, then lower to
+  * eager leaf commands; everything that merely READS a graft table gets
+  * the scan substitution. Resolved condition/assignment expressions are
+  * rebased onto fresh frames by converting attribute references back to
+  * by-name unresolved attributes — subqueries inside DML conditions are
+  * refused loudly (the reference's surface has none). */
+class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def graftOf(plan: LogicalPlan): Option[GraftTable] = plan match {
+    case s: SubqueryAlias => graftOf(s.child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def noSubquery(e: Expression, what: String): Unit =
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft SQL $what does not support subqueries; rewrite as a join")
+
+  /** Resolved expression → Column that re-resolves BY NAME on a fresh
+    * frame (attribute ids from the statement's relation would dangle). */
+  private def byName(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** Like [[byName]] but qualifying each side of a MERGE onto the `t`/`s`
+    * aliases [[graft.ops.MergeInto]] joins under. */
+  private def bySide(e: Expression, target: MergeIntoTable): Column = {
+    val tgt = target.targetTable.outputSet
+    val src = target.sourceTable.outputSet
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if src.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    })
+  }
+
+  private def df(plan: LogicalPlan): DataFrame = Frames.ofRows(session, plan)
+
+  /** MERGE key columns from the ON condition: a conjunction of equality
+    * (or null-safe equality) between same-named target and source
+    * attributes — exactly the reference's `ON T._id = S._id` shape. */
+  private def keysOf(m: MergeIntoTable): Seq[String] = {
+    val tgt = m.targetTable.outputSet
+    val src = m.sourceTable.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference) => (l, r)
+      case EqualNullSafe(l: AttributeReference, r: AttributeReference) => (l, r)
+      case other => throw new UnsupportedOperationException(
+        s"MERGE INTO graft tables needs an equi-key ON clause; got: ${other.sql}")
+    }.map { case (l, r) =>
+      val (t, s) =
+        if (tgt.contains(l) && src.contains(r)) (l, r)
+        else if (tgt.contains(r) && src.contains(l)) (r, l)
+        else throw new UnsupportedOperationException(
+          s"MERGE ON must compare target to source: ${l.sql} = ${r.sql}")
+      require(t.name.equalsIgnoreCase(s.name),
+        s"MERGE ON must join same-named key columns (got ${t.name} = ${s.name})")
+      t.name
+    }
+  }
+
+  /** Is this assignment list the identity "take every column from the
+    * source" (what `UPDATE SET *` / `INSERT *` align to)? */
+  private def isStarAssignment(m: MergeIntoTable,
+                               assignments: Seq[Assignment]): Boolean = {
+    val src = m.sourceTable.outputSet
+    assignments.forall {
+      case Assignment(k: AttributeReference, v) =>
+        // Alignment may wrap the source attr in a declared-type cast.
+        val inner = v match {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => c.child
+          case other => other
+        }
+        inner match {
+          case a: AttributeReference =>
+            src.contains(a) && a.name.equalsIgnoreCase(k.name)
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  private def lowerMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
+    require(!m.withSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION is not supported; evolve via INSERT/upsert")
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+    (m.mergeCondition +: (m.matchedActions ++ m.notMatchedActions)
+      .flatMap(_.condition)).foreach(noSubquery(_, "MERGE"))
+    val keys = keysOf(m)
+    // Matched actions: the engine's clause algebra evaluates DELETE before
+    // UPDATE (MergeInto.result), so accept clause orders consistent with
+    // it — a DELETE listed first, or a single action of either kind.
+    var matchedDelete: Option[Column] = None
+    var matchedUpdate: Option[Option[Column]] = None
+    m.matchedActions.foreach {
+      case d: DeleteAction =>
+        require(matchedDelete.isEmpty, "at most one WHEN MATCHED ... DELETE")
+        require(matchedUpdate.isEmpty,
+          "graft MERGE evaluates DELETE before UPDATE; list the DELETE clause first")
+        matchedDelete = Some(d.condition.map(bySide(_, m))
+          .getOrElse(ColumnBridge.column(Literal(true))))
+      case u: UpdateStarAction =>
+        require(matchedUpdate.isEmpty, "at most one WHEN MATCHED ... UPDATE")
+        matchedUpdate = Some(u.condition.map(bySide(_, m)))
+      case u: UpdateAction =>
+        require(matchedUpdate.isEmpty, "at most one WHEN MATCHED ... UPDATE")
+        require(isStarAssignment(m, u.assignments),
+          "graft MERGE supports UPDATE SET * (all columns from source) only")
+        matchedUpdate = Some(u.condition.map(bySide(_, m)))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    var notMatchedInsert: Option[Option[Column]] = None
+    m.notMatchedActions.foreach {
+      case i: InsertStarAction =>
+        require(notMatchedInsert.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
+        notMatchedInsert = Some(i.condition.map(bySide(_, m)))
+      case i: InsertAction =>
+        require(notMatchedInsert.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
+        require(isStarAssignment(m, i.assignments),
+          "graft MERGE supports INSERT * (all columns from source) only")
+        notMatchedInsert = Some(i.condition.map(bySide(_, m)))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    GraftMergeCommand(t.root, df(m.sourceTable), keys,
+      matchedUpdate, matchedDelete, notMatchedInsert)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // ---- DML roots over graft tables: wait for resolution, then lower ----
+    case d: DeleteFromTable if graftOf(d.table).isDefined =>
+      if (!d.resolved) d
+      else {
+        noSubquery(d.condition, "DELETE")
+        GraftDeleteCommand(graftOf(d.table).get.root, byName(d.condition))
+      }
+
+    case u: UpdateTable if graftOf(u.table).isDefined =>
+      if (!u.resolved) u
+      else {
+        (u.condition.toSeq ++ u.assignments.map(_.value))
+          .foreach(noSubquery(_, "UPDATE"))
+        val set = u.assignments.map {
+          case Assignment(k: AttributeReference, v) => k.name -> byName(v)
+          case Assignment(k, _) => throw new UnsupportedOperationException(
+            s"UPDATE of nested field ${k.sql} is not supported")
+        }.toMap
+        GraftUpdateCommand(graftOf(u.table).get.root,
+          u.condition.map(byName).getOrElse(ColumnBridge.column(Literal(true))),
+          set)
+      }
+
+    case m: MergeIntoTable if graftOf(m.targetTable).isDefined =>
+      if (!m.resolved) m else lowerMerge(m, graftOf(m.targetTable).get)
+
+    // ---- writes ----------------------------------------------------------
+    case a: AppendData if graftOf(a.table).isDefined =>
+      if (!a.query.resolved) a
+      else GraftWriteCommand(graftOf(a.table).get.root, df(a.query),
+        mode = "append")
+
+    case o: OverwriteByExpression if graftOf(o.table).isDefined =>
+      if (!o.query.resolved) o
+      else {
+        require(o.deleteExpr == Literal(true) || o.deleteExpr == Literal.TrueLiteral,
+          "graft INSERT OVERWRITE supports full-table overwrite only")
+        GraftWriteCommand(graftOf(o.table).get.root, df(o.query),
+          mode = "overwrite")
+      }
+
+    // ---- DDL-with-query --------------------------------------------------
+    case c: CreateTableAsSelect => c.name match {
+      case ResolvedIdentifier(cat: GraftCatalog, ident) if c.query.resolved =>
+        require(c.partitioning.isEmpty,
+          "graft tables cluster via recluster, not partition transforms")
+        GraftCtasCommand(cat, ident, df(c.query),
+          replace = false, orCreate = c.ignoreIfExists)
+      case _ => c
+    }
+
+    case r: ReplaceTableAsSelect => r.name match {
+      case ResolvedIdentifier(cat: GraftCatalog, ident) if r.query.resolved =>
+        require(r.partitioning.isEmpty,
+          "graft tables cluster via recluster, not partition transforms")
+        GraftCtasCommand(cat, ident, df(r.query),
+          replace = true, orCreate = r.orCreate)
+      case _ => r
+    }
+
+    // ---- pure reads: substitute the engine's scan plan -------------------
+    case other => other.transformUpWithSubqueries {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val read = SnapshotTable.read(session, t.root, t.asOf)
+          .queryExecution.analyzed
+        require(read.output.length == r.output.length,
+          s"graft table ${t.name} changed arity mid-analysis")
+        // Preserve the relation's attribute ids: parents already reference
+        // them. The engine plan underneath carries the SnapshotFileIndex,
+        // so pushed filters file-skip exactly as the Scala API's reads do.
+        Project(r.output.zip(read.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }, read)
+    }
+  }
+}
+
+/** Eager command: SQL `DELETE FROM` → [[SnapshotTable.delete]] (file-
+  * granular copy-on-write, CDC, constraint gate — identical to the Scala
+  * API because it IS the Scala API). Returns the committed version. */
+case class GraftDeleteCommand(root: String, condition: Column)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(SnapshotTable.delete(spark, root, condition)))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+/** SQL `UPDATE` → [[SnapshotTable.update]]. */
+case class GraftUpdateCommand(root: String, condition: Column,
+                              set: Map[String, Column])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(SnapshotTable.update(spark, root, condition, set)))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+/** SQL `MERGE INTO` → [[SnapshotTable.mergeInto]] — the reference's
+  * literal statement (main.py:349-358) over the table format. */
+case class GraftMergeCommand(root: String, source: DataFrame,
+                             keys: Seq[String],
+                             matchedUpdate: Option[Option[Column]],
+                             matchedDelete: Option[Column],
+                             notMatchedInsert: Option[Option[Column]])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(SnapshotTable.mergeInto(spark, root, source,
+      keys, matchedUpdate, matchedDelete, notMatchedInsert)))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+/** SQL `INSERT INTO` (append) / `INSERT OVERWRITE` (replace commit). */
+case class GraftWriteCommand(root: String, data: DataFrame, mode: String)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val v = mode match {
+      case "append" => SnapshotTable.append(spark, root, data)
+      case _ => SnapshotTable.commit(spark, root, data)
+    }
+    Seq(org.apache.spark.sql.Row(v))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+/** SQL `CREATE [OR REPLACE] TABLE ... AS SELECT` — the reference's
+  * bootstrap statement (main.py:369-373; `LIMIT 0` lands an empty-but-
+  * schema-bearing version 0). REPLACE commits the new rows as the next
+  * version — history and time travel survive, like Delta's CREATE OR
+  * REPLACE. */
+case class GraftCtasCommand(catalog: GraftCatalog,
+                            ident: org.apache.spark.sql.connector.catalog.Identifier,
+                            data: DataFrame, replace: Boolean, orCreate: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = catalog.rootOf(ident)
+    val exists = SnapshotTable.currentVersion(spark, root).isDefined
+    val v =
+      if (exists && !replace) {
+        if (orCreate) SnapshotTable.currentVersion(spark, root).get // IF NOT EXISTS: no-op
+        else throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          ident.toString)
+      } else SnapshotTable.commit(spark, root, data)
+    Seq(org.apache.spark.sql.Row(v))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+object GraftSqlCommands {
+  private[sql] def versionOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+}

@@ -1,0 +1,154 @@
+package graft.sql
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-gated inventory queries for the SQL-string DML surface (VERDICT
+  * r10 #1 done-criteria): the reference's literal statements — `MERGE
+  * INTO` (main.py:349-358), `CREATE TABLE ... AS SELECT [LIMIT 0]`
+  * (main.py:369-373), `DELETE FROM`, `UPDATE`, `INSERT INTO` — executed
+  * by `spark.sql` through [[GraftCatalog]]/[[GraftSqlRule]] onto the
+  * SnapshotTable machinery, hash-checked against DuckDB rewrites of the
+  * same clause algebra.
+  *
+  * Rerun-stability: every lineage re-seeds its table per run (`CREATE OR
+  * REPLACE` / `DROP IF EXISTS`), so verify passes and bench min-of-N see
+  * identical results; table NAMES carry the corpus version so the three
+  * SF corpora never share state. Old versions are vacuumed at query end
+  * to bound tmp growth. */
+object SqlDml {
+
+  private def tag(s: SparkSession, dir: String): String =
+    s"$dir@${graft.ext.Similarity.corpusVersion(dir, "orders")}"
+      .replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Register fixtures + catalog, run the statements, return the last
+    * result materialized (localCheckpoint) so the caller can vacuum. */
+  private def run(s: SparkSession, dir: String, table: String,
+                  statements: Seq[String], vacuum: Boolean): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.ensureCatalog(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    val out = statements.map(s.sql).last.localCheckpoint()
+    if (vacuum) graft.ops.SnapshotTable.vacuum(s,
+      s"${GraftSql.defaultWarehouse}/dml/$table", keep = 1)
+    out
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // The reference's MERGE statement (main.py:349-358) with SQL-standard
+    // conditional arms, parsed by Spark and lowered onto the file-granular
+    // mergeInto commit. Oracle = the same clause algebra as an explicit
+    // FULL OUTER JOIN + CASE (dialect-portable), identical to
+    // x_merge_into_table's — so hash-green pins SQL string == Scala API ==
+    // clause algebra across three engines' surfaces.
+    Q("sql_merge_into_table",
+      (s, dir) => {
+        val t = s"orders_m_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderkey % 4 <> 3""",
+          s"""MERGE INTO graft.dml.$t t
+              USING (SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                       o_orderstatus AS st
+                     FROM orders WHERE o_orderkey % 2 = 0) s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND s.st = 'F' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED AND s.price > 150000 THEN INSERT *""",
+          s"""SELECT o_orderkey, CAST(price AS DOUBLE) AS price, st
+              FROM graft.dml.$t
+              ORDER BY o_orderkey ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 4 <> 3),
+              s AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 2 = 0),
+              m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      t.o_orderkey IS NOT NULL AS tp, s.o_orderkey IS NOT NULL AS sp,
+                      t.price AS tprice, t.st AS tst, s.price AS sprice, s.st AS sst
+                    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+              SELECT o_orderkey,
+                CAST(CASE WHEN (sp AND NOT tp) OR (tp AND sp AND sst <> 'F')
+                     THEN sprice ELSE tprice END AS DOUBLE) AS price,
+                CASE WHEN (sp AND NOT tp) OR (tp AND sp AND sst <> 'F')
+                     THEN sst ELSE tst END AS st
+              FROM m
+              WHERE (tp AND NOT sp)
+                 OR (tp AND sp AND sst <> 'F')
+                 OR (sp AND NOT tp AND sprice > 150000)
+              ORDER BY o_orderkey ASC NULLS FIRST""")),
+
+    // SQL UPDATE + DELETE strings over the table format: predicate UPDATE
+    // rewrites only touched files, DELETE drops matching rows (SQL NULL
+    // semantics), both with CDC. Oracle = the CASE/anti-filter rewrite.
+    Q("sql_update_delete",
+      (s, dir) => {
+        val t = s"orders_du_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""UPDATE graft.dml.$t
+              SET price = CAST(price * 2 AS DECIMAL(18,2))
+              WHERE st = 'F' AND o_orderkey % 10 = 0""",
+          s"DELETE FROM graft.dml.$t WHERE st = 'O' AND o_orderkey % 7 = 0",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st FROM orders),
+              u AS (SELECT o_orderkey,
+                      CASE WHEN st = 'F' AND o_orderkey % 10 = 0
+                           THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END AS price,
+                      st
+                    FROM t),
+              d AS (SELECT * FROM u WHERE NOT (st = 'O' AND o_orderkey % 7 = 0))
+              SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM d GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
+    // The reference's BOOTSTRAP lifecycle (main.py:367-381): target table
+    // missing -> CREATE TABLE ... AS SELECT ... LIMIT 0 (schema-bearing,
+    // empty) -> MERGE lands everything as inserts -> later INSERT INTO
+    // appends. Oracle = the union of both feeds.
+    Q("sql_ctas_bootstrap",
+      (s, dir) => {
+        val t = s"orders_boot_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t AS
+              SELECT o_orderkey, o_orderstatus AS st FROM orders LIMIT 0""",
+          s"""MERGE INTO graft.dml.$t t
+              USING (SELECT o_orderkey, o_orderstatus AS st
+                     FROM orders WHERE o_orderkey % 5 = 0) s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""",
+          s"""INSERT INTO graft.dml.$t
+              SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 1""",
+          s"""SELECT st, count(*) AS cnt
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = false)
+      },
+      Some("""WITH m AS (SELECT o_orderkey, o_orderstatus AS st
+                     FROM orders WHERE o_orderkey % 5 = 0
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus AS st
+                     FROM orders WHERE o_orderkey % 5 = 1)
+              SELECT st, count(*) AS cnt FROM m GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""))
+  )
+}

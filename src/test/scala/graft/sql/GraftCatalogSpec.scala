@@ -1,0 +1,169 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ops.{SnapshotFileIndex, SnapshotTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** SQL-string DML/DDL over the table format (VERDICT r10 #1): Spark's own
+  * parser resolves `graft.<ns>.<t>` through [[GraftCatalog]] and
+  * [[GraftSqlRule]] lowers every statement onto the SnapshotTable commit
+  * machinery — same CDC, same constraint gate, same file-skipping reads
+  * as the Scala API. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftSql.ensureCatalog(spark)
+
+  private def sql(s: String): DataFrame = spark.sql(s)
+
+  private def fresh(ns: String): String = {
+    sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+    sql(s"CREATE NAMESPACE graft.$ns")
+    ns
+  }
+
+  test("CTAS bootstraps; SELECT/INSERT/DESCRIBE/SHOW/DROP round-trip through the catalog") {
+    val ns = fresh("cat1")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("cat1_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat1_seed")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 2L)
+    assert(sql(s"SHOW TABLES IN graft.$ns").collect().map(_.getString(1)).toSet == Set("t"))
+    assert(sql(s"DESCRIBE TABLE graft.$ns.t").collect()
+      .map(_.getString(0)).toSet.intersect(Set("k", "g", "v")).size == 3)
+
+    sql(s"INSERT INTO graft.$ns.t SELECT 3L AS k, 'c' AS g, 30.0 AS v")
+    assert(sql(s"SELECT sum(k) AS s FROM graft.$ns.t").head().getLong(0) == 6L)
+    // INSERT is an append COMMIT: version advanced, history shows it
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    assert(SnapshotTable.currentVersion(spark, root).contains(1L))
+    assert(SnapshotTable.history(spark, root).filter(col("kind") === "append").count() == 1)
+
+    // the reference's bootstrap shape: CTAS ... LIMIT 0 => empty, schema-bearing
+    sql(s"CREATE TABLE graft.$ns.empty AS SELECT * FROM cat1_seed LIMIT 0")
+    assert(sql(s"SELECT * FROM graft.$ns.empty").columns.toSeq == Seq("k", "g", "v"))
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.empty").head().getLong(0) == 0L)
+    // ... and it accepts a first INSERT (append onto the empty version 0)
+    sql(s"INSERT INTO graft.$ns.empty SELECT * FROM cat1_seed")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.empty").head().getLong(0) == 2L)
+
+    sql(s"DROP TABLE graft.$ns.empty")
+    assert(!spark.catalog.tableExists(s"graft.$ns.empty"))
+    assert(sql(s"SHOW TABLES IN graft.$ns").collect().map(_.getString(1)).toSet == Set("t"))
+  }
+
+  test("SQL MERGE INTO lowers onto SnapshotTable.mergeInto: clause algebra == DataFrame twin, CDC recorded") {
+    val ns = fresh("cat2")
+    val tgt = Seq((1L, 100.0, "O"), (2L, 200.0, "F"), (3L, 300.0, "O"))
+      .toDF("k", "price", "st")
+    val src = Seq((2L, 222.0, "F"), (3L, 333.0, "O"), (4L, 444.0, "O"),
+      (5L, 50.0, "O")).toDF("k", "price", "st")
+    tgt.createOrReplaceTempView("cat2_tgt")
+    src.createOrReplaceTempView("cat2_src")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat2_tgt")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    val v0 = SnapshotTable.currentVersion(spark, root).get
+
+    // the reference's statement shape (main.py:349-358) + conditional arms
+    sql(s"""MERGE INTO graft.$ns.t t
+            USING cat2_src s
+            ON t.k = s.k
+            WHEN MATCHED AND s.st = 'F' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.price > 100 THEN INSERT *""")
+
+    // DataFrame twin of the same clause algebra
+    val want = graft.ops.MergeInto.into(tgt).using(src)
+      .on("k")
+      .whenMatchedDelete(col("s.st") === "F")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll(Some(col("s.price") > 100))
+      .result().collect().map(_.toString).toSet
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect().map(_.toString).toSet
+    assert(got == want, s"SQL MERGE != DataFrame MERGE: $got vs $want")
+
+    // the commit recorded row-level CDC (retraction form)
+    val v1 = SnapshotTable.currentVersion(spark, root).get
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(removes.count() == 2L, "delete k=2 pre-image + update k=3 pre-image")
+    assert(adds.count() == 2L, "update k=3 post-image + insert k=4")
+  }
+
+  test("SQL DELETE FROM and UPDATE lower onto the file-granular DML ops") {
+    val ns = fresh("cat3")
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("cat3_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat3_seed")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+
+    sql(s"UPDATE graft.$ns.t SET v = v * 10 WHERE k <= 3")
+    sql(s"DELETE FROM graft.$ns.t WHERE k > 35")
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 35)
+    assert(got(1L) == 10.0 && got(3L) == 30.0 && got(4L) == 4.0)
+    assert(!got.contains(36L))
+    // the UPDATE and DELETE commits both carry CDC pre/post images (the
+    // CTAS bootstrap records none — a full snapshot is its own delta)
+    val hist = SnapshotTable.history(spark, root)
+    assert(hist.filter(col("has_cdc")).count() == 2)
+  }
+
+  test("catalog SELECT file-skips through SnapshotFileIndex (plan-gated); VERSION AS OF time travel") {
+    val ns = fresh("cat4")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    // clustered bootstrap via the Scala API; SQL reads it through the catalog
+    SnapshotTable.commitClustered(spark, root,
+      (1L to 4000L).map(k => (k, k * 2.0)).toDF("k", "v"), Seq("k"), numFiles = 8)
+    val q = sql(s"SELECT sum(k) AS s FROM graft.$ns.t WHERE k BETWEEN 10 AND 20")
+    assert(q.head().getLong(0) == (10L to 20L).sum)
+    // The substituted scan is the ENGINE's read path: find its file index
+    // and assert the WHERE pruned files at planning.
+    val idx = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(HadoopFsRelation(i: SnapshotFileIndex, _, _, _, _, _), _, _, _, _) => i
+    }
+    assert(idx.nonEmpty, "catalog SELECT must plan through SnapshotFileIndex")
+    assert(idx.head.lastSelected > 0 && idx.head.lastSelected < idx.head.totalFiles,
+      s"key-range WHERE must file-skip: ${idx.head.lastSelected}/${idx.head.totalFiles}")
+
+    // time travel: version 0 before an UPDATE
+    sql(s"UPDATE graft.$ns.t SET v = 0.0 WHERE k = 1")
+    assert(sql(s"SELECT v FROM graft.$ns.t WHERE k = 1").head().getDouble(0) == 0.0)
+    assert(sql(s"SELECT v FROM graft.$ns.t VERSION AS OF 0 WHERE k = 1")
+      .head().getDouble(0) == 2.0)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN ride column mapping; INSERT OVERWRITE replaces") {
+    val ns = fresh("cat5")
+    Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "tag", "w")
+      .createOrReplaceTempView("cat5_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat5_seed")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+
+    sql(s"ALTER TABLE graft.$ns.t RENAME COLUMN tag TO label")
+    assert(sql(s"SELECT label FROM graft.$ns.t WHERE k = 1").head().getString(0) == "x")
+    assert(SnapshotTable.columnMapping(spark, root).nonEmpty)
+    sql(s"ALTER TABLE graft.$ns.t DROP COLUMN w")
+    assert(sql(s"SELECT * FROM graft.$ns.t").columns.toSeq == Seq("k", "label"))
+
+    sql(s"INSERT OVERWRITE graft.$ns.t SELECT 9L AS k, 'z' AS label")
+    val rows = sql(s"SELECT * FROM graft.$ns.t").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT commits a new version; history survives") {
+    val ns = fresh("cat6")
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat6_a")
+    Seq((2L, 2.0), (3L, 3.0)).toDF("k", "v").createOrReplaceTempView("cat6_b")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat6_a")
+    sql(s"CREATE OR REPLACE TABLE graft.$ns.t AS SELECT * FROM cat6_b")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 2L)
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    assert(SnapshotTable.currentVersion(spark, root).contains(1L))
+    // the replaced state is still time-travelable until vacuum
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t VERSION AS OF 0")
+      .head().getLong(0) == 1L)
+  }
+}
