@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog SELECT scans onto the file-skipping SnapshotFileIndex read
     // path. Pair with spark.sql.catalog.graft = graft.sql.GraftCatalog.
     e.injectResolutionRule(session => new graft.sql.GraftSqlRule(session))
+    // Maintenance statements Spark has no grammar for (VACUUM / OPTIMIZE /
+    // RESTORE TABLE ... TO VERSION AS OF / DESCRIBE HISTORY) — the Delta
+    // parser-wrapper pattern; everything else delegates untouched.
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     e.injectFunction((
       new FunctionIdentifier("clean_html"),
       new ExpressionInfo(classOf[CleanHtml].getName, "clean_html"),

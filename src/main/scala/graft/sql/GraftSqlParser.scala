@@ -1,0 +1,163 @@
+package graft.sql
+
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.types._
+
+/** Parser extension for the table-MAINTENANCE statements vanilla Spark has
+  * no grammar for (the Delta pattern: DeltaSqlParser wraps the session
+  * parser and owns VACUUM/OPTIMIZE/RESTORE/DESCRIBE HISTORY; everything
+  * else delegates). With this, a reference user's ENTIRE operational
+  * vocabulary is SQL strings:
+  *
+  * {{{
+  *   VACUUM graft.ns.t [RETAIN 3 VERSIONS] [FORCE]
+  *   OPTIMIZE graft.ns.t [ZORDER BY (a, b)]          -- compact / recluster
+  *   RESTORE TABLE graft.ns.t TO VERSION AS OF 4 [WITH CDC]
+  *   DESCRIBE HISTORY graft.ns.t
+  * }}}
+  *
+  * The grammar here is four fixed statement shapes over a dotted
+  * identifier — matched with anchored regexes rather than a generated
+  * parser, which is the honest scope (Delta's ANTLR grammar exists to
+  * host dozens of statements; these four don't earn one). Identifiers are
+  * plain (unquoted) parts; anything else falls through to Spark's parser
+  * and its normal error. Each statement lowers to an eager command on the
+  * SAME engine entry points the Scala API calls. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText.trim match {
+      case VacuumRe(table, retain, force) =>
+        Some(GraftVacuumCommand(parts(table),
+          Option(retain).map(_.toInt).getOrElse(1), force != null))
+      case OptimizeRe(table, zcols) =>
+        Some(GraftOptimizeCommand(parts(table),
+          Option(zcols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
+      case RestoreRe(table, version, withCdc) =>
+        Some(GraftRestoreCommand(parts(table), version.toLong, withCdc != null))
+      case HistoryRe(table) =>
+        Some(GraftHistoryCommand(parts(table)))
+      case _ => None
+    }
+
+  private def parts(dotted: String): Seq[String] =
+    dotted.split("\\.").toSeq.map(_.trim)
+
+  // --- pure delegation ------------------------------------------------------
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  private val Id = raw"([\w.]+)"
+  val VacuumRe =
+    raw"(?is)VACUUM\s+$Id(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?".r
+  val OptimizeRe =
+    raw"(?is)OPTIMIZE\s+$Id(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?".r
+  val RestoreRe =
+    raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)(\s+WITH\s+CDC)?\s*;?".r
+  val HistoryRe = raw"(?is)DESCRIBE\s+HISTORY\s+$Id\s*;?".r
+
+  /** Resolve a dotted name's catalog to [[GraftCatalog]] and the table to
+    * its root — at RUN time (the parser must not touch the catalog:
+    * statements parse before any session state is consulted, the same
+    * order Spark itself uses). */
+  private[sql] def rootOf(spark: SparkSession, nameParts: Seq[String]): String = {
+    require(nameParts.length >= 2,
+      s"graft maintenance statements need catalog.[ns.]table, got ${nameParts.mkString(".")}")
+    val cat = spark.sessionState.catalogManager.catalog(nameParts.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"${nameParts.head} is not a graft catalog (${other.getClass.getName})")
+    }
+    cat.rootOf(Identifier.of(nameParts.slice(1, nameParts.length - 1).toArray,
+      nameParts.last))
+  }
+
+  private[sql] def versionOutput: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `VACUUM t [RETAIN n VERSIONS] [FORCE]` → [[SnapshotTable.vacuum]] —
+  * subscriber-watermark clamp included unless FORCE. */
+case class GraftVacuumCommand(nameParts: Seq[String], keep: Int, force: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    SnapshotTable.vacuum(spark, GraftSqlParser.rootOf(spark, nameParts),
+      keep = keep, force = force)
+    Seq.empty
+  }
+  override val output: Seq[Attribute] = Nil
+}
+
+/** `OPTIMIZE t` → [[SnapshotTable.compact]] (bin-pack);
+  * `OPTIMIZE t ZORDER BY (a, b)` → Morton-curve [[SnapshotTable.recluster]].
+  * Returns the committed version (-1 = already within bounds). */
+case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v =
+      if (zorderBy.nonEmpty) SnapshotTable.recluster(spark, root, zorderBy,
+        zorder = zorderBy.size >= 2)
+      else SnapshotTable.compact(spark, root, maxFiles = 64).getOrElse(-1L)
+    Seq(org.apache.spark.sql.Row(v))
+  }
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF v [WITH CDC]` →
+  * [[SnapshotTable.restore]] (WITH CDC = the round-11 subscriber bridge). */
+case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Long,
+                               withCdc: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(SnapshotTable.restore(spark,
+      GraftSqlParser.rootOf(spark, nameParts), toVersion, withCdc)))
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+}
+
+/** `DESCRIBE HISTORY t` → [[SnapshotTable.history]]'s audit rows (driver-
+  * sized: O(retained versions), vacuum bounds it). */
+case class GraftHistoryCommand(nameParts: Seq[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    SnapshotTable.history(spark, GraftSqlParser.rootOf(spark, nameParts))
+      .collect().toSeq
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("txn_app_id", StringType)(),
+    AttributeReference("txn_batch_id", LongType)(),
+    AttributeReference("has_cdc", BooleanType, nullable = false)(),
+    AttributeReference("columns", ArrayType(StringType))(),
+    AttributeReference("constraints", ArrayType(StringType))(),
+    AttributeReference("bloom_on", ArrayType(StringType))(),
+    AttributeReference("committed_at", TimestampType)())
+}

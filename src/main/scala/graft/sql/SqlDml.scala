@@ -119,6 +119,42 @@ object SqlDml {
               FROM d GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // The MAINTENANCE statement grammar (round-11 parser extension) in one
+    // lineage: CTAS seed -> a deliberately wide INSERT (REPARTITION hint
+    // past the compaction bound) -> OPTIMIZE (bin-pack) -> RESTORE ... ->
+    // re-OPTIMIZE ZORDER BY -> VACUUM -> key-range aggregate. Oracle = the
+    // same aggregate over raw orders: maintenance must move ZERO rows
+    // whatever it does to files and versions.
+    Q("sql_maintenance_lineage",
+      (s, dir) => {
+        val t = s"orders_mnt_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderkey % 3 <> 0""",
+          s"""INSERT INTO graft.dml.$t
+              SELECT /*+ REPARTITION(80) */ o_orderkey,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderkey % 3 = 0""",
+          s"OPTIMIZE graft.dml.$t",
+          s"OPTIMIZE graft.dml.$t ZORDER BY (o_orderkey, price)",
+          s"VACUUM graft.dml.$t RETAIN 1 VERSIONS FORCE",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              WHERE o_orderkey BETWEEN 1000 AND 50000
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = false)
+      },
+      Some("""SELECT o_orderstatus AS st, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders
+              WHERE o_orderkey BETWEEN 1000 AND 50000
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
     // The reference's BOOTSTRAP lifecycle (main.py:367-381): target table
     // missing -> CREATE TABLE ... AS SELECT ... LIMIT 0 (schema-bearing,
     // empty) -> MERGE lands everything as inserts -> later INSERT INTO

@@ -1,0 +1,107 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** The maintenance-statement grammar (round 11 parser extension): VACUUM /
+  * OPTIMIZE [ZORDER BY] / RESTORE TABLE ... TO VERSION AS OF [WITH CDC] /
+  * DESCRIBE HISTORY, each lowering onto the Scala API's entry point —
+  * plus proof the wrapper delegates everything else untouched. */
+class GraftMaintenanceSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftSql.ensureCatalog(spark)
+
+  private def fresh(ns: String): String = {
+    spark.sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    ns
+  }
+
+  test("OPTIMIZE compacts; DESCRIBE HISTORY audits; VACUUM retains by count and respects FORCE") {
+    val ns = fresh("mnt1")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    Seq((0L, 0.0)).toDF("k", "v").createOrReplaceTempView("mnt1_seed")
+    spark.sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM mnt1_seed")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.$ns.t SELECT ${i}L AS k, $i.0 AS v"))
+    // within the 64-file compaction bound: OPTIMIZE is a no-op (-1)
+    assert(spark.sql(s"OPTIMIZE graft.$ns.t").head().getLong(0) == -1L)
+    // ... a wide append pushes past it and OPTIMIZE bin-packs
+    spark.sql(s"INSERT INTO graft.$ns.t " +
+      s"SELECT /*+ REPARTITION(80) */ id + 10 AS k, CAST(id AS DOUBLE) AS v " +
+      s"FROM range(200)")
+    val filesBefore = SnapshotTable.read(spark, root).inputFiles.length
+    assert(filesBefore > 64, s"setup must exceed the bound (got $filesBefore)")
+    val vOpt = spark.sql(s"OPTIMIZE graft.$ns.t").head().getLong(0)
+    assert(vOpt > 0)
+    assert(SnapshotTable.read(spark, root).inputFiles.length <= 64)
+
+    // DESCRIBE HISTORY: every commit audited with kinds; SQL rows == API rows
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.$ns.t").collect()
+    val api = SnapshotTable.history(spark, root).collect()
+    assert(hist.length == api.length && hist.length >= 7)
+    assert(hist.map(_.getString(1)).count(_ == "append") == 5)
+
+    // VACUUM RETAIN 2 VERSIONS
+    spark.sql(s"VACUUM graft.$ns.t RETAIN 2 VERSIONS")
+    assert(spark.sql(s"DESCRIBE HISTORY graft.$ns.t").count() == 2)
+
+    // a lagging subscriber clamps SQL VACUUM too; FORCE overrides
+    val cur = SnapshotTable.currentVersion(spark, root).get
+    SnapshotTable.appendOnce(spark, root, Seq((999L, 9.0)).toDF("k", "v"), "m1", 0L)
+    SnapshotTable.registerSubscriber(spark, root, "lagger", cur)
+    spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS")
+    assert(spark.sql(s"DESCRIBE HISTORY graft.$ns.t").count() == 2,
+      "watermark must retain the lagging subscriber's anchor")
+    spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS FORCE")
+    assert(spark.sql(s"DESCRIBE HISTORY graft.$ns.t").count() == 1)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.t").head().getLong(0) == 206L)
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters (file skipping restored); RESTORE TO VERSION AS OF rewinds") {
+    val ns = fresh("mnt2")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    // interleaved appends: every file spans the whole key range
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(spark, root,
+        (0L until 4000L).filter(_ % 4 == i).map(k => (k, k % 97, k * 1.0))
+          .toDF("k", "b", "v").repartition(4))
+    }
+    val (pre, preIdx) = SnapshotTable.readTracked(spark, root)
+    pre.filter(col("k") === 7L && col("b") === 7L).collect()
+    val preRatio = preIdx.map(i => i.lastSelected.toDouble / i.totalFiles).get
+
+    val vz = spark.sql(s"OPTIMIZE graft.$ns.t ZORDER BY (k, b)").head().getLong(0)
+    assert(vz > 0)
+    val (post, postIdx) = SnapshotTable.readTracked(spark, root)
+    post.filter(col("k") === 7L && col("b") === 7L).collect()
+    val postRatio = postIdx.map(i => i.lastSelected.toDouble / i.totalFiles).get
+    assert(postRatio < preRatio && postRatio < 0.5,
+      s"z-order must TIGHTEN two-dimension skipping: pre=$preRatio post=$postRatio")
+
+    // RESTORE: rows rewind, history survives, WITH CDC refused on schema drift
+    val before = SnapshotTable.rowCount(spark, root)
+    SnapshotTable.delete(spark, root, col("k") < 2000L)
+    spark.sql(s"RESTORE TABLE graft.$ns.t TO VERSION AS OF $vz")
+    assert(SnapshotTable.rowCount(spark, root) == before)
+    // the WITH CDC form flows through to restore(withCdc = true)
+    SnapshotTable.delete(spark, root, col("k") === 0L)
+    val target = SnapshotTable.currentVersion(spark, root).get - 1
+    spark.sql(s"RESTORE TABLE graft.$ns.t TO VERSION AS OF $target WITH CDC")
+    val v = SnapshotTable.currentVersion(spark, root).get
+    assert(SnapshotTable.changesDelta(spark, root, v - 1, Some(v)).isDefined,
+      "WITH CDC must record the synthetic retraction+reinsert delta")
+  }
+
+  test("non-maintenance SQL delegates untouched (including parse errors)") {
+    assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SELEC 1")
+    }
+    // VACUUM over a non-graft catalog name fails loudly at run, not parse
+    val e = intercept[Exception] { spark.sql("VACUUM spark_catalog.default.x") }
+    assert(e.getMessage.contains("not a graft catalog"), e.getMessage)
+  }
+}
