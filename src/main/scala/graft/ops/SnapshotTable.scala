@@ -587,6 +587,15 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Declared CHECK constraints (name → SQL) at `asOf` — the public read
+    * surface (DESCRIBE / the SQL catalog's `Table.constraints`). */
+  def checkConstraints(spark: SparkSession, root: String,
+                       asOf: Option[Long] = None): Map[String, String] = {
+    val v = asOf.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    constraintsOf(spark, root, v)
+  }
+
   /** Remove a named CHECK constraint (metadata-only). */
   def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {
     var attempt = 0

@@ -108,11 +108,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(root, s"$catalogName.$ident", asOf = None)
   }
 
+  /** The catalog supports declared table constraints (`ALTER TABLE ...
+    * ADD CONSTRAINT c CHECK (...)` parses only when this is claimed). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** ALTER TABLE surface, mapped onto the format's metadata-only DDL:
     * RENAME COLUMN → [[SnapshotTable.renameColumn]] (column mapping),
-    * DROP COLUMN → [[SnapshotTable.dropColumn]] (tombstones). Other
-    * changes are refused loudly — adding columns is schema evolution's
-    * job on the next append/upsert, retypes are refused by design. */
+    * DROP COLUMN → [[SnapshotTable.dropColumn]] (tombstones),
+    * ADD/DROP CONSTRAINT ... CHECK → the engine's commit-gating CHECK
+    * machinery (declaration validates existing rows; every later commit
+    * enforces pre-CAS). Other changes are refused loudly — adding
+    * columns is schema evolution's job on the next append/upsert,
+    * retypes are refused by design, and non-CHECK constraint kinds
+    * (PK/FK/UNIQUE) have no enforcement story in this engine. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
@@ -123,6 +134,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested drop unsupported")
         SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          SnapshotTable.setCheckConstraint(spark, root, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are enforceable here, got ${other.toDDL}")
+      }
+      case d: TableChange.DropConstraint =>
+        if (!d.ifExists() ||
+            SnapshotTable.checkConstraints(spark, root).contains(d.name()))
+          SnapshotTable.dropCheckConstraint(spark, root, d.name())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft tables")
     }
@@ -221,4 +242,15 @@ final class GraftTable(val root: String, ident: String,
     asOf.foreach(v => m.put("asOf", v.toString))
     m
   }
+
+  /** Declared CHECK constraints, surfaced through the v2 metadata API
+    * (DESCRIBE, duplicate-name checks on ADD CONSTRAINT). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    SnapshotTable.checkConstraints(SparkSession.active, root, asOf)
+      .toSeq.sortBy(_._1).map { case (name, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(name).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
 }

@@ -231,6 +231,32 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => r
     }
 
+    // ---- ALTER TABLE ... ADD CONSTRAINT ... CHECK -------------------------
+    // The parser ships this as AddCheckConstraint over a VALIDATION QUERY
+    // (Filter(NOT check, relation)) that Spark would execute through a v2
+    // scan the GraftTable deliberately doesn't implement; the engine's
+    // setCheckConstraint performs the same existing-rows validation
+    // through ITS read path (file-index scan) and the same commit gate —
+    // lower directly, digging the relation out of the validation plan.
+    case a: AddCheckConstraint =>
+      val target = a.child.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          r.table.asInstanceOf[GraftTable]
+      }
+      target match {
+        case None => a
+        case Some(t) =>
+          GraftAddConstraintCommand(t.root,
+            a.checkConstraint.userProvidedName, a.checkConstraint.condition)
+      }
+
+    // Remaining ALTER TABLE forms (RENAME/DROP COLUMN, DROP CONSTRAINT):
+    // leave untouched — the built-in exec routes their TableChanges to
+    // GraftCatalog.alterTable with no scan involved, and substituting our
+    // read plan under them would hand ResolveSessionCatalog a
+    // LogicalRelation without a catalogTable.
+    case at: AlterTableCommand => at
+
     // ---- pure reads: substitute the engine's scan plan -------------------
     case other => other.transformUpWithSubqueries {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
@@ -281,6 +307,18 @@ case class GraftMergeCommand(root: String, source: DataFrame,
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
     Seq(org.apache.spark.sql.Row(SnapshotTable.mergeInto(spark, root, source,
       keys, matchedUpdate, matchedDelete, notMatchedInsert)))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+/** SQL `ALTER TABLE ... ADD CONSTRAINT name CHECK (sql)` →
+  * [[SnapshotTable.setCheckConstraint]] (validates existing rows through
+  * the engine's read path, then gates every later commit pre-CAS). */
+case class GraftAddConstraintCommand(root: String, name: String, checkSql: String)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(
+      SnapshotTable.setCheckConstraint(spark, root, name, checkSql)))
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftSqlCommands.versionOutput
 }

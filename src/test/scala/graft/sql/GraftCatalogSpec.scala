@@ -153,6 +153,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 9L)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT CHECK rides the commit gate (SQL surface)") {
+    val ns = fresh("cat7")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").createOrReplaceTempView("cat7_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat7_seed")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+
+    sql(s"ALTER TABLE graft.$ns.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(SnapshotTable.checkConstraints(spark, root).get("v_pos").exists(_.contains("v")),
+      "the SQL-declared CHECK must land in the manifest")
+    // the gate enforces on the next commit — a violating INSERT is rejected atomically
+    val before = SnapshotTable.currentVersion(spark, root).get
+    intercept[Exception] {
+      sql(s"INSERT INTO graft.$ns.t SELECT 3L AS k, -1.0 AS v")
+    }
+    assert(SnapshotTable.currentVersion(spark, root).contains(before),
+      "a rejected commit must leave zero trace")
+    sql(s"INSERT INTO graft.$ns.t SELECT 3L AS k, 30.0 AS v")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 3L)
+    // declaring a CHECK the data already violates fails loudly
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.$ns.t ADD CONSTRAINT v_big CHECK (v > 15)")
+    }
+    sql(s"ALTER TABLE graft.$ns.t DROP CONSTRAINT v_pos")
+    assert(SnapshotTable.checkConstraints(spark, root).isEmpty)
+    sql(s"INSERT INTO graft.$ns.t SELECT 4L AS k, -4.0 AS v") // gate gone
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 4L)
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT commits a new version; history survives") {
     val ns = fresh("cat6")
     Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat6_a")
