@@ -137,9 +137,25 @@ final class CdfSource(spark: SparkSession, root: String, startVersion: Long,
 class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdf"
 
+  /** Table addressed by ROOT PATH (`root`) or by CATALOG NAME (`table` =
+    * `graft.ns.t`, resolved through the session's registered
+    * [[graft.sql.GraftCatalog]]) — the latter is how a SQL-surface user
+    * names the table everywhere else. */
   private def rootOf(params: Map[String, String]): String =
-    params.getOrElse("root", throw new IllegalArgumentException(
-      "graft-cdf needs option 'root' = the SnapshotTable root path"))
+    params.get("root").orElse(params.get("table").map { name =>
+      val parts = name.split("\\.").toSeq
+      require(parts.length >= 2,
+        s"graft-cdf option 'table' needs catalog.[ns.]table, got $name")
+      org.apache.spark.sql.SparkSession.active
+        .sessionState.catalogManager.catalog(parts.head) match {
+          case g: graft.sql.GraftCatalog =>
+            g.rootOf(org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.slice(1, parts.length - 1).toArray, parts.last))
+          case other => throw new IllegalArgumentException(
+            s"${parts.head} is not a graft catalog (${other.getClass.getName})")
+        }
+    }).getOrElse(throw new IllegalArgumentException(
+      "graft-cdf needs option 'root' (a SnapshotTable path) or 'table' (graft.ns.t)"))
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,

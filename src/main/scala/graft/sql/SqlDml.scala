@@ -119,6 +119,44 @@ object SqlDml {
               FROM d GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // SQL TIME TRAVEL under the hash gate: seed, UPDATE, then read BOTH
+    // the pre-update version (VERSION AS OF) and the current state in one
+    // result — the oracle reconstructs both arithmetically, so hash-green
+    // pins that historical versions stay byte-exact under later DML.
+    Q("sql_time_travel",
+      (s, dir) => {
+        val t = s"orders_tt_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""UPDATE graft.dml.$t
+              SET price = CAST(price * 3 AS DECIMAL(18,2))
+              WHERE o_orderkey % 8 = 0""",
+          s"""SELECT era, st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM (SELECT 'v0' AS era, st, price
+                      FROM graft.dml.$t VERSION AS OF 0
+                    UNION ALL
+                    SELECT 'cur' AS era, st, price
+                      FROM graft.dml.$t) u
+              GROUP BY era, st
+              ORDER BY era ASC NULLS FIRST, st ASC NULLS FIRST"""),
+          vacuum = false)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st FROM orders),
+              u AS (SELECT 'v0' AS era, st, price FROM t
+                    UNION ALL
+                    SELECT 'cur' AS era, st,
+                      CASE WHEN o_orderkey % 8 = 0
+                           THEN CAST(price * 3 AS DECIMAL(18,2)) ELSE price END
+                    FROM t)
+              SELECT era, st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM u GROUP BY era, st
+              ORDER BY era ASC NULLS FIRST, st ASC NULLS FIRST""")),
+
     // The MAINTENANCE statement grammar (round-11 parser extension) in one
     // lineage: CTAS seed -> a deliberately wide INSERT (REPARTITION hint
     // past the compaction bound) -> OPTIMIZE (bin-pack) -> RESTORE ... ->

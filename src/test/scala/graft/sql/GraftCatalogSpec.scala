@@ -133,6 +133,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql(s"SELECT v FROM graft.$ns.t WHERE k = 1").head().getDouble(0) == 0.0)
     assert(sql(s"SELECT v FROM graft.$ns.t VERSION AS OF 0 WHERE k = 1")
       .head().getDouble(0) == 2.0)
+
+    // Column pruning survives the substitution's aliasing Project: a
+    // 1-column SQL projection reads a 1-column parquet schema.
+    val narrow = sql(s"SELECT sum(v) AS s FROM graft.$ns.t")
+    narrow.collect()
+    val planStr = narrow.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema: struct<v:double>"),
+      s"projection must prune the scan to v alone:\n$planStr")
+
+    // INSERT ... VALUES (the by-position write path)
+    sql(s"INSERT INTO graft.$ns.t VALUES (9999L, 9.5)")
+    assert(sql(s"SELECT v FROM graft.$ns.t WHERE k = 9999").head().getDouble(0) == 9.5)
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN ride column mapping; INSERT OVERWRITE replaces") {

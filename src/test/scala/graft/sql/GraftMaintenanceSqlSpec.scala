@@ -95,6 +95,28 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
       "WITH CDC must record the synthetic retraction+reinsert delta")
   }
 
+  test("graft-cdf readStream addresses a table by CATALOG NAME") {
+    val ns = fresh("mnt3")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("mnt3_seed")
+    spark.sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM mnt3_seed")
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES (3L, 3.0)")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", s"graft.$ns.t")
+      .option("startVersion", "0")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }
+      .option("checkpointLocation", s"${tmpDir()}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L))
+    assert(buf.map(_.getAs[Long]("k")).toSet == Set(3L),
+      s"the catalog-named feed must carry the INSERT's delta: ${buf.toSeq}")
+  }
+
   test("non-maintenance SQL delegates untouched (including parse errors)") {
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
