@@ -75,7 +75,16 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** MERGE key columns from the ON condition: a conjunction of equality
     * (or null-safe equality) between same-named target and source
-    * attributes — exactly the reference's `ON T._id = S._id` shape. */
+    * attributes — exactly the reference's `ON T._id = S._id` shape.
+    *
+    * Semantics note: the engine's [[SnapshotTable.mergeInto]] matches keys
+    * NULL-SAFELY (a NULL source key pairs with a NULL target key — the
+    * file-granular probe depends on it; MergeIntoSpec pins it), so `=` and
+    * `<=>` in the ON clause lower identically. This diverges from strict
+    * SQL `=` only for tables with NULLABLE merge keys (strict SQL would
+    * re-insert the NULL-keyed row forever instead of updating it); the
+    * reference's `_id` keys are non-null, and null-safe is the defensible
+    * behavior for the divergent case. */
   private def keysOf(m: MergeIntoTable): Seq[String] = {
     val tgt = m.targetTable.outputSet
     val src = m.sourceTable.outputSet
@@ -354,6 +363,9 @@ case class GraftCtasCommand(catalog: GraftCatalog,
         if (orCreate) SnapshotTable.currentVersion(spark, root).get // IF NOT EXISTS: no-op
         else throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
           ident.toString)
+      } else if (!exists && replace && !orCreate) {
+        // bare REPLACE TABLE (no OR CREATE) demands an existing table
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       } else SnapshotTable.commit(spark, root, data)
     Seq(org.apache.spark.sql.Row(v))
   }
