@@ -587,6 +587,15 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Configured bloom-filter columns at `asOf` — the public read surface
+    * (SHOW TBLPROPERTIES via the SQL catalog). */
+  def bloomColumns(spark: SparkSession, root: String,
+                   asOf: Option[Long] = None): Seq[String] = {
+    val v = asOf.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+    bloomOnOf(spark, root, v)
+  }
+
   /** Declared CHECK constraints (name → SQL) at `asOf` — the public read
     * surface (DESCRIBE / the SQL catalog's `Table.constraints`). */
   def checkConstraints(spark: SparkSession, root: String,

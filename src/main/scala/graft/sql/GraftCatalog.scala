@@ -144,6 +144,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (!d.ifExists() ||
             SnapshotTable.checkConstraints(spark, root).contains(d.name()))
           SnapshotTable.dropCheckConstraint(spark, root, d.name())
+      case p: TableChange.SetProperty if p.property() == "graft.bloom.columns" =>
+        // SQL surface for the per-file bloom-filter config: ALTER TABLE t
+        // SET TBLPROPERTIES ('graft.bloom.columns' = 'a,b') — inherited by
+        // every later commit, which builds blooms for ITS new files.
+        SnapshotTable.setBloomColumns(spark, root,
+          p.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft tables")
     }
@@ -240,6 +246,8 @@ final class GraftTable(val root: String, ident: String,
     m.put("provider", "graft")
     m.put("location", root)
     asOf.foreach(v => m.put("asOf", v.toString))
+    val bloom = SnapshotTable.bloomColumns(SparkSession.active, root, asOf)
+    if (bloom.nonEmpty) m.put("graft.bloom.columns", bloom.mkString(","))
     m
   }
 

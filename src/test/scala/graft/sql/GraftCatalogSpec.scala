@@ -193,6 +193,76 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 4L)
   }
 
+  test("property: SQL MERGE ≡ DataFrame MergeInto over randomized clause combinations") {
+    // Deterministic seed: 12 random (delete?, update?, insert?, condition)
+    // combinations, each executed BOTH as a Spark-parsed MERGE string and
+    // as the MergeInto combinator on identical frames — results must be
+    // row-identical. This is the SQL front door's clause-algebra contract,
+    // fuzzed rather than single-cased.
+    val rnd = new scala.util.Random(41)
+    val ns = fresh("cat8")
+    val tgt = (1L to 300L).map(k => (k, k * 1.5, if (k % 3 == 0) "F" else "O"))
+      .toDF("k", "price", "st")
+    for (i <- 0 until 12) {
+      val hasDel = rnd.nextBoolean()
+      val hasUpd = rnd.nextBoolean()
+      val hasIns = rnd.nextBoolean()
+      if (hasDel || hasUpd || hasIns) {
+        // SQL: only the LAST matched clause may omit its condition, so a
+        // DELETE listed before an UPDATE must carry one.
+        val delCond = if ((hasDel && hasUpd) || rnd.nextBoolean())
+          Some(s"s.st = 'F'") else None
+        val updCond = if (rnd.nextBoolean()) Some(s"s.price > ${50 + rnd.nextInt(200)}") else None
+        val insCond = if (rnd.nextBoolean()) Some(s"s.price < ${200 + rnd.nextInt(300)}") else None
+        val lo = rnd.nextInt(3) + 2
+        val src = (1L to 400L).filter(_ % lo == 0)
+          .map(k => (k, k * 2.5, if (k % 4 == 0) "F" else "N"))
+          .toDF("k", "price", "st")
+        src.createOrReplaceTempView("cat8_src")
+        tgt.createOrReplaceTempView("cat8_tgt")
+        sql(s"CREATE OR REPLACE TABLE graft.$ns.t AS SELECT * FROM cat8_tgt")
+        val clauses = Seq(
+          if (hasDel) Some("WHEN MATCHED" + delCond.map(c => s" AND $c").getOrElse("") +
+            " THEN DELETE") else None,
+          if (hasUpd) Some("WHEN MATCHED" + updCond.map(c => s" AND $c").getOrElse("") +
+            " THEN UPDATE SET *") else None,
+          if (hasIns) Some("WHEN NOT MATCHED" + insCond.map(c => s" AND $c").getOrElse("") +
+            " THEN INSERT *") else None).flatten.mkString("\n")
+        sql(s"MERGE INTO graft.$ns.t t USING cat8_src s ON t.k = s.k\n$clauses")
+        val got = sql(s"SELECT * FROM graft.$ns.t").collect().map(_.toString).sorted
+        var mi = graft.ops.MergeInto.into(tgt).using(src).on("k")
+        if (hasDel) mi = mi.whenMatchedDelete(
+          delCond.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
+        if (hasUpd) mi = mi.whenMatchedUpdateAll(updCond.map(expr))
+        if (hasIns) mi = mi.whenNotMatchedInsertAll(insCond.map(expr))
+        val want = mi.result().collect().map(_.toString).sorted
+        assert(got.toSeq == want.toSeq,
+          s"case $i (del=$hasDel/$delCond upd=$hasUpd/$updCond ins=$hasIns/$insCond): " +
+            s"${got.length} vs ${want.length} rows")
+      }
+    }
+  }
+
+  test("bloom config via SET TBLPROPERTIES; SHOW TBLPROPERTIES round-trips it") {
+    val ns = fresh("cat9")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    (1L to 2000L).map(k => (k, s"u$k")).toDF("k", "name")
+      .createOrReplaceTempView("cat9_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat9_seed")
+    sql(s"ALTER TABLE graft.$ns.t SET TBLPROPERTIES ('graft.bloom.columns' = 'k')")
+    assert(SnapshotTable.bloomColumns(spark, root) == Seq("k"))
+    val props = sql(s"SHOW TBLPROPERTIES graft.$ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.bloom.columns").contains("k"))
+    // the config is live: the next append builds per-file blooms
+    sql(s"INSERT INTO graft.$ns.t SELECT /*+ REPARTITION(6) */ id + 5000 AS k, " +
+      s"CAST(id AS STRING) AS name FROM range(600)")
+    val snapDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+    assert(snapDirs.flatMap(_.listFiles()).exists(_.getName.startsWith("_bloom-")),
+      "the post-config append must carry bloom side-cars")
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT commits a new version; history survives") {
     val ns = fresh("cat6")
     Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat6_a")
