@@ -1058,6 +1058,46 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Metadata-only ADD COLUMNS (Delta's ALTER TABLE ADD COLUMNS): commits
+    * a new version whose declared schema appends the given fields —
+    * NULLABLE by force, because every existing file lacks them and reads
+    * NULL (exactly the append-path evolution contract, without writing a
+    * row). Existing names are refused case-insensitively (a retype or
+    * duplicate must fail loudly); re-adding a DROPPED name is legal and
+    * takes a fresh physical id through [[assignPhysical]], so orphaned
+    * bytes in retained files stay invisible. Zero data moves at any
+    * table size. */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"addColumns on a table with no committed version at $root"))
+      val schema = schemaOf(spark, root, v)
+      cols.foreach(f => require(
+        !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"addColumns: column ${f.name} already exists"))
+      require(cols.map(f => lc(f.name)).distinct.size == cols.size,
+        "addColumns: duplicate names in the added set")
+      val evolved = org.apache.spark.sql.types.StructType(
+        schema.fields ++ cols.map(f =>
+          f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+      val assigned = assignPhysical(schema, evolved,
+        mappingOf(spark, root, v), usedPhysOf(spark, root, v))
+      if (tryCommitMeta(spark, root, v + 1, currentEntries(spark, root, v),
+          evolved, droppedOf(spark, root, v).toSeq.sorted,
+          bloomOnOf(spark, root, v), constraintsOf(spark, root, v),
+          assigned._1, assigned._2))
+        return v + 1
+      attempt += 1
+      if (attempt >= 3) throw new ConcurrentWriteException(
+        s"version ${v + 1} at $root was committed by a concurrent writer")
+    }
+    -1L // unreachable
+  }
+
   /** Metadata-only DROP COLUMN: commits a new version whose manifest lists
     * the SAME file entries with a declared schema omitting `name` — zero
     * data files read or rewritten (at 100 TB a drop is a KB manifest write),

@@ -128,6 +128,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested add unsupported")
+        require(a.position() == null,
+          "graft columns APPEND (declared schema order); FIRST/AFTER unsupported")
+        SnapshotTable.addColumns(spark, root, Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType(), nullable = true)))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested rename unsupported")
         SnapshotTable.renameColumn(spark, root, r.fieldNames.head, r.newName)

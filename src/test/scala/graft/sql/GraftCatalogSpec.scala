@@ -263,6 +263,33 @@ class GraftCatalogSpec extends SparkSpec {
       "the post-config append must carry bloom side-cars")
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only; drop -> SQL re-add takes a fresh physical") {
+    val ns = fresh("cat10")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price").createOrReplaceTempView("cat10_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat10_seed")
+    val filesBefore = SnapshotTable.read(spark, root).inputFiles.toSet
+
+    sql(s"ALTER TABLE graft.$ns.t ADD COLUMNS (note STRING)")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "price", "note"))
+    assert(cur.inputFiles.toSet == filesBefore, "ADD COLUMNS must move zero files")
+    assert(cur.filter(col("note").isNull).count() == 2, "pre-add rows read NULL")
+    sql(s"INSERT INTO graft.$ns.t SELECT 3L, 30.0, 'hello'")
+    assert(sql(s"SELECT note FROM graft.$ns.t WHERE k = 3").head().getString(0) == "hello")
+    // duplicate add refused loudly
+    intercept[Exception] { sql(s"ALTER TABLE graft.$ns.t ADD COLUMNS (NOTE DOUBLE)") }
+
+    // the orphan-resurface drill, all-SQL: drop 'price' (bytes stay in the
+    // untouched files), re-add it via ADD COLUMNS -> fresh physical id, so
+    // every retained row reads NULL instead of the orphaned values.
+    sql(s"ALTER TABLE graft.$ns.t DROP COLUMN price")
+    sql(s"ALTER TABLE graft.$ns.t ADD COLUMNS (price DOUBLE)")
+    assert(SnapshotTable.columnMapping(spark, root).get("price").exists(_ != "price"))
+    assert(sql(s"SELECT count(price) AS n FROM graft.$ns.t").head().getLong(0) == 0L,
+      "orphaned bytes must not resurface through the SQL re-add")
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT commits a new version; history survives") {
     val ns = fresh("cat6")
     Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat6_a")
