@@ -250,10 +250,16 @@ final class GraftTable(val root: String, ident: String,
 
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    val s = SparkSession.active
     m.put("provider", "graft")
     m.put("location", root)
     asOf.foreach(v => m.put("asOf", v.toString))
-    val bloom = SnapshotTable.bloomColumns(SparkSession.active, root, asOf)
+    // Observability through DESCRIBE EXTENDED / SHOW TBLPROPERTIES — both
+    // answered from the manifest alone (KB reads, zero data I/O).
+    SnapshotTable.currentVersion(s, root)
+      .foreach(v => m.put("graft.version", asOf.getOrElse(v).toString))
+    m.put("graft.row.count", SnapshotTable.rowCount(s, root, asOf).toString)
+    val bloom = SnapshotTable.bloomColumns(s, root, asOf)
     if (bloom.nonEmpty) m.put("graft.bloom.columns", bloom.mkString(","))
     m
   }

@@ -193,6 +193,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 4L)
   }
 
+  test("the Scala API reads/writes catalog tables by name: spark.table + writeTo") {
+    val ns = fresh("cat11")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat11_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat11_seed")
+    // spark.table resolves through the catalog onto the engine's scan
+    assert(spark.table(s"graft.$ns.t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // DataFrameWriterV2 append lowers onto SnapshotTable.append
+    Seq((2L, 2.0)).toDF("k", "v").writeTo(s"graft.$ns.t").append()
+    assert(spark.table(s"graft.$ns.t").count() == 2L)
+    assert(SnapshotTable.currentVersion(spark, root).contains(1L))
+    // metadata observability rides DESCRIBE/SHOW TBLPROPERTIES
+    val props = sql(s"SHOW TBLPROPERTIES graft.$ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.row.count").contains("2"))
+    assert(props.get("graft.version").contains("1"))
+  }
+
   test("property: SQL MERGE ≡ DataFrame MergeInto over randomized clause combinations") {
     // Deterministic seed: 12 random (delete?, update?, insert?, condition)
     // combinations, each executed BOTH as a Spark-parsed MERGE string and
