@@ -1656,37 +1656,52 @@ object SnapshotTable {
     parts.result().foldLeft(zero)(_ unionByName _)
   }
 
-  /** Bin-pack the CURRENT snapshot into at most `maxFiles` files of roughly
-    * `targetBytes` each, committed as a new version with identical rows
-    * (Delta's OPTIMIZE shape: compaction is just another commit, readers of
-    * older versions are undisturbed). No-op when already within bounds. */
+  /** Bin-pack the CURRENT snapshot's SMALL files into roughly
+    * `targetBytes` files, committed as a new version with identical rows
+    * (Delta's OPTIMIZE shape: compaction is just another commit, readers
+    * of older versions are undisturbed). No-op when the file count is
+    * already within `maxFiles`.
+    *
+    * SELECTIVE since round 11: only files under `targetBytes / 2` are
+    * read and rewritten — files already near target size CARRY into the
+    * new manifest by entry (keeping their stats and bloom side-cars),
+    * never re-read. The pre-r11 form re-read the WHOLE table per pass,
+    * which at 100 TB turns the routine small-file sweep after N
+    * streaming appends into a table rewrite; selective compaction costs
+    * O(small-file bytes) — the accreted delta, which is exactly what the
+    * maintenance pass exists to fold. */
   def compact(spark: SparkSession, root: String, maxFiles: Int = 64,
               targetBytes: Long = 128L << 20): Option[Long] =
     currentVersion(spark, root).flatMap { v =>
-      val fs = fsOf(spark, root)
-      val files = readManifest(fs, manifestPath(root, v))
-      if (files.length <= maxFiles) None
+      val entries = currentEntries(spark, root, v)
+      if (entries.length <= maxFiles) None
       else {
-        val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
-        val n = math.max(1L, math.min(maxFiles.toLong,
-          (totalBytes + targetBytes - 1) / targetBytes)).toInt
-        // coalesce (not repartition): pure narrow bin-packing, no shuffle.
-        // Declared schema: post-evolution compaction mixes file schemas —
-        // pre-evolution rows materialize NULL for the grown columns.
-        val cSchema = schemaOf(spark, root, v)
-        val cMapping = mappingOf(spark, root, v)
-        val packed = fromPhysical(
-          spark.read.schema(physSchema(cSchema, cMapping))
-            .parquet(files: _*), cSchema, cMapping).coalesce(n)
-        // Rows are identical by construction, so the commit records an
-        // EMPTY change set — a delta consumer skips compactions instead of
-        // misreading the file rewrite as a reprocess signal. Target v+1 is
-        // PINNED to the version read; a commit racing in between makes
-        // this maintenance pass a clean loser (the next compaction
-        // retries), never an eraser of the winner's rows.
-        try Some(commitAt(spark, root, v + 1, packed,
-          cdc = Some((packed.limit(0), packed.limit(0)))))
-        catch { case _: ConcurrentWriteException => None }
+        val (small, large) = entries.partition(_.bytes < targetBytes / 2)
+        // One packable file (or none) folds nothing — the table is simply
+        // MANY healthy files, which is not the small-file problem.
+        if (small.length <= 1) None
+        else {
+          val totalBytes = small.map(_.bytes).sum
+          val n = math.max(1L, math.min(maxFiles.toLong,
+            (totalBytes + targetBytes - 1) / targetBytes)).toInt
+          // coalesce (not repartition): pure narrow bin-packing, no shuffle.
+          // Declared schema: post-evolution compaction mixes file schemas —
+          // pre-evolution rows materialize NULL for the grown columns.
+          val cSchema = schemaOf(spark, root, v)
+          val cMapping = mappingOf(spark, root, v)
+          val packed = fromPhysical(
+            spark.read.schema(physSchema(cSchema, cMapping))
+              .parquet(small.map(_.path): _*), cSchema, cMapping).coalesce(n)
+          // Rows are identical by construction, so the commit records an
+          // EMPTY change set — a delta consumer skips compactions instead of
+          // misreading the file rewrite as a reprocess signal. Target v+1 is
+          // PINNED to the version read; a commit racing in between makes
+          // this maintenance pass a clean loser (the next compaction
+          // retries), never an eraser of the winner's rows.
+          try Some(commitAt(spark, root, v + 1, packed, carry = large,
+            cdc = Some((packed.limit(0), packed.limit(0)))))
+          catch { case _: ConcurrentWriteException => None }
+        }
       }
     }
 
