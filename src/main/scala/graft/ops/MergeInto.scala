@@ -17,9 +17,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     source column values when `cond` (default: always); otherwise they
   *     keep the target values. Delete is evaluated BEFORE update, the usual
   *     MERGE clause order when delete is listed first.
+  *   - `whenMatchedUpdate(set, [cond])` — per-column `UPDATE SET`: assigned
+  *     columns take their expression (which may reference both sides),
+  *     UNASSIGNED columns KEEP the target's value — the SQL-standard
+  *     partial update the all-columns form can't express.
   *   - `whenNotMatchedInsertAll([cond])` — source-only rows are inserted
   *     when `cond` (default: always). Absent: source-only rows are dropped.
-  *   - Target-only rows always survive (MERGE never touches them).
+  *   - `whenNotMatchedInsert(values, [cond])` — explicit-column INSERT:
+  *     listed columns take their expression, unlisted columns insert NULL.
+  *   - `whenNotMatchedBySourceDelete([cond])` /
+  *     `whenNotMatchedBySourceUpdate(set, [cond])` — the third SQL clause
+  *     family, over TARGET-ONLY rows (how a sync job expires rows that
+  *     vanished from the source). Delete is evaluated before update, like
+  *     the matched family. Conditions/assignments see the target side
+  *     (`t.`); source columns are NULL there, so a condition touching `s.`
+  *     simply never fires (SQL's NULL-=-not-satisfied).
+  *   - Target-only rows with no firing BY SOURCE arm always survive.
   *
   * Inside a condition, reference the two sides through the aliases `t` and
   * `s` (e.g. `col("s.price") > col("t.price")`).
@@ -38,26 +51,79 @@ case class MergeInto(
     keys: Seq[String] = Nil,
     matchedUpdate: Option[Option[Column]] = None,
     matchedDelete: Option[Column] = None,
-    notMatchedInsert: Option[Option[Column]] = None) {
+    notMatchedInsert: Option[Option[Column]] = None,
+    matchedSet: Option[Map[String, Column]] = None,
+    insertValues: Option[Map[String, Column]] = None,
+    bySourceDelete: Option[Option[Column]] = None,
+    bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None) {
 
   def on(keyCols: String*): MergeInto = copy(keys = keyCols)
 
   def whenMatchedUpdateAll(condition: Option[Column] = None): MergeInto =
-    copy(matchedUpdate = Some(condition))
+    copy(matchedUpdate = Some(condition), matchedSet = None)
+
+  /** Per-column `WHEN MATCHED ... UPDATE SET col = expr, ...`: unassigned
+    * columns keep the target's value. Expressions may reference `t.`/`s.`. */
+  def whenMatchedUpdate(set: Map[String, Column],
+                        condition: Option[Column] = None): MergeInto =
+    copy(matchedUpdate = Some(condition), matchedSet = Some(set))
 
   def whenMatchedDelete(condition: Column): MergeInto =
     copy(matchedDelete = Some(condition))
 
   def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeInto =
-    copy(notMatchedInsert = Some(condition))
+    copy(notMatchedInsert = Some(condition), insertValues = None)
+
+  /** Explicit-column `WHEN NOT MATCHED ... INSERT (cols) VALUES (exprs)`:
+    * unlisted columns insert NULL. */
+  def whenNotMatchedInsert(values: Map[String, Column],
+                           condition: Option[Column] = None): MergeInto =
+    copy(notMatchedInsert = Some(condition), insertValues = Some(values))
+
+  def whenNotMatchedBySourceDelete(condition: Option[Column] = None): MergeInto =
+    copy(bySourceDelete = Some(condition))
+
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+                                   condition: Option[Column] = None): MergeInto =
+    copy(bySourceUpdate = Some((condition, set)))
+
+  /** Does an arm take WHOLE rows from the source (`UPDATE SET *` /
+    * `INSERT *`)? Only then must the source carry every target column —
+    * a delete-only or per-column merge needs just the keys (how the
+    * IN-subquery DML lowering rides this builder). */
+  private[ops] def needsFullSource: Boolean =
+    (matchedUpdate.nonEmpty && matchedSet.isEmpty) ||
+      (notMatchedInsert.nonEmpty && insertValues.isEmpty)
+
+  /** Resolve an assignment map's keys against the target's columns
+    * (case-insensitive, like every schema-resolution path here); a typo'd
+    * column must fail loudly, not be silently ignored. */
+  private def resolvedSet(set: Map[String, Column], what: String): Map[String, Column] = {
+    val byLc = target.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    set.map { case (k, v) =>
+      val canon = byLc.getOrElse(k.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"$what assigns unknown column '$k' (target has ${target.columns.mkString(", ")})"))
+      canon -> v
+    }
+  }
 
   /** The lowered full-outer join plus the clause predicates — ONE join
     * definition shared by [[result]] and [[changes]], so the merged rows
-    * and the change sets can never disagree on clause algebra. */
-  private def lowered: (DataFrame, Column, Column, Column, Column, Column) = {
+    * and the change sets can never disagree on clause algebra. Returns
+    * (joined, keep, changedAdd, removePre, projected-post-image). */
+  private def lowered: (DataFrame, Column, Column, Column, Seq[Column]) = {
     require(keys.nonEmpty, "MergeInto requires on(keys)")
-    val missing = target.columns.filterNot(source.columns.contains)
-    require(missing.isEmpty, s"source lacks target columns: ${missing.mkString(",")}")
+    if (needsFullSource) {
+      val missing = target.columns.filterNot(source.columns.contains)
+      require(missing.isEmpty, s"source lacks target columns: ${missing.mkString(",")}")
+    } else {
+      val missing = keys.filterNot(source.columns.contains)
+      require(missing.isEmpty, s"source lacks merge keys: ${missing.mkString(",")}")
+    }
+    val updSet = matchedSet.map(resolvedSet(_, "whenMatchedUpdate"))
+    val insVals = insertValues.map(resolvedSet(_, "whenNotMatchedInsert"))
+    val bysSet = bySourceUpdate.map(u => resolvedSet(u._2, "whenNotMatchedBySourceUpdate"))
     // Presence markers survive the outer join where key columns would be
     // ambiguous with legitimate nulls on the other side.
     val t = target.withColumn("__t", lit(true)).alias("t")
@@ -73,32 +139,61 @@ case class MergeInto(
     val delCond = matchedDelete.map(c => matched && sat(c)).getOrElse(lit(false))
     val updCond = matchedUpdate.map(c => matched && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
     val insCond = notMatchedInsert.map(c => sOnly && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
-    (t.join(s, joinCond, "full_outer"), matched, tOnly, delCond, updCond, insCond)
+    // BY SOURCE family over target-only rows, delete-then-update like the
+    // matched family.
+    val bysDel = bySourceDelete.map(c => tOnly && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
+    val bysUpd = bySourceUpdate.map(u => tOnly && !bysDel && sat(u._1.getOrElse(lit(true)))).getOrElse(lit(false))
+    val updFires = updCond && !delCond
+    val keep = (tOnly && !bysDel) || (matched && !delCond) || insCond
+    val changedAdd = insCond || (matched && updFires) || bysUpd
+    val removePre = (matched && (delCond || updCond)) || bysDel || bysUpd
+    // Per-column post-image: the firing arm decides each column's value —
+    // star arms take the source column, per-column arms take the assigned
+    // expression or keep the target (matched/by-source) / NULL (insert).
+    // Branches exist ONLY for arms that are declared: an absent insert
+    // arm must not reference `s.<col>` on a keys-only source (it would
+    // fail analysis even though its condition is literally false).
+    val projected = target.schema.fields.map { f =>
+      val c = f.name
+      val branches = Seq(
+        notMatchedInsert.map { _ =>
+          (insCond, insVals.map(_.getOrElse(c, lit(null).cast(f.dataType)))
+            .getOrElse(col(s"s.$c")))
+        },
+        matchedUpdate.map { _ =>
+          (matched && updFires, updSet.map(_.getOrElse(c, col(s"t.$c")))
+            .getOrElse(col(s"s.$c")))
+        },
+        bySourceUpdate.map { _ =>
+          (bysUpd, bysSet.get.getOrElse(c, col(s"t.$c")))
+        }).flatten
+      branches.foldRight(col(s"t.$c")) { case ((cond, v), acc) =>
+        when(cond, v).otherwise(acc)
+      }.as(c)
+    }.toIndexedSeq
+    (t.join(s, joinCond, "full_outer"), keep, changedAdd, removePre, projected)
   }
 
   /** Lower to one full-outer join + projection. Output schema = target's. */
   def result(): DataFrame = {
-    val (joined, matched, tOnly, delCond, updCond, insCond) = lowered
-    val keep = tOnly || (matched && !delCond) || insCond
-    val takeSource = insCond || (updCond && !delCond)
-    val projected = target.columns.map { c =>
-      when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-    }
-    joined.filter(keep).select(projected.toIndexedSeq: _*)
+    val (joined, keep, _, _, projected) = lowered
+    joined.filter(keep).select(projected: _*)
   }
 
   /** The row-level (adds, removes) this merge implies — the CDC a
     * table-level commit records ([[SnapshotTable.mergeInto]]): removes =
-    * pre-images of matched rows the clauses delete or update, adds =
-    * post-images of updated rows plus inserted rows. To a downstream MV a
-    * MERGE is retraction + insertion, exactly how `MvSpec.combineDelta`
-    * consumes it. Both frames take the target's schema. */
+    * pre-images of rows the clauses delete or update (matched AND
+    * by-source), adds = post-images of updated rows plus inserted rows.
+    * To a downstream MV a MERGE is retraction + insertion, exactly how
+    * `MvSpec.combineDelta` consumes it. Both frames take the target's
+    * schema; the add side reuses [[result]]'s post-image projection, so a
+    * partially-updated row's CDC post-image carries its KEPT target
+    * columns, not the source's. */
   def changes(): (DataFrame, DataFrame) = {
-    val (joined, matched, _, delCond, updCond, insCond) = lowered
-    val removes = joined.filter(matched && (delCond || updCond))
+    val (joined, _, changedAdd, removePre, projected) = lowered
+    val removes = joined.filter(removePre)
       .select(target.columns.map(c => col(s"t.$c").as(c)).toIndexedSeq: _*)
-    val adds = joined.filter(insCond || (matched && updCond && !delCond))
-      .select(target.columns.map(c => col(s"s.$c").as(c)).toIndexedSeq: _*)
+    val adds = joined.filter(changedAdd).select(projected: _*)
     (adds, removes)
   }
 }

@@ -1257,14 +1257,31 @@ object SnapshotTable {
     * is exactly how `MvSpec.combineDelta` consumes it. Auto-compacts past
     * `maxFiles` like [[upsert]] (the merge is the reference's hot
     * recurring op; without compaction N merges accrete N small-file
-    * batches). */
+    * batches).
+    *
+    * Generalized arms (round 12): `matchedSet` turns the matched update
+    * into a per-column `UPDATE SET` (unassigned columns keep the target
+    * value); `insertValues` an explicit-column INSERT (unlisted columns
+    * NULL); `bySourceDelete`/`bySourceUpdate` are the `WHEN NOT MATCHED BY
+    * SOURCE` family over target-only rows. BY SOURCE arms widen the
+    * touched-file probe: beside the files holding source keys, every file
+    * holding a target-only row whose by-source CONDITION fires must
+    * rewrite — that probe is the merge's own left-outer join restricted to
+    * the anti side, so an unconditional BY SOURCE arm on a mostly-stale
+    * table legitimately rewrites most files (that IS the semantics), while
+    * a keyed condition (`t.region = 'EU'`) still prunes to the files the
+    * scan's pushed filters select. */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
                 keys: Seq[String],
                 matchedUpdate: Option[Option[Column]] = None,
                 matchedDelete: Option[Column] = None,
                 notMatchedInsert: Option[Option[Column]] = None,
+                matchedSet: Option[Map[String, Column]] = None,
+                insertValues: Option[Map[String, Column]] = None,
+                bySourceDelete: Option[Option[Column]] = None,
+                bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
                 maxFiles: Int = 64): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     require(keys.nonEmpty, "mergeInto needs key columns")
     def norm(p: String): String = new Path(p).toUri.getPath
     var attempt = 0
@@ -1285,11 +1302,32 @@ object SnapshotTable {
         // input_file_name() resolves on the single-source side only, so
         // it is projected BEFORE the semi-join.
         val withFile = cur.withColumn("__file", input_file_name())
-        val touched = withFile.join(srcKeys,
+        val touchedMatched = withFile.join(srcKeys,
             keys.map(k => withFile(k) <=> srcKeys(s"__sk_$k")).reduce(_ && _),
             "left_semi")
           .select(col("__file"))
           .distinct().collect().map(r => norm(r.getString(0))).toSet
+        // BY SOURCE probe: target-only rows whose arm condition fires mark
+        // their files too. Same t/s aliasing as the merge's own join, so
+        // the CONDITION evaluates exactly as the combinator will — a file
+        // is carried only when provably no row in it can change.
+        val touchedBySource =
+          if (bySourceDelete.isEmpty && bySourceUpdate.isEmpty) Set.empty[String]
+          else {
+            def sat(c: Column): Column = coalesce(c, lit(false))
+            val fires =
+              bySourceDelete.map(c => sat(c.getOrElse(lit(true)))).getOrElse(lit(false)) ||
+              bySourceUpdate.map(u => sat(u._1.getOrElse(lit(true)))).getOrElse(lit(false))
+            val t = withFile.withColumn("__t", lit(true)).alias("t")
+            val sMarked = source.withColumn("__s", lit(true)).alias("s")
+            t.join(sMarked,
+                keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
+                "left_outer")
+              .filter(col("s.__s").isNull && fires)
+              .select(col("t.__file"))
+              .distinct().collect().map(r => norm(r.getString(0))).toSet
+          }
+        val touched = touchedMatched ++ touchedBySource
         if (touched.isEmpty && notMatchedInsert.isEmpty) return v
         val (touchedE, keptE) =
           currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
@@ -1303,7 +1341,8 @@ object SnapshotTable {
             spark.read.schema(physSchema(schema, mapping))
               .parquet(touchedE.map(_.path): _*), schema, mapping)
         val mi = MergeInto(targetRows, source, keys,
-          matchedUpdate, matchedDelete, notMatchedInsert)
+          matchedUpdate, matchedDelete, notMatchedInsert,
+          matchedSet, insertValues, bySourceDelete, bySourceUpdate)
         // Pin outputs to the DECLARED types: clause projections coerce
         // through when(), and a source column arriving wider (decimal
         // growth) must not leak past the manifest's declared schema.
@@ -1311,7 +1350,10 @@ object SnapshotTable {
         // out-of-range value (a decimal overflowing the declared precision)
         // casts to silent NULL, corrupting committed rows and CDC — refuse
         // up front, the same discipline as evolveSchema's retype check.
-        schema.fields.foreach { f =>
+        // Star arms check the SOURCE columns by name (clearer error);
+        // per-column arms are covered by the result-schema check below,
+        // which sees each assignment expression's resolved type.
+        if (mi.needsFullSource) schema.fields.foreach { f =>
           val srcType = source.schema.fields
             .find(sf => sf.name.equalsIgnoreCase(f.name))
             .getOrElse(throw new IllegalArgumentException(
@@ -1325,7 +1367,14 @@ object SnapshotTable {
         def declared(df: DataFrame): DataFrame =
           df.select(schema.fields.map(f =>
             df(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        val rewritten = declared(mi.result())
+        val merged = mi.result()
+        merged.schema.fields.zip(schema.fields).foreach { case (got, want) =>
+          require(got.dataType == want.dataType ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(got.dataType, want.dataType),
+            s"mergeInto post-image column ${want.name}: ${got.dataType} cannot " +
+              s"losslessly cast to declared ${want.dataType}; align the expression")
+        }
+        val rewritten = declared(merged)
         val (adds, removes) = mi.changes()
         committed = commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((declared(adds), declared(removes))),

@@ -111,11 +111,22 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Is this assignment list the identity "take every column from the
-    * source" (what `UPDATE SET *` / `INSERT *` align to)? */
+    * source" (what `UPDATE SET *` / `INSERT *` align to)? GraftTable does
+    * not implement SupportsRowLevelOperations, so Spark never aligns a
+    * user's explicit assignment list to the full column set — a PARTIAL
+    * list of bare same-named attrs (`UPDATE SET price = s.price`) must
+    * lower as a per-column update that KEEPS the unassigned target
+    * columns, never be mistaken for `SET *` (ADVICE r11): star demands
+    * bare same-named source attrs covering EVERY target column. */
   private def isStarAssignment(m: MergeIntoTable,
                                assignments: Seq[Assignment]): Boolean = {
     val src = m.sourceTable.outputSet
-    assignments.forall {
+    val covered = assignments.collect {
+      case Assignment(k: AttributeReference, _) => k.name.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    val allColumns = m.targetTable.output
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet == covered
+    allColumns && assignments.forall {
       case Assignment(k: AttributeReference, v) =>
         // Alignment may wrap the source attr in a declared-type cast.
         val inner = v match {
@@ -131,19 +142,30 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Assignment list → per-column (name → rebased expression) map for the
+    * engine's `UPDATE SET col = expr` / explicit-column INSERT arms. */
+  private def assignmentMap(m: MergeIntoTable,
+                            assignments: Seq[Assignment],
+                            what: String): Map[String, Column] =
+    assignments.map {
+      case Assignment(k: AttributeReference, v) => k.name -> bySide(v, m)
+      case Assignment(k, _) => throw new UnsupportedOperationException(
+        s"$what of nested field ${k.sql} is not supported on graft tables")
+    }.toMap
+
   private def lowerMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported; evolve via INSERT/upsert")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
-    (m.mergeCondition +: (m.matchedActions ++ m.notMatchedActions)
-      .flatMap(_.condition)).foreach(noSubquery(_, "MERGE"))
+    (m.mergeCondition +:
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .flatMap(_.condition)).foreach(noSubquery(_, "MERGE"))
     val keys = keysOf(m)
     // Matched actions: the engine's clause algebra evaluates DELETE before
     // UPDATE (MergeInto.result), so accept clause orders consistent with
     // it — a DELETE listed first, or a single action of either kind.
     var matchedDelete: Option[Column] = None
     var matchedUpdate: Option[Option[Column]] = None
+    var matchedSet: Option[Map[String, Column]] = None
     m.matchedActions.foreach {
       case d: DeleteAction =>
         require(matchedDelete.isEmpty, "at most one WHEN MATCHED ... DELETE")
@@ -156,27 +178,47 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         matchedUpdate = Some(u.condition.map(bySide(_, m)))
       case u: UpdateAction =>
         require(matchedUpdate.isEmpty, "at most one WHEN MATCHED ... UPDATE")
-        require(isStarAssignment(m, u.assignments),
-          "graft MERGE supports UPDATE SET * (all columns from source) only")
         matchedUpdate = Some(u.condition.map(bySide(_, m)))
+        if (!isStarAssignment(m, u.assignments))
+          matchedSet = Some(assignmentMap(m, u.assignments, "UPDATE SET"))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action: $other")
     }
     var notMatchedInsert: Option[Option[Column]] = None
+    var insertValues: Option[Map[String, Column]] = None
     m.notMatchedActions.foreach {
       case i: InsertStarAction =>
         require(notMatchedInsert.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
         notMatchedInsert = Some(i.condition.map(bySide(_, m)))
       case i: InsertAction =>
         require(notMatchedInsert.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
-        require(isStarAssignment(m, i.assignments),
-          "graft MERGE supports INSERT * (all columns from source) only")
         notMatchedInsert = Some(i.condition.map(bySide(_, m)))
+        if (!isStarAssignment(m, i.assignments))
+          insertValues = Some(assignmentMap(m, i.assignments, "INSERT column"))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED action: $other")
     }
+    // WHEN NOT MATCHED BY SOURCE (round 12): the third clause family, over
+    // target-only rows — how sync jobs expire rows that vanished from the
+    // source. Delete evaluates before update, like the matched family.
+    var bySourceDelete: Option[Option[Column]] = None
+    var bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None
+    m.notMatchedBySourceActions.foreach {
+      case d: DeleteAction =>
+        require(bySourceDelete.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE ... DELETE")
+        require(bySourceUpdate.isEmpty,
+          "graft MERGE evaluates BY SOURCE DELETE before UPDATE; list the DELETE clause first")
+        bySourceDelete = Some(d.condition.map(bySide(_, m)))
+      case u: UpdateAction =>
+        require(bySourceUpdate.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE")
+        bySourceUpdate = Some((u.condition.map(bySide(_, m)),
+          assignmentMap(m, u.assignments, "BY SOURCE UPDATE SET")))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
     GraftMergeCommand(t.root, df(m.sourceTable), keys,
-      matchedUpdate, matchedDelete, notMatchedInsert)
+      matchedUpdate, matchedDelete, notMatchedInsert,
+      matchedSet, insertValues, bySourceDelete, bySourceUpdate)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -306,16 +348,23 @@ case class GraftUpdateCommand(root: String, condition: Column,
 }
 
 /** SQL `MERGE INTO` → [[SnapshotTable.mergeInto]] — the reference's
-  * literal statement (main.py:349-358) over the table format. */
+  * literal statement (main.py:349-358) over the table format, plus the
+  * generalized arms (per-column `UPDATE SET`, explicit-column INSERT,
+  * `WHEN NOT MATCHED BY SOURCE`). */
 case class GraftMergeCommand(root: String, source: DataFrame,
                              keys: Seq[String],
                              matchedUpdate: Option[Option[Column]],
                              matchedDelete: Option[Column],
-                             notMatchedInsert: Option[Option[Column]])
+                             notMatchedInsert: Option[Option[Column]],
+                             matchedSet: Option[Map[String, Column]] = None,
+                             insertValues: Option[Map[String, Column]] = None,
+                             bySourceDelete: Option[Option[Column]] = None,
+                             bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
     Seq(org.apache.spark.sql.Row(SnapshotTable.mergeInto(spark, root, source,
-      keys, matchedUpdate, matchedDelete, notMatchedInsert)))
+      keys, matchedUpdate, matchedDelete, notMatchedInsert,
+      matchedSet, insertValues, bySourceDelete, bySourceUpdate)))
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftSqlCommands.versionOutput
 }

@@ -87,6 +87,61 @@ object SqlDml {
                  OR (sp AND NOT tp AND sprice > 150000)
               ORDER BY o_orderkey ASC NULLS FIRST""")),
 
+    // The GENERALIZED MERGE surface (round 12): per-column UPDATE SET with
+    // an expression over both sides (unassigned columns KEEP target
+    // values — the ADVICE r11 hazard, now first-class), explicit-column
+    // INSERT (unlisted columns NULL), and the WHEN NOT MATCHED BY SOURCE
+    // family (conditional DELETE + UPDATE over target-only rows — how a
+    // sync job expires rows that vanished from the source). Oracle = the
+    // FULL OUTER JOIN + CASE rewrite of the same clause algebra.
+    Q("sql_merge_assignments",
+      (s, dir) => {
+        val t = s"orders_ma_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderkey % 4 <> 3""",
+          s"""MERGE INTO graft.dml.$t t
+              USING (SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                       o_orderstatus AS st
+                     FROM orders WHERE o_orderkey % 2 = 0) s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND s.st = 'F' THEN
+                UPDATE SET price = CAST(s.price + t.price AS DECIMAL(18,2))
+              WHEN NOT MATCHED THEN
+                INSERT (o_orderkey, price) VALUES (s.o_orderkey, s.price)
+              WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0 THEN DELETE
+              WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 1 THEN
+                UPDATE SET st = 'X'""",
+          s"""SELECT o_orderkey, CAST(price AS DOUBLE) AS price, st
+              FROM graft.dml.$t
+              ORDER BY o_orderkey ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 4 <> 3),
+              s AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 2 = 0),
+              m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      t.o_orderkey IS NOT NULL AS tp, s.o_orderkey IS NOT NULL AS sp,
+                      t.price AS tprice, t.st AS tst, s.price AS sprice, s.st AS sst
+                    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+              SELECT o_orderkey,
+                CAST(CASE WHEN tp AND sp AND sst = 'F'
+                            THEN CAST(sprice + tprice AS DECIMAL(18,2))
+                          WHEN sp AND NOT tp THEN sprice
+                          ELSE tprice END AS DOUBLE) AS price,
+                CASE WHEN sp AND NOT tp THEN NULL
+                     WHEN tp AND NOT sp AND o_orderkey % 5 = 1 THEN 'X'
+                     ELSE tst END AS st
+              FROM m
+              WHERE NOT (tp AND NOT sp AND o_orderkey % 5 = 0)
+              ORDER BY o_orderkey ASC NULLS FIRST""")),
+
     // SQL UPDATE + DELETE strings over the table format: predicate UPDATE
     // rewrites only touched files, DELETE drops matching rows (SQL NULL
     // semantics), both with CDC. Oracle = the CASE/anti-filter rewrite.

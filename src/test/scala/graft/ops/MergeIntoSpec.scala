@@ -126,6 +126,84 @@ class MergeIntoSpec extends SparkSpec {
       s"NULL key must update in place, not duplicate: $fin")
   }
 
+  test("per-column UPDATE SET keeps unassigned columns; explicit INSERT nulls unlisted") {
+    val t = Seq((1L, "t1", 1.0), (2L, "t2", 2.0)).toDF("k", "v1", "v2")
+    val s = Seq((1L, 10.0), (3L, 30.0)).toDF("k", "p") // NOT full target schema
+    val out = MergeInto.into(t).using(s).on("k")
+      .whenMatchedUpdate(Map("v2" -> (col("s.p") + col("t.v2"))))
+      .whenNotMatchedInsert(Map("k" -> col("s.k"), "v2" -> col("s.p")))
+      .result()
+    assert(canon(out) == Seq("[1,t1,11.0]", "[2,t2,2.0]", "[3,null,30.0]"),
+      "assigned columns take the expression, unassigned keep target / insert NULL")
+  }
+
+  test("BY SOURCE: delete beats update; conditions gate; matched/source-only rows untouched") {
+    val t = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("k", "v1", "v2")
+    val s = Seq((1L, "s1", 9.0)).toDF("k", "v1", "v2")
+    val out = MergeInto.into(t).using(s).on("k")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceDelete(Some(col("t.v2") >= 4.0))     // kills k=4
+      .whenNotMatchedBySourceUpdate(Map("v1" -> lit("stale")),
+        Some(col("t.v2") >= 3.0))                                 // marks k=3
+      .result()
+    assert(canon(out) == Seq("[1,s1,9.0]", "[2,b,2.0]", "[3,stale,3.0]"),
+      "by-source delete wins over update; untouched target-only rows survive")
+  }
+
+  test("CDC post-images of a partial UPDATE SET carry the KEPT target columns") {
+    val t = Seq((1L, "keepme", 1.0), (2L, "other", 2.0)).toDF("k", "v1", "v2")
+    val s = Seq((1L, 100.0)).toDF("k", "p")
+    val mi = MergeInto.into(t).using(s).on("k")
+      .whenMatchedUpdate(Map("v2" -> col("s.p")))
+      .whenNotMatchedBySourceUpdate(Map("v2" -> lit(-1.0)))
+    val (adds, removes) = mi.changes()
+    assert(canon(adds) == Seq("[1,keepme,100.0]", "[2,other,-1.0]"),
+      "post-image = assigned expr + kept target columns, NOT source values")
+    assert(canon(removes) == Seq("[1,keepme,1.0]", "[2,other,2.0]"))
+  }
+
+  test("table-level mergeInto: BY SOURCE probe is condition-aware and file-granular") {
+    val root = s"${tmpDir()}/t"
+    // keys 1..40 range-clustered into 4 files of 10; source matches keys
+    // 1..10 (file 1); the BY SOURCE arm fires only for k > 30 (file 4).
+    val v0 = SnapshotTable.commitClustered(spark, root,
+      frame(1 to 40), Seq("k"), numFiles = 4)
+    val src = frame(1 to 10).withColumn("v1", lit("fresh"))
+    val v1 = SnapshotTable.mergeInto(spark, root, src, Seq("k"),
+      matchedUpdate = Some(None),
+      bySourceDelete = Some(Some(col("t.k") > 35)),
+      bySourceUpdate = Some((Some(col("t.k") > 30), Map("v1" -> lit("expired")))))
+    val fin = SnapshotTable.read(spark, root, Some(v1))
+    val byK = fin.select("k", "v1").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((36L to 40L).forall(k => !byK.contains(k)), "by-source delete expires k>35")
+    assert((31L to 35L).forall(k => byK(k) == "expired"), "by-source update marks 30<k<=35")
+    assert((1L to 10L).forall(k => byK(k) == "fresh") && byK(20L) != "expired")
+    // Files 2 and 3 (keys 11..30) hold no matched key and no firing
+    // by-source row — they must CARRY by manifest entry, unread.
+    val before = SnapshotTable.read(spark, root, Some(v0)).inputFiles.toSet
+    val after = fin.inputFiles.toSet
+    assert((before & after).size == 2,
+      s"exactly the 2 untouched files must carry: ${(before & after).size}")
+    // CDC telescopes across the by-source arms too.
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(removes.count() == 10 + 5 + 5, "matched updates + expired + deleted pre-images")
+    assert(adds.count() == 10 + 5, "matched + by-source update post-images")
+  }
+
+  test("table-level mergeInto: per-column SET with a keys-only source") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commit(spark, root, frame(1 to 10))
+    val src = Seq((2L, 5.0), (4L, 7.0)).toDF("k", "bump")
+    val v1 = SnapshotTable.mergeInto(spark, root, src, Seq("k"),
+      matchedUpdate = Some(None),
+      matchedSet = Some(Map("v2" -> col("s.bump"), "v1" -> lit("set"))))
+    val fin = SnapshotTable.read(spark, root, Some(v1)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(fin(2L) == (("set", 5.0)) && fin(4L) == (("set", 7.0)))
+    assert(fin.size == 10 && fin(3L)._1 != "set", "unmatched rows untouched")
+  }
+
   test("table-level mergeInto: no matches and no insert clause is a no-op version") {
     val root = s"${tmpDir()}/t"
     val v0 = SnapshotTable.commit(spark, root, frame(1 to 5))

@@ -211,6 +211,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("graft.version").contains("1"))
   }
 
+  test("partial MERGE assignment lists are PER-COLUMN updates, never silently SET * (ADVICE r11)") {
+    val ns = fresh("cat12")
+    Seq((1L, 100.0, "keep-me"), (2L, 200.0, "also-keep")).toDF("k", "price", "st")
+      .createOrReplaceTempView("cat12_tgt")
+    Seq((1L, 111.0, "CLOBBER"), (3L, 333.0, "CLOBBER")).toDF("k", "price", "st")
+      .createOrReplaceTempView("cat12_src")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat12_tgt")
+    // GraftTable has no SupportsRowLevelOperations, so Spark does NOT
+    // align this partial list to the full column set — pre-fix it lowered
+    // to UPDATE SET * / INSERT * and clobbered st.
+    sql(s"""MERGE INTO graft.$ns.t t USING cat12_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET price = s.price
+            WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)""")
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.getString(2))))).toMap
+    assert(got(1L) == ((111.0, Some("keep-me"))),
+      s"unassigned target column must KEEP its value: ${got(1L)}")
+    assert(got(2L) == ((200.0, Some("also-keep"))))
+    assert(got(3L) == ((333.0, None)), "unlisted INSERT column must be NULL, not source value")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE expires vanished rows (SQL surface)") {
+    val ns = fresh("cat13")
+    (1L to 20L).map(k => (k, k * 1.0, "live")).toDF("k", "v", "status")
+      .createOrReplaceTempView("cat13_tgt")
+    (1L to 10L).map(k => (k, k * 2.0, "live")).toDF("k", "v", "status")
+      .createOrReplaceTempView("cat13_src")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat13_tgt")
+    sql(s"""MERGE INTO graft.$ns.t t USING cat13_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE AND t.k > 15 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'expired'""")
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got.size == 15, "k in 16..20 deleted by the BY SOURCE arm")
+    assert((1L to 10L).forall(k => got(k) == ((k * 2.0, "live"))), "matched rows updated")
+    assert((11L to 15L).forall(k => got(k) == ((k * 1.0, "expired"))),
+      "unmatched survivors carry the BY SOURCE update")
+  }
+
   test("property: SQL MERGE ≡ DataFrame MergeInto over randomized clause combinations") {
     // Deterministic seed: 12 random (delete?, update?, insert?, condition)
     // combinations, each executed BOTH as a Spark-parsed MERGE string and
@@ -221,17 +261,25 @@ class GraftCatalogSpec extends SparkSpec {
     val ns = fresh("cat8")
     val tgt = (1L to 300L).map(k => (k, k * 1.5, if (k % 3 == 0) "F" else "O"))
       .toDF("k", "price", "st")
-    for (i <- 0 until 12) {
+    for (i <- 0 until 16) {
       val hasDel = rnd.nextBoolean()
       val hasUpd = rnd.nextBoolean()
       val hasIns = rnd.nextBoolean()
-      if (hasDel || hasUpd || hasIns) {
+      // round-12 dimensions: per-column SET instead of SET *, and the BY
+      // SOURCE family (delete and/or update over target-only rows).
+      val perColUpd = hasUpd && rnd.nextBoolean()
+      val hasBysDel = rnd.nextBoolean()
+      val hasBysUpd = rnd.nextBoolean()
+      if (hasDel || hasUpd || hasIns || hasBysDel || hasBysUpd) {
         // SQL: only the LAST matched clause may omit its condition, so a
         // DELETE listed before an UPDATE must carry one.
         val delCond = if ((hasDel && hasUpd) || rnd.nextBoolean())
           Some(s"s.st = 'F'") else None
         val updCond = if (rnd.nextBoolean()) Some(s"s.price > ${50 + rnd.nextInt(200)}") else None
         val insCond = if (rnd.nextBoolean()) Some(s"s.price < ${200 + rnd.nextInt(300)}") else None
+        val bysDelCond = if ((hasBysDel && hasBysUpd) || rnd.nextBoolean())
+          Some(s"t.price > ${100 + rnd.nextInt(200)}") else None
+        val bysUpdCond = if (rnd.nextBoolean()) Some(s"t.st = 'O'") else None
         val lo = rnd.nextInt(3) + 2
         val src = (1L to 400L).filter(_ % lo == 0)
           .map(k => (k, k * 2.5, if (k % 4 == 0) "F" else "N"))
@@ -239,24 +287,37 @@ class GraftCatalogSpec extends SparkSpec {
         src.createOrReplaceTempView("cat8_src")
         tgt.createOrReplaceTempView("cat8_tgt")
         sql(s"CREATE OR REPLACE TABLE graft.$ns.t AS SELECT * FROM cat8_tgt")
+        val updateSql = if (perColUpd)
+          "UPDATE SET price = s.price + t.price" else "UPDATE SET *"
         val clauses = Seq(
           if (hasDel) Some("WHEN MATCHED" + delCond.map(c => s" AND $c").getOrElse("") +
             " THEN DELETE") else None,
           if (hasUpd) Some("WHEN MATCHED" + updCond.map(c => s" AND $c").getOrElse("") +
-            " THEN UPDATE SET *") else None,
+            s" THEN $updateSql") else None,
           if (hasIns) Some("WHEN NOT MATCHED" + insCond.map(c => s" AND $c").getOrElse("") +
-            " THEN INSERT *") else None).flatten.mkString("\n")
+            " THEN INSERT *") else None,
+          if (hasBysDel) Some("WHEN NOT MATCHED BY SOURCE" +
+            bysDelCond.map(c => s" AND $c").getOrElse("") + " THEN DELETE") else None,
+          if (hasBysUpd) Some("WHEN NOT MATCHED BY SOURCE" +
+            bysUpdCond.map(c => s" AND $c").getOrElse("") +
+            " THEN UPDATE SET st = 'X'") else None).flatten.mkString("\n")
         sql(s"MERGE INTO graft.$ns.t t USING cat8_src s ON t.k = s.k\n$clauses")
         val got = sql(s"SELECT * FROM graft.$ns.t").collect().map(_.toString).sorted
         var mi = graft.ops.MergeInto.into(tgt).using(src).on("k")
         if (hasDel) mi = mi.whenMatchedDelete(
           delCond.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
-        if (hasUpd) mi = mi.whenMatchedUpdateAll(updCond.map(expr))
+        if (hasUpd && perColUpd) mi = mi.whenMatchedUpdate(
+          Map("price" -> (col("s.price") + col("t.price"))), updCond.map(expr))
+        else if (hasUpd) mi = mi.whenMatchedUpdateAll(updCond.map(expr))
         if (hasIns) mi = mi.whenNotMatchedInsertAll(insCond.map(expr))
+        if (hasBysDel) mi = mi.whenNotMatchedBySourceDelete(bysDelCond.map(expr))
+        if (hasBysUpd) mi = mi.whenNotMatchedBySourceUpdate(
+          Map("st" -> org.apache.spark.sql.functions.lit("X")), bysUpdCond.map(expr))
         val want = mi.result().collect().map(_.toString).sorted
         assert(got.toSeq == want.toSeq,
-          s"case $i (del=$hasDel/$delCond upd=$hasUpd/$updCond ins=$hasIns/$insCond): " +
-            s"${got.length} vs ${want.length} rows")
+          s"case $i (del=$hasDel/$delCond upd=$hasUpd/perCol=$perColUpd/$updCond " +
+            s"ins=$hasIns/$insCond bysDel=$hasBysDel/$bysDelCond " +
+            s"bysUpd=$hasBysUpd/$bysUpdCond): ${got.length} vs ${want.length} rows")
       }
     }
   }
