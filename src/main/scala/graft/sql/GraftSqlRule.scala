@@ -34,8 +34,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * eager leaf commands; everything that merely READS a graft table gets
   * the scan substitution. Resolved condition/assignment expressions are
   * rebased onto fresh frames by converting attribute references back to
-  * by-name unresolved attributes — subqueries inside DML conditions are
-  * refused loudly (the reference's surface has none). */
+  * by-name unresolved attributes. One top-level uncorrelated
+  * `IN (SELECT ...)` conjunct in a DELETE/UPDATE WHERE decorrelates onto
+  * the MERGE machinery (round 12); other subquery shapes are refused
+  * loudly with a rewrite hint (the reference's surface has none). */
 class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def graftOf(plan: LogicalPlan): Option[GraftTable] = plan match {
@@ -50,6 +52,64 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def noSubquery(e: Expression, what: String): Unit =
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       s"graft SQL $what does not support subqueries; rewrite as a join")
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** Decompose a DML WHERE into (plain conjuncts, one optional top-level
+    * uncorrelated `attr[, attr] IN (SELECT ...)`) — the round-12 subquery
+    * surface. The IN decorrelates onto the engine's MERGE machinery
+    * (semi-join shape, file-granular touched-set probe included); anything
+    * else containing a subquery — NOT IN, EXISTS, nested/correlated forms,
+    * more than one IN — is refused loudly with the rewrite hint. Strict
+    * SQL IN semantics are preserved by the caller dropping NULL-bearing
+    * subquery rows: the merge's null-safe key match then can never pair a
+    * NULL target key, so NULL keys survive a DELETE exactly as three-
+    * valued logic demands. */
+  private def splitInSubquery(cond: Expression, what: String)
+      : (Seq[Expression], Option[(Seq[AttributeReference], LogicalPlan)]) = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+    val (withSub, plain) =
+      conjunctsOf(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (withSub.isEmpty) return (plain, None)
+    require(withSub.length == 1,
+      s"graft SQL $what supports at most one IN (SELECT ...) conjunct; " +
+        s"got ${withSub.length} subquery conjuncts")
+    plain.foreach(noSubquery(_, what))
+    withSub.head match {
+      case InSubquery(values, q: ListQuery) =>
+        require(!q.isCorrelated,
+          s"graft SQL $what supports UNCORRELATED IN (SELECT ...) only; " +
+            "decorrelate by moving the outer reference into a join")
+        val attrs = values.map {
+          case a: AttributeReference => a
+          case other => throw new UnsupportedOperationException(
+            s"graft SQL $what IN must test plain columns, got ${other.sql}")
+        }
+        (plain, Some((attrs, q.plan)))
+      case other => throw new UnsupportedOperationException(
+        s"graft SQL $what supports IN (SELECT ...) subqueries only " +
+          s"(got ${other.sql}); rewrite NOT IN / EXISTS as a join")
+    }
+  }
+
+  /** Rebase a target-side expression onto the merge's `t` alias. */
+  private def targetSide(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+    })
+
+  /** The IN-subquery's value list as a deduplicated, NULL-free merge
+    * source named after the tested target columns. Dropping NULL rows is
+    * what keeps strict IN semantics under the engine's null-safe match
+    * (see [[splitInSubquery]]). */
+  private def inSource(attrs: Seq[AttributeReference], plan: LogicalPlan): DataFrame = {
+    val keyNames = attrs.map(_.name)
+    df(plan).toDF(keyNames: _*).na.drop("any", keyNames).distinct()
+  }
 
   /** Resolved expression → Column that re-resolves BY NAME on a fresh
     * frame (attribute ids from the statement's relation would dangle). */
@@ -225,24 +285,48 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // ---- DML roots over graft tables: wait for resolution, then lower ----
     case d: DeleteFromTable if graftOf(d.table).isDefined =>
       if (!d.resolved) d
-      else {
-        noSubquery(d.condition, "DELETE")
-        GraftDeleteCommand(graftOf(d.table).get.root, byName(d.condition))
+      else splitInSubquery(d.condition, "DELETE") match {
+        case (_, None) =>
+          GraftDeleteCommand(graftOf(d.table).get.root, byName(d.condition))
+        case (plain, Some((attrs, subPlan))) =>
+          // DELETE ... WHERE k IN (SELECT ...) ≡ a keys-only MERGE with a
+          // DELETE arm carrying the residual conjuncts: the engine's
+          // semi-join probe keeps the touched-file set pruned exactly as
+          // a literal-key delete would.
+          GraftMergeCommand(graftOf(d.table).get.root,
+            inSource(attrs, subPlan), attrs.map(_.name),
+            matchedUpdate = None,
+            matchedDelete = Some(plain.map(targetSide).reduceOption(_ && _)
+              .getOrElse(ColumnBridge.column(Literal(true)))),
+            notMatchedInsert = None)
       }
 
     case u: UpdateTable if graftOf(u.table).isDefined =>
       if (!u.resolved) u
       else {
-        (u.condition.toSeq ++ u.assignments.map(_.value))
-          .foreach(noSubquery(_, "UPDATE"))
-        val set = u.assignments.map {
-          case Assignment(k: AttributeReference, v) => k.name -> byName(v)
-          case Assignment(k, _) => throw new UnsupportedOperationException(
-            s"UPDATE of nested field ${k.sql} is not supported")
-        }.toMap
-        GraftUpdateCommand(graftOf(u.table).get.root,
-          u.condition.map(byName).getOrElse(ColumnBridge.column(Literal(true))),
-          set)
+        u.assignments.map(_.value).foreach(noSubquery(_, "UPDATE SET"))
+        def setOf(rebase: Expression => Column): Map[String, Column] =
+          u.assignments.map {
+            case Assignment(k: AttributeReference, v) => k.name -> rebase(v)
+            case Assignment(k, _) => throw new UnsupportedOperationException(
+              s"UPDATE of nested field ${k.sql} is not supported")
+          }.toMap
+        splitInSubquery(
+          u.condition.getOrElse(Literal.TrueLiteral), "UPDATE") match {
+          case (_, None) =>
+            GraftUpdateCommand(graftOf(u.table).get.root,
+              u.condition.map(byName).getOrElse(ColumnBridge.column(Literal(true))),
+              setOf(byName))
+          case (plain, Some((attrs, subPlan))) =>
+            // UPDATE ... WHERE k IN (SELECT ...) ≡ a keys-only MERGE with
+            // a per-column SET arm over the matched rows.
+            GraftMergeCommand(graftOf(u.table).get.root,
+              inSource(attrs, subPlan), attrs.map(_.name),
+              matchedUpdate = Some(plain.map(targetSide).reduceOption(_ && _)),
+              matchedDelete = None,
+              notMatchedInsert = None,
+              matchedSet = Some(setOf(targetSide)))
+        }
       }
 
     case m: MergeIntoTable if graftOf(m.targetTable).isDefined =>

@@ -174,6 +174,46 @@ object SqlDml {
               FROM d GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // IN-subquery DML (round 12): DELETE and UPDATE conditions carrying an
+    // uncorrelated IN (SELECT ...) decorrelate onto the MERGE machinery —
+    // keys-only semi-join source, residual conjuncts as the clause
+    // condition, file-granular probe intact (GraftCatalogSpec plan-gates
+    // the pruning). Oracle = DuckDB's native IN over the same frames.
+    Q("sql_delete_in_subquery",
+      (s, dir) => {
+        val t = s"orders_sub_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""UPDATE graft.dml.$t
+              SET price = CAST(price * 2 AS DECIMAL(18,2))
+              WHERE st <> 'F' AND o_orderkey IN
+                (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)""",
+          s"""DELETE FROM graft.dml.$t
+              WHERE st = 'O' AND o_orderkey IN
+                (SELECT c_custkey * 29 FROM customer WHERE c_acctbal < 0)""",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st FROM orders),
+              u AS (SELECT o_orderkey,
+                      CASE WHEN st <> 'F' AND o_orderkey IN
+                             (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+                           THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END AS price,
+                      st
+                    FROM t),
+              d AS (SELECT * FROM u
+                    WHERE NOT (st = 'O' AND o_orderkey IN
+                      (SELECT c_custkey * 29 FROM customer WHERE c_acctbal < 0)))
+              SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM d GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
     // SQL TIME TRAVEL under the hash gate: seed, UPDATE, then read BOTH
     // the pre-update version (VERSION AS OF) and the current state in one
     // result — the oracle reconstructs both arithmetically, so hash-green

@@ -211,6 +211,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("graft.version").contains("1"))
   }
 
+  test("IN-subquery DELETE/UPDATE decorrelate onto MERGE; touched files stay pruned; other shapes refused") {
+    val ns = fresh("cat14")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    // 4 range-clustered files of 10 keys each; the subquery selects keys
+    // 5..8 only, so exactly ONE file may rewrite.
+    SnapshotTable.commitClustered(spark, root,
+      (1L to 40L).map(k => (k, k * 1.0, if (k % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "par"), Seq("k"), numFiles = 4)
+    val v0Files = SnapshotTable.read(spark, root).inputFiles.toSet
+    Seq(5L, 6L, 7L, 8L, Long.MinValue).map(k => Tuple1(if (k == Long.MinValue) null
+      else java.lang.Long.valueOf(k))).toDF("kk").createOrReplaceTempView("cat14_keys")
+
+    sql(s"""UPDATE graft.$ns.t SET v = v + 100
+            WHERE par = 'even' AND k IN (SELECT kk FROM cat14_keys)""")
+    val afterUpd = SnapshotTable.read(spark, root)
+    assert((afterUpd.inputFiles.toSet & v0Files).size == 3,
+      "IN-subquery UPDATE must rewrite only the file holding keys 5..8")
+    val got = afterUpd.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(6L) == 106.0 && got(8L) == 108.0, "matched evens updated")
+    assert(got(5L) == 5.0 && got(10L) == 10.0, "odd keys / out-of-set keys untouched")
+
+    sql(s"DELETE FROM graft.$ns.t WHERE k IN (SELECT kk FROM cat14_keys)")
+    assert(SnapshotTable.read(spark, root).count() == 36)
+
+    // NULL semantics: a NULL subquery value must not null-safe-match a
+    // NULL target key (strict SQL IN keeps it).
+    val nullTab = s"graft.$ns.nt"
+    Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "nullk"))
+      .toDF("k", "v").createOrReplaceTempView("cat14_null")
+    sql(s"CREATE TABLE $nullTab AS SELECT * FROM cat14_null")
+    sql(s"DELETE FROM $nullTab WHERE k IN (SELECT kk FROM cat14_keys)")
+    assert(sql(s"SELECT count(*) AS n FROM $nullTab").head().getLong(0) == 2,
+      "neither the NULL-keyed row nor the unmatched row may delete")
+
+    // refusals: NOT IN, correlated EXISTS — loud, with the rewrite hint
+    intercept[Exception] {
+      sql(s"DELETE FROM graft.$ns.t WHERE k NOT IN (SELECT kk FROM cat14_keys)")
+    }
+    intercept[Exception] {
+      sql(s"""DELETE FROM graft.$ns.t WHERE EXISTS
+              (SELECT 1 FROM cat14_keys WHERE kk = k)""")
+    }
+  }
+
   test("partial MERGE assignment lists are PER-COLUMN updates, never silently SET * (ADVICE r11)") {
     val ns = fresh("cat12")
     Seq((1L, 100.0, "keep-me"), (2L, 200.0, "also-keep")).toDF("k", "price", "st")
