@@ -192,6 +192,10 @@ object SnapshotStats {
 
   private val mapper = new ObjectMapper()
 
+  private val lastCommitTs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextCommitTs(): Long =
+    lastCommitTs.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
   /** Per-commit row-level change files (the Delta-CDF shape, sized to this
     * format): `add` files hold the rows this commit introduced, `remove`
     * files the PRE-IMAGE rows it replaced/deleted. `Some((Nil, Nil))` is a
@@ -220,9 +224,14 @@ object SnapshotStats {
     val root = mapper.createObjectNode()
     root.put("version", version)
     // Commit wall-clock (epoch millis): powers age-based retention
-    // (`vacuumOlderThan`) and the history audit's timestamp column. Never
-    // part of any query result — manifests stay rerun-stable artifacts.
-    root.put("ts", System.currentTimeMillis())
+    // (`vacuumOlderThan`), the history audit's timestamp column, and
+    // TIMESTAMP AS OF resolution. Never part of any query result —
+    // manifests stay rerun-stable artifacts. STRICTLY MONOTONIC within a
+    // writer process (two commits in the same millisecond still get
+    // distinct stamps), so "greatest version at-or-before T" is
+    // well-defined for any T a reader observed; cross-writer ordering is
+    // plain wall-clock, like Delta's commit timestamps.
+    root.put("ts", nextCommitTs())
     schemaJson.foreach(root.put("schema", _))
     if (mapping.nonEmpty) {
       // Logical → PHYSICAL column names (Delta column-mapping shape,

@@ -1863,6 +1863,34 @@ object SnapshotTable {
       .orderBy(col("version").desc)
   }
 
+  /** TIMESTAMP AS OF resolution (Delta's shape): the greatest RETAINED
+    * version whose commit timestamp is at or before `millis`. Purely
+    * metadata — O(retained versions) KB-sized manifest reads, no data
+    * I/O. Pre-timestamp manifests (written before the `ts` field existed)
+    * count as infinitely old, consistent with [[vacuumOlderThan]]. A
+    * timestamp before every retained commit fails loudly — silently
+    * serving the oldest version would misrepresent history the same way
+    * reading a vacuumed version would. */
+  def versionAtTimestamp(spark: SparkSession, root: String, millis: Long): Long = {
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    require(fs.exists(mdir), s"no committed version at $root")
+    val versions = fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+    // filter, not takeWhile: timestamps are monotonic per writer process
+    // but a multi-writer history could interleave, and correctness here
+    // must not depend on that.
+    val atOrBefore = versions.filter { v =>
+      val ts = SnapshotStats.tsFromManifest(readManifestBody(fs, manifestPath(root, v)))
+      ts <= millis // pre-timestamp (-1) counts as ancient
+    }
+    atOrBefore.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"no version of $root committed at or before ${new java.sql.Timestamp(millis)}; " +
+        s"earliest retained version ${versions.headOption.getOrElse(-1L)}"))
+  }
+
   /** AGE-based retention (Delta's `RETAIN <n> HOURS` shape): drop
     * snapshots and manifests whose commit timestamp is older than
     * `maxAgeMs`, always keeping at least the `keepLast` newest versions

@@ -94,6 +94,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(root, s"$catalogName.$ident", asOf = Some(version.trim.toLong))
   }
 
+  /** `TIMESTAMP AS OF ts` time travel (round 12): the v2 contract hands
+    * MICROseconds since epoch; resolution is the greatest retained version
+    * committed at or before it ([[SnapshotTable.versionAtTimestamp]] — a
+    * purely-metadata scan of the manifest log's commit stamps). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val v = SnapshotTable.versionAtTimestamp(spark, root,
+      Math.floorDiv(timestamp, 1000L))
+    new GraftTable(root, s"$catalogName.$ident", asOf = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

@@ -39,8 +39,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText.trim match {
       case VacuumRe(table, retain, force) =>
+        // keep = -1 when RETAIN was omitted: the command REFUSES to run
+        // (ADVICE r11 — Delta's familiar bare `VACUUM t` never destroys
+        // retained history, so defaulting to RETAIN 1 silently dropped
+        // every time-travel/RESTORE target; retention must be explicit).
         Some(GraftVacuumCommand(parts(table),
-          Option(retain).map(_.toInt).getOrElse(1), force != null))
+          Option(retain).map(_.toInt).getOrElse(-1), force != null))
       case OptimizeRe(table, zcols) =>
         Some(GraftOptimizeCommand(parts(table),
           Option(zcols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
@@ -51,8 +55,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case _ => None
     }
 
-  private def parts(dotted: String): Seq[String] =
-    dotted.split("\\.").toSeq.map(_.trim)
+  /** Split a dotted identifier, honoring backtick quoting (round 12):
+    * `` graft.ns.`my-table` `` → Seq(graft, ns, my-table). Dots inside
+    * backticks are part of the segment; quotes are stripped. */
+  private def parts(dotted: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    dotted.foreach {
+      case '`' => inQuote = !inQuote
+      case '.' if !inQuote => out += sb.result().trim; sb.clear()
+      case c => sb += c
+    }
+    require(!inQuote, s"unbalanced backticks in identifier: $dotted")
+    out += sb.result().trim
+    out.toSeq
+  }
 
   // --- pure delegation ------------------------------------------------------
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -72,7 +90,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  private val Id = raw"([\w.]+)"
+  // Identifier token: plain dotted parts, or backtick-quoted segments
+  // (`my-table`, dots-inside-quotes included) — split by [[parts]].
+  private val Id = raw"([\w.`-]+)"
   val VacuumRe =
     raw"(?is)VACUUM\s+$Id(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?".r
   val OptimizeRe =
@@ -101,11 +121,19 @@ object GraftSqlParser {
     Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
-/** `VACUUM t [RETAIN n VERSIONS] [FORCE]` → [[SnapshotTable.vacuum]] —
-  * subscriber-watermark clamp included unless FORCE. */
+/** `VACUUM t RETAIN n VERSIONS [FORCE]` → [[SnapshotTable.vacuum]] —
+  * subscriber-watermark clamp included unless FORCE. The RETAIN clause is
+  * REQUIRED (keep = -1 marks its absence): bare `VACUUM t` looks like
+  * Delta's no-history-loss statement but here would drop every retained
+  * version except the current one — refuse loudly instead of surprising
+  * the operator (ADVICE r11). */
 case class GraftVacuumCommand(nameParts: Seq[String], keep: Int, force: Boolean)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    require(keep >= 1,
+      "VACUUM on graft tables requires an explicit retention: " +
+        "VACUUM t RETAIN <n> VERSIONS [FORCE] — a bare VACUUM would drop " +
+        "all history (time travel and RESTORE targets)")
     SnapshotTable.vacuum(spark, GraftSqlParser.rootOf(spark, nameParts),
       keep = keep, force = force)
     Seq.empty

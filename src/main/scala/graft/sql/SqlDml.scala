@@ -214,10 +214,13 @@ object SqlDml {
               FROM d GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
-    // SQL TIME TRAVEL under the hash gate: seed, UPDATE, then read BOTH
-    // the pre-update version (VERSION AS OF) and the current state in one
-    // result — the oracle reconstructs both arithmetically, so hash-green
-    // pins that historical versions stay byte-exact under later DML.
+    // SQL TIME TRAVEL under the hash gate: seed, UPDATE, then read the
+    // pre-update state BOTH ways — VERSION AS OF 0 and TIMESTAMP AS OF
+    // (version 0's commit stamp, fetched from DESCRIBE HISTORY's
+    // committed_at) — plus the current state, in one result. The oracle
+    // reconstructs all three arithmetically, so hash-green pins that
+    // historical versions stay byte-exact under later DML AND that
+    // timestamp resolution lands on exactly the version-pinned rows.
     Q("sql_time_travel",
       (s, dir) => {
         val t = s"orders_tt_${tag(s, dir)}"
@@ -229,20 +232,32 @@ object SqlDml {
               FROM orders""",
           s"""UPDATE graft.dml.$t
               SET price = CAST(price * 3 AS DECIMAL(18,2))
-              WHERE o_orderkey % 8 = 0""",
+              WHERE o_orderkey % 8 = 0"""), vacuum = false)
+        // v0's commit stamp (strictly below v1's: stamps are monotonic
+        // per writer) — the TIMESTAMP AS OF literal, session-timezone
+        // formatted exactly as java.sql.Timestamp renders it.
+        val ts0 = graft.ops.SnapshotTable.history(s,
+            s"${GraftSql.defaultWarehouse}/dml/$t")
+          .filter(org.apache.spark.sql.functions.col("version") === 0)
+          .select("committed_at").head().getTimestamp(0)
+        s.sql(
           s"""SELECT era, st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
               FROM (SELECT 'v0' AS era, st, price
                       FROM graft.dml.$t VERSION AS OF 0
                     UNION ALL
+                    SELECT 'v0ts' AS era, st, price
+                      FROM graft.dml.$t TIMESTAMP AS OF '$ts0'
+                    UNION ALL
                     SELECT 'cur' AS era, st, price
                       FROM graft.dml.$t) u
               GROUP BY era, st
-              ORDER BY era ASC NULLS FIRST, st ASC NULLS FIRST"""),
-          vacuum = false)
+              ORDER BY era ASC NULLS FIRST, st ASC NULLS FIRST""").localCheckpoint()
       },
       Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
                      o_orderstatus AS st FROM orders),
               u AS (SELECT 'v0' AS era, st, price FROM t
+                    UNION ALL
+                    SELECT 'v0ts' AS era, st, price FROM t
                     UNION ALL
                     SELECT 'cur' AS era, st,
                       CASE WHEN o_orderkey % 8 = 0

@@ -117,13 +117,59 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
       s"the catalog-named feed must carry the INSERT's delta: ${buf.toSeq}")
   }
 
+  test("TIMESTAMP AS OF resolves the greatest version at-or-before; too-early fails loudly") {
+    val ns = fresh("mnt4")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("mnt4_seed")
+    spark.sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM mnt4_seed")          // v0
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES (2L, 2.0)")                     // v1
+    spark.sql(s"UPDATE graft.$ns.t SET v = 9.0 WHERE k = 1")                   // v2
+    val ts = SnapshotTable.history(spark, root)
+      .select("version", "committed_at").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(ts.values.toSet.size == 3, "commit stamps must be distinct (monotonic)")
+    def countAt(t: java.sql.Timestamp): Long =
+      spark.sql(s"SELECT count(*) AS n FROM graft.$ns.t TIMESTAMP AS OF '$t'")
+        .head().getLong(0)
+    assert(countAt(ts(0L)) == 1L, "v0's own stamp pins v0")
+    assert(countAt(ts(1L)) == 2L)
+    // between v1 and v2 resolves v1; v2's stamp (and later) resolves v2
+    assert(spark.sql(s"SELECT v FROM graft.$ns.t TIMESTAMP AS OF '${ts(2L)}' WHERE k = 1")
+      .head().getDouble(0) == 9.0)
+    assert(spark.sql(s"SELECT v FROM graft.$ns.t TIMESTAMP AS OF '${ts(1L)}' WHERE k = 1")
+      .head().getDouble(0) == 1.0)
+    // a timestamp before every retained commit fails loudly
+    val early = new java.sql.Timestamp(ts(0L).getTime - 5000)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.$ns.t TIMESTAMP AS OF '$early'").collect()
+    }
+    assert(e.getMessage.contains("committed at or before"), e.getMessage)
+  }
+
+  test("maintenance grammar accepts backtick-quoted identifiers; bare VACUUM is refused") {
+    val ns = fresh("mnt5")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("mnt5_seed")
+    spark.sql(s"CREATE TABLE graft.$ns.`my-table` AS SELECT * FROM mnt5_seed")
+    spark.sql(s"INSERT INTO graft.$ns.`my-table` VALUES (3L, 3.0)")
+    // OPTIMIZE / DESCRIBE HISTORY / VACUUM through the quoted name
+    assert(spark.sql(s"OPTIMIZE graft.$ns.`my-table`").head().getLong(0) == -1L)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.$ns.`my-table`").count() == 2)
+    spark.sql(s"VACUUM graft.$ns.`my-table` RETAIN 1 VERSIONS FORCE")
+    assert(spark.sql(s"DESCRIBE HISTORY graft.$ns.`my-table`").count() == 1)
+    // bare VACUUM (no RETAIN) refuses instead of silently dropping history
+    val e = intercept[Exception] { spark.sql(s"VACUUM graft.$ns.`my-table`") }
+    assert(e.getMessage.contains("explicit retention"), e.getMessage)
+  }
+
   test("non-maintenance SQL delegates untouched (including parse errors)") {
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       spark.sql("SELEC 1")
     }
     // VACUUM over a non-graft catalog name fails loudly at run, not parse
-    val e = intercept[Exception] { spark.sql("VACUUM spark_catalog.default.x") }
+    val e = intercept[Exception] {
+      spark.sql("VACUUM spark_catalog.default.x RETAIN 2 VERSIONS")
+    }
     assert(e.getMessage.contains("not a graft catalog"), e.getMessage)
   }
 }
