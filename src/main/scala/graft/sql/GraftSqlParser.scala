@@ -16,19 +16,21 @@ import org.apache.spark.sql.types._
   * vocabulary is SQL strings:
   *
   * {{{
-  *   VACUUM graft.ns.t [RETAIN 3 VERSIONS] [FORCE]
+  *   VACUUM graft.ns.t RETAIN 3 VERSIONS [FORCE]     -- RETAIN is required
   *   OPTIMIZE graft.ns.t [ZORDER BY (a, b)]          -- compact / recluster
   *   RESTORE TABLE graft.ns.t TO VERSION AS OF 4 [WITH CDC]
   *   DESCRIBE HISTORY graft.ns.t
+  *   INSERT INTO graft.ns.t REPLACE WHERE cond SELECT ...  -- replaceWhere
+  *   UNDROP TABLE graft.ns.t                         -- recover a DROP
   * }}}
   *
-  * The grammar here is four fixed statement shapes over a dotted
+  * The grammar here is a handful of fixed statement shapes over a dotted
   * identifier — matched with anchored regexes rather than a generated
   * parser, which is the honest scope (Delta's ANTLR grammar exists to
-  * host dozens of statements; these four don't earn one). Identifiers are
-  * plain (unquoted) parts; anything else falls through to Spark's parser
-  * and its normal error. Each statement lowers to an eager command on the
-  * SAME engine entry points the Scala API calls. */
+  * host dozens of statements; these don't earn one). Identifier parts are
+  * plain or backtick-quoted; anything else falls through to Spark's
+  * parser and its normal error. Each statement lowers to an eager command
+  * on the SAME engine entry points the Scala API calls. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
@@ -52,6 +54,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRestoreCommand(parts(table), version.toLong, withCdc != null))
       case HistoryRe(table) =>
         Some(GraftHistoryCommand(parts(table)))
+      case ReplaceWhereRe(table, cond, query) =>
+        // Delta's `INSERT INTO t REPLACE WHERE cond SELECT ...` shape:
+        // parse the pieces with the DELEGATE parser, emit the standard
+        // OverwriteByExpression plan — the analyzer resolves the
+        // condition against the table and [[GraftSqlRule]] lowers it onto
+        // SnapshotTable.overwriteWhere. (The condition text runs to the
+        // first SELECT keyword; a scalar subquery inside it would be
+        // refused at lowering anyway.)
+        Some(org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+          .byPosition(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(parts(table)),
+            delegate.parsePlan(query),
+            delegate.parseExpression(cond)))
       case _ => None
     }
 
@@ -100,6 +115,8 @@ object GraftSqlParser {
   val RestoreRe =
     raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)(\s+WITH\s+CDC)?\s*;?".r
   val HistoryRe = raw"(?is)DESCRIBE\s+HISTORY\s+$Id\s*;?".r
+  val ReplaceWhereRe =
+    raw"(?is)INSERT\s+INTO\s+$Id\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?".r
 
   /** Resolve a dotted name's catalog to [[GraftCatalog]] and the table to
     * its root — at RUN time (the parser must not touch the catalog:

@@ -98,7 +98,7 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Rebase a target-side expression onto the merge's `t` alias. */
   private def targetSide(e: Expression): Column =
-    ColumnBridge.column(e.transform {
+    ColumnBridge.column(inlineWith(e).transform {
       case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
     })
 
@@ -111,10 +111,25 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     df(plan).toDF(keyNames: _*).na.drop("any", keyNames).distinct()
   }
 
+  /** Inline `With` common-subexpression nodes (what `BETWEEN` parses to):
+    * rebuilding a `With` whose defs just went unresolved (attribute →
+    * UnresolvedAttribute) calls `dataType` on the def and crashes, so
+    * every rebase below substitutes the defs into the body first — the
+    * duplicated subexpression is tiny (DML predicates), and Spark's own
+    * optimizer re-factors it anyway. */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          defs(r.id)
+      }
+  }
+
   /** Resolved expression → Column that re-resolves BY NAME on a fresh
     * frame (attribute ids from the statement's relation would dangle). */
   private def byName(e: Expression): Column =
-    ColumnBridge.column(e.transform {
+    ColumnBridge.column(inlineWith(e).transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 
@@ -123,7 +138,7 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def bySide(e: Expression, target: MergeIntoTable): Column = {
     val tgt = target.targetTable.outputSet
     val src = target.sourceTable.outputSet
-    ColumnBridge.column(e.transform {
+    ColumnBridge.column(inlineWith(e).transform {
       case a: AttributeReference if tgt.contains(a) =>
         UnresolvedAttribute(Seq("t", a.name))
       case a: AttributeReference if src.contains(a) =>
@@ -339,12 +354,19 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         mode = "append")
 
     case o: OverwriteByExpression if graftOf(o.table).isDefined =>
-      if (!o.query.resolved) o
-      else {
-        require(o.deleteExpr == Literal(true) || o.deleteExpr == Literal.TrueLiteral,
-          "graft INSERT OVERWRITE supports full-table overwrite only")
+      if (!o.query.resolved || !o.deleteExpr.resolved) o
+      else if (o.deleteExpr == Literal(true) || o.deleteExpr == Literal.TrueLiteral)
         GraftWriteCommand(graftOf(o.table).get.root, df(o.query),
           mode = "overwrite")
+      else {
+        // Predicate overwrite — Delta's replaceWhere (round 12): both the
+        // DataFrameWriterV2 `.overwrite(cond)` path and the parser's
+        // `INSERT INTO t REPLACE WHERE cond SELECT ...` statement land
+        // here; ONE atomic commit deletes the region and inserts the
+        // batch (SnapshotTable.overwriteWhere).
+        noSubquery(o.deleteExpr, "INSERT OVERWRITE predicate")
+        GraftOverwriteWhereCommand(graftOf(o.table).get.root,
+          byName(o.deleteExpr), df(o.query))
       }
 
     // ---- DDL-with-query --------------------------------------------------
@@ -461,6 +483,20 @@ case class GraftAddConstraintCommand(root: String, name: String, checkSql: Strin
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
     Seq(org.apache.spark.sql.Row(
       SnapshotTable.setCheckConstraint(spark, root, name, checkSql)))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftSqlCommands.versionOutput
+}
+
+/** Predicate `INSERT OVERWRITE` (replaceWhere) →
+  * [[SnapshotTable.overwriteWhere]]: one atomic delete-region + insert-
+  * batch commit with file-granular copy-on-write and a single
+  * retraction+insertion CDC delta. */
+case class GraftOverwriteWhereCommand(root: String, condition: Column,
+                                      data: DataFrame)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(
+      SnapshotTable.overwriteWhere(spark, root, condition, data)))
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftSqlCommands.versionOutput
 }

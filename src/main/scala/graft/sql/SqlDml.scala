@@ -267,6 +267,38 @@ object SqlDml {
               FROM u GROUP BY era, st
               ORDER BY era ASC NULLS FIRST, st ASC NULLS FIRST""")),
 
+    // Predicate INSERT OVERWRITE — Delta's replaceWhere (round 12): one
+    // atomic commit swaps the WHERE region for the batch (here: reload
+    // the 'F' partition with doubled prices), untouched files carried by
+    // manifest entry. Oracle = non-region rows unioned with the reload.
+    Q("sql_insert_overwrite_where",
+      (s, dir) => {
+        val t = s"orders_rw_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""INSERT INTO graft.dml.$t REPLACE WHERE st = 'F'
+              SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0""",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st FROM orders),
+              r AS (SELECT * FROM t WHERE st <> 'F'
+                    UNION ALL
+                    SELECT o_orderkey, CAST(price * 2 AS DECIMAL(18,2)) AS price, st
+                    FROM t WHERE st = 'F' AND o_orderkey % 3 <> 0)
+              SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM r GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
     // The MAINTENANCE statement grammar (round-11 parser extension) in one
     // lineage: CTAS seed -> a deliberately wide INSERT (REPARTITION hint
     // past the compaction bound) -> OPTIMIZE (bin-pack) -> RESTORE ... ->

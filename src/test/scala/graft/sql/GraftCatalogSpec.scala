@@ -211,6 +211,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("graft.version").contains("1"))
   }
 
+  test("replaceWhere: one atomic commit, untouched files carry byte-identical, contract enforced") {
+    val ns = fresh("cat15")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    // 4 range-clustered files of 10 keys; the replaced region is keys 11..20
+    SnapshotTable.commitClustered(spark, root,
+      (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v"), Seq("k"), numFiles = 4)
+    val v0 = SnapshotTable.currentVersion(spark, root).get
+    val v0Entries = SnapshotTable.read(spark, root).inputFiles.toSet
+
+    // the SQL statement shape (Delta's replaceWhere grammar)
+    (11L to 15L).map(k => (k, k * 100.0)).toDF("k", "v")
+      .createOrReplaceTempView("cat15_batch")
+    spark.sql(s"""INSERT INTO graft.$ns.t REPLACE WHERE k BETWEEN 11 AND 20
+                  SELECT * FROM cat15_batch""")
+    val v1 = SnapshotTable.currentVersion(spark, root).get
+    assert(v1 == v0 + 1, "replaceWhere must be ONE commit (delete+insert atomically)")
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 35, "10 replaced rows out, 5 batch rows in")
+    assert(got(11L) == 1100.0 && !got.contains(16L) && got(10L) == 10.0 && got(21L) == 21.0)
+    // the 3 files outside the region carry by manifest entry, byte-identical
+    val after = SnapshotTable.read(spark, root).inputFiles.toSet
+    assert((v0Entries & after).size == 3,
+      s"3 untouched files must carry: ${(v0Entries & after).size}")
+    // ONE CDC delta: removes = the 10 pre-images, adds = the 5 batch rows
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, v0, Some(v1))
+    assert(removes.count() == 10 && adds.count() == 5)
+
+    // classic contract: a batch row OUTSIDE the region is refused atomically
+    Seq((11L, 1.0), (99L, 9.0)).toDF("k", "v").createOrReplaceTempView("cat15_bad")
+    intercept[Exception] {
+      spark.sql(s"""INSERT INTO graft.$ns.t REPLACE WHERE k BETWEEN 11 AND 20
+                    SELECT * FROM cat15_bad""")
+    }
+    assert(SnapshotTable.currentVersion(spark, root).contains(v1), "no partial commit")
+
+    // the DataFrameWriterV2 path lands on the same machinery
+    (21L to 25L).map(k => (k, k * 1000.0)).toDF("k", "v")
+      .writeTo(s"graft.$ns.t").overwrite(col("k").between(21L, 30L))
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 30L)
+    assert(sql(s"SELECT v FROM graft.$ns.t WHERE k = 21").head().getDouble(0) == 21000.0)
+  }
+
   test("IN-subquery DELETE/UPDATE decorrelate onto MERGE; touched files stay pruned; other shapes refused") {
     val ns = fresh("cat14")
     val root = s"${GraftSql.defaultWarehouse}/$ns/t"
