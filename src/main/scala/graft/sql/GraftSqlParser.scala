@@ -54,6 +54,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRestoreCommand(parts(table), version.toLong, withCdc != null))
       case HistoryRe(table) =>
         Some(GraftHistoryCommand(parts(table)))
+      case UndropRe(table) =>
+        Some(GraftUndropCommand(parts(table)))
       case ReplaceWhereRe(table, cond, query) =>
         // Delta's `INSERT INTO t REPLACE WHERE cond SELECT ...` shape:
         // parse the pieces with the DELEGATE parser, emit the standard
@@ -117,12 +119,14 @@ object GraftSqlParser {
   val HistoryRe = raw"(?is)DESCRIBE\s+HISTORY\s+$Id\s*;?".r
   val ReplaceWhereRe =
     raw"(?is)INSERT\s+INTO\s+$Id\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?".r
+  val UndropRe = raw"(?is)UNDROP\s+TABLE\s+$Id\s*;?".r
 
   /** Resolve a dotted name's catalog to [[GraftCatalog]] and the table to
-    * its root — at RUN time (the parser must not touch the catalog:
+    * its identifier — at RUN time (the parser must not touch the catalog:
     * statements parse before any session state is consulted, the same
     * order Spark itself uses). */
-  private[sql] def rootOf(spark: SparkSession, nameParts: Seq[String]): String = {
+  private[sql] def resolve(spark: SparkSession, nameParts: Seq[String])
+      : (GraftCatalog, Identifier) = {
     require(nameParts.length >= 2,
       s"graft maintenance statements need catalog.[ns.]table, got ${nameParts.mkString(".")}")
     val cat = spark.sessionState.catalogManager.catalog(nameParts.head) match {
@@ -130,8 +134,13 @@ object GraftSqlParser {
       case other => throw new IllegalArgumentException(
         s"${nameParts.head} is not a graft catalog (${other.getClass.getName})")
     }
-    cat.rootOf(Identifier.of(nameParts.slice(1, nameParts.length - 1).toArray,
+    (cat, Identifier.of(nameParts.slice(1, nameParts.length - 1).toArray,
       nameParts.last))
+  }
+
+  private[sql] def rootOf(spark: SparkSession, nameParts: Seq[String]): String = {
+    val (cat, ident) = resolve(spark, nameParts)
+    cat.rootOf(ident)
   }
 
   private[sql] def versionOutput: Seq[Attribute] =
@@ -183,6 +192,18 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Long,
     Seq(org.apache.spark.sql.Row(SnapshotTable.restore(spark,
       GraftSqlParser.rootOf(spark, nameParts), toVersion, withCdc)))
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+}
+
+/** `UNDROP TABLE t` → [[GraftCatalog.undropTable]]: restore the newest
+  * tombstone a recoverable DROP TABLE left behind (round 12). */
+case class GraftUndropCommand(nameParts: Seq[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val (cat, ident) = GraftSqlParser.resolve(spark, nameParts)
+    cat.undropTable(ident)
+    Seq.empty
+  }
+  override val output: Seq[Attribute] = Nil
 }
 
 /** `DESCRIBE HISTORY t` → [[SnapshotTable.history]]'s audit rows (driver-

@@ -33,6 +33,13 @@ object SqlDml {
     val out = statements.map(s.sql).last.localCheckpoint()
     if (vacuum) graft.ops.SnapshotTable.vacuum(s,
       s"${GraftSql.defaultWarehouse}/dml/$table", keep = 1)
+    // These are rerun fixtures: DROP TABLE tombstones (recoverable-drop,
+    // round 12) would otherwise accrete one table copy per verify/bench
+    // pass — force-purge the namespace's tombstones to bound tmp growth.
+    s.sessionState.catalogManager.catalog("graft") match {
+      case g: GraftCatalog => g.purgeDropped(Array("dml"), 0L, force = true)
+      case _ => ()
+    }
     out
   }
 

@@ -456,6 +456,47 @@ class GraftCatalogSpec extends SparkSpec {
       "orphaned bytes must not resurface through the SQL re-add")
   }
 
+  test("DROP TABLE is recoverable: tombstoned, UNDROP restores history, purge reclaims") {
+    val ns = fresh("cat16")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("cat16_seed")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat16_seed")
+    sql(s"INSERT INTO graft.$ns.t VALUES (3L, 3.0)") // v1 — history to preserve
+
+    sql(s"DROP TABLE graft.$ns.t")
+    assert(!spark.catalog.tableExists(s"graft.$ns.t"))
+    assert(sql(s"SHOW TABLES IN graft.$ns").count() == 0, "dropped table must leave listings")
+    assert(SnapshotTable.currentVersion(spark, root).isEmpty)
+
+    sql(s"UNDROP TABLE graft.$ns.t")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 3L)
+    // full manifest history survived the round trip
+    val hist = sql(s"DESCRIBE HISTORY graft.$ns.t").collect()
+    assert(hist.length == 2 && hist.map(_.getString(1)).contains("append"),
+      s"history must survive drop+undrop: ${hist.toSeq}")
+
+    // drop again; a NEW table under the name blocks undrop until renamed
+    sql(s"DROP TABLE graft.$ns.t")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat16_seed")
+    intercept[Exception] { sql(s"UNDROP TABLE graft.$ns.t") }
+    sql(s"DROP TABLE graft.$ns.t") // second tombstone (newer)
+    sql(s"UNDROP TABLE graft.$ns.t")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 2L,
+      "UNDROP restores the NEWEST tombstone")
+
+    // GC: age-bounded purge keeps young tombstones; FORCE reclaims all
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    assert(cat.purgeDropped(Array(ns), maxAgeMs = 3600 * 1000L) == 0,
+      "young tombstones survive an age-bounded purge")
+    assert(cat.purgeDropped(Array(ns), maxAgeMs = 0L, force = true) == 1)
+    sql(s"DROP TABLE graft.$ns.t")
+    intercept[Exception] { // nothing left to restore after a forced purge
+      cat.purgeDropped(Array(ns), 0L, force = true)
+      sql(s"UNDROP TABLE graft.$ns.t")
+    }
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT commits a new version; history survives") {
     val ns = fresh("cat6")
     Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat6_a")
