@@ -2067,13 +2067,73 @@ object SnapshotTable {
       case ManifestRe(v) => Some(v.toLong)
       case _ => None
     }).sorted
-    val keepEff =
-      if (force) keep
-      else subscriberWatermark(spark, root) match {
-        case Some(w) => math.max(keep, versions.count(_ >= w))
-        case None => keep
-      }
+    val wm = if (force) None else subscriberWatermark(spark, root)
+    val keepEff = wm match {
+      case Some(w) => math.max(keep, versions.count(_ >= w))
+      case None => keep
+    }
+    // Record WHY retention did (not) shrink — the operator-visible answer
+    // to "I asked for RETAIN 1, why are 5 versions still here?" (VERDICT
+    // r11 hygiene). One KB side-car, overwritten per vacuum; surfaced by
+    // [[status]] / DESCRIBE STATUS.
+    val clampedBy = wm.filter(_ => keepEff > keep)
+    val p = new Path(root, "_last_vacuum")
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"requestedKeep":$keep,"effectiveKeep":${math.min(keepEff, versions.size)},""" +
+        s""""forced":$force,"clampedByWatermark":${clampedBy.getOrElse(-1L)},""" +
+        s""""ts":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+    finally out.close()
     vacuumKeeping(spark, root, versions, math.min(keepEff, versions.size))
+  }
+
+  /** One-row operational status (VERDICT r11 hygiene): everything an
+    * operator asks after "why didn't retention shrink / why was my commit
+    * slow", answered from manifests + KB side-cars, zero data I/O:
+    * current version, file/row/byte totals, RETAINED version count,
+    * registered subscribers with their watermarks, the LAST vacuum's
+    * requested-vs-effective keep and the watermark that clamped it (-1 =
+    * unclamped), and this process's CAS-loss counter (commit retries
+    * taken after losing a compare-and-swap race — JVM-wide, a writer
+    * health signal, not table state). SQL: `DESCRIBE STATUS t`. */
+  def status(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val body = readManifestBody(fs, manifestPath(root, v))
+    val stats = SnapshotStats.statsFromManifest(body)
+    val mdir = new Path(root, ManifestDir)
+    val retained = fs.listStatus(mdir).count(_.getPath.getName match {
+      case ManifestRe(_) => true
+      case _ => false
+    })
+    val subsDir = new Path(root, SubscribersDir)
+    val subs =
+      if (!fs.exists(subsDir)) Seq.empty[String]
+      else fs.listStatus(subsDir).toSeq.flatMap(st =>
+        subscriberVersion(fs, st.getPath).map(w => s"${st.getPath.getName}:$w"))
+        .sorted
+    val lastVac = {
+      val p = new Path(root, "_last_vacuum")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        def num(k: String): Long =
+          s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+        Some((num("requestedKeep"), num("effectiveKeep"), num("clampedByWatermark")))
+      }
+    }
+    Seq((v, stats.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
+      retained.toLong, subs,
+      lastVac.map(_._1), lastVac.map(_._2), lastVac.map(_._3),
+      casLosses.get()))
+      .toDF("version", "num_files", "total_rows", "total_bytes",
+        "retained_versions", "subscribers",
+        "last_vacuum_requested_keep", "last_vacuum_effective_keep",
+        "last_vacuum_clamped_by_watermark", "cas_losses")
   }
 
   private def vacuumKeeping(spark: SparkSession, root: String,

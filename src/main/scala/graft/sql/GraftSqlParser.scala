@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
   *   OPTIMIZE graft.ns.t [ZORDER BY (a, b)]          -- compact / recluster
   *   RESTORE TABLE graft.ns.t TO VERSION AS OF 4 [WITH CDC]
   *   DESCRIBE HISTORY graft.ns.t
+  *   DESCRIBE STATUS graft.ns.t    -- retention/subscriber/CAS observability
   *   INSERT INTO graft.ns.t REPLACE WHERE cond SELECT ...  -- replaceWhere
   *   UNDROP TABLE graft.ns.t                         -- recover a DROP
   * }}}
@@ -54,6 +55,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRestoreCommand(parts(table), version.toLong, withCdc != null))
       case HistoryRe(table) =>
         Some(GraftHistoryCommand(parts(table)))
+      case StatusRe(table) =>
+        Some(GraftStatusCommand(parts(table)))
       case UndropRe(table) =>
         Some(GraftUndropCommand(parts(table)))
       case ReplaceWhereRe(table, cond, query) =>
@@ -117,6 +120,7 @@ object GraftSqlParser {
   val RestoreRe =
     raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)(\s+WITH\s+CDC)?\s*;?".r
   val HistoryRe = raw"(?is)DESCRIBE\s+HISTORY\s+$Id\s*;?".r
+  val StatusRe = raw"(?is)DESCRIBE\s+STATUS\s+$Id\s*;?".r
   val ReplaceWhereRe =
     raw"(?is)INSERT\s+INTO\s+$Id\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?".r
   val UndropRe = raw"(?is)UNDROP\s+TABLE\s+$Id\s*;?".r
@@ -192,6 +196,27 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Long,
     Seq(org.apache.spark.sql.Row(SnapshotTable.restore(spark,
       GraftSqlParser.rootOf(spark, nameParts), toVersion, withCdc)))
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+}
+
+/** `DESCRIBE STATUS t` → [[SnapshotTable.status]]: one row of operational
+  * state — retention, subscribers, the last vacuum's clamp decision, CAS
+  * losses (VERDICT r11 hygiene). */
+case class GraftStatusCommand(nameParts: Seq[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    SnapshotTable.status(spark, GraftSqlParser.rootOf(spark, nameParts))
+      .collect().toSeq
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("retained_versions", LongType, nullable = false)(),
+    AttributeReference("subscribers", ArrayType(StringType))(),
+    AttributeReference("last_vacuum_requested_keep", LongType)(),
+    AttributeReference("last_vacuum_effective_keep", LongType)(),
+    AttributeReference("last_vacuum_clamped_by_watermark", LongType)(),
+    AttributeReference("cas_losses", LongType, nullable = false)())
 }
 
 /** `UNDROP TABLE t` → [[GraftCatalog.undropTable]]: restore the newest

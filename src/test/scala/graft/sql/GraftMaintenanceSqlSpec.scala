@@ -161,6 +161,33 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("explicit retention"), e.getMessage)
   }
 
+  test("DESCRIBE STATUS surfaces the vacuum clamp decision, subscribers, CAS losses") {
+    val ns = fresh("mnt6")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("mnt6_seed")
+    spark.sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM mnt6_seed")      // v0
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES (2L, 2.0)")                 // v1
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES (3L, 3.0)")                 // v2
+    SnapshotTable.registerSubscriber(spark, root, "lagger", 1L)
+
+    spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS") // clamped to keep v1, v2
+    val st = spark.sql(s"DESCRIBE STATUS graft.$ns.t").head()
+    assert(st.getAs[Long]("version") == 2L)
+    assert(st.getAs[Long]("retained_versions") == 2L, "watermark keeps v1 up")
+    assert(st.getAs[scala.collection.Seq[String]]("subscribers").toSeq == Seq("lagger:1"))
+    assert(st.getAs[Long]("last_vacuum_requested_keep") == 1L)
+    assert(st.getAs[Long]("last_vacuum_effective_keep") == 2L)
+    assert(st.getAs[Long]("last_vacuum_clamped_by_watermark") == 1L,
+      "the clamping watermark must be visible, not silent")
+    assert(st.getAs[Long]("cas_losses") >= 0L)
+
+    spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS FORCE")
+    val st2 = spark.sql(s"DESCRIBE STATUS graft.$ns.t").head()
+    assert(st2.getAs[Long]("retained_versions") == 1L)
+    assert(st2.getAs[Long]("last_vacuum_clamped_by_watermark") == -1L,
+      "a forced vacuum records an unclamped decision")
+  }
+
   test("non-maintenance SQL delegates untouched (including parse errors)") {
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
