@@ -40,6 +40,7 @@ object ScaleRehearsal {
     if (args.contains("mvhc")) { mvHighCardLeg(spark); spark.stop(); return }
     if (args.contains("cdf")) { cdfSubscriberLeg(spark); spark.stop(); return }
     if (args.contains("ticketsync")) { ticketSyncLeg(spark); spark.stop(); return }
+    if (args.contains("sqldml")) { sqlDmlLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
@@ -1500,6 +1501,106 @@ object ScaleRehearsal {
       SnapshotTable.read(spark, root))).collect().map(_.toString).toSet
     assert(got == want, "ticket dashboard diverged from full recompute")
     println(s"SCALE   ticketsync dashboard == recompute over ${got.size} groups (exact)")
+  }
+
+  /** The SQL-string DML lifecycle at rehearsal scale (VERDICT r11 #6): the
+    * sql_maintenance_lineage shape on a ~1M-row table — CTAS seed, a
+    * deliberately wide INSERT (80 small files), OPTIMIZE with the
+    * SELECTIVE-fold economics measured (bytes of small files actually
+    * read vs table bytes), a per-column MERGE wave, and VACUUM with a
+    * registered subscriber (clamped, then FORCE). The scale property:
+    * OPTIMIZE cost tracks the ACCRETED DELTA's bytes, never the table's. */
+  private def sqlDmlLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import graft.sql.GraftSql
+    GraftSql.ensureCatalog(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scale")
+    spark.sql("DROP TABLE IF EXISTS graft.scale.sqldml")
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sql.GraftCatalog]
+      .purgeDropped(Array("scale"), 0L, force = true)
+    val root = s"${GraftSql.defaultWarehouse}/scale/sqldml"
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // CTAS seed: 20M rows in 8 range-clustered files (~25 MB each — above
+    // the rig-scaled fold threshold below, so they are HEALTHY carriers).
+    val (_, ctasWall) = timed(spark.sql(
+      """CREATE TABLE graft.scale.sqldml AS
+         SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id AS k,
+                CAST((id % 99991) * 1.37 AS DECIMAL(18,2)) AS price,
+                CASE WHEN id % 3 = 0 THEN 'F' ELSE 'O' END AS st
+         FROM range(20000000)"""))
+    val v0 = SnapshotTable.currentVersion(spark, root).get
+    val entries0 = SnapshotTable.read(spark, root).inputFiles.toSet
+    println(f"SCALE sqldml CTAS 20M rows -> ${entries0.size} files in $ctasWall%.1f s")
+
+    // Wide INSERT: 500k rows blown across 80 files (the small-file storm a
+    // streaming ingester produces between maintenance sweeps).
+    val (_, insWall) = timed(spark.sql(
+      """INSERT INTO graft.scale.sqldml
+         SELECT /*+ REPARTITION(80) */ id + 20000000 AS k,
+                CAST((id % 99991) * 1.37 AS DECIMAL(18,2)) AS price, 'O' AS st
+         FROM range(500000)"""))
+    // Selective-fold economics, from the manifest: OPTIMIZE reads ONLY the
+    // small files (the accreted delta), carrying healthy ones by entry.
+    // targetBytes is rig-scaled (16 MB vs the 128 MB production default:
+    // same partition algebra, reachable file sizes on a laptop-sized run).
+    val st1 = SnapshotTable.status(spark, root).head()
+    val tableBytes = st1.getAs[Long]("total_bytes")
+    val preOpt = SnapshotTable.read(spark, root).inputFiles.toSet
+    val (_, optWall) = timed(
+      SnapshotTable.compact(spark, root, maxFiles = 64, targetBytes = 16L << 20))
+    val postOpt = SnapshotTable.read(spark, root).inputFiles.toSet
+    val carried = (preOpt & postOpt).size
+    // Bytes OPTIMIZE actually read = the folded (small) files' lengths;
+    // the selective-compaction scale claim is this vs the table's bytes.
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedBytes = (preOpt -- postOpt).toSeq
+      .map(p => hfs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+    println(f"SCALE sqldml INSERT 500k -> 80 small files in $insWall%.1f s; " +
+      f"OPTIMIZE folded ${preOpt.size - carried} small files " +
+      f"(${foldedBytes / 1024} KB read) in $optWall%.1f s, " +
+      f"carried $carried healthy files (table ${tableBytes / 1024 / 1024} MB) " +
+      f"-> cost tracks the accreted delta, ${foldedBytes * 100 / tableBytes}%% of table bytes")
+
+    // MERGE wave: 50k per-column updates through the SQL string — the
+    // generalized round-12 arm at 20M-row scale. The source keys span
+    // only the first 1/20th of the clustered key range, so the
+    // file-granular probe must rewrite a fraction of the files.
+    val preMerge = SnapshotTable.read(spark, root).inputFiles.toSet
+    val (_, mergeWall) = timed(spark.sql(
+      """MERGE INTO graft.scale.sqldml t
+         USING (SELECT id * 20 AS k,
+                       CAST(id % 1000 AS DECIMAL(18,2)) AS bump
+                FROM range(50000)) s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET price = CAST(t.price + s.bump AS DECIMAL(18,2))"""))
+    val postMerge = SnapshotTable.read(spark, root).inputFiles.toSet
+    val rows = SnapshotTable.rowCount(spark, root)
+    println(f"SCALE sqldml MERGE 50k per-column updates in $mergeWall%.1f s " +
+      f"-> $rows rows; rewrote ${(preMerge -- postMerge).size}/${preMerge.size} " +
+      f"files (clustered keys prune the probe)")
+
+    // VACUUM with a lagging subscriber: clamped (visible in DESCRIBE
+    // STATUS), then FORCE reclaims.
+    SnapshotTable.registerSubscriber(spark, root, "scale-lagger", v0)
+    spark.sql("VACUUM graft.scale.sqldml RETAIN 1 VERSIONS")
+    val stC = spark.sql("DESCRIBE STATUS graft.scale.sqldml").head()
+    val (_, vacWall) = timed(
+      spark.sql("VACUUM graft.scale.sqldml RETAIN 1 VERSIONS FORCE"))
+    val stF = spark.sql("DESCRIBE STATUS graft.scale.sqldml").head()
+    println(f"SCALE sqldml VACUUM clamped: requested=" +
+      f"${stC.getAs[Long]("last_vacuum_requested_keep")} effective=" +
+      f"${stC.getAs[Long]("last_vacuum_effective_keep")} (watermark " +
+      f"${stC.getAs[Long]("last_vacuum_clamped_by_watermark")}); FORCE -> " +
+      f"${stF.getAs[Long]("retained_versions")} version in $vacWall%.1f s; " +
+      f"cas_losses=${stF.getAs[Long]("cas_losses")}")
+    // Invariant: maintenance moved zero rows.
+    val sum = spark.sql(
+      "SELECT count(*) AS n FROM graft.scale.sqldml").head().getLong(0)
+    assert(sum == rows, s"maintenance must move zero rows: $sum vs $rows")
   }
 
   private def cdfSubscriberLeg(spark: SparkSession): Unit = {
