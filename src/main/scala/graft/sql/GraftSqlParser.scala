@@ -53,6 +53,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(zcols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
       case RestoreRe(table, version, withCdc) =>
         Some(GraftRestoreCommand(parts(table), version.toLong, withCdc != null))
+      case RestoreTsRe(table, ts, withCdc) =>
+        Some(GraftRestoreTimestampCommand(parts(table), ts, withCdc != null))
       case HistoryRe(table) =>
         Some(GraftHistoryCommand(parts(table)))
       case StatusRe(table) =>
@@ -119,6 +121,8 @@ object GraftSqlParser {
     raw"(?is)OPTIMIZE\s+$Id(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?".r
   val RestoreRe =
     raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)(\s+WITH\s+CDC)?\s*;?".r
+  val RestoreTsRe =
+    raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'(\s+WITH\s+CDC)?\s*;?".r
   val HistoryRe = raw"(?is)DESCRIBE\s+HISTORY\s+$Id\s*;?".r
   val StatusRe = raw"(?is)DESCRIBE\s+STATUS\s+$Id\s*;?".r
   val ReplaceWhereRe =
@@ -195,6 +199,23 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Long,
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
     Seq(org.apache.spark.sql.Row(SnapshotTable.restore(spark,
       GraftSqlParser.rootOf(spark, nameParts), toVersion, withCdc)))
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+}
+
+/** `RESTORE TABLE t TO TIMESTAMP AS OF 'ts' [WITH CDC]` — the timestamp
+  * resolves through [[SnapshotTable.versionAtTimestamp]] in the SESSION
+  * time zone (evaluated as a Spark timestamp literal, so it reads back
+  * exactly what DESCRIBE HISTORY's committed_at displayed). */
+case class GraftRestoreTimestampCommand(nameParts: Seq[String], ts: String,
+                                        withCdc: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val millis = spark.sql(s"SELECT unix_millis(TIMESTAMP '$ts') AS ms")
+      .head().getLong(0)
+    val v = SnapshotTable.versionAtTimestamp(spark, root, millis)
+    Seq(org.apache.spark.sql.Row(SnapshotTable.restore(spark, root, v, withCdc)))
+  }
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
 }
 

@@ -497,6 +497,20 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("plain CREATE TABLE (explicit schema) bootstraps a files-less v0") {
+    val ns = fresh("cat17")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    sql(s"CREATE TABLE graft.$ns.t (k BIGINT, name STRING, v DOUBLE)")
+    assert(sql(s"SELECT * FROM graft.$ns.t").columns.toSeq == Seq("k", "name", "v"))
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 0L)
+    assert(SnapshotTable.currentVersion(spark, root).contains(0L))
+    sql(s"INSERT INTO graft.$ns.t VALUES (1L, 'a', 1.5)")
+    assert(sql(s"SELECT name FROM graft.$ns.t WHERE k = 1").head().getString(0) == "a")
+    intercept[Exception] { sql(s"CREATE TABLE graft.$ns.t (k BIGINT)") }
+    sql(s"CREATE TABLE IF NOT EXISTS graft.$ns.t (k BIGINT)") // no-op, no error
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 1L)
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT commits a new version; history survives") {
     val ns = fresh("cat6")
     Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("cat6_a")

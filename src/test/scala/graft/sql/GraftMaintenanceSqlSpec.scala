@@ -144,6 +144,12 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.$ns.t TIMESTAMP AS OF '$early'").collect()
     }
     assert(e.getMessage.contains("committed at or before"), e.getMessage)
+
+    // RESTORE TO TIMESTAMP AS OF rewinds to the resolved version
+    spark.sql(s"RESTORE TABLE graft.$ns.t TO TIMESTAMP AS OF '${ts(1L)}'")
+    assert(spark.sql(s"SELECT v FROM graft.$ns.t WHERE k = 1").head().getDouble(0) == 1.0,
+      "restore-by-timestamp must rewind the v2 update")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 2L)
   }
 
   test("maintenance grammar accepts backtick-quoted identifiers; bare VACUUM is refused") {
