@@ -59,41 +59,108 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** A DML WHERE's decomposed subquery conjunct: the tested target key
+    * columns, the subquery's value plan (one column per key, in order),
+    * whether the membership test is NEGATED (NOT IN / NOT EXISTS — lowers
+    * onto the BY SOURCE merge arms), and whether strict NOT IN NULL
+    * semantics apply (a NULL in the subquery's values makes the whole
+    * statement a no-op, and NULL target keys never qualify). */
+  private case class SubShape(attrs: Seq[AttributeReference], plan: LogicalPlan,
+                              negated: Boolean, notInNulls: Boolean)
+
   /** Decompose a DML WHERE into (plain conjuncts, one optional top-level
-    * uncorrelated `attr[, attr] IN (SELECT ...)`) — the round-12 subquery
-    * surface. The IN decorrelates onto the engine's MERGE machinery
-    * (semi-join shape, file-granular touched-set probe included); anything
-    * else containing a subquery — NOT IN, EXISTS, nested/correlated forms,
-    * more than one IN — is refused loudly with the rewrite hint. Strict
-    * SQL IN semantics are preserved by the caller dropping NULL-bearing
-    * subquery rows: the merge's null-safe key match then can never pair a
-    * NULL target key, so NULL keys survive a DELETE exactly as three-
-    * valued logic demands. */
-  private def splitInSubquery(cond: Expression, what: String)
-      : (Seq[Expression], Option[(Seq[AttributeReference], LogicalPlan)]) = {
-    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+    * membership subquery) — the round-12 surface: `IN (SELECT ...)`
+    * (uncorrelated), `NOT IN (SELECT ...)` (uncorrelated), and
+    * `[NOT] EXISTS (SELECT ...)` correlated on equality conjuncts. Each
+    * decorrelates onto the engine's MERGE machinery: the positive forms
+    * become matched-arm semi-joins (file-granular touched-set probe
+    * included), the negated forms the BY SOURCE anti-arms. Anything else
+    * containing a subquery — nested placement, non-equi correlation, more
+    * than one membership test — is refused loudly with the rewrite hint.
+    *
+    * Three-valued logic is preserved structurally: subquery rows with a
+    * NULL key are dropped, so under the merge's null-safe match a NULL
+    * target key can never pair — it survives IN-DELETE (UNKNOWN keeps)
+    * and qualifies under NOT EXISTS (no row matches it, which is exactly
+    * strict SQL); NOT IN additionally carries the whole-statement no-op
+    * on a NULL-bearing subquery and a `key IS NOT NULL` guard
+    * ([[SubShape.notInNulls]]). */
+  private def splitMembership(cond: Expression, what: String)
+      : (Seq[Expression], Option[SubShape]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, Not}
     val (withSub, plain) =
       conjunctsOf(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
     if (withSub.isEmpty) return (plain, None)
     require(withSub.length == 1,
-      s"graft SQL $what supports at most one IN (SELECT ...) conjunct; " +
-        s"got ${withSub.length} subquery conjuncts")
+      s"graft SQL $what supports at most one [NOT] IN/EXISTS (SELECT ...) " +
+        s"conjunct; got ${withSub.length} subquery conjuncts")
     plain.foreach(noSubquery(_, what))
-    withSub.head match {
-      case InSubquery(values, q: ListQuery) =>
-        require(!q.isCorrelated,
-          s"graft SQL $what supports UNCORRELATED IN (SELECT ...) only; " +
-            "decorrelate by moving the outer reference into a join")
-        val attrs = values.map {
-          case a: AttributeReference => a
-          case other => throw new UnsupportedOperationException(
-            s"graft SQL $what IN must test plain columns, got ${other.sql}")
-        }
-        (plain, Some((attrs, q.plan)))
-      case other => throw new UnsupportedOperationException(
-        s"graft SQL $what supports IN (SELECT ...) subqueries only " +
-          s"(got ${other.sql}); rewrite NOT IN / EXISTS as a join")
+    def inShape(values: Seq[Expression], q: ListQuery, neg: Boolean): SubShape = {
+      require(!q.isCorrelated,
+        s"graft SQL $what supports UNCORRELATED [NOT] IN (SELECT ...) only; " +
+          "decorrelate by moving the outer reference into a join")
+      val attrs = values.map {
+        case a: AttributeReference => a
+        case other => throw new UnsupportedOperationException(
+          s"graft SQL $what [NOT] IN must test plain columns, got ${other.sql}")
+      }
+      SubShape(attrs, q.plan, negated = neg, notInNulls = neg)
     }
+    withSub.head match {
+      case InSubquery(values, q: ListQuery) => (plain, Some(inShape(values, q, neg = false)))
+      case Not(InSubquery(values, q: ListQuery)) => (plain, Some(inShape(values, q, neg = true)))
+      case e: Exists => (plain, Some(existsShape(e, what, negated = false)))
+      case Not(e: Exists) => (plain, Some(existsShape(e, what, negated = true)))
+      case other => throw new UnsupportedOperationException(
+        s"graft SQL $what supports [NOT] IN / [NOT] EXISTS (SELECT ...) only " +
+          s"(got ${other.sql}); rewrite other subquery shapes as a join")
+    }
+  }
+
+  /** Decorrelate an equi-correlated EXISTS: accept `[Project | Distinct |
+    * SubqueryAlias]*` above ONE Filter whose correlated conjuncts are all
+    * `outer(attr) = inner-expr` equalities; the source plan projects those
+    * inner expressions (named after the outer attrs) over the Filter's
+    * residual — existence is insensitive to the upper projections. Other
+    * placements (correlated aggregates, non-equi correlation, correlation
+    * spread over several Filters) are refused loudly. */
+  private def existsShape(e: org.apache.spark.sql.catalyst.expressions.Exists,
+                          what: String, negated: Boolean): SubShape = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, OuterReference}
+    def hasOuter(x: Expression): Boolean = x.exists(_.isInstanceOf[OuterReference])
+    def dig(p: LogicalPlan): (Seq[(AttributeReference, Expression)], LogicalPlan) =
+      p match {
+        case prj: Project if !prj.projectList.exists(hasOuter) => dig(prj.child)
+        case d: Distinct => dig(d.child)
+        case s: SubqueryAlias => dig(s.child)
+        case f: Filter if hasOuter(f.condition) =>
+          val (corr, rest) = conjunctsOf(f.condition).partition(hasOuter)
+          require(!rest.exists(hasOuter), "unreachable")
+          val pairs = corr.map {
+            case EqualTo(OuterReference(a: AttributeReference), inner) if !hasOuter(inner) =>
+              (a, inner)
+            case EqualTo(inner, OuterReference(a: AttributeReference)) if !hasOuter(inner) =>
+              (a, inner)
+            case other => throw new UnsupportedOperationException(
+              s"graft SQL $what EXISTS must correlate via equality " +
+                s"(outer.col = expr); got ${other.sql}")
+          }
+          val residual = rest.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And.apply)
+            .map(Filter(_, f.child)).getOrElse(f.child)
+          (pairs, residual)
+        case other => throw new UnsupportedOperationException(
+          s"graft SQL $what EXISTS correlation must sit in one WHERE over " +
+            s"the subquery's scan; found ${other.nodeName} in between")
+      }
+    val (pairs, residual) = dig(e.plan)
+    require(pairs.nonEmpty,
+      s"graft SQL $what EXISTS must correlate on at least one equality " +
+        "(an uncorrelated EXISTS is a constant; evaluate it separately)")
+    val projected = Project(pairs.map { case (a, inner) =>
+      Alias(inner, a.name)()
+    }, residual)
+    SubShape(pairs.map(_._1), projected, negated, notInNulls = false)
   }
 
   /** Rebase a target-side expression onto the merge's `t` alias. */
@@ -102,13 +169,30 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
     })
 
-  /** The IN-subquery's value list as a deduplicated, NULL-free merge
-    * source named after the tested target columns. Dropping NULL rows is
-    * what keeps strict IN semantics under the engine's null-safe match
-    * (see [[splitInSubquery]]). */
-  private def inSource(attrs: Seq[AttributeReference], plan: LogicalPlan): DataFrame = {
-    val keyNames = attrs.map(_.name)
-    df(plan).toDF(keyNames: _*).na.drop("any", keyNames).distinct()
+  /** The membership subquery's value list as a deduplicated, NULL-free
+    * merge source named after the tested target columns. Dropping NULL
+    * rows is what keeps strict three-valued semantics under the engine's
+    * null-safe match (see [[splitMembership]]). */
+  private def inSource(shape: SubShape): DataFrame = {
+    val keyNames = shape.attrs.map(_.name)
+    df(shape.plan).toDF(keyNames: _*).na.drop("any", keyNames).distinct()
+  }
+
+  /** The raw (pre-drop) key frame for the NOT IN no-op guard. */
+  private def rawKeys(shape: SubShape): Option[DataFrame] =
+    if (!shape.notInNulls) None
+    else Some(df(shape.plan).toDF(shape.attrs.map(_.name): _*))
+
+  /** The negated forms' clause condition: residual conjuncts, plus the
+    * strict NOT IN `key IS NOT NULL` guard (a NULL key is UNKNOWN under
+    * NOT IN and must never qualify — while under NOT EXISTS it does). */
+  private def bySourceCond(plain: Seq[Expression], shape: SubShape): Option[Column] = {
+    val guards =
+      if (!shape.notInNulls) Nil
+      else shape.attrs.map(a => ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          UnresolvedAttribute(Seq("t", a.name)))))
+    (plain.map(targetSide) ++ guards).reduceOption(_ && _)
   }
 
   /** Inline `With` common-subexpression nodes (what `BETWEEN` parses to):
@@ -300,20 +384,28 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // ---- DML roots over graft tables: wait for resolution, then lower ----
     case d: DeleteFromTable if graftOf(d.table).isDefined =>
       if (!d.resolved) d
-      else splitInSubquery(d.condition, "DELETE") match {
+      else splitMembership(d.condition, "DELETE") match {
         case (_, None) =>
           GraftDeleteCommand(graftOf(d.table).get.root, byName(d.condition))
-        case (plain, Some((attrs, subPlan))) =>
-          // DELETE ... WHERE k IN (SELECT ...) ≡ a keys-only MERGE with a
-          // DELETE arm carrying the residual conjuncts: the engine's
-          // semi-join probe keeps the touched-file set pruned exactly as
-          // a literal-key delete would.
+        case (plain, Some(shape)) if !shape.negated =>
+          // DELETE ... WHERE k IN (SELECT ...) / EXISTS ≡ a keys-only
+          // MERGE with a DELETE arm carrying the residual conjuncts: the
+          // engine's semi-join probe keeps the touched-file set pruned
+          // exactly as a literal-key delete would.
           GraftMergeCommand(graftOf(d.table).get.root,
-            inSource(attrs, subPlan), attrs.map(_.name),
+            inSource(shape), shape.attrs.map(_.name),
             matchedUpdate = None,
             matchedDelete = Some(plain.map(targetSide).reduceOption(_ && _)
               .getOrElse(ColumnBridge.column(Literal(true)))),
             notMatchedInsert = None)
+        case (plain, Some(shape)) =>
+          // NOT IN / NOT EXISTS ≡ the BY SOURCE anti-arm: delete exactly
+          // the rows NO source key matches.
+          GraftMergeCommand(graftOf(d.table).get.root,
+            inSource(shape), shape.attrs.map(_.name),
+            matchedUpdate = None, matchedDelete = None, notMatchedInsert = None,
+            bySourceDelete = Some(bySourceCond(plain, shape)),
+            notInNullGuard = rawKeys(shape))
       }
 
     case u: UpdateTable if graftOf(u.table).isDefined =>
@@ -326,21 +418,28 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
             case Assignment(k, _) => throw new UnsupportedOperationException(
               s"UPDATE of nested field ${k.sql} is not supported")
           }.toMap
-        splitInSubquery(
+        splitMembership(
           u.condition.getOrElse(Literal.TrueLiteral), "UPDATE") match {
           case (_, None) =>
             GraftUpdateCommand(graftOf(u.table).get.root,
               u.condition.map(byName).getOrElse(ColumnBridge.column(Literal(true))),
               setOf(byName))
-          case (plain, Some((attrs, subPlan))) =>
-            // UPDATE ... WHERE k IN (SELECT ...) ≡ a keys-only MERGE with
-            // a per-column SET arm over the matched rows.
+          case (plain, Some(shape)) if !shape.negated =>
+            // UPDATE ... WHERE k IN (SELECT ...) / EXISTS ≡ a keys-only
+            // MERGE with a per-column SET arm over the matched rows.
             GraftMergeCommand(graftOf(u.table).get.root,
-              inSource(attrs, subPlan), attrs.map(_.name),
+              inSource(shape), shape.attrs.map(_.name),
               matchedUpdate = Some(plain.map(targetSide).reduceOption(_ && _)),
               matchedDelete = None,
               notMatchedInsert = None,
               matchedSet = Some(setOf(targetSide)))
+          case (plain, Some(shape)) =>
+            // NOT IN / NOT EXISTS ≡ the BY SOURCE update arm.
+            GraftMergeCommand(graftOf(u.table).get.root,
+              inSource(shape), shape.attrs.map(_.name),
+              matchedUpdate = None, matchedDelete = None, notMatchedInsert = None,
+              bySourceUpdate = Some((bySourceCond(plain, shape), setOf(targetSide))),
+              notInNullGuard = rawKeys(shape))
         }
       }
 
@@ -465,12 +564,25 @@ case class GraftMergeCommand(root: String, source: DataFrame,
                              matchedSet: Option[Map[String, Column]] = None,
                              insertValues: Option[Map[String, Column]] = None,
                              bySourceDelete: Option[Option[Column]] = None,
-                             bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None)
+                             bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
+                             notInNullGuard: Option[DataFrame] = None)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
-    Seq(org.apache.spark.sql.Row(SnapshotTable.mergeInto(spark, root, source,
-      keys, matchedUpdate, matchedDelete, notMatchedInsert,
-      matchedSet, insertValues, bySourceDelete, bySourceUpdate)))
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    // Strict NOT IN: one NULL among the subquery's values makes the
+    // membership test UNKNOWN for every row — the whole statement is a
+    // no-op (checked ONCE, driver-side aggregate over the value frame).
+    val nullPoisoned = notInNullGuard.exists { g =>
+      import org.apache.spark.sql.functions.col
+      !g.filter(g.columns.map(c => col(c).isNull).reduce(_ || _)).isEmpty
+    }
+    val v =
+      if (nullPoisoned) SnapshotTable.currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      else SnapshotTable.mergeInto(spark, root, source,
+        keys, matchedUpdate, matchedDelete, notMatchedInsert,
+        matchedSet, insertValues, bySourceDelete, bySourceUpdate)
+    Seq(org.apache.spark.sql.Row(v))
+  }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftSqlCommands.versionOutput
 }

@@ -221,6 +221,52 @@ object SqlDml {
               FROM d GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // The rest of the membership quartet (round 12): equi-correlated
+    // EXISTS (update), NOT EXISTS (delete via the BY SOURCE anti-arm),
+    // and NOT IN (anti-arm + the IS NOT NULL guard). Oracle = DuckDB's
+    // native forms of the same statements.
+    Q("sql_dml_exists",
+      (s, dir) => {
+        val t = s"orders_ex_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""UPDATE graft.dml.$t
+              SET price = CAST(price + 1 AS DECIMAL(18,2))
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""",
+          s"""DELETE FROM graft.dml.$t
+              WHERE st = 'F' AND NOT EXISTS
+                (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 25)""",
+          s"""DELETE FROM graft.dml.$t
+              WHERE o_orderkey NOT IN
+                (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 <> 3)""",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st FROM orders),
+              u AS (SELECT o_orderkey,
+                      CASE WHEN EXISTS (SELECT 1 FROM lineitem
+                                        WHERE l_orderkey = t.o_orderkey AND l_quantity >= 49)
+                           THEN CAST(price + 1 AS DECIMAL(18,2)) ELSE price END AS price,
+                      st
+                    FROM t),
+              d1 AS (SELECT * FROM u
+                     WHERE NOT (st = 'F' AND NOT EXISTS
+                       (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = u.o_orderkey AND l_quantity >= 25))),
+              d2 AS (SELECT * FROM d1
+                     WHERE NOT (o_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 <> 3)))
+              SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM d2 GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
     // SQL TIME TRAVEL under the hash gate: seed, UPDATE, then read the
     // pre-update state BOTH ways — VERSION AS OF 0 and TIMESTAMP AS OF
     // (version 0's commit stamp, fetched from DESCRIBE HISTORY's

@@ -288,14 +288,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) AS n FROM $nullTab").head().getLong(0) == 2,
       "neither the NULL-keyed row nor the unmatched row may delete")
 
-    // refusals: NOT IN, correlated EXISTS — loud, with the rewrite hint
+    // refusals that remain: disjunctive placement, non-equi correlation
     intercept[Exception] {
-      sql(s"DELETE FROM graft.$ns.t WHERE k NOT IN (SELECT kk FROM cat14_keys)")
+      sql(s"DELETE FROM graft.$ns.t WHERE k = 1 OR k IN (SELECT kk FROM cat14_keys)")
     }
     intercept[Exception] {
       sql(s"""DELETE FROM graft.$ns.t WHERE EXISTS
-              (SELECT 1 FROM cat14_keys WHERE kk = k)""")
+              (SELECT 1 FROM cat14_keys WHERE kk < k)""")
     }
+  }
+
+  test("NOT IN / EXISTS / NOT EXISTS DML: anti-arms, three-valued no-op, correlation digs") {
+    val ns = fresh("cat18")
+    (1L to 10L).map(k => (k, "live")).toDF("k", "tag").createOrReplaceTempView("cat18_t")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat18_t")
+    Seq(Some(1L), Some(2L), Some(3L)).toDF("kk").createOrReplaceTempView("cat18_keys")
+    Seq(Some(1L), None).toDF("kk").createOrReplaceTempView("cat18_nullkeys")
+
+    // NOT IN with a NULL among the values: UNKNOWN for every row -> no-op
+    sql(s"DELETE FROM graft.$ns.t WHERE k NOT IN (SELECT kk FROM cat18_nullkeys)")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.t").head().getLong(0) == 10L,
+      "a NULL-bearing NOT IN subquery must delete NOTHING (strict SQL)")
+
+    // EXISTS (equi-correlated, with a residual subquery-side filter)
+    sql(s"""UPDATE graft.$ns.t SET tag = 'hit'
+            WHERE EXISTS (SELECT 1 FROM cat18_keys WHERE kk = k AND kk >= 2)""")
+    val tags = sql(s"SELECT k, tag FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags(2L) == "hit" && tags(3L) == "hit" && tags(1L) == "live" && tags(4L) == "live")
+
+    // NOT EXISTS deletes the anti side (incl. residual target conjunct)
+    sql(s"""DELETE FROM graft.$ns.t
+            WHERE k > 5 AND NOT EXISTS (SELECT 1 FROM cat18_keys WHERE kk = k)""")
+    assert(sql(s"SELECT k FROM graft.$ns.t").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 5L), "k in 6..10 have no match and satisfy the residual")
+
+    // NOT IN without NULLs: the by-source arm with the IS NOT NULL guard
+    sql(s"DELETE FROM graft.$ns.t WHERE k NOT IN (SELECT kk FROM cat18_keys)")
+    assert(sql(s"SELECT k FROM graft.$ns.t").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+
+    // NULL target keys: NOT EXISTS deletes them (no row can match),
+    // NOT IN keeps them (UNKNOWN)
+    Seq((java.lang.Long.valueOf(7L), "a"), (null.asInstanceOf[java.lang.Long], "nullk"))
+      .toDF("k", "tag").createOrReplaceTempView("cat18_null")
+    sql(s"CREATE TABLE graft.$ns.nt AS SELECT * FROM cat18_null")
+    sql(s"DELETE FROM graft.$ns.nt WHERE k NOT IN (SELECT kk FROM cat18_keys)")
+    assert(sql(s"SELECT tag FROM graft.$ns.nt").collect().map(_.getString(0)).toSet ==
+      Set("nullk"), "NOT IN: non-member deletes, NULL key survives (UNKNOWN)")
+    sql(s"""DELETE FROM graft.$ns.nt
+            WHERE NOT EXISTS (SELECT 1 FROM cat18_keys WHERE kk = k)""")
+    assert(sql(s"SELECT count(*) AS n FROM graft.$ns.nt").head().getLong(0) == 0L,
+      "NOT EXISTS: a NULL key matches nothing, so it deletes")
   }
 
   test("partial MERGE assignment lists are PER-COLUMN updates, never silently SET * (ADVICE r11)") {
