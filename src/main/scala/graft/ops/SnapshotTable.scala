@@ -1271,7 +1271,7 @@ object SnapshotTable {
     * table legitimately rewrites most files (that IS the semantics), while
     * a keyed condition (`t.region = 'EU'`) still prunes to the files the
     * scan's pushed filters select. */
-  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+  def mergeInto(spark: SparkSession, root: String, source0: DataFrame,
                 keys: Seq[String],
                 matchedUpdate: Option[Option[Column]] = None,
                 matchedDelete: Option[Column] = None,
@@ -1280,6 +1280,7 @@ object SnapshotTable {
                 insertValues: Option[Map[String, Column]] = None,
                 bySourceDelete: Option[Option[Column]] = None,
                 bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
+                evolve: Boolean = false,
                 maxFiles: Int = 64): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     require(keys.nonEmpty, "mergeInto needs key columns")
@@ -1293,7 +1294,36 @@ object SnapshotTable {
           throw new IllegalStateException(
             s"mergeInto on a table with no committed version at $root"))
         val cur = read(spark, root, Some(v))
-        val schema = schemaOf(spark, root, v)
+        val schema0 = schemaOf(spark, root, v)
+        // MERGE WITH SCHEMA EVOLUTION (round 12): new source columns join
+        // the declared schema (additive only — evolveSchema refuses
+        // retypes), fresh physical names assigned through the column
+        // mapping like upsert's evolution path. Under evolution a star
+        // arm takes SOURCE columns only and KEEPS target-only columns
+        // (Delta's SET * semantics there) — expressed below by rewriting
+        // the star arms as per-column maps over the source's columns.
+        val (schema, meta) =
+          if (!evolve) (schema0, None)
+          else {
+            val ev = evolveSchema(schema0, source0.schema)
+            (ev, Some(assignPhysical(schema0, ev,
+              mappingOf(spark, root, v), usedPhysOf(spark, root, v))))
+          }
+        // Source columns land on the DECLARED casing (case-insensitive).
+        val source =
+          if (!evolve) source0
+          else {
+            val byLc = source0.columns.map(c => lc(c) -> c).toMap
+            source0.select(schema.fields.flatMap(f =>
+              byLc.get(lc(f.name)).map(c => source0.col(c).as(f.name))).toIndexedSeq: _*)
+          }
+        val srcStar =
+          if (!evolve) None
+          else Some(source.columns.map(c => c -> col(s"s.$c")).toMap)
+        val mSet = if (evolve && matchedUpdate.nonEmpty && matchedSet.isEmpty)
+          srcStar else matchedSet
+        val iVals = if (evolve && notMatchedInsert.nonEmpty && insertValues.isEmpty)
+          srcStar else insertValues
         // Null-safe key probe: a NULL source key must mark the files
         // holding NULL-key rows (the merge's own match is null-safe), or
         // those rows would survive untouched AND re-insert.
@@ -1328,21 +1358,29 @@ object SnapshotTable {
               .distinct().collect().map(r => norm(r.getString(0))).toSet
           }
         val touched = touchedMatched ++ touchedBySource
-        if (touched.isEmpty && notMatchedInsert.isEmpty) return v
+        // Evolution with nothing to touch still lands the widened schema
+        // (a metadata-weight commit carrying every file).
+        if (touched.isEmpty && notMatchedInsert.isEmpty &&
+            !(evolve && schema != schema0)) return v
         val (touchedE, keptE) =
           currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
         // Declared schema, like delete/update: evolved tables mix file
         // schemas and the rewrite must not regress the manifest. Files
-        // speak physical names; the merge runs on the logical projection.
-        val mapping = mappingOf(spark, root, v)
+        // speak physical names (the EVOLVED mapping is a superset of the
+        // stored one, and a new column's physical name is simply absent
+        // from pre-evolution files → NULL); the merge runs on the
+        // logical projection.
+        val mapping = meta.map(_._1).getOrElse(mappingOf(spark, root, v))
         val targetRows =
-          if (touchedE.isEmpty) cur.limit(0)
+          if (touchedE.isEmpty) cur.limit(0).select(
+            schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+            .limit(0)
           else fromPhysical(
             spark.read.schema(physSchema(schema, mapping))
               .parquet(touchedE.map(_.path): _*), schema, mapping)
         val mi = MergeInto(targetRows, source, keys,
           matchedUpdate, matchedDelete, notMatchedInsert,
-          matchedSet, insertValues, bySourceDelete, bySourceUpdate)
+          mSet, iVals, bySourceDelete, bySourceUpdate)
         // Pin outputs to the DECLARED types: clause projections coerce
         // through when(), and a source column arriving wider (decimal
         // growth) must not leak past the manifest's declared schema.
@@ -1378,7 +1416,7 @@ object SnapshotTable {
         val (adds, removes) = mi.changes()
         committed = commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((declared(adds), declared(removes))),
-          tableSchema = Some(schema))
+          tableSchema = Some(schema), meta = meta)
         done = true
       } catch {
         case e: ConcurrentWriteException =>

@@ -313,8 +313,6 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }.toMap
 
   private def lowerMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported; evolve via INSERT/upsert")
     (m.mergeCondition +:
       (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
         .flatMap(_.condition)).foreach(noSubquery(_, "MERGE"))
@@ -377,7 +375,8 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     GraftMergeCommand(t.root, df(m.sourceTable), keys,
       matchedUpdate, matchedDelete, notMatchedInsert,
-      matchedSet, insertValues, bySourceDelete, bySourceUpdate)
+      matchedSet, insertValues, bySourceDelete, bySourceUpdate,
+      evolve = m.withSchemaEvolution)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -565,7 +564,8 @@ case class GraftMergeCommand(root: String, source: DataFrame,
                              insertValues: Option[Map[String, Column]] = None,
                              bySourceDelete: Option[Option[Column]] = None,
                              bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
-                             notInNullGuard: Option[DataFrame] = None)
+                             notInNullGuard: Option[DataFrame] = None,
+                             evolve: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     // Strict NOT IN: one NULL among the subquery's values makes the
@@ -580,7 +580,8 @@ case class GraftMergeCommand(root: String, source: DataFrame,
         throw new IllegalStateException(s"no committed version at $root"))
       else SnapshotTable.mergeInto(spark, root, source,
         keys, matchedUpdate, matchedDelete, notMatchedInsert,
-        matchedSet, insertValues, bySourceDelete, bySourceUpdate)
+        matchedSet, insertValues, bySourceDelete, bySourceUpdate,
+        evolve = evolve)
     Seq(org.apache.spark.sql.Row(v))
   }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

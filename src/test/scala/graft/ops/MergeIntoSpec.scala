@@ -204,6 +204,34 @@ class MergeIntoSpec extends SparkSpec {
     assert(fin.size == 10 && fin(3L)._1 != "set", "unmatched rows untouched")
   }
 
+  test("table-level mergeInto WITH SCHEMA EVOLUTION: new source column joins, star keeps target-only columns") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commit(spark, root, frame(1 to 6)) // (k, v1, v2)
+    val src = Seq((2L, "s2", "extra2"), (9L, "s9", "extra9"))
+      .toDF("k", "v1", "note") // note is NEW; v2 is ABSENT from the source
+    val v1 = SnapshotTable.mergeInto(spark, root, src, Seq("k"),
+      matchedUpdate = Some(None), notMatchedInsert = Some(None),
+      evolve = true)
+    val fin = SnapshotTable.read(spark, root, Some(v1))
+    assert(fin.columns.toSeq == Seq("k", "v1", "v2", "note"))
+    val byK = fin.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), Option(r.get(2)), Option(r.getString(3))))).toMap
+    assert(byK(2L)._1 == "s2" && byK(2L)._3.contains("extra2"))
+    assert(byK(2L)._2.nonEmpty,
+      "star update under evolution keeps the target-only column, not NULL it")
+    assert(byK(9L)._1 == "s9" && byK(9L)._2.isEmpty && byK(9L)._3.contains("extra9"))
+    assert(byK(1L)._3.isEmpty, "untouched rows read NULL for the new column")
+    // CDC landed on the evolved schema
+    val Some((adds, _)) = SnapshotTable.changesDelta(spark, root, v1 - 1, Some(v1))
+    assert(adds.columns.toSeq == Seq("k", "v1", "v2", "note"))
+    // a retype still refuses loudly under evolution
+    intercept[Exception] {
+      SnapshotTable.mergeInto(spark, root,
+        Seq((1, 1.0)).toDF("k", "v1"), Seq("k"),
+        matchedUpdate = Some(None), evolve = true)
+    }
+  }
+
   test("table-level mergeInto: no matches and no insert clause is a no-op version") {
     val root = s"${tmpDir()}/t"
     val v0 = SnapshotTable.commit(spark, root, frame(1 to 5))

@@ -342,6 +342,23 @@ class GraftCatalogSpec extends SparkSpec {
       "NOT EXISTS: a NULL key matches nothing, so it deletes")
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION widens the table from the source") {
+    val ns = fresh("cat19")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price").createOrReplaceTempView("cat19_tgt")
+    Seq((2L, 22.0, "eu"), (3L, 33.0, "us")).toDF("k", "price", "region")
+      .createOrReplaceTempView("cat19_src")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat19_tgt")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$ns.t t
+            USING cat19_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.getString(2))))).toMap
+    assert(sql(s"SELECT * FROM graft.$ns.t").columns.toSeq == Seq("k", "price", "region"))
+    assert(got(1L) == ((10.0, None)) && got(2L) == ((22.0, Some("eu"))) &&
+      got(3L) == ((33.0, Some("us"))))
+  }
+
   test("partial MERGE assignment lists are PER-COLUMN updates, never silently SET * (ADVICE r11)") {
     val ns = fresh("cat12")
     Seq((1L, 100.0, "keep-me"), (2L, 200.0, "also-keep")).toDF("k", "price", "st")
