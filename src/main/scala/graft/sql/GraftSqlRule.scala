@@ -232,6 +232,20 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def df(plan: LogicalPlan): DataFrame = Frames.ofRows(session, plan)
 
+  /** `CLUSTER BY (cols)` on CTAS/RTAS maps to the engine's range-clustered
+    * commit (manifest bounds tight per file → key predicates file-skip);
+    * PARTITIONED BY and other transforms stay refused — hive-style
+    * partitioning is not this format's layout story. */
+  private def clusterColumns(partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                             what: String): Seq[String] = partitioning match {
+    case Nil => Nil
+    case Seq(org.apache.spark.sql.connector.expressions.ClusterByTransform(cols)) =>
+      cols.map(_.fieldNames().mkString("."))
+    case other => throw new UnsupportedOperationException(
+      s"graft $what supports CLUSTER BY only (got ${other.mkString(", ")}); " +
+        "tables cluster via CLUSTER BY / OPTIMIZE ZORDER BY, not partition transforms")
+  }
+
   /** MERGE key columns from the ON condition: a conjunction of equality
     * (or null-safe equality) between same-named target and source
     * attributes — exactly the reference's `ON T._id = S._id` shape.
@@ -470,19 +484,17 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // ---- DDL-with-query --------------------------------------------------
     case c: CreateTableAsSelect => c.name match {
       case ResolvedIdentifier(cat: GraftCatalog, ident) if c.query.resolved =>
-        require(c.partitioning.isEmpty,
-          "graft tables cluster via recluster, not partition transforms")
         GraftCtasCommand(cat, ident, df(c.query),
-          replace = false, orCreate = c.ignoreIfExists)
+          replace = false, orCreate = c.ignoreIfExists,
+          clusterBy = clusterColumns(c.partitioning, "CREATE TABLE"))
       case _ => c
     }
 
     case r: ReplaceTableAsSelect => r.name match {
       case ResolvedIdentifier(cat: GraftCatalog, ident) if r.query.resolved =>
-        require(r.partitioning.isEmpty,
-          "graft tables cluster via recluster, not partition transforms")
         GraftCtasCommand(cat, ident, df(r.query),
-          replace = true, orCreate = r.orCreate)
+          replace = true, orCreate = r.orCreate,
+          clusterBy = clusterColumns(r.partitioning, "REPLACE TABLE"))
       case _ => r
     }
 
@@ -635,7 +647,8 @@ case class GraftWriteCommand(root: String, data: DataFrame, mode: String)
   * REPLACE. */
 case class GraftCtasCommand(catalog: GraftCatalog,
                             ident: org.apache.spark.sql.connector.catalog.Identifier,
-                            data: DataFrame, replace: Boolean, orCreate: Boolean)
+                            data: DataFrame, replace: Boolean, orCreate: Boolean,
+                            clusterBy: Seq[String] = Nil)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val root = catalog.rootOf(ident)
@@ -648,7 +661,9 @@ case class GraftCtasCommand(catalog: GraftCatalog,
       } else if (!exists && replace && !orCreate) {
         // bare REPLACE TABLE (no OR CREATE) demands an existing table
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-      } else SnapshotTable.commit(spark, root, data)
+      } else if (clusterBy.nonEmpty)
+        SnapshotTable.commitClustered(spark, root, data, clusterBy)
+      else SnapshotTable.commit(spark, root, data)
     Seq(org.apache.spark.sql.Row(v))
   }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

@@ -558,6 +558,27 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CTAS CLUSTER BY range-clusters v0 (key predicates file-skip); PARTITIONED BY refused") {
+    val ns = fresh("cat20")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    spark.range(4000).selectExpr("id AS k", "id * 2.0 AS v")
+      .createOrReplaceTempView("cat20_seed")
+    sql(s"CREATE TABLE graft.$ns.t CLUSTER BY (k) AS SELECT /*+ REPARTITION(8) */ * FROM cat20_seed")
+    val q = sql(s"SELECT sum(k) AS s FROM graft.$ns.t WHERE k BETWEEN 10 AND 20")
+    assert(q.head().getLong(0) == (10L to 20L).sum)
+    val idx = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          i: SnapshotFileIndex, _, _, _, _, _), _, _, _, _) => i
+    }
+    assert(idx.nonEmpty && idx.head.lastSelected > 0 &&
+      idx.head.lastSelected < idx.head.totalFiles,
+      s"CLUSTER BY must enable file skipping: ${idx.map(i => s"${i.lastSelected}/${i.totalFiles}")}")
+    intercept[Exception] {
+      sql(s"CREATE TABLE graft.$ns.p PARTITIONED BY (k) AS SELECT * FROM cat20_seed")
+    }
+  }
+
   test("plain CREATE TABLE (explicit schema) bootstraps a files-less v0") {
     val ns = fresh("cat17")
     val root = s"${GraftSql.defaultWarehouse}/$ns/t"
