@@ -55,45 +55,68 @@ case class MergeInto(
     matchedSet: Option[Map[String, Column]] = None,
     insertValues: Option[Map[String, Column]] = None,
     bySourceDelete: Option[Option[Column]] = None,
-    bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None) {
+    bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
+    matchedChain: Seq[MergeInto.Clause] = Nil,
+    insertChain: Seq[MergeInto.InsertClause] = Nil,
+    bySourceChain: Seq[MergeInto.Clause] = Nil) {
+  import MergeInto.{Clause, DeleteClause, InsertClause, UpdateClause}
 
   def on(keyCols: String*): MergeInto = copy(keys = keyCols)
 
+  // Builders APPEND to the ordered chains (first-match-wins, exactly the
+  // SQL clause order they were called in); the plain one-arm-per-family
+  // fields remain for direct construction and normalize onto the chains.
+
   def whenMatchedUpdateAll(condition: Option[Column] = None): MergeInto =
-    copy(matchedUpdate = Some(condition), matchedSet = None)
+    copy(matchedChain = matchedChain :+ UpdateClause(condition, None))
 
   /** Per-column `WHEN MATCHED ... UPDATE SET col = expr, ...`: unassigned
     * columns keep the target's value. Expressions may reference `t.`/`s.`. */
   def whenMatchedUpdate(set: Map[String, Column],
                         condition: Option[Column] = None): MergeInto =
-    copy(matchedUpdate = Some(condition), matchedSet = Some(set))
+    copy(matchedChain = matchedChain :+ UpdateClause(condition, Some(set)))
 
   def whenMatchedDelete(condition: Column): MergeInto =
-    copy(matchedDelete = Some(condition))
+    copy(matchedChain = matchedChain :+ DeleteClause(Some(condition)))
 
   def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeInto =
-    copy(notMatchedInsert = Some(condition), insertValues = None)
+    copy(insertChain = insertChain :+ InsertClause(condition, None))
 
   /** Explicit-column `WHEN NOT MATCHED ... INSERT (cols) VALUES (exprs)`:
     * unlisted columns insert NULL. */
   def whenNotMatchedInsert(values: Map[String, Column],
                            condition: Option[Column] = None): MergeInto =
-    copy(notMatchedInsert = Some(condition), insertValues = Some(values))
+    copy(insertChain = insertChain :+ InsertClause(condition, Some(values)))
 
   def whenNotMatchedBySourceDelete(condition: Option[Column] = None): MergeInto =
-    copy(bySourceDelete = Some(condition))
+    copy(bySourceChain = bySourceChain :+ DeleteClause(condition))
 
   def whenNotMatchedBySourceUpdate(set: Map[String, Column],
                                    condition: Option[Column] = None): MergeInto =
-    copy(bySourceUpdate = Some((condition, set)))
+    copy(bySourceChain = bySourceChain :+ UpdateClause(condition, Some(set)))
+
+  /** The normalized clause chains: explicit chains win; otherwise the
+    * one-arm-per-family fields fold in, delete BEFORE update (the legacy
+    * contract every existing caller encodes). */
+  private[ops] lazy val mChain: Seq[Clause] =
+    if (matchedChain.nonEmpty) matchedChain
+    else matchedDelete.map(c => DeleteClause(Some(c))).toSeq ++
+      matchedUpdate.map(c => UpdateClause(c, matchedSet)).toSeq
+  private[ops] lazy val iChain: Seq[InsertClause] =
+    if (insertChain.nonEmpty) insertChain
+    else notMatchedInsert.map(c => InsertClause(c, insertValues)).toSeq
+  private[ops] lazy val bChain: Seq[Clause] =
+    if (bySourceChain.nonEmpty) bySourceChain
+    else bySourceDelete.map(c => DeleteClause(c)).toSeq ++
+      bySourceUpdate.map(u => UpdateClause(u._1, Some(u._2))).toSeq
 
   /** Does an arm take WHOLE rows from the source (`UPDATE SET *` /
     * `INSERT *`)? Only then must the source carry every target column —
     * a delete-only or per-column merge needs just the keys (how the
     * IN-subquery DML lowering rides this builder). */
   private[ops] def needsFullSource: Boolean =
-    (matchedUpdate.nonEmpty && matchedSet.isEmpty) ||
-      (notMatchedInsert.nonEmpty && insertValues.isEmpty)
+    mChain.exists { case UpdateClause(_, None) => true; case _ => false } ||
+      iChain.exists(_.values.isEmpty)
 
   /** Resolve an assignment map's keys against the target's columns
     * (case-insensitive, like every schema-resolution path here); a typo'd
@@ -111,7 +134,13 @@ case class MergeInto(
   /** The lowered full-outer join plus the clause predicates — ONE join
     * definition shared by [[result]] and [[changes]], so the merged rows
     * and the change sets can never disagree on clause algebra. Returns
-    * (joined, keep, changedAdd, removePre, projected-post-image). */
+    * (joined, keep, changedAdd, removePre, projected-post-image).
+    *
+    * Clause chains are FIRST-MATCH-WINS (SQL MERGE): each family's
+    * decision is one integer when-chain (`0` = no clause fires, `i` =
+    * clause i fires), shared by the keep/remove predicates and every
+    * column's post-image projection — so N conditional arms cost N
+    * branch evaluations per row, not N joins. */
   private def lowered: (DataFrame, Column, Column, Column, Seq[Column]) = {
     require(keys.nonEmpty, "MergeInto requires on(keys)")
     if (needsFullSource) {
@@ -121,9 +150,20 @@ case class MergeInto(
       val missing = keys.filterNot(source.columns.contains)
       require(missing.isEmpty, s"source lacks merge keys: ${missing.mkString(",")}")
     }
-    val updSet = matchedSet.map(resolvedSet(_, "whenMatchedUpdate"))
-    val insVals = insertValues.map(resolvedSet(_, "whenNotMatchedInsert"))
-    val bysSet = bySourceUpdate.map(u => resolvedSet(u._2, "whenNotMatchedBySourceUpdate"))
+    bChain.foreach {
+      case UpdateClause(_, None) => throw new IllegalArgumentException(
+        "BY SOURCE UPDATE needs explicit assignments (there is no source row to take * from)")
+      case _ => ()
+    }
+    val mSets = mChain.map {
+      case UpdateClause(_, set) => set.map(resolvedSet(_, "whenMatchedUpdate"))
+      case _ => None
+    }
+    val iVals = iChain.map(_.values.map(resolvedSet(_, "whenNotMatchedInsert")))
+    val bSets = bChain.map {
+      case UpdateClause(_, set) => set.map(resolvedSet(_, "whenNotMatchedBySourceUpdate"))
+      case _ => None
+    }
     // Presence markers survive the outer join where key columns would be
     // ambiguous with legitimate nulls on the other side.
     val t = target.withColumn("__t", lit(true)).alias("t")
@@ -133,43 +173,55 @@ case class MergeInto(
     val tOnly = col("s.__s").isNull
     val sOnly = col("t.__t").isNull
     // SQL MERGE clause conditions: NULL = not satisfied (the coalesce
-    // keeps a NULL condition from poisoning the keep/takeSource algebra
-    // through three-valued logic).
+    // keeps a NULL condition from poisoning the decision chain through
+    // three-valued logic).
     def sat(c: Column): Column = coalesce(c, lit(false))
-    val delCond = matchedDelete.map(c => matched && sat(c)).getOrElse(lit(false))
-    val updCond = matchedUpdate.map(c => matched && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
-    val insCond = notMatchedInsert.map(c => sOnly && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
-    // BY SOURCE family over target-only rows, delete-then-update like the
-    // matched family.
-    val bysDel = bySourceDelete.map(c => tOnly && sat(c.getOrElse(lit(true)))).getOrElse(lit(false))
-    val bysUpd = bySourceUpdate.map(u => tOnly && !bysDel && sat(u._1.getOrElse(lit(true)))).getOrElse(lit(false))
-    val updFires = updCond && !delCond
-    val keep = (tOnly && !bysDel) || (matched && !delCond) || insCond
-    val changedAdd = insCond || (matched && updFires) || bysUpd
-    val removePre = (matched && (delCond || updCond)) || bysDel || bysUpd
-    // Per-column post-image: the firing arm decides each column's value —
-    // star arms take the source column, per-column arms take the assigned
-    // expression or keep the target (matched/by-source) / NULL (insert).
-    // Branches exist ONLY for arms that are declared: an absent insert
-    // arm must not reference `s.<col>` on a keys-only source (it would
-    // fail analysis even though its condition is literally false).
+    def decide(gate: Column, conds: Seq[Option[Column]]): Column =
+      when(gate, conds.zipWithIndex.foldRight(lit(0)) { case ((c, i), acc) =>
+        when(sat(c.getOrElse(lit(true))), lit(i + 1)).otherwise(acc)
+      }).otherwise(lit(0))
+    val mDec = decide(matched, mChain.map(_.condition))
+    val iDec = decide(sOnly, iChain.map(_.condition))
+    val bDec = decide(tOnly, bChain.map(_.condition))
+    def fires(dec: Column, idxs: Seq[Int]): Column =
+      idxs.map(i => dec === lit(i)).reduceOption(_ || _).getOrElse(lit(false))
+    def idxOf(chain: Seq[Clause], deletes: Boolean): Seq[Int] =
+      chain.zipWithIndex.collect {
+        case (_: DeleteClause, i) if deletes => i + 1
+        case (_: UpdateClause, i) if !deletes => i + 1
+      }
+    val mDeletes = fires(mDec, idxOf(mChain, deletes = true))
+    val bDeletes = fires(bDec, idxOf(bChain, deletes = true))
+    val mUpdates = fires(mDec, idxOf(mChain, deletes = false))
+    val bUpdates = fires(bDec, idxOf(bChain, deletes = false))
+    val keep = (tOnly && !bDeletes) || (matched && !mDeletes) || (iDec =!= 0)
+    val changedAdd = (iDec =!= 0) || mUpdates || bUpdates
+    val removePre = (matched && mDec =!= 0) || (tOnly && bDec =!= 0)
+    // Per-column post-image: the FIRING clause decides each column's
+    // value — star arms take the source column, per-column arms take the
+    // assigned expression or keep the target (matched/by-source) / NULL
+    // (insert). Branches exist ONLY for clauses that are declared: an
+    // absent insert arm must not reference `s.<col>` on a keys-only
+    // source (it would fail analysis even though its condition is
+    // literally false).
     val projected = target.schema.fields.map { f =>
       val c = f.name
-      val branches = Seq(
-        notMatchedInsert.map { _ =>
-          (insCond, insVals.map(_.getOrElse(c, lit(null).cast(f.dataType)))
+      val insBranches = iChain.zipWithIndex.map { case (_, i) =>
+        (iDec === lit(i + 1),
+          iVals(i).map(_.getOrElse(c, lit(null).cast(f.dataType)))
             .getOrElse(col(s"s.$c")))
-        },
-        matchedUpdate.map { _ =>
-          (matched && updFires, updSet.map(_.getOrElse(c, col(s"t.$c")))
-            .getOrElse(col(s"s.$c")))
-        },
-        bySourceUpdate.map { _ =>
-          (bysUpd, bysSet.get.getOrElse(c, col(s"t.$c")))
-        }).flatten
-      branches.foldRight(col(s"t.$c")) { case ((cond, v), acc) =>
-        when(cond, v).otherwise(acc)
-      }.as(c)
+      }
+      val updBranches = mChain.zipWithIndex.collect { case (_: UpdateClause, j) =>
+        (mDec === lit(j + 1),
+          mSets(j).map(_.getOrElse(c, col(s"t.$c"))).getOrElse(col(s"s.$c")))
+      }
+      val bysBranches = bChain.zipWithIndex.collect { case (_: UpdateClause, k) =>
+        (bDec === lit(k + 1), bSets(k).get.getOrElse(c, col(s"t.$c")))
+      }
+      (insBranches ++ updBranches ++ bysBranches)
+        .foldRight(col(s"t.$c")) { case ((cond, v), acc) =>
+          when(cond, v).otherwise(acc)
+        }.as(c)
     }.toIndexedSeq
     (t.join(s, joinCond, "full_outer"), keep, changedAdd, removePre, projected)
   }
@@ -199,6 +251,17 @@ case class MergeInto(
 }
 
 object MergeInto {
+
+  /** One MERGE clause in a first-match-wins chain. `set`/`values` = None
+    * means the star form (`UPDATE SET *` / `INSERT *`). Matched and
+    * BY SOURCE chains take [[UpdateClause]]/[[DeleteClause]]; the
+    * not-matched chain takes [[InsertClause]]. */
+  sealed trait Clause { def condition: Option[Column] }
+  case class UpdateClause(condition: Option[Column],
+                          set: Option[Map[String, Column]]) extends Clause
+  case class DeleteClause(condition: Option[Column]) extends Clause
+  case class InsertClause(condition: Option[Column],
+                          values: Option[Map[String, Column]])
 
   def into(target: DataFrame): HalfBuilt = HalfBuilt(target)
   case class HalfBuilt(target: DataFrame) {

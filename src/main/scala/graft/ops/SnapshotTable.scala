@@ -427,6 +427,23 @@ object SnapshotTable {
 
   /** Version `v`'s declared schema (manifest metadata; pre-schema manifests
     * fall back to one data-file footer). */
+  /** Widen the declared schema's nullability to cover what a DML commit
+    * actually writes (round 12). The format treats nullability as
+    * advisory (evolveSchema's retype check ignores it), but a DECLARED
+    * non-nullable column is fed to readers as `required` — and a NULL
+    * written under it (an explicit-column INSERT arm's unlisted column,
+    * `UPDATE SET c = NULL`, an evolution null-fill) comes back as silent
+    * GARBAGE (0.0/random bytes) through the vectorized reader, not as an
+    * error. Nullable-widening is always read-safe; it is the same
+    * metadata-only relaxation commitEmpty applies up front. */
+  private def widenNullability(declared: org.apache.spark.sql.types.StructType,
+                               actual: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(declared.fields.map { f =>
+      val g = actual.fields.find(_.name.equalsIgnoreCase(f.name))
+      if (!f.nullable && g.exists(_.nullable)) f.copy(nullable = true) else f
+    })
+
   private def schemaOf(spark: SparkSession, root: String, v: Long)
       : org.apache.spark.sql.types.StructType = {
     val fs = fsOf(spark, root)
@@ -1281,7 +1298,10 @@ object SnapshotTable {
                 bySourceDelete: Option[Option[Column]] = None,
                 bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
                 evolve: Boolean = false,
-                maxFiles: Int = 64): Long = {
+                maxFiles: Int = 64,
+                matchedChain: Seq[MergeInto.Clause] = Nil,
+                insertChain: Seq[MergeInto.InsertClause] = Nil,
+                bySourceChain: Seq[MergeInto.Clause] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     require(keys.nonEmpty, "mergeInto needs key columns")
     def norm(p: String): String = new Path(p).toUri.getPath
@@ -1324,6 +1344,16 @@ object SnapshotTable {
           srcStar else matchedSet
         val iVals = if (evolve && notMatchedInsert.nonEmpty && insertValues.isEmpty)
           srcStar else insertValues
+        // Under evolution, star clauses inside CHAINS rewrite to
+        // per-column source maps for the same keep-target-only reason.
+        val mChainE = if (!evolve) matchedChain else matchedChain.map {
+          case MergeInto.UpdateClause(c, None) => MergeInto.UpdateClause(c, srcStar)
+          case other => other
+        }
+        val iChainE = if (!evolve) insertChain else insertChain.map {
+          case MergeInto.InsertClause(c, None) => MergeInto.InsertClause(c, srcStar)
+          case other => other
+        }
         // Null-safe key probe: a NULL source key must mark the files
         // holding NULL-key rows (the merge's own match is null-safe), or
         // those rows would survive untouched AND re-insert.
@@ -1341,13 +1371,19 @@ object SnapshotTable {
         // their files too. Same t/s aliasing as the merge's own join, so
         // the CONDITION evaluates exactly as the combinator will — a file
         // is carried only when provably no row in it can change.
+        val bChainAll: Seq[MergeInto.Clause] =
+          if (bySourceChain.nonEmpty) bySourceChain
+          else bySourceDelete.map(c => MergeInto.DeleteClause(c)).toSeq ++
+            bySourceUpdate.map(u => MergeInto.UpdateClause(u._1, Some(u._2))).toSeq
         val touchedBySource =
-          if (bySourceDelete.isEmpty && bySourceUpdate.isEmpty) Set.empty[String]
+          if (bChainAll.isEmpty) Set.empty[String]
           else {
             def sat(c: Column): Column = coalesce(c, lit(false))
-            val fires =
-              bySourceDelete.map(c => sat(c.getOrElse(lit(true)))).getOrElse(lit(false)) ||
-              bySourceUpdate.map(u => sat(u._1.getOrElse(lit(true)))).getOrElse(lit(false))
+            // A file rewrites when ANY by-source clause can fire for one
+            // of its target-only rows (which clause wins is the
+            // combinator's business; the probe needs the union).
+            val fires = bChainAll
+              .map(cl => sat(cl.condition.getOrElse(lit(true)))).reduce(_ || _)
             val t = withFile.withColumn("__t", lit(true)).alias("t")
             val sMarked = source.withColumn("__s", lit(true)).alias("s")
             t.join(sMarked,
@@ -1360,7 +1396,7 @@ object SnapshotTable {
         val touched = touchedMatched ++ touchedBySource
         // Evolution with nothing to touch still lands the widened schema
         // (a metadata-weight commit carrying every file).
-        if (touched.isEmpty && notMatchedInsert.isEmpty &&
+        if (touched.isEmpty && notMatchedInsert.isEmpty && insertChain.isEmpty &&
             !(evolve && schema != schema0)) return v
         val (touchedE, keptE) =
           currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
@@ -1380,7 +1416,8 @@ object SnapshotTable {
               .parquet(touchedE.map(_.path): _*), schema, mapping)
         val mi = MergeInto(targetRows, source, keys,
           matchedUpdate, matchedDelete, notMatchedInsert,
-          mSet, iVals, bySourceDelete, bySourceUpdate)
+          mSet, iVals, bySourceDelete, bySourceUpdate,
+          mChainE, iChainE, bySourceChain)
         // Pin outputs to the DECLARED types: clause projections coerce
         // through when(), and a source column arriving wider (decimal
         // growth) must not leak past the manifest's declared schema.
@@ -1416,7 +1453,8 @@ object SnapshotTable {
         val (adds, removes) = mi.changes()
         committed = commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((declared(adds), declared(removes))),
-          tableSchema = Some(schema), meta = meta)
+          tableSchema = Some(widenNullability(schema, rewritten.schema)),
+          meta = meta)
         done = true
       } catch {
         case e: ConcurrentWriteException =>
@@ -1559,7 +1597,7 @@ object SnapshotTable {
       try {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((post, pre)),
-          tableSchema = Some(schema))
+          tableSchema = Some(widenNullability(schema, rewritten.schema)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -1622,9 +1660,10 @@ object SnapshotTable {
             touchedRows.filter(predicate))
         }
       try {
-        return commitAt(spark, root, v + 1, kept.union(batch), carry = keptE,
+        val rewritten = kept.union(batch)
+        return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((batch, removes)),
-          tableSchema = Some(schema))
+          tableSchema = Some(widenNullability(schema, rewritten.schema)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1

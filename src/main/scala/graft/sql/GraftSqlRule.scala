@@ -331,66 +331,50 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
         .flatMap(_.condition)).foreach(noSubquery(_, "MERGE"))
     val keys = keysOf(m)
-    // Matched actions: the engine's clause algebra evaluates DELETE before
-    // UPDATE (MergeInto.result), so accept clause orders consistent with
-    // it — a DELETE listed first, or a single action of either kind.
-    var matchedDelete: Option[Column] = None
-    var matchedUpdate: Option[Option[Column]] = None
-    var matchedSet: Option[Map[String, Column]] = None
-    m.matchedActions.foreach {
+    // Every action family lowers to an ORDERED first-match-wins chain
+    // (round 12 late) — any number of conditional arms, in the user's
+    // clause order, exactly SQL MERGE semantics. Spark's parser already
+    // enforces that only the last clause of a family may omit its
+    // condition.
+    val matchedChain = m.matchedActions.map {
       case d: DeleteAction =>
-        require(matchedDelete.isEmpty, "at most one WHEN MATCHED ... DELETE")
-        require(matchedUpdate.isEmpty,
-          "graft MERGE evaluates DELETE before UPDATE; list the DELETE clause first")
-        matchedDelete = Some(d.condition.map(bySide(_, m))
-          .getOrElse(ColumnBridge.column(Literal(true))))
+        graft.ops.MergeInto.DeleteClause(d.condition.map(bySide(_, m)))
       case u: UpdateStarAction =>
-        require(matchedUpdate.isEmpty, "at most one WHEN MATCHED ... UPDATE")
-        matchedUpdate = Some(u.condition.map(bySide(_, m)))
+        graft.ops.MergeInto.UpdateClause(u.condition.map(bySide(_, m)), None)
       case u: UpdateAction =>
-        require(matchedUpdate.isEmpty, "at most one WHEN MATCHED ... UPDATE")
-        matchedUpdate = Some(u.condition.map(bySide(_, m)))
-        if (!isStarAssignment(m, u.assignments))
-          matchedSet = Some(assignmentMap(m, u.assignments, "UPDATE SET"))
+        graft.ops.MergeInto.UpdateClause(u.condition.map(bySide(_, m)),
+          if (isStarAssignment(m, u.assignments)) None
+          else Some(assignmentMap(m, u.assignments, "UPDATE SET")))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action: $other")
     }
-    var notMatchedInsert: Option[Option[Column]] = None
-    var insertValues: Option[Map[String, Column]] = None
-    m.notMatchedActions.foreach {
+    val insertChain = m.notMatchedActions.map {
       case i: InsertStarAction =>
-        require(notMatchedInsert.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
-        notMatchedInsert = Some(i.condition.map(bySide(_, m)))
+        graft.ops.MergeInto.InsertClause(i.condition.map(bySide(_, m)), None)
       case i: InsertAction =>
-        require(notMatchedInsert.isEmpty, "at most one WHEN NOT MATCHED ... INSERT")
-        notMatchedInsert = Some(i.condition.map(bySide(_, m)))
-        if (!isStarAssignment(m, i.assignments))
-          insertValues = Some(assignmentMap(m, i.assignments, "INSERT column"))
+        graft.ops.MergeInto.InsertClause(i.condition.map(bySide(_, m)),
+          if (isStarAssignment(m, i.assignments)) None
+          else Some(assignmentMap(m, i.assignments, "INSERT column")))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED action: $other")
     }
-    // WHEN NOT MATCHED BY SOURCE (round 12): the third clause family, over
-    // target-only rows — how sync jobs expire rows that vanished from the
-    // source. Delete evaluates before update, like the matched family.
-    var bySourceDelete: Option[Option[Column]] = None
-    var bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None
-    m.notMatchedBySourceActions.foreach {
+    // WHEN NOT MATCHED BY SOURCE: the third clause family, over
+    // target-only rows — how sync jobs expire rows that vanished from
+    // the source.
+    val bySourceChain = m.notMatchedBySourceActions.map {
       case d: DeleteAction =>
-        require(bySourceDelete.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE ... DELETE")
-        require(bySourceUpdate.isEmpty,
-          "graft MERGE evaluates BY SOURCE DELETE before UPDATE; list the DELETE clause first")
-        bySourceDelete = Some(d.condition.map(bySide(_, m)))
+        graft.ops.MergeInto.DeleteClause(d.condition.map(bySide(_, m)))
       case u: UpdateAction =>
-        require(bySourceUpdate.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE")
-        bySourceUpdate = Some((u.condition.map(bySide(_, m)),
-          assignmentMap(m, u.assignments, "BY SOURCE UPDATE SET")))
+        graft.ops.MergeInto.UpdateClause(u.condition.map(bySide(_, m)),
+          Some(assignmentMap(m, u.assignments, "BY SOURCE UPDATE SET")))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
     GraftMergeCommand(t.root, df(m.sourceTable), keys,
-      matchedUpdate, matchedDelete, notMatchedInsert,
-      matchedSet, insertValues, bySourceDelete, bySourceUpdate,
-      evolve = m.withSchemaEvolution)
+      matchedUpdate = None, matchedDelete = None, notMatchedInsert = None,
+      evolve = m.withSchemaEvolution,
+      matchedChain = matchedChain, insertChain = insertChain,
+      bySourceChain = bySourceChain)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -577,7 +561,10 @@ case class GraftMergeCommand(root: String, source: DataFrame,
                              bySourceDelete: Option[Option[Column]] = None,
                              bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
                              notInNullGuard: Option[DataFrame] = None,
-                             evolve: Boolean = false)
+                             evolve: Boolean = false,
+                             matchedChain: Seq[graft.ops.MergeInto.Clause] = Nil,
+                             insertChain: Seq[graft.ops.MergeInto.InsertClause] = Nil,
+                             bySourceChain: Seq[graft.ops.MergeInto.Clause] = Nil)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     // Strict NOT IN: one NULL among the subquery's values makes the
@@ -593,7 +580,8 @@ case class GraftMergeCommand(root: String, source: DataFrame,
       else SnapshotTable.mergeInto(spark, root, source,
         keys, matchedUpdate, matchedDelete, notMatchedInsert,
         matchedSet, insertValues, bySourceDelete, bySourceUpdate,
-        evolve = evolve)
+        evolve = evolve, matchedChain = matchedChain,
+        insertChain = insertChain, bySourceChain = bySourceChain)
     Seq(org.apache.spark.sql.Row(v))
   }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

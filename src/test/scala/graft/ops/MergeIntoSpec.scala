@@ -204,6 +204,35 @@ class MergeIntoSpec extends SparkSpec {
     assert(fin.size == 10 && fin(3L)._1 != "set", "unmatched rows untouched")
   }
 
+  test("clause CHAINS: first-match-wins across multiple conditional arms per family") {
+    val t = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (7L, "t7", 70.0), (8L, "t8", 80.0))
+      .toDF("k", "v1", "v2")
+    val s = Seq((1L, "s1", 5.0), (2L, "s2", 15.0), (3L, "s3", 25.0), (4L, "s4", 35.0),
+      (5L, "s5", 5.0), (6L, "s6", 50.0))
+      .toDF("k", "v1", "v2")
+    val out = MergeInto.into(t).using(s).on("k")
+      .whenMatchedUpdate(Map("v1" -> lit("low")), Some(col("s.v2") < 10))   // k=1
+      .whenMatchedDelete(col("s.v2") < 20)                                 // k=2 (first miss, second hits)
+      .whenMatchedUpdateAll(Some(col("s.v2") < 30))                        // k=3
+      .whenMatchedUpdate(Map("v2" -> (col("t.v2") + 1)))                   // k=4 (fallthrough)
+      .whenNotMatchedInsert(Map("k" -> col("s.k")), Some(col("s.v2") < 10)) // k=5
+      .whenNotMatchedInsertAll()                                           // k=6
+      .whenNotMatchedBySourceUpdate(Map("v1" -> lit("stale")), Some(col("t.v2") < 75)) // k=7
+      .whenNotMatchedBySourceDelete()                                      // k=8
+      .result()
+    assert(canon(out) == Seq(
+      "[1,low,10.0]",     // first arm wins: per-column, keeps v2
+      // k=2 deleted by the second arm
+      "[3,s3,25.0]",      // third arm: SET *
+      "[4,d,41.0]",       // fourth arm: unconditional per-column fallthrough
+      "[5,null,null]",    // first insert arm: explicit column, others NULL
+      "[6,s6,50.0]",      // second insert arm: INSERT *
+      "[7,stale,70.0]"    // by-source update beats the later delete
+      // k=8 deleted by the by-source delete
+    ), s"got: ${canon(out)}")
+  }
+
   test("table-level mergeInto WITH SCHEMA EVOLUTION: new source column joins, star keeps target-only columns") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.commit(spark, root, frame(1 to 6)) // (k, v1, v2)

@@ -342,6 +342,34 @@ class GraftCatalogSpec extends SparkSpec {
       "NOT EXISTS: a NULL key matches nothing, so it deletes")
   }
 
+  test("SQL MERGE accepts MULTIPLE conditional arms per family, any order, first-match-wins") {
+    val ns = fresh("cat21")
+    (1L to 8L).map(k => (k, k * 10.0, "old")).toDF("k", "price", "st")
+      .createOrReplaceTempView("cat21_tgt")
+    (1L to 10L).map(k => (k, k * 1.0, if (k % 2 == 0) "F" else "O"))
+      .toDF("k", "price", "st").createOrReplaceTempView("cat21_src")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM cat21_tgt")
+    // UPDATE listed BEFORE DELETE (pre-r12 this order was refused), three
+    // matched arms, two insert arms.
+    sql(s"""MERGE INTO graft.$ns.t t USING cat21_src s ON t.k = s.k
+            WHEN MATCHED AND s.k <= 2 THEN UPDATE SET st = 'tiny'
+            WHEN MATCHED AND s.st = 'F' THEN DELETE
+            WHEN MATCHED AND s.k <= 6 THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.k = 9 THEN INSERT (k, st) VALUES (s.k, 'nine')
+            WHEN NOT MATCHED THEN INSERT *""")
+    val got = sql(s"SELECT * FROM graft.$ns.t").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getString(2)))).toMap
+    assert(got(1L) == ((Some(10.0), "tiny")) && got(2L) == ((Some(20.0), "tiny")),
+      "first arm wins even where the DELETE arm would also match k=2")
+    assert(!got.contains(4L) && !got.contains(6L) && !got.contains(8L),
+      "matched evens past the first arm carry st='F' and delete")
+    assert(got(3L) == ((Some(3.0), "O")) && got(5L) == ((Some(5.0), "O")), "SET * arm")
+    assert(got(7L) == ((Some(70.0), "old")),
+      "a matched row with no firing arm keeps")
+    assert(got(9L) == ((None, "nine")) && got(10L) == ((Some(10.0), "F")),
+      "insert arms: explicit-column then star fallthrough")
+  }
+
   test("SQL MERGE WITH SCHEMA EVOLUTION widens the table from the source") {
     val ns = fresh("cat19")
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price").createOrReplaceTempView("cat19_tgt")
