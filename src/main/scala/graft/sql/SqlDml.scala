@@ -221,6 +221,65 @@ object SqlDml {
               FROM d GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // MULTIPLE conditional arms per family, first-match-wins (round 12
+    // late): three matched arms (per-column SET / DELETE / per-column
+    // fallthrough) + two insert arms (explicit-column / star), in an
+    // order the single-arm lowering refused. Oracle = nested-CASE
+    // first-match rewrite.
+    Q("sql_merge_multi_arm",
+      (s, dir) => {
+        val t = s"orders_mm_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"""CREATE OR REPLACE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderkey % 4 <> 3""",
+          s"""MERGE INTO graft.dml.$t t
+              USING (SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                       o_orderstatus AS st
+                     FROM orders WHERE o_orderkey % 2 = 0) s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND s.price < 100000 THEN UPDATE SET st = 'low'
+              WHEN MATCHED AND s.st = 'F' THEN DELETE
+              WHEN MATCHED THEN
+                UPDATE SET price = CAST(s.price + t.price AS DECIMAL(18,2))
+              WHEN NOT MATCHED AND s.price < 200000 THEN
+                INSERT (o_orderkey, st) VALUES (s.o_orderkey, 'new-lo')
+              WHEN NOT MATCHED THEN INSERT *""",
+          s"""SELECT o_orderkey, CAST(price AS DOUBLE) AS price, st
+              FROM graft.dml.$t
+              ORDER BY o_orderkey ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 4 <> 3),
+              s AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+                   FROM orders WHERE o_orderkey % 2 = 0),
+              m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      t.o_orderkey IS NOT NULL AS tp, s.o_orderkey IS NOT NULL AS sp,
+                      t.price AS tprice, t.st AS tst, s.price AS sprice, s.st AS sst
+                    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+              SELECT o_orderkey,
+                CAST(CASE WHEN tp AND sp THEN
+                       CASE WHEN sprice < 100000 THEN tprice
+                            ELSE CAST(sprice + tprice AS DECIMAL(18,2)) END
+                     WHEN sp THEN
+                       CASE WHEN sprice < 200000 THEN NULL ELSE sprice END
+                     ELSE tprice END AS DOUBLE) AS price,
+                CASE WHEN tp AND sp THEN
+                       CASE WHEN sprice < 100000 THEN 'low' ELSE tst END
+                     WHEN sp THEN
+                       CASE WHEN sprice < 200000 THEN 'new-lo' ELSE sst END
+                     ELSE tst END AS st
+              FROM m
+              WHERE (tp AND NOT sp)
+                 OR (tp AND sp AND (sprice < 100000 OR sst <> 'F'))
+                 OR (sp AND NOT tp)
+              ORDER BY o_orderkey ASC NULLS FIRST""")),
+
     // The rest of the membership quartet (round 12): equi-correlated
     // EXISTS (update), NOT EXISTS (delete via the BY SOURCE anti-arm),
     // and NOT IN (anti-arm + the IS NOT NULL guard). Oracle = DuckDB's
