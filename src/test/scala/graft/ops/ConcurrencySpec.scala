@@ -144,4 +144,46 @@ class ConcurrencySpec extends SparkSpec {
       appended.map(k => (k, "app")).toSet
     assert(got == want, s"must reach the serial state; diff=${got.diff(want)} / ${want.diff(got)}")
   }
+
+  test("concurrent overwriteWhere on disjoint regions: CAS serializes, both land") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commit(spark, root,
+      (0L until 40L).map(k => (k, "base")).toDF("k", "v"))
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def race(body: => Unit): Unit = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        var done = false
+        while (!done) {
+          try { body; done = true }
+          catch {
+            case _: SnapshotTable.ConcurrentWriteException => ()
+            case e: Throwable => failures.add(e); done = true
+          }
+        }
+      }
+    })
+    // Disjoint replaced regions commute: every serial order yields the
+    // same final state, so a lost update from a CAS bug is visible.
+    race(SnapshotTable.overwriteWhere(spark, root, col("k") < 10,
+      (0L until 5L).map(k => (k, "lo")).toDF("k", "v")))
+    race(SnapshotTable.overwriteWhere(spark, root,
+      col("k") >= 30 && col("k") < 40,
+      (35L until 40L).map(k => (k, "hi")).toDF("k", "v")))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"unexpected failures: $failures")
+    val got = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (0L until 5L).map(k => (k, "lo")).toSet ++
+      (10L until 30L).map(k => (k, "base")).toSet ++
+      (35L until 40L).map(k => (k, "hi")).toSet
+    assert(got == want,
+      s"both replaceWhere commits must land; diff=${got.diff(want)} / ${want.diff(got)}")
+    // both landed as distinct versions over the seed
+    assert(SnapshotTable.currentVersion(spark, root).contains(2L))
+  }
 }
