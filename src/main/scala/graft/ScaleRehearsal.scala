@@ -1583,6 +1583,24 @@ object ScaleRehearsal {
       f"-> $rows rows; rewrote ${(preMerge -- postMerge).size}/${preMerge.size} " +
       f"files (clustered keys prune the probe)")
 
+    // BY SOURCE expiry wave (round 12): a FULL-snapshot sync expiring
+    // rows that vanished from the source — the inherent cost is one
+    // outer join of the table against the snapshot (every row must be
+    // checked for non-membership), but the CONDITION-aware probe keeps
+    // the REWRITE file-granular: only files holding firing rows move.
+    val preExp = SnapshotTable.read(spark, root).inputFiles.toSet
+    val (_, expWall) = timed(spark.sql(
+      """MERGE INTO graft.scale.sqldml t
+         USING (SELECT id AS k FROM range(20000000)) s
+         ON t.k = s.k
+         WHEN NOT MATCHED BY SOURCE AND t.k >= 20400000 THEN DELETE"""))
+    val postExp = SnapshotTable.read(spark, root).inputFiles.toSet
+    val expired = rows - SnapshotTable.rowCount(spark, root)
+    println(f"SCALE sqldml BY SOURCE expiry vs a 20M-key snapshot in " +
+      f"$expWall%.1f s: expired $expired rows, rewrote " +
+      f"${(preExp -- postExp).size}/${preExp.size} files " +
+      f"(anti-join probe is O(table ⋈ snapshot); rewrite stays file-granular)")
+
     // VACUUM with a lagging subscriber: clamped (visible in DESCRIBE
     // STATUS), then FORCE reclaims.
     SnapshotTable.registerSubscriber(spark, root, "scale-lagger", v0)
@@ -1597,10 +1615,12 @@ object ScaleRehearsal {
       f"${stC.getAs[Long]("last_vacuum_clamped_by_watermark")}); FORCE -> " +
       f"${stF.getAs[Long]("retained_versions")} version in $vacWall%.1f s; " +
       f"cas_losses=${stF.getAs[Long]("cas_losses")}")
-    // Invariant: maintenance moved zero rows.
+    // Invariant: maintenance (OPTIMIZE/VACUUM) moved zero rows beyond the
+    // two DML waves' own deltas.
+    val want = rows - expired
     val sum = spark.sql(
       "SELECT count(*) AS n FROM graft.scale.sqldml").head().getLong(0)
-    assert(sum == rows, s"maintenance must move zero rows: $sum vs $rows")
+    assert(sum == want, s"maintenance must move zero rows: $sum vs $want")
   }
 
   private def cdfSubscriberLeg(spark: SparkSession): Unit = {

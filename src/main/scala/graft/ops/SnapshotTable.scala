@@ -1356,17 +1356,34 @@ object SnapshotTable {
         }
         // Null-safe key probe: a NULL source key must mark the files
         // holding NULL-key rows (the merge's own match is null-safe), or
-        // those rows would survive untouched AND re-insert.
-        val srcKeys = source
-          .select(keys.map(k => source(k).as(s"__sk_$k")): _*).distinct()
-        // input_file_name() resolves on the single-source side only, so
-        // it is projected BEFORE the semi-join.
+        // those rows would survive untouched AND re-insert. SKIPPED when
+        // BOTH the matched AND insert families are empty (an expiry-only
+        // merge): matched rows then cannot change AND nothing can insert,
+        // so "not matched in the touched rows" never needs to mean "not
+        // in the table" — files are touched only by the by-source probe,
+        // and a full-snapshot `WHEN NOT MATCHED BY SOURCE ... DELETE`
+        // sync rewrites the files holding expiring rows, not every file
+        // the snapshot's keys graze (measured 24/24 → file-granular at
+        // the 20M-row rehearsal). With an insert arm the probe is
+        // REQUIRED for dedup: a matched key in an untouched file must
+        // not re-insert.
+        val hasMatchedArms = matchedChain.nonEmpty ||
+          matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
+          insertChain.nonEmpty || notMatchedInsert.nonEmpty
         val withFile = cur.withColumn("__file", input_file_name())
-        val touchedMatched = withFile.join(srcKeys,
-            keys.map(k => withFile(k) <=> srcKeys(s"__sk_$k")).reduce(_ && _),
-            "left_semi")
-          .select(col("__file"))
-          .distinct().collect().map(r => norm(r.getString(0))).toSet
+        val touchedMatched =
+          if (!hasMatchedArms) Set.empty[String]
+          else {
+            val srcKeys = source
+              .select(keys.map(k => source(k).as(s"__sk_$k")): _*).distinct()
+            // input_file_name() resolves on the single-source side only,
+            // so it is projected BEFORE the semi-join.
+            withFile.join(srcKeys,
+                keys.map(k => withFile(k) <=> srcKeys(s"__sk_$k")).reduce(_ && _),
+                "left_semi")
+              .select(col("__file"))
+              .distinct().collect().map(r => norm(r.getString(0))).toSet
+          }
         // BY SOURCE probe: target-only rows whose arm condition fires mark
         // their files too. Same t/s aliasing as the merge's own join, so
         // the CONDITION evaluates exactly as the combinator will — a file

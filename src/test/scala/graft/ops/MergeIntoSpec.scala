@@ -191,6 +191,27 @@ class MergeIntoSpec extends SparkSpec {
     assert(adds.count() == 10 + 5, "matched + by-source update post-images")
   }
 
+  test("expiry-only merge (BY SOURCE, no matched/insert arms) skips the matched-key probe") {
+    val root = s"${tmpDir()}/t"
+    // 4 clustered files; the source snapshot covers keys 1..35, so rows
+    // 36..40 expire — ONLY file 4 may rewrite even though the snapshot's
+    // keys graze files 1..4.
+    val v0 = SnapshotTable.commitClustered(spark, root,
+      frame(1 to 40), Seq("k"), numFiles = 4)
+    val snapshot = frame(1 to 35)
+    val v1 = SnapshotTable.mergeInto(spark, root, snapshot, Seq("k"),
+      bySourceDelete = Some(None))
+    val fin = SnapshotTable.read(spark, root, Some(v1))
+    assert(fin.count() == 35 && fin.agg(max(col("k"))).head().getLong(0) == 35L)
+    val before = SnapshotTable.read(spark, root, Some(v0)).inputFiles.toSet
+    assert((before & fin.inputFiles.toSet).size == 3,
+      "files holding only matched/surviving rows must carry untouched")
+    // matched rows in carried files are byte-identical (no accidental churn)
+    assert(fin.filter(col("k") <= 30).collect().map(_.toString).toSet ==
+      SnapshotTable.read(spark, root, Some(v0)).filter(col("k") <= 30)
+        .collect().map(_.toString).toSet)
+  }
+
   test("table-level mergeInto: per-column SET with a keys-only source") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.commit(spark, root, frame(1 to 10))
