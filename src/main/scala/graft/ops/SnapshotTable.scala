@@ -1431,6 +1431,29 @@ object SnapshotTable {
           else fromPhysical(
             spark.read.schema(physSchema(schema, mapping))
               .parquet(touchedE.map(_.path): _*), schema, mapping)
+        // SQL cardinality rule (round 12 late): when a matched arm can
+        // fire, MULTIPLE source rows matching ONE target row is an error
+        // (the full-outer join would otherwise silently duplicate the
+        // row) — the same refusal Delta and the standard raise. Checked
+        // against the TOUCHED rows only (every matchable key lives
+        // there by construction), so the probe is O(source + touched),
+        // never table-scaled. Duplicate SOURCE-ONLY keys stay legal:
+        // SQL's NOT MATCHED arm inserts each source row.
+        if ((matchedChain.nonEmpty || matchedUpdate.nonEmpty ||
+            matchedDelete.nonEmpty) && touchedE.nonEmpty) {
+          val srcK = source.select(keys.map(k => source(k).as(k)): _*)
+          val tgtK = targetRows
+            .select(keys.map(k => targetRows(k).as(s"__t_$k")): _*).distinct()
+          val dup = srcK.join(tgtK,
+              keys.map(k => srcK(k) <=> tgtK(s"__t_$k")).reduce(_ && _),
+              "left_semi")
+            .groupBy(keys.map(srcK(_)): _*).count()
+            .filter(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"MERGE: multiple source rows match the same target row on " +
+              s"(${keys.mkString(", ")}) — e.g. ${dup.headOption.getOrElse("")}; " +
+              "deduplicate the source (SQL MERGE cardinality rule)")
+        }
         val mi = MergeInto(targetRows, source, keys,
           matchedUpdate, matchedDelete, notMatchedInsert,
           mSet, iVals, bySourceDelete, bySourceUpdate,

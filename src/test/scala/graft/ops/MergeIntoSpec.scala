@@ -282,6 +282,25 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("SQL cardinality rule: dup source rows matching ONE target row refuse; dup inserts stay legal") {
+    val root = s"${tmpDir()}/t"
+    val v0 = SnapshotTable.commit(spark, root, frame(1 to 10))
+    // two source rows for matched key 3 → loud refusal, zero trace
+    val dupSrc = Seq((3L, "a", 1.0), (3L, "b", 2.0), (99L, "c", 3.0))
+      .toDF("k", "v1", "v2")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, root, dupSrc, Seq("k"),
+        matchedUpdate = Some(None), notMatchedInsert = Some(None))
+    }
+    assert(e.getMessage.contains("multiple source rows match"), e.getMessage)
+    assert(SnapshotTable.currentVersion(spark, root).contains(v0), "no partial commit")
+    // duplicate SOURCE-ONLY keys are legal SQL: each inserts
+    val insOnly = Seq((50L, "x", 1.0), (50L, "y", 2.0)).toDF("k", "v1", "v2")
+    val v1 = SnapshotTable.mergeInto(spark, root, insOnly, Seq("k"),
+      matchedUpdate = Some(None), notMatchedInsert = Some(None))
+    assert(SnapshotTable.read(spark, root, Some(v1)).filter(col("k") === 50).count() == 2)
+  }
+
   test("table-level mergeInto: no matches and no insert clause is a no-op version") {
     val root = s"${tmpDir()}/t"
     val v0 = SnapshotTable.commit(spark, root, frame(1 to 5))
