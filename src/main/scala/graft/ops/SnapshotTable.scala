@@ -1015,6 +1015,133 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  // --- SHALLOW CLONE (round 12, unasked-for) -------------------------------
+  //
+  // Delta's `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF v]`: a new
+  // table whose version-0 manifest lists the SOURCE's file entries at a
+  // pinned version — zero bytes copied at any table size (a 100 TB dev
+  // branch costs one KB-sized manifest). The clone then diverges normally:
+  // DML rewrites only the files it touches INTO THE CLONE'S ROOT (paths in
+  // manifests are absolute, so carried source files and new clone files
+  // coexist in one file list), compaction folds everything local, and the
+  // source never observes any of it.
+  //
+  // The classic shallow-clone hazard — source VACUUM deleting files the
+  // clone still references — is closed STRUCTURALLY here instead of by
+  // documentation: the clone registers a subscriber watermark
+  // (`clone-...`) on the source pinned at the cloned version, so the
+  // source's vacuum retains that version's manifest (and therefore its
+  // data dirs) until the clone detaches. `force` vacuum overrides, same
+  // loud-failure contract as a lagging CDF subscriber. Symmetrically,
+  // vacuum on the CLONE must never reclaim dirs it merely references:
+  // [[vacuumKeeping]] refuses to delete anything outside the table's own
+  // root.
+
+  private def cloneMarker(root: String): Path = new Path(root, "_clone_source")
+
+  private def cloneSubscriberId(targetRoot: String): String = {
+    val norm = new Path(targetRoot).toUri.getPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"clone-${new Path(targetRoot).getName}-$h"
+  }
+
+  /** Zero-copy clone of `sourceRoot` (at `asOf`, default current) into a
+    * fresh table at `targetRoot`. Carries the source version's ENTIRE
+    * declared state — schema, column mapping, tombstones, CHECK
+    * constraints, bloom config, per-file stats/blooms (data skipping works
+    * on the clone from read one) — and pins source retention via a
+    * subscriber watermark until [[detachClone]]. Returns the clone's
+    * version (always 0). */
+  def cloneShallow(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                   asOf: Option[Long] = None): Long = {
+    val srcNorm = new Path(sourceRoot).toUri.getPath
+    val dstNorm = new Path(targetRoot).toUri.getPath
+    require(srcNorm != dstNorm, s"cloneShallow of $sourceRoot onto itself")
+    require(currentVersion(spark, targetRoot).isEmpty,
+      s"cloneShallow target $targetRoot already exists")
+    val v = asOf.orElse(currentVersion(spark, sourceRoot)).getOrElse(
+      throw new IllegalStateException(
+        s"cloneShallow on a table with no committed version at $sourceRoot"))
+    val fs = fsOf(spark, sourceRoot)
+    require(fs.exists(manifestPath(sourceRoot, v)),
+      s"cloneShallow: version $v of $sourceRoot is not retained (vacuumed?)")
+    // Pin BEFORE the manifest lands: between registration and the CAS the
+    // source cannot vacuum v away, so the clone never births dangling.
+    val subId = cloneSubscriberId(targetRoot)
+    registerSubscriber(spark, sourceRoot, subId, v)
+    val tfs = fsOf(spark, targetRoot)
+    val marker = cloneMarker(targetRoot)
+    tfs.mkdirs(marker.getParent)
+    val out = tfs.create(marker, true)
+    try out.write(
+      (s"""{"source":${jsonStr(srcNorm)},"version":$v,""" +
+        s""""subscriber":${jsonStr(subId)}}""").getBytes("UTF-8"))
+    finally out.close()
+    if (!tryCommitMeta(spark, targetRoot, 0L,
+        currentEntries(spark, sourceRoot, v),
+        schemaOf(spark, sourceRoot, v),
+        droppedOf(spark, sourceRoot, v).toSeq.sorted,
+        bloomOnOf(spark, sourceRoot, v),
+        constraintsOf(spark, sourceRoot, v),
+        mappingOf(spark, sourceRoot, v),
+        usedPhysOf(spark, sourceRoot, v))) {
+      unregisterSubscriber(spark, sourceRoot, subId)
+      tfs.delete(marker, false)
+      throw new ConcurrentWriteException(
+        s"version 0 at $targetRoot was committed by a concurrent writer")
+    }
+    0L
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** (source root, cloned version, subscriber id) when `root` was born as
+    * a shallow clone and has not detached — surfaced by
+    * `DESCRIBE EXTENDED` through [[graft.sql.GraftTable]] properties. */
+  def cloneSource(spark: SparkSession, root: String)
+      : Option[(String, Long, String)] = {
+    val fs = fsOf(spark, root)
+    val p = cloneMarker(root)
+    if (!fs.exists(p)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readManifestBody(fs, p))
+      Some((node.get("source").asText, node.get("version").asLong,
+        node.get("subscriber").asText))
+    }
+  }
+
+  /** Release the clone's retention pin on its source. Refused while the
+    * clone's CURRENT version still references any file under the source
+    * root (detaching then would re-open the vacuum hazard the pin exists
+    * to close) unless `force`; rewrite-to-divergence first ([[recluster]] /
+    * `OPTIMIZE ... ZORDER BY` rewrites every file clone-locally in one
+    * statement; plain [[compact]] is selective and may carry large source
+    * files). Returns false when `root` is not an attached clone. */
+  def detachClone(spark: SparkSession, root: String,
+                  force: Boolean = false): Boolean =
+    cloneSource(spark, root) match {
+      case None => false
+      case Some((src, _, subId)) =>
+        if (!force) {
+          val v = currentVersion(spark, root).getOrElse(
+            throw new IllegalStateException(s"no committed version at $root"))
+          val srcPrefix = src.stripSuffix("/") + "/"
+          val stillShared = currentEntries(spark, root, v)
+            .filter(e => new Path(e.path).toUri.getPath.startsWith(srcPrefix))
+          require(stillShared.isEmpty,
+            s"detachClone: ${stillShared.size} file(s) of $root still live under " +
+              s"$src — rewrite to divergence first (OPTIMIZE ... ZORDER BY / " +
+              "recluster), or pass force")
+        }
+        unregisterSubscriber(spark, src, subId)
+        val fs = fsOf(spark, root)
+        fs.delete(cloneMarker(root), false)
+        true
+    }
+
   /** The table's logical → physical column mapping at `asOf` (empty =
     * identity — every table that never renamed or re-added a column). */
   def columnMapping(spark: SparkSession, root: String,
@@ -2271,6 +2398,12 @@ object SnapshotTable {
         filesFromBody(body, manifestPath(root, v))
           .map(f => new Path(f).getParent) ++ cdcRootsOf(body)
       }.toSet
+    // A SHALLOW CLONE's manifests reference dirs under the SOURCE root;
+    // this table's vacuum must reclaim only its OWN storage — deleting a
+    // referenced foreign dir would corrupt the source table (the source's
+    // own vacuum + the clone's subscriber pin govern those bytes).
+    val ownPrefix = new Path(root).toUri.getPath.stripSuffix("/") + "/"
+    def underRoot(d: Path): Boolean = d.toUri.getPath.startsWith(ownPrefix)
     versions.dropRight(keep).foreach { v =>
       // Resolve the data dirs FROM the manifest (dir names carry per-attempt
       // tokens, so they can't be reconstructed from the version alone).
@@ -2278,6 +2411,7 @@ object SnapshotTable {
       (filesFromBody(body, manifestPath(root, v))
         .map(f => new Path(f).getParent).distinct ++ cdcRootsOf(body))
         .filterNot(live.contains)
+        .filter(underRoot)
         .foreach(d => fs.delete(d, true))
       fs.delete(manifestPath(root, v), false)
     }

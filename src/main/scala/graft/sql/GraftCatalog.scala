@@ -255,7 +255,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val f = fs
     tombstones(namespace, None).count { p =>
       val age = p.getName.split("@")(1).toLong
-      (force || age < cutoff) && f.delete(p, true)
+      val purge = force || age < cutoff
+      // A purged tombstone that was an attached SHALLOW CLONE must release
+      // its retention pin on the source — the bytes that needed it are
+      // gone, and a leaked watermark would clamp the source's vacuum
+      // forever (the UNDROP window is what kept it until now).
+      if (purge) SnapshotTable.detachClone(spark, p.toString, force = true)
+      purge && f.delete(p, true)
     }
   }
 
@@ -353,6 +359,10 @@ final class GraftTable(val root: String, ident: String,
     m.put("graft.row.count", SnapshotTable.rowCount(s, root, asOf).toString)
     val bloom = SnapshotTable.bloomColumns(s, root, asOf)
     if (bloom.nonEmpty) m.put("graft.bloom.columns", bloom.mkString(","))
+    SnapshotTable.cloneSource(s, root).foreach { case (src, v, _) =>
+      m.put("graft.clone.source", src)
+      m.put("graft.clone.sourceVersion", v.toString)
+    }
     m
   }
 

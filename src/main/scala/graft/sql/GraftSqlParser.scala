@@ -61,6 +61,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftStatusCommand(parts(table)))
       case UndropRe(table) =>
         Some(GraftUndropCommand(parts(table)))
+      case CloneRe(target, source, version) =>
+        Some(GraftCloneCommand(parts(target), parts(source),
+          Option(version).map(_.toLong)))
+      case DetachCloneRe(table, force) =>
+        Some(GraftDetachCloneCommand(parts(table), force != null))
       case ReplaceWhereRe(table, cond, query) =>
         // Delta's `INSERT INTO t REPLACE WHERE cond SELECT ...` shape:
         // parse the pieces with the DELEGATE parser, emit the standard
@@ -128,6 +133,9 @@ object GraftSqlParser {
   val ReplaceWhereRe =
     raw"(?is)INSERT\s+INTO\s+$Id\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?".r
   val UndropRe = raw"(?is)UNDROP\s+TABLE\s+$Id\s*;?".r
+  val CloneRe =
+    raw"(?is)CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?".r
+  val DetachCloneRe = raw"(?is)DETACH\s+CLONE\s+$Id(\s+FORCE)?\s*;?".r
 
   /** Resolve a dotted name's catalog to [[GraftCatalog]] and the table to
     * its identifier — at RUN time (the parser must not touch the catalog:
@@ -247,6 +255,35 @@ case class GraftUndropCommand(nameParts: Seq[String])
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val (cat, ident) = GraftSqlParser.resolve(spark, nameParts)
     cat.undropTable(ident)
+    Seq.empty
+  }
+  override val output: Seq[Attribute] = Nil
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF v]` →
+  * [[SnapshotTable.cloneShallow]] (round 12): a zero-copy table whose v0
+  * manifest references the source's files at the pinned version, with a
+  * subscriber watermark on the source holding that version against vacuum
+  * until `DETACH CLONE`. Both names must resolve in a graft catalog. */
+case class GraftCloneCommand(target: Seq[String], source: Seq[String],
+                             asOf: Option[Long])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(SnapshotTable.cloneShallow(spark,
+      GraftSqlParser.rootOf(spark, source),
+      GraftSqlParser.rootOf(spark, target), asOf)))
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+}
+
+/** `DETACH CLONE t [FORCE]` → [[SnapshotTable.detachClone]]: release the
+  * source-retention pin once the clone no longer references source files
+  * (FORCE skips the divergence check and accepts the vacuum hazard). */
+case class GraftDetachCloneCommand(nameParts: Seq[String], force: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    require(SnapshotTable.detachClone(spark,
+      GraftSqlParser.rootOf(spark, nameParts), force),
+      s"${nameParts.mkString(".")} is not an attached shallow clone")
     Seq.empty
   }
   override val output: Seq[Attribute] = Nil

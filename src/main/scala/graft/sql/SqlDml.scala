@@ -447,6 +447,58 @@ object SqlDml {
               GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // SHALLOW CLONE (round 12, unasked-for): a zero-copy table pinned to a
+    // source VERSION, then diverged by DML — the clone's DELETE/UPDATE
+    // rewrite carried source files into the clone's own root while the
+    // source (including its post-clone UPDATE) never observes any of it.
+    // Oracle = both lineages recomputed arithmetically from orders, so
+    // hash-green pins the clone at the RIGHT version, isolation in BOTH
+    // directions, and carried-entry reads after divergence.
+    Q("sql_shallow_clone",
+      (s, dir) => {
+        val t = s"orders_cl_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.${t}_c",
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""UPDATE graft.dml.$t
+              SET price = CAST(price * 3 AS DECIMAL(18,2))
+              WHERE o_orderkey % 8 = 0""",
+          s"CREATE TABLE graft.dml.${t}_c SHALLOW CLONE graft.dml.$t VERSION AS OF 0",
+          s"DELETE FROM graft.dml.${t}_c WHERE st = 'O' AND o_orderkey % 7 = 0",
+          s"""UPDATE graft.dml.${t}_c
+              SET price = CAST(price * 2 AS DECIMAL(18,2))
+              WHERE st = 'F'""",
+          s"""SELECT side, st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM (SELECT 'src' AS side, st, price FROM graft.dml.$t
+                    UNION ALL
+                    SELECT 'clone' AS side, st, price FROM graft.dml.${t}_c) u
+              GROUP BY side, st
+              ORDER BY side ASC NULLS FIRST, st ASC NULLS FIRST"""),
+          vacuum = false)
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st FROM orders),
+              src AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 8 = 0
+                             THEN CAST(price * 3 AS DECIMAL(18,2)) ELSE price END AS price,
+                        st
+                      FROM t),
+              cl AS (SELECT o_orderkey,
+                       CASE WHEN st = 'F'
+                            THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END AS price,
+                       st
+                     FROM t WHERE NOT (st = 'O' AND o_orderkey % 7 = 0)),
+              u AS (SELECT 'src' AS side, st, price FROM src
+                    UNION ALL
+                    SELECT 'clone' AS side, st, price FROM cl)
+              SELECT side, st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM u GROUP BY side, st
+              ORDER BY side ASC NULLS FIRST, st ASC NULLS FIRST""")),
+
     // The reference's BOOTSTRAP lifecycle (main.py:367-381): target table
     // missing -> CREATE TABLE ... AS SELECT ... LIMIT 0 (schema-bearing,
     // empty) -> MERGE lands everything as inserts -> later INSERT INTO
