@@ -220,7 +220,8 @@ object SnapshotStats {
                    bloomOn: Seq[String] = Nil,
                    constraints: Map[String, String] = Map.empty,
                    mapping: Map[String, String] = Map.empty,
-                   usedPhys: Seq[String] = Nil): String = {
+                   usedPhys: Seq[String] = Nil,
+                   ingested: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     // Commit wall-clock (epoch millis): powers age-based retention
@@ -267,6 +268,16 @@ object SnapshotStats {
       // by every later manifest so a re-add stays refused after any number
       // of subsequent commits.
       val d = root.putArray("dropped"); dropped.foreach(d.add)
+    }
+    if (ingested.nonEmpty) {
+      // COPY INTO's loaded-file ledger (`<path>@<bytes>` identities —
+      // see SnapshotTable.copyInto): inherited by every later manifest
+      // and restored with RESTORE's target version, so idempotent re-runs
+      // survive vacuum, compaction, clone — anything that rewrites files
+      // or drops old manifests. Rides IN the manifest because the ledger
+      // must move atomically with the rows it describes: a side-car
+      // updated after the commit could crash in between and double-load.
+      val ing = root.putArray("ingested"); ingested.foreach(ing.add)
     }
     txn.foreach { case (appId, batchId) =>
       val t = root.putObject("txn")
@@ -391,6 +402,14 @@ object SnapshotStats {
     * manifests that never saw a drop). */
   def droppedFromManifest(body: String): Seq[String] = {
     val d = mapper.readTree(body).get("dropped")
+    if (d == null || !d.isArray) Seq.empty
+    else (0 until d.size).map(d.get(_).asText)
+  }
+
+  /** COPY INTO's accumulated loaded-file identities (empty for tables the
+    * statement never touched — the field is omitted entirely). */
+  def ingestedFromManifest(body: String): Seq[String] = {
+    val d = mapper.readTree(body).get("ingested")
     if (d == null || !d.isArray) Seq.empty
     else (0 until d.size).map(d.get(_).asText)
   }

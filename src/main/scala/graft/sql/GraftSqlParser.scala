@@ -66,6 +66,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(version).map(_.toLong)))
       case DetachCloneRe(table, force) =>
         Some(GraftDetachCloneCommand(parts(table), force != null))
+      case CopyIntoRe(table, dir, fmt, pat, opts) =>
+        Some(GraftCopyIntoCommand(parts(table), dir, fmt,
+          Option(pat),
+          Option(opts).toSeq.flatMap(o =>
+            raw"'([^']*)'\s*=\s*'([^']*)'".r.findAllMatchIn(o)
+              .map(m => m.group(1) -> m.group(2))).toMap))
       case ReplaceWhereRe(table, cond, query) =>
         // Delta's `INSERT INTO t REPLACE WHERE cond SELECT ...` shape:
         // parse the pieces with the DELEGATE parser, emit the standard
@@ -136,6 +142,10 @@ object GraftSqlParser {
   val CloneRe =
     raw"(?is)CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?".r
   val DetachCloneRe = raw"(?is)DETACH\s+CLONE\s+$Id(\s+FORCE)?\s*;?".r
+  val CopyIntoRe =
+    (raw"(?is)COPY\s+INTO\s+$Id\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)" +
+      raw"(?:\s+PATTERN\s*=\s*'([^']+)')?" +
+      raw"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?").r
 
   /** Resolve a dotted name's catalog to [[GraftCatalog]] and the table to
     * its identifier — at RUN time (the parser must not touch the catalog:
@@ -287,6 +297,29 @@ case class GraftDetachCloneCommand(nameParts: Seq[String], force: Boolean)
     Seq.empty
   }
   override val output: Seq[Attribute] = Nil
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = fmt [PATTERN = '<glob>']
+  * [FORMAT_OPTIONS ('k' = 'v', ...)]` → [[SnapshotTable.copyInto]]
+  * (round 12): idempotent file ingest — each source file loads exactly
+  * once across re-runs, the loaded-file ledger riding in the manifest
+  * atomically with the rows. Returns (version, files_loaded,
+  * rows_loaded); a re-run that finds nothing new returns the current
+  * version with zeros. */
+case class GraftCopyIntoCommand(nameParts: Seq[String], sourceDir: String,
+                                format: String, pattern: Option[String],
+                                options: Map[String, String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val (v, files, rows) = SnapshotTable.copyInto(spark,
+      GraftSqlParser.rootOf(spark, nameParts), sourceDir, format,
+      options, pattern)
+    Seq(org.apache.spark.sql.Row(v, files, rows))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)())
 }
 
 /** `DESCRIBE HISTORY t` → [[SnapshotTable.history]]'s audit rows (driver-

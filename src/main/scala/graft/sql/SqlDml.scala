@@ -43,6 +43,26 @@ object SqlDml {
     out
   }
 
+  /** Land one deterministic CSV file `<land>/<name>.csv` holding `sql`'s
+    * rows (Spark-written, renamed to a stable name — COPY INTO fixtures
+    * need re-listable identities). */
+  private def landCsv(s: SparkSession, land: String, name: String,
+                      sql: String): Unit = {
+    val stage = s"$land/_stage_$name"
+    s.sql(sql).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(stage)
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(p).map(_.getPath)
+      .find(_.getName.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no csv part under $stage"))
+    val dest = new org.apache.hadoop.fs.Path(land, s"$name.csv")
+    fs.delete(dest, false)
+    require(fs.rename(part, dest), s"rename $part -> $dest failed")
+    fs.delete(p, true)
+    ()
+  }
+
   val qs: Seq[Q] = Seq(
 
     // The reference's MERGE statement (main.py:349-358) with SQL-standard
@@ -498,6 +518,45 @@ object SqlDml {
               SELECT side, st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
               FROM u GROUP BY side, st
               ORDER BY side ASC NULLS FIRST, st ASC NULLS FIRST""")),
+
+    // COPY INTO (round 12, unasked-for): idempotent file ingest — two
+    // seed CSVs load under a PATTERN, a BLIND RE-RUN of the same statement
+    // loads nothing (the manifest-resident ledger), and a later landing
+    // file loads alone. Oracle = the three slices recomputed from orders;
+    // a double-load anywhere doubles a count and fails the hash gate.
+    Q("sql_copy_into",
+      (s, dir) => {
+        val t = s"orders_cp_${tag(s, dir)}"
+        Tables.registerAll(s, dir)
+        GraftSql.ensureCatalog(s)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+        val land = s"${GraftSql.defaultWarehouse}/dml/_landing_$t"
+        def slice(name: String, cond: String): Unit = landCsv(s, land, name,
+          s"""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE $cond""")
+        slice("seed_a", "o_orderkey % 3 = 1")
+        slice("seed_b", "o_orderkey % 3 = 2")
+        slice("late_c", "o_orderkey % 3 = 0")
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders LIMIT 0""",
+          s"COPY INTO graft.dml.$t FROM '$land' FILEFORMAT = CSV PATTERN = 'seed_*.csv'",
+          s"COPY INTO graft.dml.$t FROM '$land' FILEFORMAT = CSV PATTERN = 'seed_*.csv'",
+          s"COPY INTO graft.dml.$t FROM '$land' FILEFORMAT = CSV",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""SELECT o_orderstatus AS st, count(*) AS cnt,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
 
     // The reference's BOOTSTRAP lifecycle (main.py:367-381): target table
     // missing -> CREATE TABLE ... AS SELECT ... LIMIT 0 (schema-bearing,

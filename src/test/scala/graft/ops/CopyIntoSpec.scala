@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** COPY INTO (round 12): idempotent file-level ingest whose loaded-file
+  * ledger rides in the manifest. Pins: exactly-once across blind re-runs;
+  * ledger survival under OPTIMIZE + VACUUM (the manifests that recorded
+  * the loads are gone, the ledger is not); RESTORE rewinding the ledger
+  * with the rows; format alignment and the constraint gate on ingested
+  * batches; and the SQL statement shape. */
+class CopyIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write `rows` as ONE deterministic csv file `<dir>/<name>.csv`. */
+  private def csvFile(dir: String, name: String, header: String,
+                      rows: Seq[String]): Unit = {
+    val d = new java.io.File(dir); d.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(d, s"$name.csv"), "UTF-8")
+    try { w.println(header); rows.foreach(w.println) } finally w.close()
+  }
+
+  test("each file loads exactly once across blind re-runs; new files load") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val land = s"$base/landing"
+    SnapshotTable.commitEmpty(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "s").schema)
+    csvFile(land, "b1", "k,s", (1L to 10L).map(k => s"$k,r$k"))
+    csvFile(land, "b2", "k,s", (11L to 20L).map(k => s"$k,r$k"))
+
+    val (v1, f1, r1) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert((f1, r1) == (2L, 20L), s"first run loads both files: $f1/$r1")
+    assert(SnapshotTable.read(spark, root).count() == 20L)
+
+    // Blind re-run: nothing new, version unchanged, zero I/O committed.
+    val (v2, f2, r2) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert((v2, f2, r2) == (v1, 0L, 0L), "re-run must be a committed no-op")
+
+    // A file landing later loads alone.
+    csvFile(land, "b3", "k,s", (21L to 25L).map(k => s"$k,r$k"))
+    val (v3, f3, r3) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert(v3 == v1 + 1 && (f3, r3) == (1L, 5L))
+    assert(SnapshotTable.read(spark, root).count() == 25L)
+
+    // Hidden/underscore files and non-matching patterns are ignored.
+    csvFile(land, "_meta", "k,s", Seq("99,x"))
+    csvFile(land, "skipme", "k,s", Seq("98,y"))
+    val (_, f4, _) = SnapshotTable.copyInto(spark, root, land, "csv",
+      pattern = Some("b*.csv"))
+    assert(f4 == 0L, "pattern must exclude skipme.csv; _meta is hidden")
+  }
+
+  test("ledger survives OPTIMIZE + VACUUM and rewinds with RESTORE") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val land = s"$base/landing"
+    SnapshotTable.commitEmpty(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "s").schema)
+    csvFile(land, "b1", "k,s", (1L to 50L).map(k => s"$k,r$k"))
+    val (v1, _, _) = SnapshotTable.copyInto(spark, root, land, "csv")
+
+    // Compact + vacuum away every pre-compaction manifest: the versions
+    // that RECORDED the load are gone, but the current manifest carries
+    // the accumulated ledger — the re-run stays a no-op.
+    SnapshotTable.recluster(spark, root, Seq("k"), numFiles = 1)
+    SnapshotTable.vacuum(spark, root, keep = 1, force = true)
+    val (_, f2, _) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert(f2 == 0L, "ledger must survive compaction + vacuum")
+
+    // RESTORE to the empty bootstrap rewinds rows AND ledger: the re-run
+    // re-loads, converging the table back to the landing dir's content.
+    csvFile(land, "b2", "k,s", (51L to 60L).map(k => s"$k,r$k"))
+    SnapshotTable.copyInto(spark, root, land, "csv")
+    // v0's manifest was vacuumed above — restore to the oldest RETAINED
+    // version (pre-b2): its manifest carries only b1's ledger entry.
+    val oldest = new java.io.File(root, "_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      .min
+    SnapshotTable.restore(spark, root, oldest)
+    val before = SnapshotTable.read(spark, root).count()
+    val (_, f3, r3) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert(f3 == 1L && r3 == 10L,
+      s"restore rewound the ledger past b2; re-run re-loads it ($f3/$r3)")
+    assert(SnapshotTable.read(spark, root).count() == before + 10L)
+  }
+
+  test("parquet aligns by name with lossless casts; constraint gates the batch") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val land = s"$base/landing"
+    SnapshotTable.commit(spark, root, Seq((1L, 10.0)).toDF("k", "v"))
+    SnapshotTable.setCheckConstraint(spark, root, "vpos", "v >= 0")
+    // Source speaks (v, k) in a different order and INT k — upcast, align.
+    Seq((2, 5.0), (3, 6.0)).toDF("k", "v").select(col("v"), col("k"))
+      .coalesce(1).write.mode("overwrite").parquet(land)
+    val (_, f1, r1) = SnapshotTable.copyInto(spark, root, land, "parquet")
+    assert(f1 >= 1L && r1 == 2L)
+    assert(SnapshotTable.read(spark, root).agg(sum("k")).head().getLong(0) == 6L)
+
+    // A violating batch is refused atomically — ledger unchanged, so a
+    // fixed re-land with a DIFFERENT size loads cleanly later.
+    val land2 = s"$base/landing2"
+    Seq((4, -1.0)).toDF("k", "v").coalesce(1).write.parquet(land2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.copyInto(spark, root, land2, "parquet")
+    }
+    assert(SnapshotTable.read(spark, root).count() == 3L)
+    val (_, fAgain, _) = SnapshotTable.copyInto(spark, root, land, "parquet")
+    assert(fAgain == 0L, "the good landing dir is still fully ledgered")
+  }
+
+  test("SQL surface: COPY INTO ... FILEFORMAT = CSV with options and pattern") {
+    val s = spark
+    graft.sql.GraftSql.ensureCatalog(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cpsp")
+    s.sql("DROP TABLE IF EXISTS graft.cpsp.ing")
+    s.sql("CREATE TABLE graft.cpsp.ing AS SELECT CAST(0 AS BIGINT) AS k, 'x' AS s LIMIT 0")
+    val land = tmpDir()
+    csvFile(land, "a1", "k|s", Seq("1|one", "2|two"))
+    csvFile(land, "a2", "k|s", Seq("3|three"))
+    val r = s.sql(
+      s"""COPY INTO graft.cpsp.ing FROM '$land' FILEFORMAT = CSV
+          PATTERN = 'a*.csv'
+          FORMAT_OPTIONS ('delimiter' = '|', 'header' = 'true')""").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L, s"loaded: $r")
+    val r2 = s.sql(
+      s"""COPY INTO graft.cpsp.ing FROM '$land' FILEFORMAT = CSV
+          PATTERN = 'a*.csv'
+          FORMAT_OPTIONS ('delimiter' = '|', 'header' = 'true')""").head()
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L, "SQL re-run is a no-op")
+    assert(s.sql("SELECT count(*) FROM graft.cpsp.ing").head().getLong(0) == 3L)
+    s.sql("DROP TABLE graft.cpsp.ing")
+    s.sessionState.catalogManager.catalog("graft") match {
+      case g: graft.sql.GraftCatalog => g.purgeDropped(Array("cpsp"), 0L, force = true)
+      case _ => ()
+    }
+  }
+}
