@@ -47,6 +47,25 @@ object SnapshotTable {
     * redone against the winner's version. Monotonic, never reset. */
   val casLosses = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** CAS losses that were RESOLVED by a manifest rebase instead of a redo
+    * (round 12): the loser proved its commit logically commutes with the
+    * winner's (its touched files survived untouched and no winner-added
+    * file can match its predicate, by manifest stats) and re-CAS'd the
+    * SAME already-written data files at the next version — metadata-only
+    * conflict resolution, the Delta conflict-checker shape. Each rebase =
+    * one whole rewrite job (potentially TBs at scale) NOT redone. */
+  val rebases = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** What a row-level DML commit hands [[commitAt]] so a CAS loss can try
+    * a rebase: the version the rewrite was computed against, the
+    * normalized paths of the files it removed, and the RESOLVED filter
+    * expression its touched-set was probed with (None = unknown shape,
+    * never rebase). */
+  private[ops] final case class RebaseSpec(
+      baseVersion: Long,
+      removedPaths: Set[String],
+      predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+
   private val ManifestDir = "_manifests"
   private val SubscribersDir = "_subscribers"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
@@ -798,7 +817,8 @@ object SnapshotTable {
                             cdc: Option[(DataFrame, DataFrame)] = None,
                             tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
                             meta: Option[(Map[String, String], Seq[String])] = None,
-                            ingestedAdd: Seq[String] = Nil): Long = {
+                            ingestedAdd: Seq[String] = Nil,
+                            rebase: Option[RebaseSpec] = None): Long = {
     val fs = fsOf(spark, root)
     // Column-mapping metadata: explicit from an evolving caller
     // (appendOnce/upsert assigning fresh physical ids), else inherited
@@ -924,27 +944,101 @@ object SnapshotTable {
           Await.result(Future.sequence(built), Duration.Inf)
         } finally pool.shutdown()
       }
-    val body = SnapshotStats.manifestJson(v, carry ++ newStats, txn, cdcPaths,
-      Some(logicalSchema.json), inherited, bloomOn, constraints,
-      mapping, usedPhys, ingested)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, f".manifest-$v%08d-$token.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dest = manifestPath(root, v)
     // CAS: Hadoop rename refuses an existing destination, so exactly one
-    // writer's manifest lands for version v. The loser removes its own
-    // (never the winner's) data before surfacing the conflict.
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      fs.delete(snapDir, true)
-      if (cdcPaths.isDefined) fs.delete(cdcDir, true)
-      casLosses.incrementAndGet()
-      throw new ConcurrentWriteException(
-        s"version $v at $root was committed by a concurrent writer")
+    // writer's manifest lands per version. The loser removes its own
+    // (never the winner's) data before surfacing the conflict — unless a
+    // REBASE proves the conflict is physical-only (below).
+    def casManifest(target: Long, entries: Seq[SnapshotStats.FileStats],
+                    ingestedSet: Seq[String]): Boolean = {
+      val body = SnapshotStats.manifestJson(target, entries, txn, cdcPaths,
+        Some(logicalSchema.json), inherited, bloomOn, constraints,
+        mapping, usedPhys, ingestedSet)
+      val tmp = new Path(mdir, f".manifest-$target%08d-$token.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dest = manifestPath(root, target)
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false); false
+      } else true
     }
-    v
+    if (casManifest(v, carry ++ newStats, ingested)) return v
+    casLosses.incrementAndGet()
+    // ---- CAS lost: try a REBASE before discarding the rewrite (round 12).
+    //
+    // A row-level DML's expensive work is its data rewrite — at 100 TB a
+    // predicate DELETE can rewrite terabytes, and redoing it because a
+    // concurrent APPEND won the version race is the classic optimistic-
+    // concurrency tax. The Delta conflict checker's insight applies
+    // directly here: if (a) every file this commit REMOVED still sits
+    // untouched in the winner's manifest, (b) no file the winner ADDED
+    // can possibly hold a row matching this commit's predicate (decided
+    // from the manifest's per-file bounds/blooms — the same MAY-analysis
+    // the read path prunes with), and (c) the winner changed none of the
+    // declared state this commit was built under (schema, constraints,
+    // tombstones, bloom config, column mapping), then this commit applied
+    // at the winner's version is ROW-FOR-ROW the commit it already wrote:
+    // re-CAS the same data files and CDC side-cars onto the next version,
+    // metadata-only. Anything unprovable falls back to the caller's
+    // existing redo loop — rebase is an optimization, never a semantics
+    // change.
+    rebase.filter(_ => mapping.isEmpty && meta.isEmpty).foreach { spec =>
+      def norm(p: String): String = new Path(p).toUri.getPath
+      var tries = 0
+      var giveUp = false
+      while (tries < 5 && !giveUp) {
+        tries += 1
+        val committed: Option[Long] = try {
+          val w = currentVersion(spark, root).getOrElse(-1L)
+          if (w < v) { giveUp = true; None }
+          else {
+            val winnerBody = readManifestBody(fs, manifestPath(root, w))
+            val sameMeta =
+              SnapshotStats.schemaFromManifest(winnerBody).map(_.json)
+                .contains(logicalSchema.json) &&
+              SnapshotStats.droppedFromManifest(winnerBody).toSet == inherited.toSet &&
+              SnapshotStats.bloomOnFromManifest(winnerBody) == bloomOn &&
+              SnapshotStats.constraintsFromManifest(winnerBody) == constraints &&
+              SnapshotStats.mappingFromManifest(winnerBody).isEmpty
+            val winnerEntries = SnapshotStats.statsFromManifest(winnerBody)
+            val winnerFiles = filesFromBody(winnerBody, manifestPath(root, w))
+            val winnerByNorm = winnerEntries.map(e => norm(e.path) -> e).toMap
+            if (!sameMeta ||
+                winnerEntries.map(_.path).sorted != winnerFiles.sorted ||
+                !spec.removedPaths.forall(winnerByNorm.contains)) {
+              giveUp = true; None
+            } else {
+              val basePaths = currentEntries(spark, root, spec.baseVersion)
+                .map(e => norm(e.path)).toSet
+              val newOnes = winnerEntries.filterNot(e => basePaths(norm(e.path)))
+              val safe = spec.predicate.isDefined && newOnes.forall(e =>
+                !SnapshotPruning.mightMatch(spec.predicate.get, e,
+                  spark.sparkContext.hadoopConfiguration))
+              if (!safe) { giveUp = true; None }
+              else {
+                val rebasedCarry =
+                  winnerEntries.filterNot(e => spec.removedPaths(norm(e.path)))
+                val ingestedSet =
+                  (SnapshotStats.ingestedFromManifest(winnerBody) ++ ingestedAdd)
+                    .distinct.sorted
+                if (casManifest(w + 1, rebasedCarry ++ newStats, ingestedSet))
+                  Some(w + 1)
+                else { casLosses.incrementAndGet(); None } // lost again: re-read
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => giveUp = true; None }
+        committed.foreach { c =>
+          rebases.incrementAndGet()
+          return c
+        }
+      }
+    }
+    fs.delete(snapDir, true)
+    if (cdcPaths.isDefined) fs.delete(cdcDir, true)
+    throw new ConcurrentWriteException(
+      s"version $v at $root was committed by a concurrent writer")
   }
 
   /** Bootstrap an EMPTY table: version 0 is a files-less manifest that
@@ -1787,6 +1881,15 @@ object SnapshotTable {
       val touched = cur.filter(predicate).select(input_file_name())
         .distinct().collect().map(r => norm(r.getString(0))).toSet
       if (touched.isEmpty) return v
+      // The optimized (constant-folded) filter condition, for the CAS-loss
+      // rebase check: a winner-appended file whose bounds cannot match it
+      // proves the rewrite commutes with the append. Optimized, not merely
+      // analyzed — analysis leaves implicit literal casts unfolded, which
+      // the bounds MAY-analysis conservatively refuses to prune on.
+      val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
       val (touchedE, keptE) =
         currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
       // Read with the DECLARED schema: on an evolved table a touched
@@ -1820,7 +1923,8 @@ object SnapshotTable {
       try {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((cur.limit(0), touchedRows.filter(predicate))),
-          tableSchema = Some(schema))
+          tableSchema = Some(schema),
+          rebase = Some(RebaseSpec(v, touched, resolvedPred)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -1857,6 +1961,10 @@ object SnapshotTable {
       val touched = cur.filter(predicate).select(input_file_name())
         .distinct().collect().map(r => norm(r.getString(0))).toSet
       if (touched.isEmpty) return v
+      val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
       val (touchedE, keptE) =
         currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
       // Declared schema for the same reason as [[delete]]: evolved tables
@@ -1885,7 +1993,8 @@ object SnapshotTable {
       try {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((post, pre)),
-          tableSchema = Some(widenNullability(schema, rewritten.schema)))
+          tableSchema = Some(widenNullability(schema, rewritten.schema)),
+          rebase = Some(RebaseSpec(v, touched, resolvedPred)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -1936,6 +2045,10 @@ object SnapshotTable {
           s"(classic replaceWhere contract); found rows outside the replaced region")
       val touched = cur.filter(predicate).select(input_file_name())
         .distinct().collect().map(r => norm(r.getString(0))).toSet
+      val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
       val (touchedE, keptE) =
         currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
       val (kept, removes) =
@@ -1951,7 +2064,8 @@ object SnapshotTable {
         val rewritten = kept.union(batch)
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((batch, removes)),
-          tableSchema = Some(widenNullability(schema, rewritten.schema)))
+          tableSchema = Some(widenNullability(schema, rewritten.schema)),
+          rebase = Some(RebaseSpec(v, touched, resolvedPred)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1

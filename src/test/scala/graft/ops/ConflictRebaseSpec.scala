@@ -1,0 +1,154 @@
+package graft.ops
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CAS-loss REBASE (round 12): a row-level DML that loses the manifest
+  * race re-CASes its already-written files onto the winner's version when
+  * the conflict is provably physical-only — its removed files survived
+  * untouched and no winner-added file can match its predicate by manifest
+  * bounds. Pins: the deterministic rebase (planted winner, exact version
+  * arithmetic, counter bump, row-for-row result), the refusal when the
+  * winner's rows COULD match (correctness over economy), and the live
+  * race reaching the serial state. */
+class ConflictRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def manifestBody(root: String, v: Long): String = {
+    val p = java.nio.file.Paths.get(root, "_manifests", f"manifest-$v%08d.json")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Stage the file-granular pieces of `DELETE WHERE k < 20` against
+    * version 0 of a 4-file clustered table — the state a real delete holds
+    * the moment before its commit. */
+  private def stageDelete(root: String) = {
+    val entries = SnapshotStats.statsFromManifest(manifestBody(root, 0L))
+    assert(entries.size == 4, s"expected 4 clustered files, got ${entries.size}")
+    def kMin(e: SnapshotStats.FileStats): Long =
+      e.cols("k").min.get.asInstanceOf[Long]
+    val (touchedE, keptE) = entries.partition(kMin(_) < 20L)
+    assert(touchedE.size == 1, "k<20 must live in exactly one clustered file")
+    val rewritten = spark.read.parquet(touchedE.map(_.path): _*)
+      .filter(col("k") >= 20)
+    val cur = SnapshotTable.read(spark, root, Some(0L))
+    val resolved = cur.filter(col("k") < 20).queryExecution.optimizedPlan
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    assert(resolved.isDefined)
+    (touchedE, keptE, rewritten, cur.schema, resolved)
+  }
+
+  test("CAS loss against a non-matching append rebases: same files, next version") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commitClustered(spark, root,
+      (0L until 100L).map(k => (k, s"r$k")).toDF("k", "s"), Seq("k"), numFiles = 4)
+    val (touchedE, keptE, rewritten, schema, resolved) = stageDelete(root)
+
+    // The WINNER lands first: an append whose rows (k >= 1000) the delete
+    // predicate (k < 20) provably cannot match — clustered bounds decide.
+    SnapshotTable.append(spark, root,
+      (1000L until 1010L).map(k => (k, "new")).toDF("k", "s"))
+    val rebasesBefore = SnapshotTable.rebases.get()
+    val lossesBefore = SnapshotTable.casLosses.get()
+
+    // The staged delete now commits at its stale target version 1 — the
+    // CAS loses, the rebase check passes, and the SAME rewrite lands at 2.
+    val committed = SnapshotTable.commitAt(spark, root, 1L, rewritten,
+      carry = keptE, tableSchema = Some(schema),
+      rebase = Some(SnapshotTable.RebaseSpec(0L,
+        touchedE.map(e => norm(e.path)).toSet, resolved)))
+    assert(committed == 2L, s"rebased commit must land at 2, got $committed")
+    assert(SnapshotTable.rebases.get() == rebasesBefore + 1)
+    assert(SnapshotTable.casLosses.get() == lossesBefore + 1)
+
+    // Row-for-row the serial result: delete-then-append == append-then-
+    // rebased-delete.
+    val got = SnapshotTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(got == ((20L until 100L) ++ (1000L until 1010L)).toSet)
+    // The winner's appended file is CARRIED, not re-read: its entry in v2
+    // is byte-identical to v1's.
+    val v1New = SnapshotStats.statsFromManifest(manifestBody(root, 1L))
+      .map(e => norm(e.path)).toSet --
+      SnapshotStats.statsFromManifest(manifestBody(root, 0L)).map(e => norm(e.path))
+    val v2Paths = SnapshotStats.statsFromManifest(manifestBody(root, 2L))
+      .map(e => norm(e.path)).toSet
+    assert(v1New.subsetOf(v2Paths), "winner's files must carry into the rebase")
+  }
+
+  test("a winner whose rows COULD match the predicate refuses the rebase") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commitClustered(spark, root,
+      (0L until 100L).map(k => (k, s"r$k")).toDF("k", "s"), Seq("k"), numFiles = 4)
+    val (touchedE, keptE, rewritten, schema, resolved) = stageDelete(root)
+
+    // Winner appends k = 5 — INSIDE the delete's predicate range. A rebase
+    // would wrongly keep that row; the loser must fall back to redo.
+    SnapshotTable.append(spark, root, Seq((5L, "late")).toDF("k", "s"))
+    val rebasesBefore = SnapshotTable.rebases.get()
+    intercept[SnapshotTable.ConcurrentWriteException] {
+      SnapshotTable.commitAt(spark, root, 1L, rewritten,
+        carry = keptE, tableSchema = Some(schema),
+        rebase = Some(SnapshotTable.RebaseSpec(0L,
+          touchedE.map(e => norm(e.path)).toSet, resolved)))
+    }
+    assert(SnapshotTable.rebases.get() == rebasesBefore, "no rebase on a real conflict")
+    // The loser cleaned up; the table still shows the winner's state, and
+    // the REAL delete redone on top removes k=5 too (serial semantics).
+    SnapshotTable.delete(spark, root, col("k") < 20)
+    val got = SnapshotTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(got == (20L until 100L).toSet)
+  }
+
+  test("a winner that REWROTE a touched file refuses the rebase") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commitClustered(spark, root,
+      (0L until 100L).map(k => (k, s"r$k")).toDF("k", "s"), Seq("k"), numFiles = 4)
+    val (touchedE, keptE, rewritten, schema, resolved) = stageDelete(root)
+
+    // Winner UPDATES inside the same file the staged delete touched.
+    SnapshotTable.update(spark, root, col("k") === 3L,
+      Map("s" -> lit("updated")))
+    val rebasesBefore = SnapshotTable.rebases.get()
+    intercept[SnapshotTable.ConcurrentWriteException] {
+      SnapshotTable.commitAt(spark, root, 1L, rewritten,
+        carry = keptE, tableSchema = Some(schema),
+        rebase = Some(SnapshotTable.RebaseSpec(0L,
+          touchedE.map(e => norm(e.path)).toSet, resolved)))
+    }
+    assert(SnapshotTable.rebases.get() == rebasesBefore)
+  }
+
+  test("live delete-vs-append race reaches the serial state") {
+    val root = s"${tmpDir()}/t"
+    SnapshotTable.commitClustered(spark, root,
+      (0L until 80L).map(k => (k, "base")).toDF("k", "s"), Seq("k"), numFiles = 4)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def race(body: => Unit): Unit = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try body catch { case e: Throwable => failures.add(e) }
+      }
+    })
+    // delete's own retry loop + the rebase both resolve the race; the
+    // appended keys sit far outside the predicate so every outcome is the
+    // serial one.
+    race(SnapshotTable.delete(spark, root, col("k") < 40))
+    race(SnapshotTable.append(spark, root,
+      (5000L until 5020L).map(k => (k, "late")).toDF("k", "s")))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"unexpected failures: $failures")
+    val got = SnapshotTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(got == ((40L until 80L) ++ (5000L until 5020L)).toSet)
+  }
+}
