@@ -2572,9 +2572,10 @@ object SnapshotTable {
     * current version, file/row/byte totals, RETAINED version count,
     * registered subscribers with their watermarks, the LAST vacuum's
     * requested-vs-effective keep and the watermark that clamped it (-1 =
-    * unclamped), and this process's CAS-loss counter (commit retries
-    * taken after losing a compare-and-swap race — JVM-wide, a writer
-    * health signal, not table state). SQL: `DESCRIBE STATUS t`. */
+    * unclamped), and this process's CAS-loss and rebase counters (losses =
+    * compare-and-swap races lost; rebases = the subset resolved
+    * metadata-only instead of redoing the rewrite — JVM-wide writer
+    * health signals, not table state). SQL: `DESCRIBE STATUS t`. */
   def status(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, root)
@@ -2608,11 +2609,11 @@ object SnapshotTable {
     Seq((v, stats.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
       retained.toLong, subs,
       lastVac.map(_._1), lastVac.map(_._2), lastVac.map(_._3),
-      casLosses.get()))
+      casLosses.get(), rebases.get()))
       .toDF("version", "num_files", "total_rows", "total_bytes",
         "retained_versions", "subscribers",
         "last_vacuum_requested_keep", "last_vacuum_effective_keep",
-        "last_vacuum_clamped_by_watermark", "cas_losses")
+        "last_vacuum_clamped_by_watermark", "cas_losses", "rebases")
   }
 
   private def vacuumKeeping(spark: SparkSession, root: String,

@@ -255,7 +255,8 @@ case class GraftStatusCommand(nameParts: Seq[String])
     AttributeReference("last_vacuum_requested_keep", LongType)(),
     AttributeReference("last_vacuum_effective_keep", LongType)(),
     AttributeReference("last_vacuum_clamped_by_watermark", LongType)(),
-    AttributeReference("cas_losses", LongType, nullable = false)())
+    AttributeReference("cas_losses", LongType, nullable = false)(),
+    AttributeReference("rebases", LongType, nullable = false)())
 }
 
 /** `UNDROP TABLE t` → [[GraftCatalog.undropTable]]: restore the newest

@@ -654,6 +654,36 @@ object Streams {
               WHERE c.event_type = 'click'
               ORDER BY c_eid ASC NULLS FIRST, p_ts ASC NULLS FIRST""")),
 
+    // `writeStream.format("graft")` end-to-end (round 12): the fixture
+    // stream drains through the V1 sink provider into a REAL snapshot
+    // table — appendOnce stamps per micro-batch — and the aggregate is
+    // read back FROM THE TABLE. Oracle = the same aggregate over the raw
+    // fixture: any duplicated or dropped batch shifts a count and fails
+    // the hash gate. Rerun-stable: table + checkpoint are wiped per run.
+    Q("st_graft_sink",
+      (s, dir) => {
+        val tag = graft.ext.Similarity.corpusVersion(dir, "events")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-sink-$tag"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val q = eventsStream(s, dir)
+          .select("event_id", "user_id", "event_type")
+          .writeStream.format("graft")
+          .option("root", s"$base/t")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.ops.SnapshotTable.read(s, s"$base/t")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY event_type
+              ORDER BY event_type ASC NULLS FIRST""")),
+
     // Streaming sketch maintenance (batch twin): Count-Min "top talkers" —
     // the heavy-hitter question every stream monitor asks, answered from
     // CONSTANT state. The sketch cells merge by (row, pos)-wise addition,
