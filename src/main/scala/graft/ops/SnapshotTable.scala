@@ -1184,15 +1184,31 @@ object SnapshotTable {
       s"cloneShallow: version $v of $sourceRoot is not retained (vacuumed?)")
     // Pin BEFORE the manifest lands: between registration and the CAS the
     // source cannot vacuum v away, so the clone never births dangling.
+    // When the source is ITSELF an attached clone, the cloned manifest
+    // transitively references the whole ancestry's files — pin every
+    // ancestor at the version it was cloned at, or the middle clone's
+    // later detach would expose this one to the grandparent's vacuum.
     val subId = cloneSubscriberId(targetRoot)
-    registerSubscriber(spark, sourceRoot, subId, v)
+    val pins: Seq[(String, Long)] = {
+      val chain = scala.collection.mutable.ArrayBuffer((srcNorm, v))
+      var cur = sourceRoot
+      while (cloneSource(spark, cur).isDefined) {
+        val (src, sv, _) = cloneSource(spark, cur).get
+        chain += ((src, sv))
+        cur = src
+      }
+      chain.toSeq
+    }
+    pins.foreach { case (r, pv) => registerSubscriber(spark, r, subId, pv) }
     val tfs = fsOf(spark, targetRoot)
     val marker = cloneMarker(targetRoot)
     tfs.mkdirs(marker.getParent)
+    val pinsJson = pins.map { case (r, pv) =>
+      s"""{"root":${jsonStr(r)},"version":$pv}""" }.mkString("[", ",", "]")
     val out = tfs.create(marker, true)
     try out.write(
       (s"""{"source":${jsonStr(srcNorm)},"version":$v,""" +
-        s""""subscriber":${jsonStr(subId)}}""").getBytes("UTF-8"))
+        s""""subscriber":${jsonStr(subId)},"pins":$pinsJson}""").getBytes("UTF-8"))
     finally out.close()
     if (!tryCommitMeta(spark, targetRoot, 0L,
         currentEntries(spark, sourceRoot, v),
@@ -1203,7 +1219,7 @@ object SnapshotTable {
         mappingOf(spark, sourceRoot, v),
         usedPhysOf(spark, sourceRoot, v),
         ingested = Some(ingestedOf(spark, sourceRoot, v)))) {
-      unregisterSubscriber(spark, sourceRoot, subId)
+      pins.foreach { case (r, _) => unregisterSubscriber(spark, r, subId) }
       tfs.delete(marker, false)
       throw new ConcurrentWriteException(
         s"version 0 at $targetRoot was committed by a concurrent writer")
@@ -1242,22 +1258,37 @@ object SnapshotTable {
     cloneSource(spark, root) match {
       case None => false
       case Some((src, _, subId)) =>
+        val pinned = clonePinRoots(spark, root, src)
         if (!force) {
           val v = currentVersion(spark, root).getOrElse(
             throw new IllegalStateException(s"no committed version at $root"))
-          val srcPrefix = src.stripSuffix("/") + "/"
+          val prefixes = pinned.map(_.stripSuffix("/") + "/")
           val stillShared = currentEntries(spark, root, v)
-            .filter(e => new Path(e.path).toUri.getPath.startsWith(srcPrefix))
+            .filter(e => prefixes.exists(
+              new Path(e.path).toUri.getPath.startsWith(_)))
           require(stillShared.isEmpty,
             s"detachClone: ${stillShared.size} file(s) of $root still live under " +
-              s"$src — rewrite to divergence first (OPTIMIZE ... ZORDER BY / " +
-              "recluster), or pass force")
+              s"${pinned.mkString(", ")} — rewrite to divergence first " +
+              "(OPTIMIZE ... ZORDER BY / recluster), or pass force")
         }
-        unregisterSubscriber(spark, src, subId)
+        pinned.foreach(unregisterSubscriber(spark, _, subId))
         val fs = fsOf(spark, root)
         fs.delete(cloneMarker(root), false)
         true
     }
+
+  /** Every root this clone pinned at birth — the immediate source plus, for
+    * a clone-of-a-clone, each further ancestor whose files the cloned
+    * manifest transitively references. */
+  private def clonePinRoots(spark: SparkSession, root: String,
+                            src: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readManifestBody(fs, cloneMarker(root)))
+    val pins = node.get("pins")
+    if (pins == null || !pins.isArray || pins.size == 0) Seq(src)
+    else (0 until pins.size).map(pins.get(_).get("root").asText)
+  }
 
   // --- COPY INTO (round 12, unasked-for) ------------------------------------
   //

@@ -122,6 +122,31 @@ class CloneSpec extends SparkSpec {
         s"(${idx.map(i => s"${i.lastSelected}/${i.totalFiles}")})")
   }
 
+  test("clone-of-a-clone pins the whole ancestry: middle detach can't expose it") {
+    val base = tmpDir()
+    val a = s"$base/a"
+    val b = s"$base/b"
+    val c = s"$base/c"
+    SnapshotTable.commit(spark, a, (1L to 30L).map(k => (k, s"r$k")).toDF("k", "s"))
+    SnapshotTable.cloneShallow(spark, a, b)
+    // C clones B while B still references A's files — C must pin BOTH.
+    SnapshotTable.cloneShallow(spark, b, c)
+    // B diverges fully and detaches from A...
+    SnapshotTable.recluster(spark, b, Seq("k"), numFiles = 1)
+    assert(SnapshotTable.detachClone(spark, b))
+    // ... and A's vacuum STILL cannot drop the version C reads through.
+    SnapshotTable.append(spark, a, Seq((99L, "x")).toDF("k", "s"))
+    SnapshotTable.vacuum(spark, a, keep = 1)
+    assert(SnapshotTable.read(spark, c).count() == 30L,
+      "grandparent vacuum must not break the transitive clone")
+    // C's detach releases A and B; then A reclaims.
+    SnapshotTable.recluster(spark, c, Seq("k"), numFiles = 1)
+    assert(SnapshotTable.detachClone(spark, c))
+    SnapshotTable.vacuum(spark, a, keep = 1)
+    assert(versionsOn(a) == Seq(versionsOn(a).max))
+    assert(SnapshotTable.read(spark, c).count() == 30L)
+  }
+
   test("SQL surface: CREATE TABLE ... SHALLOW CLONE / DETACH CLONE") {
     val s = spark
     graft.sql.GraftSql.ensureCatalog(s)
