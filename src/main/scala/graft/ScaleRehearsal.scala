@@ -41,6 +41,7 @@ object ScaleRehearsal {
     if (args.contains("cdf")) { cdfSubscriberLeg(spark); spark.stop(); return }
     if (args.contains("ticketsync")) { ticketSyncLeg(spark); spark.stop(); return }
     if (args.contains("sqldml")) { sqlDmlLeg(spark); spark.stop(); return }
+    if (args.contains("clonerebase")) { cloneRebaseLeg(spark); spark.stop(); return }
     if (args.contains("sim")) { simLeg(spark); spark.stop(); return }
     if (args.contains("simbatch")) { simBatchLeg(spark); spark.stop(); return }
     if (args.contains("ingest")) { ingestLeg(spark); spark.stop(); return }
@@ -1510,6 +1511,126 @@ object ScaleRehearsal {
     * read vs table bytes), a per-column MERGE wave, and VACUUM with a
     * registered subscriber (clamped, then FORCE). The scale property:
     * OPTIMIZE cost tracks the ACCRETED DELTA's bytes, never the table's. */
+  /** Round-12 surfaces at rehearsal scale: SHALLOW CLONE (zero bytes
+    * copied on a 20M-row table, clone-side DML file-granular, source
+    * untouched), the CAS-loss REBASE (a delete racing an append resolves
+    * metadata-only — the measured rewrite it did NOT redo is the
+    * economics), and COPY INTO (the blind re-run costs a listing, never
+    * the data). */
+  private def cloneRebaseLeg(spark: SparkSession): Unit = {
+    import graft.ops.SnapshotTable
+    import graft.sql.GraftSql
+    GraftSql.ensureCatalog(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scale")
+    Seq("clsrc", "cldst").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.scale.$t"))
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sql.GraftCatalog]
+      .purgeDropped(Array("scale"), 0L, force = true)
+    val srcRoot = s"${GraftSql.defaultWarehouse}/scale/clsrc"
+    val dstRoot = s"${GraftSql.defaultWarehouse}/scale/cldst"
+    val hfs = new org.apache.hadoop.fs.Path(srcRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def du(p: String): Long =
+      hfs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+
+    val (_, ctasWall) = timed(spark.sql(
+      """CREATE TABLE graft.scale.clsrc AS
+         SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id AS k,
+                CAST((id % 99991) * 1.37 AS DECIMAL(18,2)) AS price,
+                CASE WHEN id % 3 = 0 THEN 'F' ELSE 'O' END AS st
+         FROM range(20000000)"""))
+    val srcBytes = du(srcRoot)
+    println(f"SCALE clr CTAS 20M rows (${srcBytes / 1024 / 1024} MB) in $ctasWall%.1f s")
+
+    // --- SHALLOW CLONE: O(manifest), not O(data) -------------------------
+    val (_, cloneWall) = timed(spark.sql(
+      "CREATE TABLE graft.scale.cldst SHALLOW CLONE graft.scale.clsrc"))
+    val cloneBytes = du(dstRoot)
+    println(f"SCALE clr SHALLOW CLONE in $cloneWall%.2f s; clone dir holds " +
+      f"${cloneBytes / 1024} KB (manifest+marker) vs ${srcBytes / 1024 / 1024} MB " +
+      "of source data -> zero bytes copied")
+    // Clone-side DELETE stays file-granular and invisible to the source.
+    val preDel = SnapshotTable.read(spark, dstRoot).inputFiles.toSet
+    val (_, cdWall) = timed(spark.sql(
+      "DELETE FROM graft.scale.cldst WHERE k < 2500000"))
+    val postDel = SnapshotTable.read(spark, dstRoot).inputFiles.toSet
+    println(f"SCALE clr clone-side DELETE rewrote ${(preDel -- postDel).size} of " +
+      f"${preDel.size} files in $cdWall%.1f s; source still " +
+      s"${SnapshotTable.rowCount(spark, srcRoot)} rows (isolated)")
+
+    // --- REBASE economics: a delete racing an append ---------------------
+    // Baseline: the rewrite cost a redo would pay a second time.
+    val (_, delBase) = timed(spark.sql(
+      "DELETE FROM graft.scale.clsrc WHERE k >= 2500000 AND k < 5000000"))
+    println(f"SCALE clr baseline DELETE (one 2.5M-row slice) $delBase%.1f s " +
+      "= the rewrite a CAS loser used to REDO")
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    var resolved = false
+    while (attempt < 3 && !resolved) {
+      val lo = 5000000L + attempt * 2500000L
+      val hi = lo + 2500000L
+      val lossesBefore = SnapshotTable.casLosses.get()
+      val rebasesBefore = SnapshotTable.rebases.get()
+      val appender = new Thread(() => {
+        Thread.sleep(300) // let the delete pass its version read
+        SnapshotTable.append(spark, srcRoot,
+          spark.range(40000000L, 40500000L).selectExpr("id AS k",
+            "CAST((id % 99991) * 1.37 AS DECIMAL(18,2)) AS price",
+            "'O' AS st"))
+      })
+      appender.start()
+      val (_, delWall) = timed(
+        SnapshotTable.delete(spark, srcRoot, col("k") >= lo && col("k") < hi))
+      appender.join()
+      val losses = SnapshotTable.casLosses.get() - lossesBefore
+      val rebased = SnapshotTable.rebases.get() - rebasesBefore
+      if (losses > 0) {
+        resolved = true
+        println(f"SCALE clr racing DELETE lost the CAS and " +
+          (if (rebased > 0) "REBASED metadata-only" else "REDID the rewrite") +
+          f": total $delWall%.1f s (vs $delBase%.1f s uncontended + " +
+          f"$delBase%.1f s redo); rebases +$rebased, losses +$losses")
+      } else {
+        println(f"SCALE clr race attempt $attempt: no CAS collision " +
+          f"(delete $delWall%.1f s) — retrying")
+        attempt += 1
+      }
+    }
+    if (!resolved)
+      println("SCALE clr race never collided in 3 attempts (timing-dependent rig)")
+
+    // --- COPY INTO: re-run cost is a LISTING, never the data --------------
+    val land = s"${GraftSql.defaultWarehouse}/scale/_landing_clr"
+    hfs.delete(new org.apache.hadoop.fs.Path(land), true)
+    spark.range(500000).selectExpr("id + 60000000 AS k",
+        "CAST((id % 99991) * 1.37 AS DECIMAL(18,2)) AS price", "'O' AS st")
+      .repartition(40)
+      .write.option("header", "true").csv(land)
+    val (r1, copyWall) = timed(spark.sql(
+      s"COPY INTO graft.scale.clsrc FROM '$land' FILEFORMAT = CSV PATTERN = 'part-*.csv'"))
+    val loaded = r1.head()
+    val (r2, rerunWall) = timed(spark.sql(
+      s"COPY INTO graft.scale.clsrc FROM '$land' FILEFORMAT = CSV PATTERN = 'part-*.csv'"))
+    val rerun = r2.head()
+    assert(rerun.getLong(1) == 0L && rerun.getLong(2) == 0L)
+    println(f"SCALE clr COPY INTO ${loaded.getLong(1)} files / " +
+      f"${loaded.getLong(2)} rows in $copyWall%.1f s; blind RE-RUN " +
+      f"$rerunWall%.2f s, 0 loaded (ledger answers from the manifest)")
+
+    // Cleanup: detach + drop so reruns start clean.
+    SnapshotTable.detachClone(spark, dstRoot, force = true)
+    Seq("clsrc", "cldst").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.scale.$t"))
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sql.GraftCatalog]
+      .purgeDropped(Array("scale"), 0L, force = true)
+  }
+
   private def sqlDmlLeg(spark: SparkSession): Unit = {
     import graft.ops.SnapshotTable
     import graft.sql.GraftSql
