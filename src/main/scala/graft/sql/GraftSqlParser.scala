@@ -61,6 +61,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftStatusCommand(parts(table)))
       case UndropRe(table) =>
         Some(GraftUndropCommand(parts(table)))
+      case CloneTsRe(target, source, ts) =>
+        Some(GraftCloneCommand(parts(target), parts(source), None, Some(ts)))
       case CloneRe(target, source, version) =>
         Some(GraftCloneCommand(parts(target), parts(source),
           Option(version).map(_.toLong)))
@@ -141,6 +143,8 @@ object GraftSqlParser {
   val UndropRe = raw"(?is)UNDROP\s+TABLE\s+$Id\s*;?".r
   val CloneRe =
     raw"(?is)CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?".r
+  val CloneTsRe =
+    raw"(?is)CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?".r
   val DetachCloneRe = raw"(?is)DETACH\s+CLONE\s+$Id(\s+FORCE)?\s*;?".r
   val CopyIntoRe =
     (raw"(?is)COPY\s+INTO\s+$Id\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)" +
@@ -271,18 +275,27 @@ case class GraftUndropCommand(nameParts: Seq[String])
   override val output: Seq[Attribute] = Nil
 }
 
-/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF v]` →
-  * [[SnapshotTable.cloneShallow]] (round 12): a zero-copy table whose v0
-  * manifest references the source's files at the pinned version, with a
-  * subscriber watermark on the source holding that version against vacuum
-  * until `DETACH CLONE`. Both names must resolve in a graft catalog. */
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF v | TIMESTAMP AS OF
+  * 'ts']` → [[SnapshotTable.cloneShallow]] (round 12): a zero-copy table
+  * whose v0 manifest references the source's files at the pinned version
+  * (a timestamp resolves through [[SnapshotTable.versionAtTimestamp]] in
+  * the session time zone, like RESTORE's), with subscriber watermarks on
+  * the source ancestry holding those versions against vacuum until
+  * `DETACH CLONE`. Both names must resolve in a graft catalog. */
 case class GraftCloneCommand(target: Seq[String], source: Seq[String],
-                             asOf: Option[Long])
+                             asOf: Option[Long],
+                             asOfTs: Option[String] = None)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val srcRoot = GraftSqlParser.rootOf(spark, source)
+    val pinned = asOfTs.map { ts =>
+      val millis = spark.sql(s"SELECT unix_millis(TIMESTAMP '$ts') AS ms")
+        .head().getLong(0)
+      SnapshotTable.versionAtTimestamp(spark, srcRoot, millis)
+    }.orElse(asOf)
     Seq(org.apache.spark.sql.Row(SnapshotTable.cloneShallow(spark,
-      GraftSqlParser.rootOf(spark, source),
-      GraftSqlParser.rootOf(spark, target), asOf)))
+      srcRoot, GraftSqlParser.rootOf(spark, target), pinned)))
+  }
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
 }
 

@@ -164,6 +164,17 @@ class CloneSpec extends SparkSpec {
     val props = s.sql("SHOW TBLPROPERTIES graft.clsp.dst_t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("graft.clone.sourceVersion").contains("0"))
+    // TIMESTAMP AS OF clones resolve like RESTORE: v0's commit stamp pins
+    // the pre-update state, hash-equal to the VERSION AS OF 0 clone.
+    val ts0 = SnapshotTable.history(s,
+        s"${graft.sql.GraftSql.defaultWarehouse}/clsp/src_t")
+      .filter(org.apache.spark.sql.functions.col("version") === 0)
+      .select("committed_at").head().getTimestamp(0)
+    s.sql("DROP TABLE IF EXISTS graft.clsp.dst_ts")
+    s.sql(s"CREATE TABLE graft.clsp.dst_ts SHALLOW CLONE graft.clsp.src_t TIMESTAMP AS OF '$ts0'")
+    assert(s.sql("SELECT sum(v) FROM graft.clsp.dst_ts").head().getLong(0) == 9900L)
+    s.sql("DETACH CLONE graft.clsp.dst_ts FORCE")
+    s.sql("DROP TABLE graft.clsp.dst_ts")
     intercept[Exception] { s.sql("DETACH CLONE graft.clsp.dst_t") }
     s.sql("DETACH CLONE graft.clsp.dst_t FORCE")
     intercept[Exception] { s.sql("DETACH CLONE graft.clsp.dst_t") }
