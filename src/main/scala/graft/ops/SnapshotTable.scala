@@ -58,13 +58,39 @@ object SnapshotTable {
 
   /** What a row-level DML commit hands [[commitAt]] so a CAS loss can try
     * a rebase: the version the rewrite was computed against, the
-    * normalized paths of the files it removed, and the RESOLVED filter
-    * expression its touched-set was probed with (None = unknown shape,
-    * never rebase). */
+    * normalized paths of the files it removed, and a THUNK producing the
+    * resolved filter expression its touched-set was probed with (None =
+    * unknown shape, never rebase). A thunk because some producers pay a
+    * real cost to build it — mergeInto collects its source keys — and the
+    * common case (CAS won) must not pay it. */
   private[ops] final case class RebaseSpec(
       baseVersion: Long,
       removedPaths: Set[String],
-      predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      predicate: () => Option[org.apache.spark.sql.catalyst.expressions.Expression])
+
+  /** Is `ours` the same shape as `winner` (names, types, order) with
+    * nullability only ever WIDER? The rebase gate: a rebased commit
+    * declares `ours` over the winner's carried files, which is sound
+    * exactly when nothing narrows. */
+  private def schemaWidens(winner: org.apache.spark.sql.types.DataType,
+                           ours: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (winner, ours) match {
+      case (a: StructType, b: StructType) =>
+        a.fields.length == b.fields.length &&
+          a.fields.zip(b.fields).forall { case (fa, fb) =>
+            fa.name == fb.name && (fb.nullable || !fa.nullable) &&
+              schemaWidens(fa.dataType, fb.dataType)
+          }
+      case (a: ArrayType, b: ArrayType) =>
+        (b.containsNull || !a.containsNull) &&
+          schemaWidens(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        (b.valueContainsNull || !a.valueContainsNull) &&
+          schemaWidens(a.keyType, b.keyType) && schemaWidens(a.valueType, b.valueType)
+      case (a, b) => a == b
+    }
+  }
 
   private val ManifestDir = "_manifests"
   private val SubscribersDir = "_subscribers"
@@ -994,9 +1020,14 @@ object SnapshotTable {
           if (w < v) { giveUp = true; None }
           else {
             val winnerBody = readManifestBody(fs, manifestPath(root, w))
+            // Schema gate: same names and types, and OUR declaration at
+            // least as nullable as the winner's everywhere (DML commits
+            // widen nullability to what their when()-projections produce;
+            // declaring the wider form over the winner's files is safe —
+            // the reverse would narrow and is refused).
             val sameMeta =
-              SnapshotStats.schemaFromManifest(winnerBody).map(_.json)
-                .contains(logicalSchema.json) &&
+              SnapshotStats.schemaFromManifest(winnerBody)
+                .exists(ws => schemaWidens(ws, logicalSchema)) &&
               SnapshotStats.droppedFromManifest(winnerBody).toSet == inherited.toSet &&
               SnapshotStats.bloomOnFromManifest(winnerBody) == bloomOn &&
               SnapshotStats.constraintsFromManifest(winnerBody) == constraints &&
@@ -1012,8 +1043,9 @@ object SnapshotTable {
               val basePaths = currentEntries(spark, root, spec.baseVersion)
                 .map(e => norm(e.path)).toSet
               val newOnes = winnerEntries.filterNot(e => basePaths(norm(e.path)))
-              val safe = spec.predicate.isDefined && newOnes.forall(e =>
-                !SnapshotPruning.mightMatch(spec.predicate.get, e,
+              val pred = spec.predicate()
+              val safe = pred.isDefined && newOnes.forall(e =>
+                !SnapshotPruning.mightMatch(pred.get, e,
                   spark.sparkContext.hadoopConfiguration))
               if (!safe) { giveUp = true; None }
               else {
@@ -1864,10 +1896,36 @@ object SnapshotTable {
         }
         val rewritten = declared(merged)
         val (adds, removes) = mi.changes()
+        // CAS-loss rebase for MERGE (round 12): sound iff the winner's
+        // new files provably hold NO source key — then no winner row
+        // could have been MATCHED (or needed insert-dedup), so the merge
+        // at the winner's version is row-for-row this one. The proof
+        // predicate is key-membership on the FIRST key column (null-safe;
+        // a per-column over-approximation of the composite key stays
+        // conservative: a file that cannot match key1 cannot match the
+        // tuple). BY SOURCE arms disable it — a winner-added row IS a new
+        // target-only row and changes those arms' semantics. The key
+        // collect (≤4096 distinct) runs only on an actual CAS loss.
+        val rebaseSpec =
+          if (bChainAll.nonEmpty) None
+          else Some(RebaseSpec(v, touched, () => {
+            val kf = schema.fields.find(_.name.equalsIgnoreCase(keys.head)).get
+            val vals = source.select(source(keys.head)).distinct()
+              .limit(4097).collect().map(_.get(0))
+            if (vals.length > 4096) None
+            else {
+              import org.apache.spark.sql.catalyst.expressions._
+              val attr = AttributeReference(kf.name, kf.dataType)()
+              val in = In(attr,
+                vals.filter(_ != null).toIndexedSeq
+                  .map(x => Literal.create(x, kf.dataType)))
+              Some(if (vals.contains(null)) Or(in, IsNull(attr)) else in)
+            }
+          }))
         committed = commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((declared(adds), declared(removes))),
           tableSchema = Some(widenNullability(schema, rewritten.schema)),
-          meta = meta)
+          meta = meta, rebase = rebaseSpec)
         done = true
       } catch {
         case e: ConcurrentWriteException =>
@@ -1955,7 +2013,7 @@ object SnapshotTable {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((cur.limit(0), touchedRows.filter(predicate))),
           tableSchema = Some(schema),
-          rebase = Some(RebaseSpec(v, touched, resolvedPred)))
+          rebase = Some(RebaseSpec(v, touched, () => resolvedPred)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -2025,7 +2083,7 @@ object SnapshotTable {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((post, pre)),
           tableSchema = Some(widenNullability(schema, rewritten.schema)),
-          rebase = Some(RebaseSpec(v, touched, resolvedPred)))
+          rebase = Some(RebaseSpec(v, touched, () => resolvedPred)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -2096,7 +2154,7 @@ object SnapshotTable {
         return commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((batch, removes)),
           tableSchema = Some(widenNullability(schema, rewritten.schema)),
-          rebase = Some(RebaseSpec(v, touched, resolvedPred)))
+          rebase = Some(RebaseSpec(v, touched, () => resolvedPred)))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1

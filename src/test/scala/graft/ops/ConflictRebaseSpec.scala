@@ -63,7 +63,7 @@ class ConflictRebaseSpec extends SparkSpec {
     val committed = SnapshotTable.commitAt(spark, root, 1L, rewritten,
       carry = keptE, tableSchema = Some(schema),
       rebase = Some(SnapshotTable.RebaseSpec(0L,
-        touchedE.map(e => norm(e.path)).toSet, resolved)))
+        touchedE.map(e => norm(e.path)).toSet, () => resolved)))
     assert(committed == 2L, s"rebased commit must land at 2, got $committed")
     assert(SnapshotTable.rebases.get() == rebasesBefore + 1)
     assert(SnapshotTable.casLosses.get() == lossesBefore + 1)
@@ -96,7 +96,7 @@ class ConflictRebaseSpec extends SparkSpec {
       SnapshotTable.commitAt(spark, root, 1L, rewritten,
         carry = keptE, tableSchema = Some(schema),
         rebase = Some(SnapshotTable.RebaseSpec(0L,
-          touchedE.map(e => norm(e.path)).toSet, resolved)))
+          touchedE.map(e => norm(e.path)).toSet, () => resolved)))
     }
     assert(SnapshotTable.rebases.get() == rebasesBefore, "no rebase on a real conflict")
     // The loser cleaned up; the table still shows the winner's state, and
@@ -120,9 +120,84 @@ class ConflictRebaseSpec extends SparkSpec {
       SnapshotTable.commitAt(spark, root, 1L, rewritten,
         carry = keptE, tableSchema = Some(schema),
         rebase = Some(SnapshotTable.RebaseSpec(0L,
-          touchedE.map(e => norm(e.path)).toSet, resolved)))
+          touchedE.map(e => norm(e.path)).toSet, () => resolved)))
     }
     assert(SnapshotTable.rebases.get() == rebasesBefore)
+  }
+
+  test("racing MERGE rebases when the winner's keys are provably foreign") {
+    var attempt = 0
+    var collided = false
+    while (attempt < 3 && !collided) {
+      val root = s"${tmpDir()}/t"
+      SnapshotTable.commitClustered(spark, root,
+        (0L until 100L).map(k => (k, "base")).toDF("k", "s"), Seq("k"), numFiles = 4)
+      val source = (0L until 10L).map(k => (k, "upd")).toDF("k", "s")
+      val lossesBefore = SnapshotTable.casLosses.get()
+      val rebasesBefore = SnapshotTable.rebases.get()
+      // The appender waits out the merge's probe phase (several jobs),
+      // then wins the version race with provably-foreign keys.
+      val appender = new Thread(() => {
+        Thread.sleep(150)
+        SnapshotTable.append(spark, root,
+          (1000L until 1010L).map(k => (k, "late")).toDF("k", "s"))
+      })
+      appender.start()
+      SnapshotTable.mergeInto(spark, root, source, Seq("k"),
+        matchedUpdate = Some(None), notMatchedInsert = Some(None))
+      appender.join()
+      val losses = SnapshotTable.casLosses.get() - lossesBefore
+      if (losses > 0) {
+        collided = true
+        assert(SnapshotTable.rebases.get() == rebasesBefore + 1,
+          "a foreign-key append must resolve by rebase, not redo")
+      }
+      // Either order: the merge's semantics are unaffected by the append.
+      val rows = SnapshotTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (0L until 10L).map(k => (k, "upd")).toSet ++
+        (10L until 100L).map(k => (k, "base")).toSet ++
+        (1000L until 1010L).map(k => (k, "late")).toSet
+      assert(rows == want, s"diff=${rows.diff(want)} / ${want.diff(rows)}")
+      attempt += 1
+    }
+    assert(collided, "the planted merge/append race never collided in 3 tries")
+  }
+
+  test("a BY SOURCE arm disables the merge rebase (winner rows ARE target-only rows)") {
+    var attempt = 0
+    var collided = false
+    while (attempt < 3 && !collided) {
+      val root = s"${tmpDir()}/t"
+      SnapshotTable.commitClustered(spark, root,
+        (0L until 100L).map(k => (k, "base")).toDF("k", "s"), Seq("k"), numFiles = 4)
+      val source = (0L until 10L).map(k => (k, "upd")).toDF("k", "s")
+      val lossesBefore = SnapshotTable.casLosses.get()
+      val rebasesBefore = SnapshotTable.rebases.get()
+      val appender = new Thread(() => {
+        Thread.sleep(150)
+        SnapshotTable.append(spark, root,
+          (1000L until 1010L).map(k => (k, "late")).toDF("k", "s"))
+      })
+      appender.start()
+      SnapshotTable.mergeInto(spark, root, source, Seq("k"),
+        matchedUpdate = Some(None),
+        bySourceDelete = Some(Some(org.apache.spark.sql.functions.expr("t.k >= 90"))))
+      appender.join()
+      val losses = SnapshotTable.casLosses.get() - lossesBefore
+      if (losses > 0) {
+        collided = true
+        assert(SnapshotTable.rebases.get() == rebasesBefore,
+          "BY SOURCE semantics depend on winner rows — must redo, never rebase")
+        // The REDO saw the appended rows as target-only: the arm fired on
+        // them too (serial order append-then-merge).
+        val ks = SnapshotTable.read(spark, root).select("k").as[Long].collect().toSet
+        assert(ks == (0L until 90L).toSet,
+          s"redo must apply the by-source arm to the winner's rows: $ks")
+      }
+      attempt += 1
+    }
+    assert(collided, "the planted merge/append race never collided in 3 tries")
   }
 
   test("live delete-vs-append race reaches the serial state") {
