@@ -68,6 +68,30 @@ object SnapshotTable {
       removedPaths: Set[String],
       predicate: () => Option[org.apache.spark.sql.catalyst.expressions.Expression])
 
+  /** Null-safe key-membership proof predicate for a keyed rewrite's
+    * rebase (merge/upsert): `key IN (distinct source keys) [OR key IS
+    * NULL]` over the FIRST key column — a per-column over-approximation
+    * of the composite key (a file that cannot match key1 cannot match the
+    * tuple), capped at 4096 distinct keys (beyond it, give up — the
+    * In-list the bounds/bloom analysis evaluates should stay KB-sized).
+    * Called lazily, only on an actual CAS loss. */
+  private def keyMembershipPredicate(
+      schema: org.apache.spark.sql.types.StructType, source: DataFrame,
+      key: String): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val kf = schema.fields.find(_.name.equalsIgnoreCase(key)).get
+    val vals = source.select(source(key)).distinct()
+      .limit(4097).collect().map(_.get(0))
+    if (vals.length > 4096) None
+    else {
+      import org.apache.spark.sql.catalyst.expressions._
+      val attr = AttributeReference(kf.name, kf.dataType)()
+      val in = In(attr,
+        vals.filter(_ != null).toIndexedSeq
+          .map(x => Literal.create(x, kf.dataType)))
+      Some(if (vals.contains(null)) Or(in, IsNull(attr)) else in)
+    }
+  }
+
   /** Is `ours` the same shape as `winner` (names, types, order) with
     * nullability only ever WIDER? The rebase gate: a rebased commit
     * declares `ours` over the winner's carried files, which is sound
@@ -1009,7 +1033,12 @@ object SnapshotTable {
     // metadata-only. Anything unprovable falls back to the caller's
     // existing redo loop — rebase is an optimization, never a semantics
     // change.
-    rebase.filter(_ => mapping.isEmpty && meta.isEmpty).foreach { spec =>
+    // Gate: identity column mapping only (file stats speak physical names;
+    // the probe predicate speaks logical — they must coincide). A caller-
+    // supplied `meta` is fine as long as its mapping is identity: the
+    // winner-side divergence it could mask (rename, evolution, drop) is
+    // separately refused by the sameMeta check below.
+    rebase.filter(_ => mapping.isEmpty).foreach { spec =>
       def norm(p: String): String = new Path(p).toUri.getPath
       var tries = 0
       var giveUp = false
@@ -1643,10 +1672,16 @@ object SnapshotTable {
             // (ConcurrencySpec): deriving it at commit time would let a
             // commit that landed in between be silently erased by this
             // rewrite instead of raising the CAS conflict the retry loop
-            // exists to serialize.
+            // exists to serialize. The whole-table rewrite rebases like
+            // mergeInto's (removedPaths = EVERY base file; the winner's
+            // foreign-keyed new files simply carry beside the rewrite).
+            val baseNorm = currentEntries(spark, root, v)
+              .map(e => new Path(e.path).toUri.getPath).toSet
             commitAt(spark, root, v + 1, clustered(merged),
               cdc = Some((added, removed)),
-              tableSchema = Some(evolved), meta = Some(assigned))
+              tableSchema = Some(evolved), meta = Some(assigned),
+              rebase = Some(RebaseSpec(v, baseNorm,
+                () => keyMembershipPredicate(evolved, src, keys.head))))
         }
         done = true
       } catch {
@@ -1908,20 +1943,8 @@ object SnapshotTable {
         // collect (≤4096 distinct) runs only on an actual CAS loss.
         val rebaseSpec =
           if (bChainAll.nonEmpty) None
-          else Some(RebaseSpec(v, touched, () => {
-            val kf = schema.fields.find(_.name.equalsIgnoreCase(keys.head)).get
-            val vals = source.select(source(keys.head)).distinct()
-              .limit(4097).collect().map(_.get(0))
-            if (vals.length > 4096) None
-            else {
-              import org.apache.spark.sql.catalyst.expressions._
-              val attr = AttributeReference(kf.name, kf.dataType)()
-              val in = In(attr,
-                vals.filter(_ != null).toIndexedSeq
-                  .map(x => Literal.create(x, kf.dataType)))
-              Some(if (vals.contains(null)) Or(in, IsNull(attr)) else in)
-            }
-          }))
+          else Some(RebaseSpec(v, touched,
+            () => keyMembershipPredicate(schema, source, keys.head)))
         committed = commitAt(spark, root, v + 1, rewritten, carry = keptE,
           cdc = Some((declared(adds), declared(removes))),
           tableSchema = Some(widenNullability(schema, rewritten.schema)),

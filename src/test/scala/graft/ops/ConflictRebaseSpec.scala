@@ -200,6 +200,41 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(collided, "the planted merge/append race never collided in 3 tries")
   }
 
+  test("racing UPSERT (whole-table rewrite) rebases over a foreign append") {
+    var attempt = 0
+    var collided = false
+    while (attempt < 3 && !collided) {
+      val root = s"${tmpDir()}/t"
+      SnapshotTable.commitClustered(spark, root,
+        (0L until 100L).map(k => (k, "base")).toDF("k", "s"), Seq("k"), numFiles = 4)
+      val source = (0L until 10L).map(k => (k, "upd")).toDF("k", "s")
+      val lossesBefore = SnapshotTable.casLosses.get()
+      val rebasesBefore = SnapshotTable.rebases.get()
+      val appender = new Thread(() => {
+        Thread.sleep(150)
+        SnapshotTable.append(spark, root,
+          (1000L until 1010L).map(k => (k, "late")).toDF("k", "s"))
+      })
+      appender.start()
+      SnapshotTable.upsert(spark, root, source, Seq("k"))
+      appender.join()
+      val losses = SnapshotTable.casLosses.get() - lossesBefore
+      if (losses > 0) {
+        collided = true
+        assert(SnapshotTable.rebases.get() > rebasesBefore,
+          "upsert's whole-table rewrite must rebase over a foreign append")
+      }
+      val rows = SnapshotTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (0L until 10L).map(k => (k, "upd")).toSet ++
+        (10L until 100L).map(k => (k, "base")).toSet ++
+        (1000L until 1010L).map(k => (k, "late")).toSet
+      assert(rows == want, s"diff=${rows.diff(want)} / ${want.diff(rows)}")
+      attempt += 1
+    }
+    assert(collided, "the planted upsert/append race never collided in 3 tries")
+  }
+
   test("live delete-vs-append race reaches the serial state") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.commitClustered(spark, root,
