@@ -27,6 +27,12 @@ object DuckDb {
     val py =
       """import duckdb, json, sys
         |con = duckdb.connect()
+        |# Queries slower than ~2s (ambient load) trigger DuckDB's progress
+        |# bar, which prints to STDOUT and would parse as result rows.
+        |for s in ("SET enable_progress_bar=false",
+        |          "SET enable_progress_bar_print=false"):
+        |    try: con.execute(s)
+        |    except Exception: pass
         |for name, path in json.loads(sys.argv[2]).items():
         |    con.execute("CREATE VIEW %s AS SELECT * FROM read_parquet('%s/*.parquet')" % (name, path))
         |rows = con.execute(open(sys.argv[1]).read()).fetchall()

@@ -86,6 +86,29 @@ class CopyIntoSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == before + 10L)
   }
 
+  test("a SHALLOW CLONE carries the ledger: re-COPY on the clone is a no-op") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val clone = s"$base/c"
+    val land = s"$base/landing"
+    SnapshotTable.commitEmpty(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "s").schema)
+    csvFile(land, "b1", "k,s", (1L to 10L).map(k => s"$k,r$k"))
+    SnapshotTable.copyInto(spark, root, land, "csv")
+    SnapshotTable.cloneShallow(spark, root, clone)
+    // The clone HAS b1's rows (via the cloned manifest), so re-loading
+    // them would duplicate — the carried ledger prevents exactly that.
+    val (_, f, _) = SnapshotTable.copyInto(spark, clone, land, "csv")
+    assert(f == 0L, "the clone inherits the source's loaded-file ledger")
+    // A file landing after the clone loads into each side independently.
+    csvFile(land, "b2", "k,s", (11L to 12L).map(k => s"$k,r$k"))
+    val (_, fc, _) = SnapshotTable.copyInto(spark, clone, land, "csv")
+    val (_, fs2, _) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert(fc == 1L && fs2 == 1L)
+    assert(SnapshotTable.read(spark, clone).count() == 12L)
+    assert(SnapshotTable.read(spark, root).count() == 12L)
+  }
+
   test("parquet aligns by name with lossless casts; constraint gates the batch") {
     val base = tmpDir()
     val root = s"$base/t"
