@@ -1604,6 +1604,42 @@ object ScaleRehearsal {
     if (!resolved)
       println("SCALE clr race never collided in 3 attempts (timing-dependent rig)")
 
+    // MERGE racing an append (the sync-job-vs-ingest collision): 2,000
+    // source keys (inside the lazy key-membership cap) against 20M rows;
+    // the foreign-keyed append must resolve by rebase.
+    var mAttempt = 0
+    var mResolved = false
+    while (mAttempt < 3 && !mResolved) {
+      val lossesBefore = SnapshotTable.casLosses.get()
+      val rebasesBefore = SnapshotTable.rebases.get()
+      val appender = new Thread(() => {
+        Thread.sleep(400)
+        SnapshotTable.append(spark, srcRoot,
+          spark.range(50000000L + mAttempt * 100000L,
+              50100000L + mAttempt * 100000L)
+            .selectExpr("id AS k",
+              "CAST((id % 99991) * 1.37 AS DECIMAL(18,2)) AS price", "'O' AS st"))
+      })
+      appender.start()
+      val src = spark.range(10000000L, 10002000L).selectExpr("id AS k",
+        "CAST(1.00 AS DECIMAL(18,2)) AS price", "'M' AS st")
+      val (_, mWall) = timed(SnapshotTable.mergeInto(spark, srcRoot, src,
+        Seq("k"), matchedUpdate = Some(None), notMatchedInsert = Some(None)))
+      appender.join()
+      val losses = SnapshotTable.casLosses.get() - lossesBefore
+      val rebased = SnapshotTable.rebases.get() - rebasesBefore
+      if (losses > 0) {
+        mResolved = true
+        println(f"SCALE clr racing MERGE (2k keys vs 20M rows) lost the CAS and " +
+          (if (rebased > 0) "REBASED metadata-only" else "REDID the rewrite") +
+          f": total $mWall%.1f s; rebases +$rebased, losses +$losses")
+      } else {
+        println(f"SCALE clr merge-race attempt $mAttempt: no collision " +
+          f"(merge $mWall%.1f s) — retrying")
+        mAttempt += 1
+      }
+    }
+
     // --- COPY INTO: re-run cost is a LISTING, never the data --------------
     val land = s"${GraftSql.defaultWarehouse}/scale/_landing_clr"
     hfs.delete(new org.apache.hadoop.fs.Path(land), true)
