@@ -1663,11 +1663,21 @@ object SnapshotTable {
             }
             val cur = align(cur0)
             val src = align(source)
-            val srcKeys = src.select(keys.map(src.col): _*).distinct()
-            val removed = cur.join(srcKeys, keys, "left_semi")
+            // Keys under FRESH aliases (the mergeInto pattern): a plain
+            // pass-through select keeps the source's attribute ids, and a
+            // LogicalRDD-leaf source (a streaming sink's micro-batch, a
+            // localCheckpoint) can surface the SAME ids from the merged
+            // checkpoint's output — an unresolvable self-conflict in the
+            // CDC semi-joins below. `===` keeps USING-join null semantics.
+            val srcKeys = src
+              .select(keys.map(k => src(k).as(s"__sk_$k")): _*).distinct()
+            def keyedSemi(df: DataFrame): DataFrame = df.join(srcKeys,
+              keys.map(k => df(k) === srcKeys(s"__sk_$k")).reduce(_ && _),
+              "left_semi")
+            val removed = keyedSemi(cur)
             val merged = Upsert.merge(cur, src, keys)
               .localCheckpoint() // cut lineage: the plan must not re-read files vacuum may later drop
-            val added = merged.join(srcKeys, keys, "left_semi")
+            val added = keyedSemi(merged)
             // Target v+1 is PINNED to the version this merge READ
             // (ConcurrencySpec): deriving it at commit time would let a
             // commit that landed in between be silently erased by this

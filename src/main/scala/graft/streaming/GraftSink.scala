@@ -34,9 +34,13 @@ import org.apache.spark.sql.streaming.OutputMode
   * re-wraps the ALREADY-PLANNED rows as a plain batch frame — the
   * DeltaSink pattern.
   *
-  * Update mode is refused: it needs key semantics the option map does not
-  * carry — use `foreachBatch` + [[SnapshotTable.mergeInto]] (or
-  * [[Streams.upsertSink]]) where the merge keys are explicit. */
+  * Update mode is the keyed-merge form: `option("mergeKeys", "k1,k2")`
+  * upserts each micro-batch's post-images by key
+  * ([[SnapshotTable.upsert]]) — the reference's sync loop (fetch →
+  * MERGE, main.py:349-358) as one option string, no foreachBatch
+  * closure. Replay-idempotent by merge semantics (same post-images land
+  * on the same keys) rather than by ledger stamp. Without `mergeKeys`,
+  * Update mode is refused. */
 class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -46,20 +50,30 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
                           outputMode: OutputMode): Sink = {
     require(partitionColumns.isEmpty,
       "graft tables cluster via OPTIMIZE ZORDER BY, not partition columns")
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
-      s"graft sink supports Append (appendOnce) and Complete (commitOnce) " +
-        s"modes; got $outputMode — for Update use foreachBatch + mergeInto")
+    val mergeKeys = parameters.get("mergeKeys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
+      "graft sink in Update mode needs option 'mergeKeys' (comma-separated " +
+        "key columns) — each micro-batch then upserts by key")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete() ||
+        outputMode == OutputMode.Update(),
+      s"unsupported output mode $outputMode")
     val root = GraftSinkProvider.rootOf(parameters)
     // The idempotence key: stable across restarts. checkpointLocation is
     // the natural default (it IS the stream's identity); txnAppId lets two
     // streams share a checkpoint-less test rig or a renamed checkpoint
-    // keep its ledger.
+    // keep its ledger. Update mode needs none — a keyed upsert is
+    // idempotent by its own semantics (replaying a batch re-lands the
+    // same post-images).
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft sink needs option 'txnAppId' or a checkpointLocation " +
-          "(the exactly-once ledger key)"))
-    new GraftSink(root, appId, outputMode)
+      .getOrElse {
+        if (outputMode == OutputMode.Update()) "graft-sink-update"
+        else throw new IllegalArgumentException(
+          "graft sink needs option 'txnAppId' or a checkpointLocation " +
+            "(the exactly-once ledger key)")
+      }
+    new GraftSink(root, appId, outputMode, mergeKeys)
   }
 }
 
@@ -84,12 +98,21 @@ object GraftSinkProvider {
 }
 
 private[streaming] class GraftSink(root: String, appId: String,
-                                   mode: OutputMode) extends Sink {
+                                   mode: OutputMode,
+                                   mergeKeys: Seq[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val batch = org.apache.spark.sql.graft.StreamBatch.asBatch(data)
-    if (mode == OutputMode.Complete())
+    if (mode == OutputMode.Update())
+      // Keyed merge per micro-batch (the reference's sync loop as a pure
+      // option string): Update mode emits each aggregate group's LATEST
+      // post-image, which is exactly upsert's input contract. Idempotent
+      // under replay by merge semantics — the same post-images land on
+      // the same keys — rather than by ledger stamp (a replayed batch is
+      // a no-op state change, not a skipped commit).
+      SnapshotTable.upsert(spark, root, batch, mergeKeys)
+    else if (mode == OutputMode.Complete())
       SnapshotTable.commitOnce(spark, root, batch, appId, batchId)
     else
       SnapshotTable.appendOnce(spark, root, batch, appId, batchId)

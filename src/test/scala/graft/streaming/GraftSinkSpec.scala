@@ -83,6 +83,33 @@ class GraftSinkSpec extends SparkSpec {
     assert(got == want, s"complete-mode snapshot must equal the batch aggregate")
   }
 
+  test("update mode: mergeKeys upserts post-images per batch, replay converges") {
+    val base = tmpDir()
+    val root = s"$base/agg"
+    def drain(ckpt: String): Unit = {
+      val q = Streams.eventsStream(spark, sf)
+        .groupBy("user_id").count()
+        .writeStream.format("graft")
+        .option("root", root)
+        .option("mergeKeys", "user_id")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(s"$base/ckpt1")
+    val want = graft.Tables(spark, sf, "events")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    def got(): Map[Long, Long] = SnapshotTable.read(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(got() == want, "update-mode sink must land the keyed aggregate")
+    // A FULL REPLAY (fresh checkpoint) re-merges the same post-images —
+    // idempotent by key, no duplicates, same state.
+    drain(s"$base/ckpt2")
+    assert(got() == want, "replay must converge, not duplicate")
+  }
+
   test("catalog addressing and the refusal modes") {
     val s = spark
     graft.sql.GraftSql.ensureCatalog(s)
@@ -101,7 +128,7 @@ class GraftSinkSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) FROM graft.snk.ev").head().getLong(0) ==
       graft.Tables(spark, sf, "events").count())
 
-    // Update mode and partitionBy are refused at sink construction.
+    // Update mode without mergeKeys is refused at sink construction.
     intercept[Exception] {
       Streams.eventsStream(spark, sf)
         .groupBy("user_id").count()
