@@ -1378,10 +1378,14 @@ object SnapshotTable {
     * landed, which is what makes blind re-runs free. */
   def copyInto(spark: SparkSession, root: String, sourceDir: String,
                format: String, options: Map[String, String] = Map.empty,
-               pattern: Option[String] = None): (Long, Long, Long) = {
+               pattern: Option[String] = None,
+               mergeSchema: Boolean = false): (Long, Long, Long) = {
     val fmt = format.toLowerCase(java.util.Locale.ROOT)
     require(Set("parquet", "orc", "csv", "json").contains(fmt),
       s"COPY INTO supports parquet|orc|csv|json, got '$format'")
+    require(!mergeSchema || fmt == "parquet" || fmt == "orc",
+      "COPY INTO mergeSchema needs a self-describing format (parquet|orc) " +
+        "— csv/json parse under the table's declared schema")
     val sfs = fsOf(spark, sourceDir)
     val matcher = pattern.map(p =>
       java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
@@ -1418,25 +1422,43 @@ object SnapshotTable {
         case _ =>
           val raw = if (fmt == "orc") spark.read.options(options).orc(paths: _*)
             else spark.read.options(options).parquet(paths: _*)
-          // Self-describing formats align by name under lossless casts —
-          // the append/merge discipline: a missing declared column or a
-          // narrowing type must fail loudly, never quietly NULL-fill.
-          val byLc = raw.columns.map(c => lc(c) -> c).toMap
-          raw.select(schema.fields.map { f =>
-            val c = byLc.getOrElse(lc(f.name), throw new IllegalArgumentException(
-              s"COPY INTO source lacks declared column ${f.name}"))
-            val srcType = raw.schema(c).dataType
-            require(srcType == f.dataType ||
-                org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(srcType, f.dataType),
-              s"COPY INTO column ${f.name}: $srcType cannot losslessly " +
-                s"cast to declared ${f.dataType}")
-            raw.col(c).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
+          if (mergeSchema) raw
+          else {
+            // Self-describing formats align by name under lossless casts —
+            // the append/merge discipline: a missing declared column or a
+            // narrowing type must fail loudly, never quietly NULL-fill.
+            val byLc = raw.columns.map(c => lc(c) -> c).toMap
+            raw.select(schema.fields.map { f =>
+              val c = byLc.getOrElse(lc(f.name), throw new IllegalArgumentException(
+                s"COPY INTO source lacks declared column ${f.name}"))
+              val srcType = raw.schema(c).dataType
+              require(srcType == f.dataType ||
+                  org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(srcType, f.dataType),
+                s"COPY INTO column ${f.name}: $srcType cannot losslessly " +
+                  s"cast to declared ${f.dataType}")
+              raw.col(c).cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+          }
       }
+      // mergeSchema (COPY_OPTIONS): ADDITIVE evolution, the appendCommit
+      // discipline — new source columns join the declared schema under
+      // fresh physical names; columns the source lacks are simply absent
+      // from its files and read NULL; retypes stay refused (evolveSchema).
+      val (declared, metaOpt, aligned) =
+        if (!mergeSchema) (schema, None, batch)
+        else {
+          val ev = evolveSchema(schema, batch.schema)
+          val assigned = assignPhysical(schema, ev,
+            mappingOf(spark, root, v), usedPhysOf(spark, root, v))
+          val byLc = batch.columns.map(c => lc(c) -> c).toMap
+          (ev, Some(assigned),
+            batch.select(ev.fields.flatMap(f =>
+              byLc.get(lc(f.name)).map(c => batch.col(c).as(f.name))).toIndexedSeq: _*))
+        }
       try {
-        val committed = commitAt(spark, root, v + 1, batch,
+        val committed = commitAt(spark, root, v + 1, aligned,
           carry = currentEntries(spark, root, v),
-          tableSchema = Some(schema),
+          tableSchema = Some(declared), meta = metaOpt,
           ingestedAdd = fresh.map(identity))
         return (committed, fresh.size.toLong,
           rowCount(spark, root, Some(committed)) - rowCount(spark, root, Some(v)))

@@ -68,12 +68,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(version).map(_.toLong)))
       case DetachCloneRe(table, force) =>
         Some(GraftDetachCloneCommand(parts(table), force != null))
-      case CopyIntoRe(table, dir, fmt, pat, opts) =>
+      case CopyIntoRe(table, dir, fmt, pat, opts, copyOpts) =>
+        def kvs(s: String): Map[String, String] =
+          raw"'([^']*)'\s*=\s*'([^']*)'".r.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2)).toMap
         Some(GraftCopyIntoCommand(parts(table), dir, fmt,
-          Option(pat),
-          Option(opts).toSeq.flatMap(o =>
-            raw"'([^']*)'\s*=\s*'([^']*)'".r.findAllMatchIn(o)
-              .map(m => m.group(1) -> m.group(2))).toMap))
+          Option(pat), Option(opts).map(kvs).getOrElse(Map.empty),
+          mergeSchema = Option(copyOpts).map(kvs).getOrElse(Map.empty)
+            .exists { case (k, v) =>
+              k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true") }))
       case ReplaceWhereRe(table, cond, query) =>
         // Delta's `INSERT INTO t REPLACE WHERE cond SELECT ...` shape:
         // parse the pieces with the DELEGATE parser, emit the standard
@@ -149,7 +152,8 @@ object GraftSqlParser {
   val CopyIntoRe =
     (raw"(?is)COPY\s+INTO\s+$Id\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)" +
       raw"(?:\s+PATTERN\s*=\s*'([^']+)')?" +
-      raw"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?").r
+      raw"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?" +
+      raw"(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?\s*;?").r
 
   /** Resolve a dotted name's catalog to [[GraftCatalog]] and the table to
     * its identifier — at RUN time (the parser must not touch the catalog:
@@ -314,20 +318,23 @@ case class GraftDetachCloneCommand(nameParts: Seq[String], force: Boolean)
 }
 
 /** `COPY INTO t FROM '<dir>' FILEFORMAT = fmt [PATTERN = '<glob>']
-  * [FORMAT_OPTIONS ('k' = 'v', ...)]` → [[SnapshotTable.copyInto]]
-  * (round 12): idempotent file ingest — each source file loads exactly
-  * once across re-runs, the loaded-file ledger riding in the manifest
-  * atomically with the rows. Returns (version, files_loaded,
-  * rows_loaded); a re-run that finds nothing new returns the current
-  * version with zeros. */
+  * [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('mergeSchema' =
+  * 'true')]` → [[SnapshotTable.copyInto]] (round 12): idempotent file
+  * ingest — each source file loads exactly once across re-runs, the
+  * loaded-file ledger riding in the manifest atomically with the rows;
+  * mergeSchema lets a self-describing landing batch ADD columns
+  * (additive evolution, the append discipline). Returns (version,
+  * files_loaded, rows_loaded); a re-run that finds nothing new returns
+  * the current version with zeros. */
 case class GraftCopyIntoCommand(nameParts: Seq[String], sourceDir: String,
                                 format: String, pattern: Option[String],
-                                options: Map[String, String])
+                                options: Map[String, String],
+                                mergeSchema: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val (v, files, rows) = SnapshotTable.copyInto(spark,
       GraftSqlParser.rootOf(spark, nameParts), sourceDir, format,
-      options, pattern)
+      options, pattern, mergeSchema)
     Seq(org.apache.spark.sql.Row(v, files, rows))
   }
   override val output: Seq[Attribute] = Seq(

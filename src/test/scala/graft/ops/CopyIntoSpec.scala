@@ -134,6 +134,45 @@ class CopyIntoSpec extends SparkSpec {
     assert(fAgain == 0L, "the good landing dir is still fully ledgered")
   }
 
+  test("COPY_OPTIONS mergeSchema: additive evolution; strict mode still refuses") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val land = s"$base/landing"
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    // The landing batch ADDS column v and LACKS declared column s.
+    Seq((2L, 3.5)).toDF("k", "v").coalesce(1).write.parquet(land)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.copyInto(spark, root, land, "parquet")
+    }
+    // The refused attempt must not have ledgered the file...
+    val (_, f, r) = SnapshotTable.copyInto(spark, root, land, "parquet",
+      mergeSchema = true)
+    assert(f >= 1L && r == 1L)
+    // ... and the schema widened additively: old rows NULL for v, the
+    // batch NULL for s.
+    val got = SnapshotTable.read(spark, root)
+      .select("k", "s", "v").collect()
+      .map(rr => (rr.getLong(0), Option(rr.get(1)), Option(rr.get(2)))).toSet
+    assert(got == Set((1L, Some("a"), None), (2L, None, Some(3.5))), s"got $got")
+
+    // SQL form: COPY_OPTIONS parses and routes.
+    val s2 = spark
+    graft.sql.GraftSql.ensureCatalog(s2)
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.cpms")
+    s2.sql("DROP TABLE IF EXISTS graft.cpms.t")
+    s2.sql("CREATE TABLE graft.cpms.t AS SELECT CAST(1 AS BIGINT) AS k, 'a' AS s")
+    val row = s2.sql(
+      s"""COPY INTO graft.cpms.t FROM '$land' FILEFORMAT = PARQUET
+          COPY_OPTIONS ('mergeSchema' = 'true')""").head()
+    assert(row.getLong(2) == 1L)
+    assert(s2.table("graft.cpms.t").columns.toSeq == Seq("k", "s", "v"))
+    s2.sql("DROP TABLE graft.cpms.t")
+    s2.sessionState.catalogManager.catalog("graft") match {
+      case g: graft.sql.GraftCatalog => g.purgeDropped(Array("cpms"), 0L, force = true)
+      case _ => ()
+    }
+  }
+
   test("SQL surface: COPY INTO ... FILEFORMAT = CSV with options and pattern") {
     val s = spark
     graft.sql.GraftSql.ensureCatalog(s)
