@@ -2673,6 +2673,58 @@ object SnapshotTable {
       }
   }
 
+  /** What [[vacuum]] WOULD reclaim, without touching anything (round 12):
+    * `VACUUM t RETAIN n VERSIONS [FORCE] DRY RUN`. One row per doomed
+    * artifact — dropped manifest, dead data/CDC dir (reference-counted
+    * against the kept manifests, own-root only, exactly the real
+    * deletion's rules) — with bytes, so an operator sees both WHAT a
+    * retention policy costs in history and what it buys in space before
+    * running it. Subscriber-watermark clamping applies unless `force`,
+    * so the dry run also answers "why would my vacuum reclaim nothing".
+    * Purely metadata reads: manifests + directory summaries. */
+  def vacuumPlan(spark: SparkSession, root: String, keep: Int = 1,
+                 force: Boolean = false): Seq[(String, String, Long)] = {
+    require(keep >= 1, s"vacuum keep must be >= 1 (got $keep)")
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) return Seq.empty
+    val versions = fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+    val wm = if (force) None else subscriberWatermark(spark, root)
+    val keepEff = math.min(wm match {
+      case Some(w) => math.max(keep, versions.count(_ >= w))
+      case None => keep
+    }, versions.size)
+    def cdcRootsOf(body: String): Seq[Path] =
+      SnapshotStats.cdcFromManifest(body).toSeq
+        .flatMap { case (a, r) => a ++ r }
+        .map(f => new Path(f).getParent.getParent).distinct
+    val live: Set[Path] = versions.takeRight(keepEff)
+      .flatMap { v =>
+        val body = readManifestBody(fs, manifestPath(root, v))
+        filesFromBody(body, manifestPath(root, v))
+          .map(f => new Path(f).getParent) ++ cdcRootsOf(body)
+      }.toSet
+    val ownPrefix = new Path(root).toUri.getPath.stripSuffix("/") + "/"
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val seen = scala.collection.mutable.Set.empty[Path]
+    versions.dropRight(keepEff).foreach { v =>
+      val mp = manifestPath(root, v)
+      val body = readManifestBody(fs, mp)
+      out += (("manifest", mp.toString, fs.getFileStatus(mp).getLen))
+      (filesFromBody(body, mp).map(f => new Path(f).getParent).distinct ++
+        cdcRootsOf(body))
+        .filterNot(live.contains)
+        .filter(_.toUri.getPath.startsWith(ownPrefix))
+        .filter(seen.add)
+        .foreach(d => out += (("data-dir", d.toString,
+          fs.getContentSummary(d).getLength)))
+    }
+    out.toSeq
+  }
+
   /** Drop all snapshots and manifests older than the latest `keep` versions.
     * `keep >= 1` — vacuum(0) would delete the current version and leave the
     * table permanently unreadable (the same guard Delta's retention has).

@@ -41,13 +41,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText.trim match {
-      case VacuumRe(table, retain, force) =>
+      case VacuumRe(table, retain, force, dryRun) =>
         // keep = -1 when RETAIN was omitted: the command REFUSES to run
         // (ADVICE r11 — Delta's familiar bare `VACUUM t` never destroys
         // retained history, so defaulting to RETAIN 1 silently dropped
         // every time-travel/RESTORE target; retention must be explicit).
         Some(GraftVacuumCommand(parts(table),
-          Option(retain).map(_.toInt).getOrElse(-1), force != null))
+          Option(retain).map(_.toInt).getOrElse(-1), force != null,
+          dryRun != null))
       case OptimizeRe(table, zcols) =>
         Some(GraftOptimizeCommand(parts(table),
           Option(zcols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
@@ -132,7 +133,7 @@ object GraftSqlParser {
   // (`my-table`, dots-inside-quotes included) — split by [[parts]].
   private val Id = raw"([\w.`-]+)"
   val VacuumRe =
-    raw"(?is)VACUUM\s+$Id(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?".r
+    raw"(?is)VACUUM\s+$Id(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?(\s+DRY\s+RUN)?\s*;?".r
   val OptimizeRe =
     raw"(?is)OPTIMIZE\s+$Id(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?".r
   val RestoreRe =
@@ -181,24 +182,39 @@ object GraftSqlParser {
     Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
-/** `VACUUM t RETAIN n VERSIONS [FORCE]` → [[SnapshotTable.vacuum]] —
-  * subscriber-watermark clamp included unless FORCE. The RETAIN clause is
-  * REQUIRED (keep = -1 marks its absence): bare `VACUUM t` looks like
-  * Delta's no-history-loss statement but here would drop every retained
-  * version except the current one — refuse loudly instead of surprising
-  * the operator (ADVICE r11). */
-case class GraftVacuumCommand(nameParts: Seq[String], keep: Int, force: Boolean)
+/** `VACUUM t RETAIN n VERSIONS [FORCE] [DRY RUN]` →
+  * [[SnapshotTable.vacuum]] (or the read-only
+  * [[SnapshotTable.vacuumPlan]] under DRY RUN: one (kind, path, bytes)
+  * row per manifest/data dir the real statement would reclaim, nothing
+  * touched) — subscriber-watermark clamp included unless FORCE. The
+  * RETAIN clause is REQUIRED (keep = -1 marks its absence): bare
+  * `VACUUM t` looks like Delta's no-history-loss statement but here
+  * would drop every retained version except the current one — refuse
+  * loudly instead of surprising the operator (ADVICE r11). */
+case class GraftVacuumCommand(nameParts: Seq[String], keep: Int,
+                              force: Boolean, dryRun: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     require(keep >= 1,
       "VACUUM on graft tables requires an explicit retention: " +
-        "VACUUM t RETAIN <n> VERSIONS [FORCE] — a bare VACUUM would drop " +
-        "all history (time travel and RESTORE targets)")
-    SnapshotTable.vacuum(spark, GraftSqlParser.rootOf(spark, nameParts),
-      keep = keep, force = force)
-    Seq.empty
+        "VACUUM t RETAIN <n> VERSIONS [FORCE] [DRY RUN] — a bare VACUUM " +
+        "would drop all history (time travel and RESTORE targets)")
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    if (dryRun)
+      SnapshotTable.vacuumPlan(spark, root, keep = keep, force = force)
+        .map { case (kind, path, bytes) =>
+          org.apache.spark.sql.Row(kind, path, bytes) }
+    else {
+      SnapshotTable.vacuum(spark, root, keep = keep, force = force)
+      Seq.empty
+    }
   }
-  override val output: Seq[Attribute] = Nil
+  override val output: Seq[Attribute] =
+    if (!dryRun) Nil
+    else Seq(
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)())
 }
 
 /** `OPTIMIZE t` → [[SnapshotTable.compact]] (bin-pack);

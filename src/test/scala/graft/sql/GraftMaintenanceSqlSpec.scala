@@ -194,6 +194,56 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
       "a forced vacuum records an unclamped decision")
   }
 
+  test("VACUUM ... DRY RUN previews the reclaim without touching anything") {
+    val ns = fresh("mntdr")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    spark.sql(s"CREATE TABLE graft.$ns.t AS " +
+      "SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS DOUBLE) AS v")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.$ns.t SELECT ${i}L AS k, CAST($i AS DOUBLE) AS v"))
+    val before = SnapshotTable.history(spark, root).count()
+    assert(before == 4L)
+    val plan = spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS DRY RUN").collect()
+    // 3 dropped manifests; v0 is a files-less CTAS... no — CTAS writes
+    // rows, so each of v0..v2's own dirs is dead only if no kept manifest
+    // references it; append commits SHARE dirs, so only the manifests and
+    // zero data dirs are doomed here (v3 carries every earlier file).
+    val kinds = plan.map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(kinds.getOrElse("manifest", 0) == 3, s"plan: ${plan.mkString(", ")}")
+    assert(kinds.getOrElse("data-dir", 0) == 0,
+      "append commits share dirs; nothing is reclaimable while v3 references them")
+    assert(plan.forall(_.getLong(2) > 0L))
+    // NOTHING was touched.
+    assert(SnapshotTable.history(spark, root).count() == 4L)
+    assert(SnapshotTable.read(spark, root, Some(0L)).count() == 1L)
+
+    // A REWRITE (OPTIMIZE) makes old dirs genuinely dead: the dry run now
+    // prices them, and the real vacuum reclaims exactly what it listed.
+    spark.sql(s"INSERT INTO graft.$ns.t " +
+      "SELECT /*+ REPARTITION(80) */ id + 10 AS k, CAST(id AS DOUBLE) AS v FROM range(200)")
+    spark.sql(s"OPTIMIZE graft.$ns.t")
+    val plan2 = spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS DRY RUN").collect()
+    assert(plan2.exists(_.getString(0) == "data-dir"),
+      s"the folded small-file dirs must be priced: ${plan2.length} rows")
+    val doomedDirs = plan2.filter(_.getString(0) == "data-dir").map(_.getString(1)).toSet
+    spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(doomedDirs.forall(d => !fs.exists(new org.apache.hadoop.fs.Path(d))),
+      "the real vacuum must reclaim exactly the dry run's data dirs")
+    assert(SnapshotTable.read(spark, root).count() == 204L)
+
+    // The clamp is visible in the preview too: a lagging subscriber makes
+    // the same DRY RUN list nothing.
+    (1 to 2).foreach(i =>
+      spark.sql(s"INSERT INTO graft.$ns.t SELECT ${100 + i}L AS k, CAST(0 AS DOUBLE) AS v"))
+    SnapshotTable.registerSubscriber(spark, root,
+      "dr-lagger", SnapshotTable.currentVersion(spark, root).get - 2)
+    val clamped = spark.sql(s"VACUUM graft.$ns.t RETAIN 1 VERSIONS DRY RUN").collect()
+    assert(clamped.isEmpty, s"watermark must clamp the preview: ${clamped.length} rows")
+    SnapshotTable.unregisterSubscriber(spark, root, "dr-lagger")
+  }
+
   test("non-maintenance SQL delegates untouched (including parse errors)") {
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
