@@ -51,6 +51,8 @@ object ScaleRehearsal {
     if (args.contains("e2e100")) { e2eLeg(spark, 100); spark.stop(); return }
     if (args.contains("sim768")) { sim768Leg(spark); spark.stop(); return }
     if (args.contains("skew")) { skewLeg(spark); spark.stop(); return }
+    if (args.contains("manifestscale")) { manifestScaleLeg(spark); spark.stop(); return }
+    if (args.contains("dvscale")) { dvScaleLeg(spark); spark.stop(); return }
     if (args.contains("all")) {
       // Regenerate every SCALE.md evidence row in one command.
       dedupLeg(spark, 21); dedupLeg(spark, 50); dedupLeg(spark, 100)
@@ -1973,4 +1975,117 @@ object ScaleRehearsal {
       "CDC chain diverged from the final state under the race")
     println("SCALE conc CDC chain telescopes exactly to the final state")
   }
+  /** Round-13 leg (VERDICT r12 #1 done-criterion): commit bytes and commit
+    * latency must be FLAT in table file count under the incremental
+    * manifest log, and a cold read pays one checkpoint parse + a KB tail.
+    * Builds a table up to ~50k files in stages; at each decade, measures
+    * (a) one append commit's manifest bytes + wall, (b) the full (resolved)
+    * state size, (c) a cold-read resolve (cache cleared). Also rehearses
+    * the streaming-sink shape — 100 consecutive KB appends — whose
+    * per-commit cost paid O(files) before this round. */
+  private def manifestScaleLeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-scale-manifest").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mBytes(v: Long): Long = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      root, f"_manifests/manifest-$v%08d.json")).getLen
+    def timeMs[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    // Stage the file count up: each stage appends batches of 500 files
+    // (1 row per file via repartition — file COUNT is the variable under
+    // test; byte volume is irrelevant to manifest economics).
+    var nextKey = 0L
+    def appendFiles(files: Int): Unit = {
+      graft.ops.SnapshotTable.append(spark, root,
+        (0 until files).map(i => (nextKey + i, s"v$i")).toSeq.toDF("k", "v")
+          .repartition(files))
+      nextKey += files
+    }
+    graft.ops.SnapshotTable.commit(spark, root, Seq((nextKey, "seed")).toDF("k", "v"))
+    nextKey += 1
+    for (target <- Seq(1000, 5000, 20000, 50000)) {
+      while (graft.ops.SnapshotTable.rowCount(spark, root) < target)
+        appendFiles(math.min(500, target.toInt - graft.ops.SnapshotTable.rowCount(spark, root).toInt))
+      // One PROBE append: a streaming-micro-batch-sized commit.
+      val (_, wall) = timeMs(graft.ops.SnapshotTable.append(spark, root,
+        Seq((nextKey, "probe")).toDF("k", "v").repartition(1)))
+      nextKey += 1
+      val v = graft.ops.SnapshotTable.currentVersion(spark, root).get
+      val deltaBytes = mBytes(v)
+      graft.ops.SnapshotTable.clearResolvedCache()
+      val (_, coldMs) = timeMs(graft.ops.SnapshotTable.read(spark, root).schema)
+      val fullBytes = graft.ops.SnapshotTable.manifestBodyAt(fs, root, v)
+        .getBytes("UTF-8").length
+      println(f"SCALE manifestscale files=${target}%6d " +
+        f"delta_commit_bytes=$deltaBytes%8d full_state_bytes=$fullBytes%10d " +
+        f"commit_ms=$wall%8.1f cold_read_resolve_ms=$coldMs%8.1f")
+    }
+    // Streaming-frequency shape (VERDICT r12 #8): 100 consecutive 1-file
+    // appends at the 50k-file table; per-commit latency must stay flat.
+    val t0 = System.nanoTime()
+    (0 until 100).foreach { i =>
+      graft.ops.SnapshotTable.appendOnce(spark, root,
+        Seq((nextKey + i, "mb")).toDF("k", "v").repartition(1), "mscale", i.toLong)
+    }
+    val per = (System.nanoTime() - t0) / 1e6 / 100
+    println(f"SCALE manifestscale 100 micro-batch appends at 50k files: " +
+      f"${per}%.1f ms/commit (pre-r13 each paid the full O(files) manifest)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** Round-13 leg (VERDICT r12 #2 done-criterion): 100 scattered
+    * single-row deletes on a 20M-row clustered table — merge-on-read must
+    * land them in seconds with ZERO data-file rewrites, then one OPTIMIZE
+    * materializes the DVs back to clean files. */
+  private def dvScaleLeg(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-scale-dv").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val n = 20000000L
+    graft.ops.SnapshotTable.commitClustered(spark, root,
+      spark.range(n).select(col("id").as("k"),
+        (col("id") % 997).as("m"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("row-"), col("id")).as("v")),
+      Seq("k"), numFiles = 24)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(v: Long): Set[String] =
+      graft.ops.SnapshotStats.statsFromManifest(
+        graft.ops.SnapshotTable.manifestBodyAt(fs, root, v)).map(_.path).toSet
+    val before = files(0L)
+    val rnd = new scala.util.Random(13)
+    val keys = Seq.fill(100)(math.abs(rnd.nextLong()) % n).distinct
+    val t0 = System.nanoTime()
+    keys.foreach(k => graft.ops.SnapshotTable.delete(spark, root, col("k") === k))
+    val wall = (System.nanoTime() - t0) / 1e9
+    val v = graft.ops.SnapshotTable.currentVersion(spark, root).get
+    assert(files(v) == before,
+      "scattered point deletes must not rewrite a single data file")
+    val es = graft.ops.SnapshotStats.statsFromManifest(
+      graft.ops.SnapshotTable.manifestBodyAt(fs, root, v))
+    println(f"SCALE dvscale ${keys.size} single-row deletes on 20M rows: " +
+      f"$wall%.1f s total (${wall / keys.size * 1000}%.0f ms/delete), " +
+      f"0/${before.size} files rewritten, dv_files=${es.count(_.dv.nonEmpty)}, " +
+      f"dv_rows=${es.map(_.dvRows).sum}")
+    assert(graft.ops.SnapshotTable.rowCount(spark, root) == n - keys.size)
+    val t1 = System.nanoTime()
+    val vOpt = graft.ops.SnapshotTable.compact(spark, root, maxFiles = 64)
+    val optWall = (System.nanoTime() - t1) / 1e9
+    val esAfter = graft.ops.SnapshotStats.statsFromManifest(
+      graft.ops.SnapshotTable.manifestBodyAt(fs, root, vOpt.get))
+    assert(esAfter.forall(_.dv.isEmpty), "OPTIMIZE must materialize all DVs")
+    assert(graft.ops.SnapshotTable.rowCount(spark, root) == n - keys.size)
+    println(f"SCALE dvscale OPTIMIZE materialized the DVs in $optWall%.1f s; " +
+      "reads are side-car-free again")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
 }

@@ -54,9 +54,20 @@ object SnapshotStats {
     * complement of the (min, max) bounds, which prune nothing when every
     * file's range spans the key space (the fully-interleaved-appends
     * shape). */
+  /** `dv`/`dvRows` (round 13 — deletion vectors, VERDICT r12 #2): `dv`
+    * lists the parquet side-car dirs holding (file, pos) DELETED-row
+    * positions that apply to this file (merge-on-read: a point DELETE
+    * writes a KB-sized side-car instead of rewriting a 128 MB file; the
+    * scan masks at read time; OPTIMIZE materializes). Accumulates across
+    * commits — each later point delete APPENDS its side-car dir. `rows`
+    * stays the PHYSICAL parquet row count (what the footer says);
+    * `dvRows` is the exact number of masked positions, so logical rows =
+    * rows - dvRows and metadata-only counts stay exact. */
   final case class FileStats(path: String, bytes: Long, rows: Long,
                              cols: Map[String, ColStats],
-                             bloom: Map[String, String] = Map.empty)
+                             bloom: Map[String, String] = Map.empty,
+                             dv: Seq[String] = Nil,
+                             dvRows: Long = 0L)
 
   /** Read one file's footer and fold its row-group stats. `fileLen` is the
     * file's REAL length (from the directory listing): it lands in the
@@ -221,7 +232,9 @@ object SnapshotStats {
                    constraints: Map[String, String] = Map.empty,
                    mapping: Map[String, String] = Map.empty,
                    usedPhys: Seq[String] = Nil,
-                   ingested: Seq[String] = Nil): String = {
+                   ingested: Seq[String] = Nil,
+                   tsOverride: Option[Long] = None,
+                   clusterBy: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     // Commit wall-clock (epoch millis): powers age-based retention
@@ -231,8 +244,11 @@ object SnapshotStats {
     // writer process (two commits in the same millisecond still get
     // distinct stamps), so "greatest version at-or-before T" is
     // well-defined for any T a reader observed; cross-writer ordering is
-    // plain wall-clock, like Delta's commit timestamps.
-    root.put("ts", nextCommitTs())
+    // plain wall-clock, like Delta's commit timestamps. `tsOverride` is
+    // for RECONSTRUCTION only (resolving a delta-log chain back into the
+    // full body — the resolved body must carry the original commit's
+    // stamp, never resolution time).
+    root.put("ts", tsOverride.getOrElse(nextCommitTs()))
     schemaJson.foreach(root.put("schema", _))
     if (mapping.nonEmpty) {
       // Logical → PHYSICAL column names (Delta column-mapping shape,
@@ -263,6 +279,15 @@ object SnapshotStats {
       // blooms for ITS new files over these columns.
       val b = root.putArray("bloomOn"); bloomOn.foreach(b.add)
     }
+    if (clusterBy.nonEmpty) {
+      // DECLARED clustering columns (round 13): recorded by
+      // commitClustered/recluster/CTAS CLUSTER BY, inherited by every
+      // later manifest. Read back by (a) DML rewrites, which re-sort
+      // their rewritten files on these columns so N merge waves don't
+      // decay file-skipping selectivity, and (b) SHOW CREATE TABLE /
+      // DESCRIBE DETAIL round-tripping the layout declaration.
+      val cb = root.putArray("clusterBy"); clusterBy.foreach(cb.add)
+    }
     if (dropped.nonEmpty) {
       // Tombstoned column names (see SnapshotTable.dropColumn): inherited
       // by every later manifest so a re-add stays refused after any number
@@ -290,13 +315,23 @@ object SnapshotStats {
     }
     val files = root.putArray("files")
     stats.foreach(f => files.add(f.path))
-    val arr = root.putArray("stats")
+    putStatsArray(root, "stats", stats)
+    mapper.writeValueAsString(root)
+  }
+
+  private def putStatsArray(root: ObjectNode, field: String,
+                            stats: Seq[FileStats]): Unit = {
+    val arr = root.putArray(field)
     stats.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path); o.put("bytes", f.bytes); o.put("rows", f.rows)
       if (f.bloom.nonEmpty) {
         val bl = o.putObject("bloom")
         f.bloom.toSeq.sortBy(_._1).foreach { case (c, b64) => bl.put(c, b64) }
+      }
+      if (f.dv.nonEmpty) {
+        val dva = o.putArray("dv"); f.dv.foreach(dva.add)
+        o.put("dvRows", f.dvRows)
       }
       val cols = o.putObject("cols")
       f.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
@@ -309,7 +344,125 @@ object SnapshotStats {
         }
       }
     }
+  }
+
+  /** Serialize a DELTA manifest (round 13 — the Delta-log shape): instead
+    * of the complete O(files) `files`/`stats`/`ingested` arrays, the commit
+    * records only its CHANGES against version `base` (always `version - 1`):
+    * `add` (stats for files this commit introduced), `removePaths` (files
+    * it dropped), `ingestedAdd` (new COPY INTO ledger identities). The
+    * SMALL table state — schema, mapping, constraints, tombstones, bloom
+    * config, usedPhys — is O(columns) and rides in FULL in every delta, so
+    * resolution never chains metadata. Per-commit fields (`txn`, `cdc`)
+    * are the delta's own, exactly as a full manifest carries its own.
+    *
+    * Why: the pre-r13 format wrote the complete file list + stats in EVERY
+    * manifest — at ~10⁶ files that is 100s of MB of JSON per commit and
+    * per cold read, taxing exactly the format's best feature (cheap
+    * frequent commits: streaming micro-batches, COPY INTO). With deltas a
+    * commit writes O(its own change); every Nth version stays a FULL
+    * manifest (the in-line checkpoint), bounding a reader's resolution
+    * walk to < N KB-sized reads past one checkpoint parse. */
+  def deltaManifestJson(version: Long, base: Long,
+                        add: Seq[FileStats], removePaths: Seq[String],
+                        ingestedAdd: Seq[String],
+                        txn: Option[(String, Long)] = None,
+                        cdc: Option[Cdc] = None,
+                        schemaJson: Option[String] = None,
+                        dropped: Seq[String] = Nil,
+                        bloomOn: Seq[String] = Nil,
+                        constraints: Map[String, String] = Map.empty,
+                        mapping: Map[String, String] = Map.empty,
+                        usedPhys: Seq[String] = Nil,
+                        clusterBy: Seq[String] = Nil): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", version)
+    root.put("ts", nextCommitTs())
+    // The delta marker: its presence is what distinguishes the shapes
+    // (`files` vs `base` — a manifest carries exactly one of the two).
+    root.put("base", base)
+    schemaJson.foreach(root.put("schema", _))
+    if (mapping.nonEmpty) {
+      val mp = root.putObject("mapping")
+      mapping.toSeq.sortBy(_._1).foreach { case (l, p) => mp.put(l, p) }
+    }
+    if (usedPhys.nonEmpty) {
+      val up = root.putArray("usedPhys"); usedPhys.foreach(up.add)
+    }
+    if (constraints.nonEmpty) {
+      val cn = root.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
+    }
+    if (bloomOn.nonEmpty) {
+      val b = root.putArray("bloomOn"); bloomOn.foreach(b.add)
+    }
+    if (clusterBy.nonEmpty) {
+      val cb = root.putArray("clusterBy"); clusterBy.foreach(cb.add)
+    }
+    if (dropped.nonEmpty) {
+      val d = root.putArray("dropped"); dropped.foreach(d.add)
+    }
+    if (ingestedAdd.nonEmpty) {
+      val ing = root.putArray("ingestedAdd"); ingestedAdd.foreach(ing.add)
+    }
+    txn.foreach { case (appId, batchId) =>
+      val t = root.putObject("txn")
+      t.put("appId", appId); t.put("batchId", batchId)
+    }
+    cdc.foreach { case (adds, removes) =>
+      val c = root.putObject("cdc")
+      val a = c.putArray("add"); adds.foreach(a.add)
+      val r = c.putArray("remove"); removes.foreach(r.add)
+    }
+    if (removePaths.nonEmpty) {
+      val rp = root.putArray("removePaths"); removePaths.foreach(rp.add)
+    }
+    putStatsArray(root, "add", add)
     mapper.writeValueAsString(root)
+  }
+
+  /** The delta marker: `Some(base)` when `body` is a delta manifest. */
+  def baseFromManifest(body: String): Option[Long] = {
+    val b = mapper.readTree(body).get("base")
+    if (b == null || !b.isNumber) None else Some(b.asLong)
+  }
+
+  /** Resolve a delta manifest against its base's FULL body, producing the
+    * full body the pre-r13 writer would have written for that version —
+    * same `ts`, same per-commit `txn`/`cdc`, file list = base's minus
+    * `removePaths` plus `add` (removals first, so a path in both is a
+    * stats REPLACEMENT), ledger = base's ∪ `ingestedAdd` (the writer's own
+    * accumulation rule). Every existing parser then works on the result
+    * unchanged — delta resolution is invisible above this seam. */
+  def resolveDelta(baseBody: String, deltaBody: String): String = {
+    val d = mapper.readTree(deltaBody)
+    require(d.get("base") != null, "resolveDelta: not a delta manifest")
+    val removed = Option(d.get("removePaths")).filter(_.isArray)
+      .map(a => (0 until a.size).map(a.get(_).asText).toSet)
+      .getOrElse(Set.empty[String])
+    val adds = statsArray(d, "add")
+    val baseStats = statsFromManifest(baseBody)
+    val addPaths = adds.map(_.path).toSet
+    val stats = baseStats.filterNot(e => removed(e.path) || addPaths(e.path)) ++ adds
+    val ingestedAdd = Option(d.get("ingestedAdd")).filter(_.isArray)
+      .map(a => (0 until a.size).map(a.get(_).asText))
+      .getOrElse(Seq.empty)
+    val ingested =
+      (ingestedFromManifest(baseBody) ++ ingestedAdd).distinct.sorted
+    manifestJson(
+      version = d.get("version").asLong,
+      stats = stats,
+      txn = txnFromManifest(deltaBody),
+      cdc = cdcFromManifest(deltaBody),
+      schemaJson = Option(d.get("schema")).filter(_.isTextual).map(_.asText),
+      dropped = droppedFromManifest(deltaBody),
+      bloomOn = bloomOnFromManifest(deltaBody),
+      constraints = constraintsFromManifest(deltaBody),
+      mapping = mappingFromManifest(deltaBody),
+      usedPhys = usedPhysFromManifest(deltaBody),
+      ingested = ingested,
+      tsOverride = Some(tsFromManifest(deltaBody)),
+      clusterBy = clusterByFromManifest(deltaBody))
   }
 
   private def putVal(o: ObjectNode, field: String, v: Any): Unit = v match {
@@ -320,9 +473,11 @@ object SnapshotStats {
   }
 
   /** Parse the `stats` array back; empty when the manifest predates stats. */
-  def statsFromManifest(body: String): Seq[FileStats] = {
-    val root = mapper.readTree(body)
-    val arr = root.get("stats")
+  def statsFromManifest(body: String): Seq[FileStats] =
+    statsArray(mapper.readTree(body), "stats")
+
+  private def statsArray(root: JsonNode, field: String): Seq[FileStats] = {
+    val arr = root.get(field)
     if (arr == null || !arr.isArray) Seq.empty
     else arr.asScala.toSeq.map { f =>
       val cols = Option(f.get("cols")).filter(_.isObject).map { cn =>
@@ -337,8 +492,12 @@ object SnapshotStats {
       val bloom = Option(f.get("bloom")).filter(_.isObject).map { bn =>
         bn.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
       }.getOrElse(Map.empty[String, String])
+      val dv = Option(f.get("dv")).filter(_.isArray)
+        .map(a => (0 until a.size).map(a.get(_).asText))
+        .getOrElse(Seq.empty)
+      val dvRows = Option(f.get("dvRows")).map(_.asLong).getOrElse(0L)
       FileStats(f.get("path").asText, f.get("bytes").asLong, f.get("rows").asLong,
-        cols, bloom)
+        cols, bloom, dv, dvRows)
     }
   }
 
@@ -370,6 +529,14 @@ object SnapshotStats {
     val u = mapper.readTree(body).get("usedPhys")
     if (u == null || !u.isArray) Seq.empty
     else (0 until u.size).map(u.get(_).asText)
+  }
+
+  /** Declared clustering columns at this manifest's version (empty =
+    * never declared). */
+  def clusterByFromManifest(body: String): Seq[String] = {
+    val c = mapper.readTree(body).get("clusterBy")
+    if (c == null || !c.isArray) Seq.empty
+    else (0 until c.size).map(c.get(_).asText)
   }
 
   /** Bloom-indexed column names this manifest's table is configured for. */

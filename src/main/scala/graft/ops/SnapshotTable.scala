@@ -78,6 +78,25 @@ object SnapshotTable {
   private def keyMembershipPredicate(
       schema: org.apache.spark.sql.types.StructType, source: DataFrame,
       key: String): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    // SOUNDNESS GATE (ADVICE r12): this thunk RE-EXECUTES the caller's
+    // source frame at CAS-loss time — after the rewrite already consumed
+    // it. A non-deterministic source (rand(), sample, an unordered LIMIT
+    // picking different rows) could yield a key set DIFFERENT from what
+    // the written rewrite actually merged, making the no-winner-key proof
+    // vouch for the wrong keys and committing a wrong merge under
+    // concurrency. Rebase is an optimization: refuse it for any plan not
+    // provably re-executable, and the caller redoes the merge instead.
+    {
+      import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample}
+      var replayable = true
+      source.queryExecution.analyzed.foreach {
+        case _: Sample | _: GlobalLimit | _: LocalLimit => replayable = false
+        case node =>
+          node.expressions.foreach(_.foreach(e =>
+            if (!e.deterministic) replayable = false))
+      }
+      if (!replayable) return None
+    }
     val kf = schema.fields.find(_.name.equalsIgnoreCase(key)).get
     val vals = source.select(source(key)).distinct()
       .limit(4097).collect().map(_.get(0))
@@ -121,6 +140,7 @@ object SnapshotTable {
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
   private val SnapRe = raw"snap-(\d{8})(-[0-9a-f]{8})?".r
   private val CdcRe = raw"cdc-(\d{8})(-[0-9a-f]{8})?".r
+  private val DvRe = raw"dv-(\d{8})(-[0-9a-f]{8})?".r
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -163,6 +183,117 @@ object SnapshotTable {
   private def readManifest(fs: FileSystem, p: Path): Seq[String] =
     filesFromBody(readManifestBody(fs, p), p)
 
+  // --- incremental manifest log (round 13, VERDICT r12 #1) -----------------
+  //
+  // Pre-r13 every manifest carried the COMPLETE file list + stats + COPY
+  // ledger: O(table) JSON written per commit and parsed per cold read — at
+  // ~10⁶ files, 100s of MB per streaming micro-batch. Now a commit writes a
+  // DELTA manifest (its own add/remove/ingestedAdd + the O(columns) table
+  // state) unless it falls on a checkpoint boundary (every
+  // `manifestCheckpointInterval`th version is a FULL manifest — the in-line
+  // checkpoint), the delta would not actually be smaller (restore/recluster
+  // replacing everything), or its predecessor is unusable as a base.
+  // Readers resolve through [[manifestBodyAt]]: walk back ≤ interval-1
+  // KB-sized deltas to the nearest full manifest (or a vacuum-written
+  // `checkpoint-*.json` anchor), fold forward, and memoize — every parser
+  // above this seam still consumes the exact pre-r13 full-body shape.
+  // Commit cost: O(delta) amortized + O(files/N); cold read: one checkpoint
+  // parse + a KB tail. The CAS protocol is untouched — the delta manifest
+  // IS the commit, still one atomic rename per version.
+
+  /** Full manifests every Nth version bound a reader's resolution walk.
+    * 16 keeps the walk under one dir-listing's worth of KB reads while
+    * amortizing the O(files) checkpoint write to ~6% of commits.
+    * `private[graft]` so the scale rehearsal can stretch chains. */
+  private[graft] var manifestCheckpointInterval: Int = 16
+
+  private def checkpointPath(root: String, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"checkpoint-$v%08d.json")
+
+  /** Resolved-body cache: manifests are immutable (rename-CAS, never
+    * overwritten), so (path, mtime, length) identifies content even across
+    * DROP-tombstone renames and recreate-at-same-root — a fresh file at an
+    * old path differs in mtime/len. Access-ordered LRU; intermediate chain
+    * versions are cached too, so `history` over V versions resolves in
+    * O(V) incremental folds, not O(V·chain). */
+  private val resolvedCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+        size() > 48
+    })
+
+  /** Version `v`'s manifest as a FULL body, resolving the delta-log chain
+    * when needed. The single read-side seam: everything that used to read
+    * the manifest file directly for files/stats/ledger state goes through
+    * here. (Fields a delta carries verbatim — ts, txn — may still be read
+    * raw where scanning many versions: lastTxn, TIMESTAMP AS OF.) */
+  private[graft] def manifestBodyAt(fs: FileSystem, root: String, v: Long): String = {
+    def keyOf(p: Path): (String, Long, Long) = {
+      val st = fs.getFileStatus(p)
+      (p.toString, st.getModificationTime, st.getLen)
+    }
+    val mp = manifestPath(root, v)
+    val key = keyOf(mp)
+    val hit = resolvedCache.get(key)
+    if (hit != null) return hit
+    val body = readManifestBody(fs, mp)
+    if (SnapshotStats.baseFromManifest(body).isEmpty) {
+      resolvedCache.put(key, body); return body
+    }
+    // Delta: walk down collecting the chain until a full manifest, a
+    // vacuum-written checkpoint anchor, or a cached resolution; then fold
+    // forward, memoizing every level. Iterative — no recursion depth bet.
+    val chain = scala.collection.mutable.ArrayBuffer((key, body))
+    var baseBody: String = null
+    var u = v
+    while (baseBody == null) {
+      // A delta for version u resolves against u-1 (base is always the
+      // immediate predecessor). A missing predecessor means vacuum pruned
+      // the chain below — it anchored version u with a checkpoint file
+      // before deleting (see vacuumKeeping), which IS u's full body.
+      u -= 1
+      val pmp = manifestPath(root, u)
+      if (!fs.exists(pmp)) {
+        val acp = checkpointPath(root, u + 1)
+        require(fs.exists(acp),
+          s"manifest $u of $root is gone and version ${u + 1} has no " +
+            "checkpoint anchor; cannot resolve the delta chain")
+        baseBody = readManifestBody(fs, acp)
+        // The anchor subsumes u+1's own delta — drop it from the fold.
+        chain.remove(chain.length - 1)
+      } else {
+        val pkey = keyOf(pmp)
+        val cached = resolvedCache.get(pkey)
+        if (cached != null) baseBody = cached
+        else {
+          val pbody = readManifestBody(fs, pmp)
+          if (SnapshotStats.baseFromManifest(pbody).isEmpty) {
+            resolvedCache.put(pkey, pbody)
+            baseBody = pbody
+          } else chain += ((pkey, pbody))
+        }
+      }
+    }
+    // Fold forward (chain is newest-first), caching each resolved level.
+    var acc = baseBody
+    chain.reverseIterator.foreach { case (k, dbody) =>
+      acc = SnapshotStats.resolveDelta(acc, dbody)
+      resolvedCache.put(k, acc)
+    }
+    acc
+  }
+
+  /** Drop every memoized resolved body — the scale rehearsal's cold-read
+    * lever (a reader process that just started has nothing cached). */
+  private[graft] def clearResolvedCache(): Unit = resolvedCache.clear()
+
+  /** Resolved file list at version `v` (the old `readManifest` shape). */
+  private def filesAt(fs: FileSystem, root: String, v: Long): Seq[String] = {
+    val body = manifestBodyAt(fs, root, v)
+    filesFromBody(body, manifestPath(root, v))
+  }
+
   /** Read the table at its latest committed version (or a pinned `asOf`
     * version — time travel falls out of immutable manifests for free).
     *
@@ -184,7 +315,7 @@ object SnapshotTable {
     val v = asOf.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsOf(spark, root)
-    val body = readManifestBody(fs, manifestPath(root, v))
+    val body = manifestBodyAt(fs, root, v)
     val files = filesFromBody(body, manifestPath(root, v))
     val stats = SnapshotStats.statsFromManifest(body)
     // The manifest's declared schema wins (schema evolution: files written
@@ -208,19 +339,119 @@ object SnapshotTable {
         .getOrElse(spark.read).parquet(files: _*)
       (declared.map(d => fromPhysical(raw, d, mapping)).getOrElse(raw), None)
     } else {
-      val index = new SnapshotFileIndex(spark, new Path(root), stats)
+      // Deletion vectors (round 13): files carrying DV side-cars scan on a
+      // SEPARATE branch with read-time masking — an anti-join against the
+      // (file, pos) side-cars on the parquet row index — and union with
+      // the clean files' index-pruned scan. DV'd files skip manifest-level
+      // pruning (they are few by the write-side threshold, and OPTIMIZE
+      // materializes them back to clean); everything else keeps the full
+      // skipping loop.
+      val (withDv, clean) = stats.partition(_.dv.nonEmpty)
       val dataSchema = declared.map(physSchema(_, mapping))
         .getOrElse(spark.read.parquet(files.head).schema)
-      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index,
-        partitionSchema = new org.apache.spark.sql.types.StructType(),
-        dataSchema = dataSchema,
-        bucketSpec = None,
-        fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        options = Map.empty)(spark)
-      val raw = spark.baseRelationToDataFrame(relation)
-      (declared.map(d => fromPhysical(raw, d, mapping)).getOrElse(raw), Some(index))
+      val indexed =
+        if (clean.isEmpty) None
+        else Some(indexedScan(spark, root, clean, dataSchema))
+      val index = indexed.map(_._2)
+      val cleanRaw = indexed.map(_._1)
+      val raw =
+        if (withDv.isEmpty) cleanRaw.get
+        else {
+          val maskedRaw = maskedScan(spark, withDv, dataSchema)
+          cleanRaw.map(_.unionAll(maskedRaw)).getOrElse(maskedRaw)
+        }
+      (declared.map(d => fromPhysical(raw, d, mapping)).getOrElse(raw), index)
     }
+  }
+
+  /** Manifest-stats-indexed scan over `entries` (physical names): the
+    * [[SnapshotFileIndex]]-served relation whose planning prunes whole
+    * files from the per-file bounds/blooms. */
+  private def indexedScan(spark: SparkSession, root: String,
+                          entries: Seq[SnapshotStats.FileStats],
+                          dataSchema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, SnapshotFileIndex) = {
+    val ix = new SnapshotFileIndex(spark, new Path(root), entries)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      ix,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+    (spark.baseRelationToDataFrame(relation), ix)
+  }
+
+  /** Physical-name scan of DV-carrying entries with deleted positions
+    * masked out: parquet row index + file path from the `_metadata`
+    * column, broadcast anti-join against the union of the entries' DV
+    * side-cars. Side-cars are KB-sized by the write threshold, so the
+    * probe build is a broadcast, never a shuffle. `fileCol`, when set,
+    * lands the row's source file path as an extra output column. */
+  private def maskedScan(spark: SparkSession,
+                         entries: Seq[SnapshotStats.FileStats],
+                         dataSchema: org.apache.spark.sql.types.StructType,
+                         fileCol: Option[String] = None,
+                         posCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val scan = spark.read.schema(dataSchema).parquet(entries.map(_.path): _*)
+      .withColumn("__gf_file", col("_metadata.file_path"))
+      .withColumn("__gf_pos", col("_metadata.row_index"))
+    val dv = spark.read.parquet(entries.flatMap(_.dv).distinct: _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val masked = scan.join(broadcast(dv),
+      scan("__gf_file") === dv("__dv_file") && scan("__gf_pos") === dv("__dv_pos"),
+      "left_anti")
+    masked.select((dataSchema.fieldNames.map(masked(_)) ++
+      fileCol.map(c => masked("__gf_file").as(c)) ++
+      posCol.map(c => masked("__gf_pos").as(c))).toIndexedSeq: _*)
+  }
+
+  /** Entry-list scan on PHYSICAL names with DV masking — the read every
+    * DML/maintenance path uses for the files it touches (a direct
+    * `spark.read.parquet(paths)` would RESURRECT rows a deletion vector
+    * masked). `fileCol`, when set, carries each row's source file from
+    * parquet's `_metadata` — resolved AT THE SCAN, which stays correct
+    * past the DV anti-join where `input_file_name()` is fragile. */
+  private def scanEntriesPhys(spark: SparkSession,
+                              entries: Seq[SnapshotStats.FileStats],
+                              dataSchema: org.apache.spark.sql.types.StructType,
+                              fileCol: Option[String] = None,
+                              posCol: Option[String] = None): DataFrame = {
+    require(entries.nonEmpty, "scanEntriesPhys needs at least one entry")
+    import org.apache.spark.sql.functions.col
+    val (withDv, clean) = entries.partition(_.dv.nonEmpty)
+    val keep = dataSchema.fieldNames.toSeq ++ fileCol ++ posCol
+    val parts = Seq(
+      if (clean.isEmpty) None
+      else {
+        val df0 = spark.read.schema(dataSchema).parquet(clean.map(_.path): _*)
+        val df1 = fileCol.map(c =>
+          df0.withColumn(c, col("_metadata.file_path"))).getOrElse(df0)
+        val df = posCol.map(c =>
+          df1.withColumn(c, col("_metadata.row_index"))).getOrElse(df1)
+        Some(df.select(keep.map(df.col): _*))
+      },
+      if (withDv.isEmpty) None
+      else Some(maskedScan(spark, withDv, dataSchema, fileCol, posCol))
+    ).flatten
+    parts.reduce(_ unionAll _)
+  }
+
+  /** [[scanEntriesPhys]] projected onto the LOGICAL schema (the
+    * fromPhysical step, keeping `fileCol` when requested). */
+  private def readEntries(spark: SparkSession,
+                          entries: Seq[SnapshotStats.FileStats],
+                          schema: org.apache.spark.sql.types.StructType,
+                          mapping: Map[String, String],
+                          fileCol: Option[String] = None,
+                          posCol: Option[String] = None): DataFrame = {
+    val phys = scanEntriesPhys(spark, entries, physSchema(schema, mapping),
+      fileCol, posCol)
+    if (mapping.isEmpty) phys
+    else phys.select((schema.fields.map(f =>
+      phys.col(physName(mapping, f.name)).as(f.name)).toSeq ++
+      fileCol.map(phys.col) ++ posCol.map(phys.col)).toIndexedSeq: _*)
   }
 
   /** Commit `df` as the next version; returns the committed version.
@@ -230,9 +461,10 @@ object SnapshotTable {
     * side-car parquet under `cdc-<v>-<token>/` and lists them in the
     * manifest — the Delta-CDF shape [[changesDelta]] consumes. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             cdc: Option[(DataFrame, DataFrame)] = None): Long =
+             cdc: Option[(DataFrame, DataFrame)] = None,
+             declareClusterBy: Option[Seq[String]] = None): Long =
     commitAt(spark, root, currentVersion(spark, root).map(_ + 1).getOrElse(0L),
-      df, cdc = cdc)
+      df, cdc = cdc, declareClusterBy = declareClusterBy)
 
   /** Commit with the rows range-clustered on `clusterBy`: each output file
     * owns a disjoint key range (`repartitionByRange` + an in-file sort), so
@@ -246,7 +478,8 @@ object SnapshotTable {
     require(clusterBy.nonEmpty, "commitClustered needs at least one cluster column")
     val cols = clusterBy.map(df.col)
     commit(spark, root,
-      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      declareClusterBy = Some(clusterBy))
   }
 
   /** Commit with MULTI-dimension clustering: each row maps to a z-value —
@@ -311,7 +544,7 @@ object SnapshotTable {
   private def currentEntries(spark: SparkSession, root: String,
                              v: Long): Seq[SnapshotStats.FileStats] = {
     val fs = fsOf(spark, root)
-    val body = readManifestBody(fs, manifestPath(root, v))
+    val body = manifestBodyAt(fs, root, v)
     val files = filesFromBody(body, manifestPath(root, v))
     val stats = SnapshotStats.statsFromManifest(body)
     if (stats.map(_.path).sorted == files.sorted) stats
@@ -333,7 +566,9 @@ object SnapshotTable {
         case _ => None
       }).sorted.reverse
       .iterator
-      .map(v => SnapshotStats.txnFromManifest(readManifestBody(fs, manifestPath(root, v))))
+      // txn rides verbatim in delta manifests — raw read, no resolution.
+      .map(v => SnapshotStats.txnFromManifest(
+        readManifestBody(fs, manifestPath(root, v))))
       .collectFirst { case Some((a, b)) if a == appId => b }
   }
 
@@ -351,6 +586,7 @@ object SnapshotTable {
         case _ => None
       }).sorted.reverse
       .find(v => SnapshotStats
+        // txn rides verbatim in delta manifests — raw read suffices.
         .txnFromManifest(readManifestBody(fs, manifestPath(root, v)))
         .contains((appId, batchId)))
   }
@@ -420,14 +656,14 @@ object SnapshotTable {
   /** Logical → physical (non-identity entries only) at version `v`. */
   private def mappingOf(spark: SparkSession, root: String, v: Long): Map[String, String] =
     SnapshotStats.mappingFromManifest(
-      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+      manifestBodyAt(fsOf(spark, root), root, v))
 
   /** Every physical name ever assigned at or before `v`. Pre-mapping
     * manifests carry none, so the set is SEEDED from the declared schema's
     * physical names plus the tombstoned names — exactly the names whose
     * bytes may still live in retained files. */
   private def usedPhysOf(spark: SparkSession, root: String, v: Long): Seq[String] =
-    usedPhysOfBody(readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+    usedPhysOfBody(manifestBodyAt(fsOf(spark, root), root, v))
 
   private def usedPhysOfBody(body: String): Seq[String] = {
     val recorded = SnapshotStats.usedPhysFromManifest(body)
@@ -516,7 +752,7 @@ object SnapshotTable {
   private def schemaOf(spark: SparkSession, root: String, v: Long)
       : org.apache.spark.sql.types.StructType = {
     val fs = fsOf(spark, root)
-    val body = readManifestBody(fs, manifestPath(root, v))
+    val body = manifestBodyAt(fs, root, v)
     SnapshotStats.schemaFromManifest(body).getOrElse(
       spark.read.parquet(filesFromBody(body, manifestPath(root, v)).head).schema)
   }
@@ -524,23 +760,82 @@ object SnapshotTable {
   /** Version `v`'s tombstoned column names. */
   private def droppedOf(spark: SparkSession, root: String, v: Long): Set[String] =
     SnapshotStats.droppedFromManifest(
-      readManifestBody(fsOf(spark, root), manifestPath(root, v))).toSet
+      manifestBodyAt(fsOf(spark, root), root, v)).toSet
 
   /** Version `v`'s COPY INTO loaded-file ledger. */
   private def ingestedOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     SnapshotStats.ingestedFromManifest(
-      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+      manifestBodyAt(fsOf(spark, root), root, v))
+
+  /** Version `v`'s declared clustering columns (round 13). */
+  private def clusterByOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    SnapshotStats.clusterByFromManifest(
+      manifestBodyAt(fsOf(spark, root), root, v))
 
   /** Version `v`'s bloom-indexed column config. */
   private def bloomOnOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     SnapshotStats.bloomOnFromManifest(
-      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+      manifestBodyAt(fsOf(spark, root), root, v))
 
   /** Version `v`'s named CHECK constraints. */
   private def constraintsOf(spark: SparkSession, root: String,
                             v: Long): Map[String, String] =
     SnapshotStats.constraintsFromManifest(
-      readManifestBody(fsOf(spark, root), manifestPath(root, v)))
+      manifestBodyAt(fsOf(spark, root), root, v))
+
+  /** Build the body one commit writes: a DELTA manifest when a usable base
+    * exists and the delta is actually smaller, else a FULL manifest (the
+    * in-line checkpoint). Full is forced when:
+    *   - `target` is 0 (no base) or falls on the checkpoint cadence;
+    *   - the predecessor is missing, pre-dates per-file stats (a delta
+    *     would re-base onto entries with no bounds), or — impossible by
+    *     construction, checked anyway — its stats don't cover its files;
+    *   - the COPY ledger SHRANK (restore rewinding it — deltas only add);
+    *   - add+remove counts reach the base's file count (restore/recluster
+    *     replacing everything: the "delta" would be bigger than full).
+    * Every full manifest resets the resolution chain, so opportunistic
+    * fulls are always safe. */
+  private def buildCommitBody(fs: FileSystem, root: String, target: Long,
+                              entries: Seq[SnapshotStats.FileStats],
+                              txn: Option[(String, Long)],
+                              cdcPaths: Option[SnapshotStats.Cdc],
+                              schemaJson: Option[String],
+                              dropped: Seq[String], bloomOn: Seq[String],
+                              constraints: Map[String, String],
+                              mapping: Map[String, String],
+                              usedPhys: Seq[String],
+                              ingested: Seq[String],
+                              clusterBy: Seq[String] = Nil): String = {
+    def full = SnapshotStats.manifestJson(target, entries, txn, cdcPaths,
+      schemaJson, dropped, bloomOn, constraints, mapping, usedPhys, ingested,
+      clusterBy = clusterBy)
+    val interval = math.max(1, manifestCheckpointInterval)
+    if (target == 0L || target % interval == 0L ||
+        !fs.exists(manifestPath(root, target - 1))) return full
+    val prevBody = manifestBodyAt(fs, root, target - 1)
+    val prevStats = SnapshotStats.statsFromManifest(prevBody)
+    val prevFiles = filesFromBody(prevBody, manifestPath(root, target - 1))
+    if (prevStats.map(_.path).sorted != prevFiles.sorted) return full
+    val prevIngested = SnapshotStats.ingestedFromManifest(prevBody)
+    if (!prevIngested.forall(ingested.contains)) return full
+    val prevByPath = prevStats.map(e => e.path -> e).toMap
+    val entryPaths = entries.map(_.path).toSet
+    // A carried file whose entry CHANGED (never happens today — carried
+    // entries are the parsed predecessor entries verbatim) would serialize
+    // as remove+add: resolution applies removals first, so the path nets
+    // to the new stats.
+    val add = entries.filter(e => !prevByPath.get(e.path).contains(e))
+    val removePaths = prevStats.map(_.path).filterNot(entryPaths)
+    // No carried entry ⇒ the delta would serialize stats for EVERY listed
+    // file anyway (restore/recluster/compact-all): full costs the same and
+    // resets the resolution chain for free.
+    if (add.length >= entries.length && entries.nonEmpty) return full
+    SnapshotStats.deltaManifestJson(target, target - 1, add, removePaths,
+      ingestedAdd = ingested.filterNot(prevIngested.toSet),
+      txn = txn, cdc = cdcPaths, schemaJson = schemaJson,
+      dropped = dropped, bloomOn = bloomOn, constraints = constraints,
+      mapping = mapping, usedPhys = usedPhys, clusterBy = clusterBy)
+  }
 
   /** One CAS attempt at a METADATA-ONLY commit (no data written): used by
     * dropColumn / restore / setBloomColumns / constraint ops. Returns true
@@ -554,7 +849,8 @@ object SnapshotTable {
                             mapping: Map[String, String],
                             usedPhys: Seq[String],
                             cdc: Option[(DataFrame, DataFrame)] = None,
-                            ingested: Option[Seq[String]] = None): Boolean = {
+                            ingested: Option[Seq[String]] = None,
+                            clusterBy: Option[Seq[String]] = None): Boolean = {
     val fs = fsOf(spark, root)
     // COPY INTO's loaded-file ledger inherits like tombstones unless the
     // caller pins an exact set (restore rewinds it with the file set;
@@ -563,8 +859,15 @@ object SnapshotTable {
       if (target == 0L) Nil
       else if (fs.exists(manifestPath(root, target - 1)))
         SnapshotStats.ingestedFromManifest(
-          readManifestBody(fs, manifestPath(root, target - 1)))
+          manifestBodyAt(fs, root, target - 1))
       else Nil)
+    // Declared clustering inherits like the ledger (no metadata-only
+    // commit changes the layout declaration) unless the caller declares
+    // one — the `CREATE TABLE ... CLUSTER BY` bootstrap (round 13).
+    val clusterByEff = clusterBy.getOrElse(
+      if (target == 0L || !fs.exists(manifestPath(root, target - 1))) Nil
+      else SnapshotStats.clusterByFromManifest(
+        manifestBodyAt(fs, root, target - 1)))
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     // Optional row-level change sets (restoreWithCdc): side-cars land
     // before the manifest rename, exactly like commitAt's, and a CAS loss
@@ -580,10 +883,10 @@ object SnapshotTable {
       }
       (writeSide("add", addDf), writeSide("remove", removeDf))
     }
-    val body = SnapshotStats.manifestJson(target, entries, cdc = cdcPaths,
-      schemaJson = Some(schema.json), dropped = dropped, bloomOn = bloomOn,
-      constraints = constraints, mapping = mapping, usedPhys = usedPhys,
-      ingested = ingestedEff)
+    val body = buildCommitBody(fs, root, target, entries, txn = None,
+      cdcPaths = cdcPaths, schemaJson = Some(schema.json), dropped = dropped,
+      bloomOn = bloomOn, constraints = constraints, mapping = mapping,
+      usedPhys = usedPhys, ingested = ingestedEff, clusterBy = clusterByEff)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, f".manifest-$target%08d-$token.json.tmp")
@@ -868,27 +1171,37 @@ object SnapshotTable {
                             tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
                             meta: Option[(Map[String, String], Seq[String])] = None,
                             ingestedAdd: Seq[String] = Nil,
-                            rebase: Option[RebaseSpec] = None): Long = {
+                            rebase: Option[RebaseSpec] = None,
+                            declareClusterBy: Option[Seq[String]] = None): Long = {
     val fs = fsOf(spark, root)
     // Column-mapping metadata: explicit from an evolving caller
     // (appendOnce/upsert assigning fresh physical ids), else inherited
     // from the predecessor manifest like tombstones/blooms/constraints.
-    val (inherited, bloomOn, constraints, prevMapping, prevUsed, prevIngested) =
+    val (inherited, bloomOn, constraints, prevMapping, prevUsed, prevIngested,
+         prevClusterBy, prevFileCount) =
       if (v == 0L) (Nil, Nil, Map.empty[String, String], Map.empty[String, String],
-        Nil, Nil)
+        Nil, Nil, Nil, 0)
       else {
         val prev = manifestPath(root, v - 1)
         if (fs.exists(prev)) {
-          val pb = readManifestBody(fs, prev)
+          val pb = manifestBodyAt(fs, root, v - 1)
           (SnapshotStats.droppedFromManifest(pb),
             SnapshotStats.bloomOnFromManifest(pb),
             SnapshotStats.constraintsFromManifest(pb),
             SnapshotStats.mappingFromManifest(pb),
             usedPhysOfBody(pb),
-            SnapshotStats.ingestedFromManifest(pb))
+            SnapshotStats.ingestedFromManifest(pb),
+            SnapshotStats.clusterByFromManifest(pb),
+            filesFromBody(pb, prev).length)
         } else (Nil, Nil, Map.empty[String, String],
-          Map.empty[String, String], Nil, Nil)
+          Map.empty[String, String], Nil, Nil, Nil, 0)
       }
+    // Declared clustering: an explicit declaration (commitClustered /
+    // recluster / CTAS CLUSTER BY) records itself; everything else
+    // inherits. DML rewrites RE-SORT their new files on the inherited
+    // columns below — N merge waves must not decay the layout that
+    // file-skipping selectivity rests on (round 13, VERDICT r12 #3).
+    val clusterByEff = declareClusterBy.getOrElse(prevClusterBy)
     // COPY INTO ledger: accumulated monotonically like tombstones, plus
     // this commit's newly-loaded identities (copyInto's `ingestedAdd`).
     val ingested = (prevIngested ++ ingestedAdd).distinct.sorted
@@ -905,8 +1218,31 @@ object SnapshotTable {
     val snapDir = new Path(root, f"snap-$v%08d-$token")
     val cdcDir = new Path(root, f"cdc-$v%08d-$token")
     // Data files speak PHYSICAL names (identity — and a no-op — unless the
-    // table has renamed/re-added columns).
-    toPhysical(df, mapping).write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
+    // table has renamed/re-added columns). An INHERITED clustering
+    // declaration re-clusters this commit's rows (round 13, VERDICT r12
+    // #3): range-partition + in-file sort on the declared columns, so N
+    // DML waves of rewrites don't decay the per-file bounds that
+    // file-skipping selectivity rests on. The shuffle is DELTA-sized —
+    // commits carry only their own rewrite/append rows, never the table —
+    // and AQE coalesces the range partitions back to size. An EXPLICIT
+    // declaration means the caller already laid the data out.
+    val dfSorted =
+      if (declareClusterBy.isEmpty && clusterByEff.nonEmpty &&
+          clusterByEff.forall(c => df.columns.exists(_.equalsIgnoreCase(c)))) {
+        val cols = clusterByEff.map(df.col(_))
+        // Rewrite-shaped commit (some prev files are being replaced):
+        // range-partition to the REPLACED file count explicitly — the
+        // range partitioner's quantile boundaries keep per-file key
+        // ranges disjoint, and pinning N stops AQE folding scattered
+        // ranges into one wide-bounds file. Append-shaped commit: let
+        // the range shuffle auto-size (AQE packs by bytes).
+        val removed = math.max(0, prevFileCount - carry.length)
+        val ranged =
+          if (removed > 0) df.repartitionByRange(removed, cols: _*)
+          else df.repartitionByRange(cols: _*)
+        ranged.sortWithinPartitions(cols: _*)
+      } else df
+    toPhysical(dfSorted, mapping).write.mode(SaveMode.ErrorIfExists).parquet(snapDir.toString)
     // Row-level change sets (when recorded) land BEFORE the manifest CAS —
     // like the snapshot data, they become visible only when the manifest
     // naming them does, and a crashed attempt leaves only an invisible
@@ -1002,9 +1338,9 @@ object SnapshotTable {
     // REBASE proves the conflict is physical-only (below).
     def casManifest(target: Long, entries: Seq[SnapshotStats.FileStats],
                     ingestedSet: Seq[String]): Boolean = {
-      val body = SnapshotStats.manifestJson(target, entries, txn, cdcPaths,
+      val body = buildCommitBody(fs, root, target, entries, txn, cdcPaths,
         Some(logicalSchema.json), inherited, bloomOn, constraints,
-        mapping, usedPhys, ingestedSet)
+        mapping, usedPhys, ingestedSet, clusterBy = clusterByEff)
       val tmp = new Path(mdir, f".manifest-$target%08d-$token.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1048,7 +1384,7 @@ object SnapshotTable {
           val w = currentVersion(spark, root).getOrElse(-1L)
           if (w < v) { giveUp = true; None }
           else {
-            val winnerBody = readManifestBody(fs, manifestPath(root, w))
+            val winnerBody = manifestBodyAt(fs, root, w)
             // Schema gate: same names and types, and OUR declaration at
             // least as nullable as the winner's everywhere (DML commits
             // widen nullability to what their when()-projections produce;
@@ -1064,13 +1400,20 @@ object SnapshotTable {
             val winnerEntries = SnapshotStats.statsFromManifest(winnerBody)
             val winnerFiles = filesFromBody(winnerBody, manifestPath(root, w))
             val winnerByNorm = winnerEntries.map(e => norm(e.path) -> e).toMap
+            val baseEntries = currentEntries(spark, root, spec.baseVersion)
+            val baseByNorm = baseEntries.map(e => norm(e.path) -> e).toMap
+            // Touched files must survive with their BASE entries VERBATIM
+            // (round 13 tightening): mere path presence would let a
+            // winner's deletion-vector addition on the same file be
+            // silently dropped by the re-CAS — an entry-level conflict,
+            // not just a file-level one.
             if (!sameMeta ||
                 winnerEntries.map(_.path).sorted != winnerFiles.sorted ||
-                !spec.removedPaths.forall(winnerByNorm.contains)) {
+                !spec.removedPaths.forall(p =>
+                  winnerByNorm.get(p).exists(baseByNorm.get(p).contains))) {
               giveUp = true; None
             } else {
-              val basePaths = currentEntries(spark, root, spec.baseVersion)
-                .map(e => norm(e.path)).toSet
+              val basePaths = baseByNorm.keySet
               val newOnes = winnerEntries.filterNot(e => basePaths(norm(e.path)))
               val pred = spec.predicate()
               val safe = pred.isDefined && newOnes.forall(e =>
@@ -1108,7 +1451,8 @@ object SnapshotTable {
     * LIMIT 0`, main.py:369-373; this is that without writing a byte).
     * The first append/upsert evolves from it like any other version. */
   def commitEmpty(spark: SparkSession, root: String,
-                  schema: org.apache.spark.sql.types.StructType): Long = {
+                  schema: org.apache.spark.sql.types.StructType,
+                  clusterBy: Seq[String] = Nil): Long = {
     require(currentVersion(spark, root).isEmpty,
       s"commitEmpty on an existing table at $root")
     // Declared fully NULLABLE: literal-derived bootstrap schemas carry
@@ -1116,7 +1460,8 @@ object SnapshotTable {
     // join/when projection is nullable by construction.
     if (!tryCommitMeta(spark, root, 0L, Nil,
         asNullableType(schema).asInstanceOf[org.apache.spark.sql.types.StructType],
-        Nil, Nil, Map.empty, Map.empty, Nil))
+        Nil, Nil, Map.empty, Map.empty, Nil,
+        clusterBy = if (clusterBy.isEmpty) None else Some(clusterBy)))
       throw new ConcurrentWriteException(
         s"version 0 at $root was committed by a concurrent writer")
     0L
@@ -1263,27 +1608,38 @@ object SnapshotTable {
     pins.foreach { case (r, pv) => registerSubscriber(spark, r, subId, pv) }
     val tfs = fsOf(spark, targetRoot)
     val marker = cloneMarker(targetRoot)
-    tfs.mkdirs(marker.getParent)
-    val pinsJson = pins.map { case (r, pv) =>
-      s"""{"root":${jsonStr(r)},"version":$pv}""" }.mkString("[", ",", "]")
-    val out = tfs.create(marker, true)
-    try out.write(
-      (s"""{"source":${jsonStr(srcNorm)},"version":$v,""" +
-        s""""subscriber":${jsonStr(subId)},"pins":$pinsJson}""").getBytes("UTF-8"))
-    finally out.close()
-    if (!tryCommitMeta(spark, targetRoot, 0L,
-        currentEntries(spark, sourceRoot, v),
-        schemaOf(spark, sourceRoot, v),
-        droppedOf(spark, sourceRoot, v).toSeq.sorted,
-        bloomOnOf(spark, sourceRoot, v),
-        constraintsOf(spark, sourceRoot, v),
-        mappingOf(spark, sourceRoot, v),
-        usedPhysOf(spark, sourceRoot, v),
-        ingested = Some(ingestedOf(spark, sourceRoot, v)))) {
-      pins.foreach { case (r, _) => unregisterSubscriber(spark, r, subId) }
-      tfs.delete(marker, false)
-      throw new ConcurrentWriteException(
-        s"version 0 at $targetRoot was committed by a concurrent writer")
+    // Pins (and the marker) must not outlive a FAILED clone (ADVICE r12):
+    // an exception anywhere past registration — the marker write, re-reading
+    // a concurrently-vacuumed source version while building the commit, any
+    // FS error — would otherwise leak the watermark and clamp the source's
+    // vacuum indefinitely. One catch-all: undo, then rethrow.
+    try {
+      tfs.mkdirs(marker.getParent)
+      val pinsJson = pins.map { case (r, pv) =>
+        s"""{"root":${jsonStr(r)},"version":$pv}""" }.mkString("[", ",", "]")
+      val out = tfs.create(marker, true)
+      try out.write(
+        (s"""{"source":${jsonStr(srcNorm)},"version":$v,""" +
+          s""""subscriber":${jsonStr(subId)},"pins":$pinsJson}""").getBytes("UTF-8"))
+      finally out.close()
+      if (!tryCommitMeta(spark, targetRoot, 0L,
+          currentEntries(spark, sourceRoot, v),
+          schemaOf(spark, sourceRoot, v),
+          droppedOf(spark, sourceRoot, v).toSeq.sorted,
+          bloomOnOf(spark, sourceRoot, v),
+          constraintsOf(spark, sourceRoot, v),
+          mappingOf(spark, sourceRoot, v),
+          usedPhysOf(spark, sourceRoot, v),
+          ingested = Some(ingestedOf(spark, sourceRoot, v))))
+        throw new ConcurrentWriteException(
+          s"version 0 at $targetRoot was committed by a concurrent writer")
+    } catch {
+      case t: Throwable =>
+        try {
+          pins.foreach { case (r, _) => unregisterSubscriber(spark, r, subId) }
+          tfs.delete(marker, false)
+        } catch { case c: Throwable => t.addSuppressed(c) }
+        throw t
     }
     0L
   }
@@ -1396,8 +1752,15 @@ object SnapshotTable {
       .filter(st => matcher.forall(_.matches(
         java.nio.file.Paths.get(st.getPath.getName))))
       .sortBy(_.getPath.toString)
+    // Identity = path@length@mtime (ADVICE r12): length alone treats a
+    // landing file overwritten IN PLACE with same-sized different content
+    // as already loaded — mtime catches it (Databricks COPY INTO keys on
+    // modification time too). Trade-off, documented: a byte-identical
+    // re-upload that only touches mtime re-loads; that duplicates rows
+    // visibly, where the length-only miss silently DROPS data — the right
+    // side to err on for an ingest ledger.
     def identity(st: org.apache.hadoop.fs.FileStatus): String =
-      s"${st.getPath.toUri.getPath}@${st.getLen}"
+      s"${st.getPath.toUri.getPath}@${st.getLen}@${st.getModificationTime}"
     var attempt = 0
     while (true) {
       val v = currentVersion(spark, root).getOrElse(
@@ -1842,7 +2205,17 @@ object SnapshotTable {
         val hasMatchedArms = matchedChain.nonEmpty ||
           matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
           insertChain.nonEmpty || notMatchedInsert.nonEmpty
-        val withFile = cur.withColumn("__file", input_file_name())
+        val allE = currentEntries(spark, root, v)
+        // File attribution from `_metadata` at the scan (round 13): the
+        // key-join probe never pruned files statically anyway, and
+        // `input_file_name()` is not reliable past the DV mask join.
+        // Files-less table (CREATE TABLE bootstrap): no rows, no files.
+        val withFile =
+          if (allE.isEmpty)
+            cur.withColumn("__file", lit(null).cast(
+              org.apache.spark.sql.types.StringType))
+          else readEntries(spark, allE, schema0,
+            mappingOf(spark, root, v), fileCol = Some("__file"))
         val touchedMatched =
           if (!hasMatchedArms) Set.empty[String]
           else {
@@ -1887,22 +2260,20 @@ object SnapshotTable {
         // (a metadata-weight commit carrying every file).
         if (touched.isEmpty && notMatchedInsert.isEmpty && insertChain.isEmpty &&
             !(evolve && schema != schema0)) return v
-        val (touchedE, keptE) =
-          currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
+        val (touchedE, keptE) = allE.partition(e => touched(norm(e.path)))
         // Declared schema, like delete/update: evolved tables mix file
         // schemas and the rewrite must not regress the manifest. Files
         // speak physical names (the EVOLVED mapping is a superset of the
         // stored one, and a new column's physical name is simply absent
         // from pre-evolution files → NULL); the merge runs on the
-        // logical projection.
+        // logical projection. DV masking applies: a rewrite of a DV'd
+        // file must not resurrect its masked rows.
         val mapping = meta.map(_._1).getOrElse(mappingOf(spark, root, v))
         val targetRows =
           if (touchedE.isEmpty) cur.limit(0).select(
             schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
             .limit(0)
-          else fromPhysical(
-            spark.read.schema(physSchema(schema, mapping))
-              .parquet(touchedE.map(_.path): _*), schema, mapping)
+          else readEntries(spark, touchedE, schema, mapping)
         // SQL cardinality rule (round 12 late): when a matched arm can
         // fire, MULTIPLE source rows matching ONE target row is an error
         // (the full-outer join would otherwise silently duplicate the
@@ -2010,8 +2381,53 @@ object SnapshotTable {
     * row is refused (an empty snapshot has no schema-bearing files; drop
     * the table instead — the reference's own delete path is
     * `client.delete_table`, never an empty table). */
+  /** Files of version-`v` entries holding a predicate-matching row
+    * (normalized paths): CLEAN files through the caller's skipping read +
+    * `input_file_name()` (manifest bounds prune the probe), DV-carrying
+    * files through the masked scan's own `_metadata`-sourced file column —
+    * `input_file_name()` downstream of the mask join is not a contract,
+    * and a missed file is a silent under-DML. */
+  private def touchedFilesByPredicate(spark: SparkSession, root: String,
+      cur: DataFrame, allE: Seq[SnapshotStats.FileStats],
+      schema: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String], predicate: Column): Set[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val dvE = allE.filter(_.dv.nonEmpty)
+    val cleanE = allE.filter(_.dv.isEmpty)
+    // No DVs anywhere: `cur` IS the single-source indexed scan —
+    // input_file_name() is valid and the probe file-skips. With DVs in
+    // play, `cur` is a union (multi-source refuses input_file_name):
+    // probe the clean entries on their OWN indexed scan, same skipping.
+    val cleanProbe: Option[DataFrame] =
+      if (dvE.isEmpty) Some(cur)
+      else if (cleanE.isEmpty) None
+      else {
+        val raw = indexedScan(spark, root, cleanE, physSchema(schema, mapping))._1
+        Some(fromPhysical(raw, schema, mapping))
+      }
+    val clean = cleanProbe.map(_.filter(predicate).select(input_file_name())
+      .distinct().collect().map(r => norm(r.getString(0))).toSet)
+      .getOrElse(Set.empty[String])
+    val viaDv =
+      if (dvE.isEmpty) Set.empty[String]
+      else readEntries(spark, dvE, schema, mapping, fileCol = Some("__gf_file"))
+        .filter(predicate).select(col("__gf_file"))
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+    (clean ++ viaDv).intersect(allE.map(e => norm(e.path)).toSet)
+  }
+
+  /** Fraction of the TOUCHED files' physical rows below which a delete
+    * writes a deletion vector instead of rewriting the files (round 13,
+    * VERDICT r12 #2). 0 disables DVs (always copy-on-write). */
+  private[graft] var dvMaxFraction: Double = 0.05
+
+  /** Absolute cap on positions in one delete's DV side-car — beyond it
+    * the side-car stops being broadcast-cheap and a rewrite is honest. */
+  private[graft] var dvMaxRows: Long = 1000000L
+
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
     def norm(p: String): String = new Path(p).toUri.getPath
     var attempt = 0
     while (true) {
@@ -2019,11 +2435,17 @@ object SnapshotTable {
         throw new IllegalStateException(
           s"delete on a table with no committed version at $root"))
       val cur = read(spark, root, Some(v))
+      val allE = currentEntries(spark, root, v)
       // Filter keeps only TRUE rows (NULL drops), which IS the delete-match
       // set — and the bare predicate (no null-handling wrapper) stays
       // pushable, so this scan file-skips off the manifest bounds.
-      val touched = cur.filter(predicate).select(input_file_name())
-        .distinct().collect().map(r => norm(r.getString(0))).toSet
+      // DV-carrying entries are probed SEPARATELY through the masked scan's
+      // own file column: input_file_name() downstream of the mask join is
+      // not a contract, and a missed file here is a silent under-delete.
+      val schema = schemaOf(spark, root, v)
+      val mapping = mappingOf(spark, root, v)
+      val touched = touchedFilesByPredicate(spark, root, cur, allE, schema, mapping,
+        predicate)
       if (touched.isEmpty) return v
       // The optimized (constant-folded) filter condition, for the CAS-loss
       // rebase check: a winner-appended file whose bounds cannot match it
@@ -2034,18 +2456,66 @@ object SnapshotTable {
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }
-      val (touchedE, keptE) =
-        currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
+      val (touchedE, keptE) = allE.partition(e => touched(norm(e.path)))
+      // ---- merge-on-read branch: point deletes write a DV side-car ------
+      //
+      // A 1-row DELETE on copy-on-write rewrites its whole ~128 MB file —
+      // at 100 TB, scattered point deletes (the GDPR shape) turn into
+      // file rewrites for every hit. When the matched rows are a small
+      // fraction of the touched files' rows, record their (file, pos)
+      // positions as a KB-sized parquet side-car instead: the commit is
+      // metadata + side-car only, ZERO data files written; the read path
+      // masks; OPTIMIZE materializes. Exact same answers either way —
+      // `DeletionVectorSpec` pins hash equality between the branches.
+      val touchedPhysRows = touchedE.map(e => e.rows - e.dvRows).sum
+      val dvEligible = dvMaxFraction > 0 && touchedE.forall(_.rows > 0) &&
+        touchedPhysRows > 0
+      var dvCasLost = false
+      if (dvEligible) {
+        val hits = readEntries(spark, touchedE, schema, mapping,
+          fileCol = Some("__gf_file"), posCol = Some("__gf_pos"))
+          .filter(predicate)
+          .localCheckpoint() // one scan serves count + side-car + CDC
+        val matched = hits.count()
+        if (matched > 0 && matched <= dvMaxRows &&
+            matched.toDouble <= dvMaxFraction * touchedPhysRows) {
+          val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+          val target = v + 1
+          val fs = fsOf(spark, root)
+          val dvDir = new Path(root, f"dv-$target%08d-$token")
+          hits.select(col("__gf_file").as("file"), col("__gf_pos").as("pos"))
+            .coalesce(1)
+            .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
+          val perFile = hits.groupBy(col("__gf_file")).count().collect()
+            .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+          val newTouched = touchedE.map(e => e.copy(
+            dv = e.dv :+ dvDir.toString,
+            dvRows = e.dvRows + perFile.getOrElse(norm(e.path), 0L)))
+          val preImages = hits.drop("__gf_file", "__gf_pos")
+          if (tryCommitMeta(spark, root, target, keptE ++ newTouched, schema,
+              droppedOf(spark, root, v).toSeq.sorted, bloomOnOf(spark, root, v),
+              constraintsOf(spark, root, v), mapping, usedPhysOf(spark, root, v),
+              cdc = Some((preImages.limit(0), preImages)))) return target
+          // CAS lost: remove the orphan side-car and re-derive against the
+          // winner (the loop re-reads everything, like the rewrite path).
+          fs.delete(dvDir, true)
+          attempt += 1
+          if (attempt >= 3) throw new ConcurrentWriteException(
+            s"delete(DV) lost the version race at $root 3 times")
+          dvCasLost = true // loop re-reads the winner's state
+        } else if (matched == 0) return v
+        // else: too many hits for a DV — fall through to the rewrite
+      }
+      if (!dvCasLost) {
+      // ---- copy-on-write branch (the pre-r13 path) ----------------------
       // Read with the DECLARED schema: on an evolved table a touched
       // pre-evolution file lacks the new columns and must fill NULL, and
       // the rewrite must land with the full schema or the commit's
       // manifest would regress the table to the touched file's footer.
       // Physical names on disk; logical projection for the predicate.
-      val schema = schemaOf(spark, root, v)
-      val mapping = mappingOf(spark, root, v)
-      val touchedRows = fromPhysical(
-        spark.read.schema(physSchema(schema, mapping))
-          .parquet(touchedE.map(_.path): _*), schema, mapping)
+      // DV masking applies — a rewrite of a DV'd file must not resurrect
+      // its masked rows.
+      val touchedRows = readEntries(spark, touchedE, schema, mapping)
       // keep = NOT TRUE (so NULL keeps): the wrapper is fine here, this
       // plan only ever reads the already-pruned touched files.
       val rewritten = touchedRows.filter(not(coalesce(predicate, lit(false))))
@@ -2057,10 +2527,8 @@ object SnapshotTable {
       // probe of the kept files themselves (ADVICE r9) — otherwise a
       // legitimate delete that merely empties the touched files would be
       // wrongly refused on such a table.
-      val keptEmpty = keptE.map(_.rows).sum == 0 &&
-        (keptE.isEmpty ||
-          spark.read.schema(physSchema(schema, mapping))
-            .parquet(keptE.map(_.path): _*).isEmpty)
+      val keptEmpty = keptE.map(e => e.rows - e.dvRows).sum == 0 &&
+        (keptE.isEmpty || readEntries(spark, keptE, schema, mapping).isEmpty)
       if (keptEmpty && rewritten.isEmpty)
         throw new IllegalStateException(
           s"delete would remove every row of $root; drop the table instead")
@@ -2074,6 +2542,7 @@ object SnapshotTable {
           attempt += 1
           if (attempt >= 3) throw e // loop re-reads the winner's version
       }
+      } // if (!dvCasLost)
     }
     -1L // unreachable
   }
@@ -2102,22 +2571,21 @@ object SnapshotTable {
       val missing = set.keySet -- cur.columns.toSet
       require(missing.isEmpty,
         s"update SET names absent columns: ${missing.mkString(", ")}")
-      val touched = cur.filter(predicate).select(input_file_name())
-        .distinct().collect().map(r => norm(r.getString(0))).toSet
+      val allE = currentEntries(spark, root, v)
+      // Declared schema for the same reason as [[delete]]: evolved tables
+      // mix file schemas, and the rewrite must not regress the manifest.
+      val schema = schemaOf(spark, root, v)
+      val mapping = mappingOf(spark, root, v)
+      val touched = touchedFilesByPredicate(spark, root, cur, allE, schema, mapping,
+        predicate)
       if (touched.isEmpty) return v
       val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }
-      val (touchedE, keptE) =
-        currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
-      // Declared schema for the same reason as [[delete]]: evolved tables
-      // mix file schemas, and the rewrite must not regress the manifest.
-      val schema = schemaOf(spark, root, v)
-      val mapping = mappingOf(spark, root, v)
-      val touchedRows = fromPhysical(
-        spark.read.schema(physSchema(schema, mapping))
-          .parquet(touchedE.map(_.path): _*), schema, mapping)
+      val (touchedE, keptE) = allE.partition(e => touched(norm(e.path)))
+      // DV masking applies: rewriting a DV'd file must not resurrect rows.
+      val touchedRows = readEntries(spark, touchedE, schema, mapping)
       val hit = coalesce(predicate, lit(false))
       val rewritten = touchedRows.select(schema.fields.map { f =>
         set.get(f.name) match {
@@ -2187,20 +2655,19 @@ object SnapshotTable {
       require(batch.filter(coalesce(predicate, lit(false)) =!= lit(true)).isEmpty,
         s"overwriteWhere: every batch row must satisfy the predicate " +
           s"(classic replaceWhere contract); found rows outside the replaced region")
-      val touched = cur.filter(predicate).select(input_file_name())
-        .distinct().collect().map(r => norm(r.getString(0))).toSet
+      val allE = currentEntries(spark, root, v)
+      val touched = touchedFilesByPredicate(spark, root, cur, allE, schema, mapping,
+        predicate)
       val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }
-      val (touchedE, keptE) =
-        currentEntries(spark, root, v).partition(e => touched(norm(e.path)))
+      val (touchedE, keptE) = allE.partition(e => touched(norm(e.path)))
       val (kept, removes) =
         if (touchedE.isEmpty) (cur.limit(0), cur.limit(0))
         else {
-          val touchedRows = fromPhysical(
-            spark.read.schema(physSchema(schema, mapping))
-              .parquet(touchedE.map(_.path): _*), schema, mapping)
+          // DV masking applies: the rewrite must not resurrect masked rows.
+          val touchedRows = readEntries(spark, touchedE, schema, mapping)
           (touchedRows.filter(not(coalesce(predicate, lit(false)))),
             touchedRows.filter(predicate))
         }
@@ -2235,8 +2702,8 @@ object SnapshotTable {
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     require(fromVersion <= to, s"changes($fromVersion, $to) is inverted")
     val fs = fsOf(spark, root)
-    val before = readManifest(fs, manifestPath(root, fromVersion)).toSet
-    val after = readManifest(fs, manifestPath(root, to))
+    val before = filesAt(fs, root, fromVersion).toSet
+    val after = filesAt(fs, root, to)
     val added = after.filterNot(before)
     if (added.isEmpty)
       read(spark, root, Some(to)).limit(0)
@@ -2287,11 +2754,11 @@ object SnapshotTable {
     // commit's own changes are part of the feed.
     var prev =
       if (fromVersion < 0) Set.empty[String]
-      else readManifest(fs, manifestPath(root, fromVersion)).toSet
+      else filesAt(fs, root, fromVersion).toSet
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     for (v <- fromVersion + 1 to to) {
-      val body = readManifestBody(fs, manifestPath(root, v))
+      val body = manifestBodyAt(fs, root, v)
       val files = filesFromBody(body, manifestPath(root, v)).toSet
       SnapshotStats.cdcFromManifest(body) match {
         case Some((a, r)) => adds ++= a; removes ++= r
@@ -2353,7 +2820,7 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     var prev =
       if (fromVersion < 0) Set.empty[String]
-      else readManifest(fs, manifestPath(root, fromVersion)).toSet
+      else filesAt(fs, root, fromVersion).toSet
     val parts = Seq.newBuilder[DataFrame]
     def slice(paths: Seq[String], kind: String, v: Long): Unit =
       if (paths.nonEmpty) {
@@ -2371,7 +2838,7 @@ object SnapshotTable {
           .withColumn("_commit_version", lit(v))
       }
     for (v <- fromVersion + 1 to toVersion) {
-      val body = readManifestBody(fs, manifestPath(root, v))
+      val body = manifestBodyAt(fs, root, v)
       val files = filesFromBody(body, manifestPath(root, v)).toSet
       SnapshotStats.cdcFromManifest(body) match {
         case Some((a, r)) => slice(a, "insert", v); slice(r, "delete", v)
@@ -2411,12 +2878,18 @@ object SnapshotTable {
               targetBytes: Long = 128L << 20): Option[Long] =
     currentVersion(spark, root).flatMap { v =>
       val entries = currentEntries(spark, root, v)
-      if (entries.length <= maxFiles) None
+      // DV-carrying files are ALWAYS in the rewrite set (round 13):
+      // OPTIMIZE is what materializes deletion vectors back into clean
+      // files — masked rows drop, side-cars retire with the old manifest.
+      val anyDv = entries.exists(_.dv.nonEmpty)
+      if (entries.length <= maxFiles && !anyDv) None
       else {
-        val (small, large) = entries.partition(_.bytes < targetBytes / 2)
+        val (small, large) = entries.partition(e =>
+          e.bytes < targetBytes / 2 || e.dv.nonEmpty)
         // One packable file (or none) folds nothing — the table is simply
-        // MANY healthy files, which is not the small-file problem.
-        if (small.length <= 1) None
+        // MANY healthy files, which is not the small-file problem. (A
+        // single DV'd file still rewrites: materialization IS the point.)
+        if (small.length <= 1 && !anyDv) None
         else {
           val totalBytes = small.map(_.bytes).sum
           val n = math.max(1L, math.min(maxFiles.toLong,
@@ -2424,11 +2897,20 @@ object SnapshotTable {
           // coalesce (not repartition): pure narrow bin-packing, no shuffle.
           // Declared schema: post-evolution compaction mixes file schemas —
           // pre-evolution rows materialize NULL for the grown columns.
+          // DV masking applies (readEntries): the rewrite lands the
+          // LOGICAL rows, never the masked ones.
           val cSchema = schemaOf(spark, root, v)
           val cMapping = mappingOf(spark, root, v)
-          val packed = fromPhysical(
-            spark.read.schema(physSchema(cSchema, cMapping))
-              .parquet(small.map(_.path): _*), cSchema, cMapping).coalesce(n)
+          val cCols = clusterByOf(spark, root, v)
+            .filter(c => cSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          val folded = readEntries(spark, small, cSchema, cMapping)
+          // Clustered table: pack WITH a range shuffle of the small-file
+          // bytes (clustering-aware OPTIMIZE — restores disjoint per-file
+          // ranges); unclustered: pure narrow coalesce, no shuffle.
+          val packed =
+            if (cCols.isEmpty) folded.coalesce(n)
+            else folded.repartitionByRange(n, cCols.map(folded.col): _*)
+              .sortWithinPartitions(cCols.map(folded.col): _*)
           // Rows are identical by construction, so the commit records an
           // EMPTY change set — a delta consumer skips compactions instead of
           // misreading the file rewrite as a reprocess signal. Target v+1 is
@@ -2436,7 +2918,8 @@ object SnapshotTable {
           // this maintenance pass a clean loser (the next compaction
           // retries), never an eraser of the winner's rows.
           try Some(commitAt(spark, root, v + 1, packed, carry = large,
-            cdc = Some((packed.limit(0), packed.limit(0)))))
+            cdc = Some((packed.limit(0), packed.limit(0))),
+            declareClusterBy = if (cCols.isEmpty) None else Some(cCols)))
           catch { case _: ConcurrentWriteException => None }
         }
       }
@@ -2472,7 +2955,8 @@ object SnapshotTable {
         }
       try {
         return commitAt(spark, root, v + 1, clustered,
-          cdc = Some((cur.limit(0), cur.limit(0))))
+          cdc = Some((cur.limit(0), cur.limit(0))),
+          declareClusterBy = Some(clusterBy))
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
@@ -2492,11 +2976,11 @@ object SnapshotTable {
     val v = asOf.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsOf(spark, root)
-    val body = readManifestBody(fs, manifestPath(root, v))
+    val body = manifestBodyAt(fs, root, v)
     val files = filesFromBody(body, manifestPath(root, v))
     val stats = SnapshotStats.statsFromManifest(body)
     if (files.nonEmpty && stats.map(_.path).sorted == files.sorted)
-      stats.map(_.rows).sum
+      stats.map(e => e.rows - e.dvRows).sum // logical rows: DV-masked drop
     else read(spark, root, Some(v)).count()
   }
 
@@ -2521,7 +3005,7 @@ object SnapshotTable {
         case _ => None
       }).sorted
     val byV = versions.map { v =>
-      val body = readManifestBody(fs, manifestPath(root, v))
+      val body = manifestBodyAt(fs, root, v)
       (v, filesFromBody(body, manifestPath(root, v)).toSet,
         SnapshotStats.statsFromManifest(body),
         SnapshotStats.txnFromManifest(body),
@@ -2541,7 +3025,8 @@ object SnapshotTable {
             else if (prev.subsetOf(files)) "append"
             else "rewrite"
           }
-        (v, kind, files.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
+        (v, kind, files.size.toLong, stats.map(e => e.rows - e.dvRows).sum,
+          stats.map(_.bytes).sum,
           txn.map(_._1), txn.map(_._2), hasCdc, cols, cons, bloomOn,
           if (ts < 0) None else Some(new java.sql.Timestamp(ts)))
     }
@@ -2571,7 +3056,9 @@ object SnapshotTable {
     // but a multi-writer history could interleave, and correctness here
     // must not depend on that.
     val atOrBefore = versions.filter { v =>
-      val ts = SnapshotStats.tsFromManifest(readManifestBody(fs, manifestPath(root, v)))
+      // ts rides verbatim in delta manifests — raw read, no resolution.
+      val ts = SnapshotStats.tsFromManifest(
+        readManifestBody(fs, manifestPath(root, v)))
       ts <= millis // pre-timestamp (-1) counts as ancient
     }
     atOrBefore.lastOption.getOrElse(throw new IllegalArgumentException(
@@ -2600,7 +3087,7 @@ object SnapshotTable {
     }).sorted
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val expired = versions.dropRight(keepLast).takeWhile { v =>
-      val ts = SnapshotStats.tsFromManifest(
+      val ts = SnapshotStats.tsFromManifest( // raw: ts is in the delta
         readManifestBody(fs, manifestPath(root, v)))
       ts < cutoff // pre-timestamp (-1) is always expired
     }
@@ -2660,6 +3147,20 @@ object SnapshotTable {
       finally in.close()
     }
 
+  /** Subscriber ids of SHALLOW CLONES currently pinning `root` (watermarks
+    * named `clone-…` — [[cloneShallow]]'s registration). The guard surface
+    * for destructive whole-table operations (ADVICE r12): DROP TABLE
+    * renames the root, dangling every absolute path an attached clone's
+    * manifest carries, and a later purge would permanently delete the
+    * shared bytes — both must refuse while this is non-empty. */
+  def attachedCloneSubscribers(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, SubscribersDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("clone-")).sorted
+  }
+
   /** Minimum last-consumed version across registered subscribers — the
     * retention floor: versions >= this are still needed by someone. */
   def subscriberWatermark(spark: SparkSession, root: String): Option[Long] = {
@@ -2700,10 +3201,14 @@ object SnapshotTable {
     def cdcRootsOf(body: String): Seq[Path] =
       SnapshotStats.cdcFromManifest(body).toSeq
         .flatMap { case (a, r) => a ++ r }
-        .map(f => new Path(f).getParent.getParent).distinct
+        .map(f => new Path(f).getParent.getParent).distinct ++
+      // DV side-car dirs (round 13) live and die with the manifests that
+      // reference them, exactly like CDC dirs.
+      SnapshotStats.statsFromManifest(body).flatMap(_.dv).distinct
+        .map(new Path(_))
     val live: Set[Path] = versions.takeRight(keepEff)
       .flatMap { v =>
-        val body = readManifestBody(fs, manifestPath(root, v))
+        val body = manifestBodyAt(fs, root, v)
         filesFromBody(body, manifestPath(root, v))
           .map(f => new Path(f).getParent) ++ cdcRootsOf(body)
       }.toSet
@@ -2712,13 +3217,20 @@ object SnapshotTable {
     val seen = scala.collection.mutable.Set.empty[Path]
     versions.dropRight(keepEff).foreach { v =>
       val mp = manifestPath(root, v)
-      val body = readManifestBody(fs, mp)
+      val body = manifestBodyAt(fs, root, v)
       out += (("manifest", mp.toString, fs.getFileStatus(mp).getLen))
+      val cp = checkpointPath(root, v)
+      if (fs.exists(cp))
+        out += (("checkpoint", cp.toString, fs.getFileStatus(cp).getLen))
       (filesFromBody(body, mp).map(f => new Path(f).getParent).distinct ++
         cdcRootsOf(body))
         .filterNot(live.contains)
         .filter(_.toUri.getPath.startsWith(ownPrefix))
         .filter(seen.add)
+        // A dir can already be gone (a prior vacuum crashed between
+        // deleting dirs and deleting the manifest): the read-only preview
+        // must not fail where the real vacuum would succeed (ADVICE r12).
+        .filter(fs.exists)
         .foreach(d => out += (("data-dir", d.toString,
           fs.getContentSummary(d).getLength)))
     }
@@ -2777,7 +3289,7 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val body = readManifestBody(fs, manifestPath(root, v))
+    val body = manifestBodyAt(fs, root, v)
     val stats = SnapshotStats.statsFromManifest(body)
     val mdir = new Path(root, ManifestDir)
     val retained = fs.listStatus(mdir).count(_.getPath.getName match {
@@ -2802,7 +3314,8 @@ object SnapshotTable {
         Some((num("requestedKeep"), num("effectiveKeep"), num("clampedByWatermark")))
       }
     }
-    Seq((v, stats.size.toLong, stats.map(_.rows).sum, stats.map(_.bytes).sum,
+    Seq((v, stats.size.toLong, stats.map(e => e.rows - e.dvRows).sum,
+      stats.map(_.bytes).sum,
       retained.toLong, subs,
       lastVac.map(_._1), lastVac.map(_._2), lastVac.map(_._3),
       casLosses.get(), rebases.get()))
@@ -2823,10 +3336,14 @@ object SnapshotTable {
     def cdcRootsOf(body: String): Seq[Path] =
       SnapshotStats.cdcFromManifest(body).toSeq
         .flatMap { case (a, r) => a ++ r }
-        .map(f => new Path(f).getParent.getParent).distinct
+        .map(f => new Path(f).getParent.getParent).distinct ++
+      // DV side-car dirs (round 13) live and die with the manifests that
+      // reference them, exactly like CDC dirs.
+      SnapshotStats.statsFromManifest(body).flatMap(_.dv).distinct
+        .map(new Path(_))
     val live: Set[Path] = versions.takeRight(keep)
       .flatMap { v =>
-        val body = readManifestBody(fs, manifestPath(root, v))
+        val body = manifestBodyAt(fs, root, v)
         filesFromBody(body, manifestPath(root, v))
           .map(f => new Path(f).getParent) ++ cdcRootsOf(body)
       }.toSet
@@ -2836,16 +3353,40 @@ object SnapshotTable {
     // own vacuum + the clone's subscriber pin govern those bytes).
     val ownPrefix = new Path(root).toUri.getPath.stripSuffix("/") + "/"
     def underRoot(d: Path): Boolean = d.toUri.getPath.startsWith(ownPrefix)
-    versions.dropRight(keep).foreach { v =>
+    // Resolve EVERY doomed version's dirs BEFORE deleting anything: since
+    // the manifest log went incremental (round 13), resolving version v may
+    // chain through predecessors — which the per-version interleaved
+    // delete-as-you-go would have already removed.
+    val doomed = versions.dropRight(keep)
+    val doomedDirs = doomed.map { v =>
       // Resolve the data dirs FROM the manifest (dir names carry per-attempt
       // tokens, so they can't be reconstructed from the version alone).
-      val body = readManifestBody(fs, manifestPath(root, v))
-      (filesFromBody(body, manifestPath(root, v))
+      val body = manifestBodyAt(fs, root, v)
+      v -> (filesFromBody(body, manifestPath(root, v))
         .map(f => new Path(f).getParent).distinct ++ cdcRootsOf(body))
-        .filterNot(live.contains)
+    }
+    // Anchor: the oldest KEPT version must stay resolvable once its delta
+    // chain below is gone — materialize its full body as a checkpoint file
+    // (tmp + rename; idempotent, racing writers' duplicate is identical).
+    versions.takeRight(keep).headOption.foreach { minKept =>
+      val raw = readManifestBody(fs, manifestPath(root, minKept))
+      val cp = checkpointPath(root, minKept)
+      if (SnapshotStats.baseFromManifest(raw).isDefined && !fs.exists(cp) &&
+          doomed.nonEmpty) {
+        val full = manifestBodyAt(fs, root, minKept)
+        val tmp = new Path(cp.getParent, s".${cp.getName}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(full.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, cp)) fs.delete(tmp, false)
+      }
+    }
+    doomedDirs.foreach { case (v, dirs) =>
+      dirs.filterNot(live.contains)
         .filter(underRoot)
         .foreach(d => fs.delete(d, true))
       fs.delete(manifestPath(root, v), false)
+      // A checkpoint anchor from an EARLIER vacuum dies with its version.
+      fs.delete(checkpointPath(root, v), false)
     }
     // Orphan sweep: losing-writer / crashed-commit dirs are invisible to
     // readers; once their target version is older than every kept manifest
@@ -2857,6 +3398,8 @@ object SnapshotTable {
           case SnapRe(v, _) if v.toLong < minKept && !live.contains(st.getPath) =>
             fs.delete(st.getPath, true)
           case CdcRe(v, _) if v.toLong < minKept && !live.contains(st.getPath) =>
+            fs.delete(st.getPath, true)
+          case DvRe(v, _) if v.toLong < minKept && !live.contains(st.getPath) =>
             fs.delete(st.getPath, true)
           case _ => ()
         }

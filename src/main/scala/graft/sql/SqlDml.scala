@@ -467,6 +467,86 @@ object SqlDml {
               GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // Column DEFAULT values (round 13, VERDICT r12 #4): CREATE TABLE with
+    // defaulted columns, INSERTs that omit them (analyzer fills
+    // CURRENT_DEFAULT), ADD COLUMN ... DEFAULT mid-lineage (files written
+    // BEFORE the column read EXISTS_DEFAULT, never NULL), an explicit
+    // NULL that must stay NULL, and a final aggregate over the mix.
+    // Oracle = the same lineage arithmetically over orders.
+    Q("sql_defaults",
+      (s, dir) => {
+        val t = s"orders_df_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t (
+                k BIGINT, price DECIMAL(18,2), st STRING DEFAULT 'seed')""",
+          s"""INSERT INTO graft.dml.$t (k, price)
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+              FROM orders WHERE o_orderkey % 3 = 0""",
+          s"ALTER TABLE graft.dml.$t ADD COLUMN region STRING DEFAULT 'all'",
+          s"""INSERT INTO graft.dml.$t (k, price, st)
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 3 = 1""",
+          s"""INSERT INTO graft.dml.$t
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+                     o_orderstatus, NULL
+              FROM orders WHERE o_orderkey % 3 = 2""",
+          s"""SELECT st, region, count(*) AS cnt,
+                     CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st, region
+              ORDER BY st ASC NULLS FIRST, region ASC NULLS FIRST"""),
+          vacuum = true)
+      },
+      Some("""WITH t AS (
+                SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                       'seed' AS st, 'all' AS region
+                FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+                       o_orderstatus, 'all'
+                FROM orders WHERE o_orderkey % 3 = 1
+                UNION ALL
+                SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+                       o_orderstatus, NULL
+                FROM orders WHERE o_orderkey % 3 = 2)
+              SELECT st, region, count(*) AS cnt,
+                     CAST(sum(price) AS DOUBLE) AS total
+              FROM t GROUP BY st, region
+              ORDER BY st ASC NULLS FIRST, region ASC NULLS FIRST""")),
+
+    // Deletion vectors (round 13, VERDICT r12 #2): scattered point
+    // DELETEs — the GDPR shape — land as (file, pos) side-cars with ZERO
+    // data files rewritten (plan-gated in DeletionVectorSpec; here the
+    // 3-SF hash gate pins the ANSWERS through the masked read), then
+    // OPTIMIZE materializes the DVs back into clean files and the final
+    // aggregate must still be exact. Oracle = the same aggregate with the
+    // deleted keys excluded arithmetically.
+    Q("sql_delete_dv",
+      (s, dir) => {
+        val t = s"orders_dv_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t CLUSTER BY (o_orderkey) AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"DELETE FROM graft.dml.$t WHERE o_orderkey % 9973 = 1",
+          s"DELETE FROM graft.dml.$t WHERE o_orderkey % 9973 = 2",
+          s"OPTIMIZE graft.dml.$t",
+          s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""SELECT o_orderstatus AS st, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders
+              WHERE o_orderkey % 9973 NOT IN (1, 2)
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
     // SHALLOW CLONE (round 12, unasked-for): a zero-copy table pinned to a
     // source VERSION, then diverged by DML — the clone's DELETE/UPDATE
     // rewrite carried source files into the clone's own root while the

@@ -185,4 +185,77 @@ class CloneSpec extends SparkSpec {
       case _ => ()
     }
   }
+  test("DROP TABLE of a clone's source refuses while attached (ADVICE r12)") {
+    val s = spark
+    graft.sql.GraftSql.ensureCatalog(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cldrop")
+    s.sql("DROP TABLE IF EXISTS graft.cldrop.src_g")
+    s.sql("DROP TABLE IF EXISTS graft.cldrop.dst_g")
+    s.sql("CREATE TABLE graft.cldrop.src_g AS SELECT id AS k FROM range(50)")
+    s.sql("CREATE TABLE graft.cldrop.dst_g SHALLOW CLONE graft.cldrop.src_g")
+    // The tombstone RENAME alone would dangle the clone's absolute paths.
+    val e = intercept[Exception] { s.sql("DROP TABLE graft.cldrop.src_g") }
+    assert(e.getMessage.contains("clone"), e.getMessage)
+    assert(s.sql("SELECT count(*) FROM graft.cldrop.dst_g").head().getLong(0) == 50L)
+    // Detach releases the guard; the drop then proceeds.
+    s.sql("DETACH CLONE graft.cldrop.dst_g FORCE")
+    s.sql("DROP TABLE graft.cldrop.src_g")
+    s.sql("DROP TABLE graft.cldrop.dst_g")
+    s.sessionState.catalogManager.catalog("graft") match {
+      case g: graft.sql.GraftCatalog => g.purgeDropped(Array("cldrop"), 0L, force = true)
+      case _ => ()
+    }
+  }
+
+  test("purge skips a tombstone that attached clones still reference (ADVICE r12)") {
+    val s = spark
+    graft.sql.GraftSql.ensureCatalog(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.clpg")
+    s.sql("DROP TABLE IF EXISTS graft.clpg.src_p")
+    // Hermetic: the warehouse persists across sbt runs — a stale pinned
+    // tombstone from an earlier aborted run would shadow this lineage.
+    s.sessionState.catalogManager.catalog("graft") match {
+      case g: graft.sql.GraftCatalog =>
+        g.purgeDropped(Array("clpg"), 0L, force = true)
+      case _ => ()
+    }
+    s.sql("CREATE TABLE graft.clpg.src_p AS SELECT id AS k FROM range(30)")
+    val wh = graft.sql.GraftSql.defaultWarehouse
+    s.sql("DROP TABLE graft.clpg.src_p") // tombstoned, no clones yet
+    // Attach a clone DIRECTLY to the tombstone root (the pre-r13-guard
+    // state: bytes dropped first, pinned after — e.g. an UNDROP race).
+    val tomb = new java.io.File(s"$wh/clpg/_dropped").listFiles()
+      .filter(_.getName.startsWith("src_p@")).head.getAbsolutePath
+    val cloneRoot = tmpDir() + "/pinned_clone"
+    SnapshotTable.cloneShallow(s, tomb, cloneRoot)
+    s.sessionState.catalogManager.catalog("graft") match {
+      case g: graft.sql.GraftCatalog =>
+        // Unforced purge must SKIP the pinned tombstone...
+        assert(g.purgeDropped(Array("clpg"), 0L) == 0,
+          "purge must skip a clone-pinned tombstone")
+        // The guarded invariant is BYTE PRESERVATION: the tombstone's dirs
+        // survive (the clone's manifest carries pre-rename absolute paths,
+        // so only UNDROP — not a tombstone read — revives them).
+        assert(new java.io.File(tomb).isDirectory,
+          "pinned tombstone bytes must survive an unforced purge")
+        // ... detaching releases it; the next purge reclaims.
+        assert(SnapshotTable.detachClone(s, cloneRoot, force = true))
+        assert(g.purgeDropped(Array("clpg"), 0L) == 1)
+      case _ => fail("graft catalog not registered")
+    }
+  }
+
+  test("a failed clone never leaks its retention pins (ADVICE r12)") {
+    val s = spark
+    val srcRoot = tmpDir() + "/src_leak"
+    SnapshotTable.commit(s, srcRoot, (1 to 20).map(i => (i.toLong, s"v$i")).toSeq
+      .toDF("k", "v"))
+    // Sabotage the target: a plain FILE where the clone root must be a
+    // dir — the marker write throws AFTER pins were registered.
+    val target = tmpDir() + "/broken_target"
+    assert(new java.io.File(target).createNewFile())
+    intercept[Exception] { SnapshotTable.cloneShallow(s, srcRoot, target) }
+    assert(SnapshotTable.subscriberWatermark(s, srcRoot).isEmpty,
+      "failed clone must unregister its pins")
+  }
 }

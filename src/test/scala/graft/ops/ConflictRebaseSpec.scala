@@ -17,8 +17,11 @@ class ConflictRebaseSpec extends SparkSpec {
   import spark.implicits._
 
   private def manifestBody(root: String, v: Long): String = {
-    val p = java.nio.file.Paths.get(root, "_manifests", f"manifest-$v%08d.json")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // Resolved through the delta-log chain (round 13): the raw file may be
+    // a delta manifest; the spec asserts on the full per-version state.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotTable.manifestBodyAt(fs, root, v)
   }
 
   private def norm(p: String): String =

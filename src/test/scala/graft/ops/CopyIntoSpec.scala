@@ -199,4 +199,26 @@ class CopyIntoSpec extends SparkSpec {
       case _ => ()
     }
   }
+  test("an in-place overwrite (same length, new mtime) re-loads (ADVICE r12)") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val land = s"$base/landing"
+    SnapshotTable.commitEmpty(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "s").schema)
+    csvFile(land, "b1", "k,s", Seq("1,aa"))
+    val (_, f1, _) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert(f1 == 1L)
+    // Overwrite IN PLACE with different content of the SAME byte length —
+    // the length-only identity would silently treat it as already loaded
+    // and drop the new rows; path@len@mtime catches it.
+    val f = new java.io.File(land, "b1.csv")
+    val before = f.length()
+    csvFile(land, "b1", "k,s", Seq("2,bb"))
+    assert(f.length() == before, "fixture must keep the byte length")
+    java.nio.file.Files.setLastModifiedTime(f.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    val (_, f2, r2) = SnapshotTable.copyInto(spark, root, land, "csv")
+    assert((f2, r2) == (1L, 1L), s"overwritten file must re-load: $f2/$r2")
+    assert(SnapshotTable.read(spark, root).count() == 2L)
+  }
 }
