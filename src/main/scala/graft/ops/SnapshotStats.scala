@@ -203,6 +203,25 @@ object SnapshotStats {
 
   private val mapper = new ObjectMapper()
 
+  // Parsed-manifest memos (round 13): with the incremental manifest log a
+  // 50k-file table's RESOLVED body is ~12 MB, and one commit's
+  // inheritance reads touch half a dozen fields — each a full
+  // `readTree` without these. Keyed by STRING IDENTITY: resolved bodies
+  // come out of SnapshotTable's cache as stable instances, so repeat
+  // accessors hit; transient strings (raw ts/txn scans, KB-sized) just
+  // miss. Crude size bound — a clear() at 64 entries — because entries
+  // die with their body strings anyway.
+  private val treeCache =
+    new java.util.IdentityHashMap[String, JsonNode]()
+  private def tree(body: String): JsonNode = treeCache.synchronized {
+    if (treeCache.size > 64) treeCache.clear()
+    var t = treeCache.get(body)
+    if (t == null) { t = mapper.readTree(body); treeCache.put(body, t) }
+    t
+  }
+  private val statsCache =
+    new java.util.IdentityHashMap[String, Seq[FileStats]]()
+
   private val lastCommitTs = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextCommitTs(): Long =
     lastCommitTs.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
@@ -234,7 +253,8 @@ object SnapshotStats {
                    usedPhys: Seq[String] = Nil,
                    ingested: Seq[String] = Nil,
                    tsOverride: Option[Long] = None,
-                   clusterBy: Seq[String] = Nil): String = {
+                   clusterBy: Seq[String] = Nil,
+                   identityHwm: Map[String, Long] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     // Commit wall-clock (epoch millis): powers age-based retention
@@ -287,6 +307,15 @@ object SnapshotStats {
       // decay file-skipping selectivity, and (b) SHOW CREATE TABLE /
       // DESCRIBE DETAIL round-tripping the layout declaration.
       val cb = root.putArray("clusterBy"); clusterBy.foreach(cb.add)
+    }
+    if (identityHwm.nonEmpty) {
+      // Identity-column high-water marks (round 13): the largest value
+      // ever COMMITTED per GENERATED ... AS IDENTITY column. Inherited
+      // monotonically (a delete never lowers it — identity values are
+      // never reused), bumped by each commit from its new files' footer
+      // bounds, and the base the next insert's generation starts above.
+      val ih = root.putObject("identityHwm")
+      identityHwm.toSeq.sortBy(_._1).foreach { case (c, v) => ih.put(c, v) }
     }
     if (dropped.nonEmpty) {
       // Tombstoned column names (see SnapshotTable.dropColumn): inherited
@@ -374,7 +403,8 @@ object SnapshotStats {
                         constraints: Map[String, String] = Map.empty,
                         mapping: Map[String, String] = Map.empty,
                         usedPhys: Seq[String] = Nil,
-                        clusterBy: Seq[String] = Nil): String = {
+                        clusterBy: Seq[String] = Nil,
+                        identityHwm: Map[String, Long] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("ts", nextCommitTs())
@@ -399,6 +429,10 @@ object SnapshotStats {
     if (clusterBy.nonEmpty) {
       val cb = root.putArray("clusterBy"); clusterBy.foreach(cb.add)
     }
+    if (identityHwm.nonEmpty) {
+      val ih = root.putObject("identityHwm")
+      identityHwm.toSeq.sortBy(_._1).foreach { case (c, v) => ih.put(c, v) }
+    }
     if (dropped.nonEmpty) {
       val d = root.putArray("dropped"); dropped.foreach(d.add)
     }
@@ -421,9 +455,18 @@ object SnapshotStats {
     mapper.writeValueAsString(root)
   }
 
+  /** The `files` array, `None` when absent/malformed (tree-memoized —
+    * SnapshotTable's per-read file listing shares the commit path's
+    * parse). */
+  def filesFromManifest(body: String): Option[Seq[String]] = {
+    val files = tree(body).get("files")
+    if (files == null || !files.isArray) None
+    else Some((0 until files.size).map(files.get(_).asText()))
+  }
+
   /** The delta marker: `Some(base)` when `body` is a delta manifest. */
   def baseFromManifest(body: String): Option[Long] = {
-    val b = mapper.readTree(body).get("base")
+    val b = tree(body).get("base")
     if (b == null || !b.isNumber) None else Some(b.asLong)
   }
 
@@ -435,7 +478,7 @@ object SnapshotStats {
     * accumulation rule). Every existing parser then works on the result
     * unchanged — delta resolution is invisible above this seam. */
   def resolveDelta(baseBody: String, deltaBody: String): String = {
-    val d = mapper.readTree(deltaBody)
+    val d = tree(deltaBody)
     require(d.get("base") != null, "resolveDelta: not a delta manifest")
     val removed = Option(d.get("removePaths")).filter(_.isArray)
       .map(a => (0 until a.size).map(a.get(_).asText).toSet)
@@ -462,7 +505,8 @@ object SnapshotStats {
       usedPhys = usedPhysFromManifest(deltaBody),
       ingested = ingested,
       tsOverride = Some(tsFromManifest(deltaBody)),
-      clusterBy = clusterByFromManifest(deltaBody))
+      clusterBy = clusterByFromManifest(deltaBody),
+      identityHwm = identityHwmFromManifest(deltaBody))
   }
 
   private def putVal(o: ObjectNode, field: String, v: Any): Unit = v match {
@@ -473,8 +517,12 @@ object SnapshotStats {
   }
 
   /** Parse the `stats` array back; empty when the manifest predates stats. */
-  def statsFromManifest(body: String): Seq[FileStats] =
-    statsArray(mapper.readTree(body), "stats")
+  def statsFromManifest(body: String): Seq[FileStats] = statsCache.synchronized {
+    if (statsCache.size > 64) statsCache.clear()
+    var r = statsCache.get(body)
+    if (r == null) { r = statsArray(tree(body), "stats"); statsCache.put(body, r) }
+    r
+  }
 
   private def statsArray(root: JsonNode, field: String): Seq[FileStats] = {
     val arr = root.get(field)
@@ -504,21 +552,21 @@ object SnapshotStats {
   /** Named CHECK constraints (name → SQL boolean expression) declared at or
     * before this manifest's version. */
   def constraintsFromManifest(body: String): Map[String, String] = {
-    val c = mapper.readTree(body).get("constraints")
+    val c = tree(body).get("constraints")
     if (c == null || !c.isObject) Map.empty
     else c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
 
   /** Commit wall-clock (epoch millis), -1 for pre-timestamp manifests. */
   def tsFromManifest(body: String): Long = {
-    val t = mapper.readTree(body).get("ts")
+    val t = tree(body).get("ts")
     if (t == null || !t.isNumber) -1L else t.asLong
   }
 
   /** Logical → physical column mapping (empty = identity for every
     * column, which is every manifest written before round 10). */
   def mappingFromManifest(body: String): Map[String, String] = {
-    val m = mapper.readTree(body).get("mapping")
+    val m = tree(body).get("mapping")
     if (m == null || !m.isObject) Map.empty
     else m.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
@@ -526,7 +574,7 @@ object SnapshotStats {
   /** Physical names ever assigned in this table's lineage (empty on
     * pre-mapping manifests; readers seed it from schema + tombstones). */
   def usedPhysFromManifest(body: String): Seq[String] = {
-    val u = mapper.readTree(body).get("usedPhys")
+    val u = tree(body).get("usedPhys")
     if (u == null || !u.isArray) Seq.empty
     else (0 until u.size).map(u.get(_).asText)
   }
@@ -534,14 +582,21 @@ object SnapshotStats {
   /** Declared clustering columns at this manifest's version (empty =
     * never declared). */
   def clusterByFromManifest(body: String): Seq[String] = {
-    val c = mapper.readTree(body).get("clusterBy")
+    val c = tree(body).get("clusterBy")
     if (c == null || !c.isArray) Seq.empty
     else (0 until c.size).map(c.get(_).asText)
   }
 
+  /** Identity-column high-water marks at this manifest's version. */
+  def identityHwmFromManifest(body: String): Map[String, Long] = {
+    val m = tree(body).get("identityHwm")
+    if (m == null || !m.isObject) Map.empty
+    else m.fields().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+  }
+
   /** Bloom-indexed column names this manifest's table is configured for. */
   def bloomOnFromManifest(body: String): Seq[String] = {
-    val b = mapper.readTree(body).get("bloomOn")
+    val b = tree(body).get("bloomOn")
     if (b == null || !b.isArray) Seq.empty
     else (0 until b.size).map(b.get(_).asText)
   }
@@ -559,7 +614,7 @@ object SnapshotStats {
     * table untouched and read back NULL for it). Absent on pre-evolution
     * manifests; readers fall back to a data-file footer. */
   def schemaFromManifest(body: String): Option[org.apache.spark.sql.types.StructType] = {
-    val s = mapper.readTree(body).get("schema")
+    val s = tree(body).get("schema")
     if (s == null || !s.isTextual) None
     else Some(org.apache.spark.sql.types.DataType.fromJson(s.asText)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -568,7 +623,7 @@ object SnapshotStats {
   /** Column names dropped at or before this manifest's version (empty for
     * manifests that never saw a drop). */
   def droppedFromManifest(body: String): Seq[String] = {
-    val d = mapper.readTree(body).get("dropped")
+    val d = tree(body).get("dropped")
     if (d == null || !d.isArray) Seq.empty
     else (0 until d.size).map(d.get(_).asText)
   }
@@ -576,21 +631,21 @@ object SnapshotStats {
   /** COPY INTO's accumulated loaded-file identities (empty for tables the
     * statement never touched — the field is omitted entirely). */
   def ingestedFromManifest(body: String): Seq[String] = {
-    val d = mapper.readTree(body).get("ingested")
+    val d = tree(body).get("ingested")
     if (d == null || !d.isArray) Seq.empty
     else (0 until d.size).map(d.get(_).asText)
   }
 
   /** The (appId, batchId) transaction marker, if this manifest has one. */
   def txnFromManifest(body: String): Option[(String, Long)] = {
-    val t = mapper.readTree(body).get("txn")
+    val t = tree(body).get("txn")
     if (t == null || !t.isObject) None
     else Some((t.get("appId").asText, t.get("batchId").asLong))
   }
 
   /** The per-commit change files, if this manifest recorded them. */
   def cdcFromManifest(body: String): Option[Cdc] = {
-    val c = mapper.readTree(body).get("cdc")
+    val c = tree(body).get("cdc")
     if (c == null || !c.isObject) None
     else {
       def arr(name: String): Seq[String] = Option(c.get(name))

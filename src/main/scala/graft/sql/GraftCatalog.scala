@@ -124,6 +124,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(root, s"$catalogName.$ident", asOf = Some(v))
   }
 
+  /** The v2 Column[] variant Spark's CreateTableExec actually calls: the
+    * interface's default bridge to the StructType variant DROPS the
+    * identity spec (observed: empty field metadata for a `GENERATED ...
+    * AS IDENTITY` column), so convert ourselves — identity lands under
+    * Spark's own metadata keys (`identity.start/step/allowExplicitInsert`,
+    * what `IdentityColumn.isIdentityColumn` reads) and defaults under
+    * CURRENT_DEFAULT/EXISTS_DEFAULT, both persisted in the manifest's
+    * declared schema. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.defaultValue()).foreach { dv =>
+        mb.putString("CURRENT_DEFAULT", dv.getSql)
+        mb.putString("EXISTS_DEFAULT", dv.getSql)
+      }
+      Option(c.identityColumnSpec()).foreach { id =>
+        mb.putLong("identity.start", id.getStart)
+        mb.putLong("identity.step", id.getStep)
+        mb.putBoolean("identity.allowExplicitInsert", id.isAllowExplicitInsert)
+      }
+      require(c.generationExpression() == null,
+        s"GENERATED ALWAYS AS (expr) computed columns are unsupported; " +
+          s"column ${c.name()}")
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -167,7 +201,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** ALTER TABLE surface, mapped onto the format's metadata-only DDL:
     * RENAME COLUMN → [[SnapshotTable.renameColumn]] (column mapping),

@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
   *   RESTORE TABLE graft.ns.t TO VERSION AS OF 4 [WITH CDC]
   *   DESCRIBE HISTORY graft.ns.t
   *   DESCRIBE STATUS graft.ns.t    -- retention/subscriber/CAS observability
+  *   DESCRIBE DETAIL graft.ns.t    -- files/rows/clustering/DV debt (r13)
+  *   SHOW CREATE TABLE graft.ns.t  -- round-trip DDL script (r13)
   *   INSERT INTO graft.ns.t REPLACE WHERE cond SELECT ...  -- replaceWhere
   *   UNDROP TABLE graft.ns.t                         -- recover a DROP
   * }}}
@@ -466,7 +468,18 @@ case class GraftShowCreateCommand(nameParts: Seq[String])
         if (f.metadata.contains("CURRENT_DEFAULT"))
           s" DEFAULT ${f.metadata.getString("CURRENT_DEFAULT")}"
         else ""
-      s"  `${f.name}` ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}$default"
+      val identity =
+        if (org.apache.spark.sql.catalyst.util.IdentityColumn.isIdentityColumn(f)) {
+          val start = if (f.metadata.contains("identity.start"))
+            f.metadata.getLong("identity.start") else 1L
+          val step = if (f.metadata.contains("identity.step"))
+            f.metadata.getLong("identity.step") else 1L
+          val kind = if (f.metadata.contains("identity.allowExplicitInsert") &&
+              f.metadata.getBoolean("identity.allowExplicitInsert"))
+            "BY DEFAULT" else "ALWAYS"
+          s" GENERATED $kind AS IDENTITY (START WITH $start INCREMENT BY $step)"
+        } else ""
+      s"  `${f.name}` ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}$identity$default"
     }.mkString(",\n")
     val clusterBy = graft.ops.SnapshotStats.clusterByFromManifest(body)
     val bloomOn = graft.ops.SnapshotStats.bloomOnFromManifest(body)

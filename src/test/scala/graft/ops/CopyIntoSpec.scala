@@ -221,4 +221,47 @@ class CopyIntoSpec extends SparkSpec {
     assert((f2, r2) == (1L, 1L), s"overwritten file must re-load: $f2/$r2")
     assert(SnapshotTable.read(spark, root).count() == 2L)
   }
+  test("CDC: a standing delta consumer over COPY INTO feeds stays exact (r13)") {
+    val base = tmpDir()
+    val root = s"$base/t"
+    val land = s"$base/landing"
+    SnapshotTable.commitEmpty(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "s").schema)
+    csvFile(land, "b1", "k,s", Seq("1,a", "2,b"))
+    SnapshotTable.copyInto(spark, root, land, "csv")
+    csvFile(land, "b2", "k,s", Seq("3,c"))
+    SnapshotTable.copyInto(spark, root, land, "csv")
+    // COPY INTO commits are appends: the file diff IS the add set, so a
+    // row-level consumer anchored before the first load sees exactly the
+    // ingested rows, and the idempotent re-run contributes NOTHING.
+    SnapshotTable.copyInto(spark, root, land, "csv") // blind re-run: no-op
+    val to = SnapshotTable.currentVersion(spark, root).get
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, 0L, Some(to))
+    assert(removes.isEmpty)
+    assert(adds.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // And the versioned feed shape (what the graft-cdf source serves).
+    val feed = SnapshotTable.changesFeed(spark, root, 0L, to,
+      SnapshotTable.read(spark, root).schema)
+    assert(feed.filter(feed("_change_type") === "insert").count() == 3)
+  }
+
+  test("CDC: DML on a SHALLOW CLONE records exact change sets (r13)") {
+    val src = tmpDir() + "/src"
+    val cl = tmpDir() + "/cl"
+    SnapshotTable.commitClustered(spark, src,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s"), Seq("k"), 4)
+    SnapshotTable.cloneShallow(spark, src, cl)
+    SnapshotTable.delete(spark, cl, org.apache.spark.sql.functions.col("k") === 42L)
+    SnapshotTable.update(spark, cl, org.apache.spark.sql.functions.col("k") === 7L,
+      Map("s" -> org.apache.spark.sql.functions.lit("updated")))
+    val to = SnapshotTable.currentVersion(spark, cl).get
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, cl, 0L, Some(to))
+    assert(adds.as[(Long, String)].collect().toSet == Set((7L, "updated")))
+    assert(removes.as[(Long, String)].collect().toSet ==
+      Set((42L, "v42"), (7L, "v7")))
+    // The source saw none of it.
+    assert(SnapshotTable.currentVersion(spark, src).contains(0L))
+    SnapshotTable.detachClone(spark, cl, force = true)
+  }
 }

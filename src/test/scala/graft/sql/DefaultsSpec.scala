@@ -77,4 +77,58 @@ class DefaultsSpec extends SparkSpec {
     s.sql("DROP TABLE graft.dflt.t3"); s.sql("DROP TABLE graft.dflt.t3b")
     cat().purgeDropped(Array("dflt"), 0L, force = true)
   }
+  test("GENERATED ALWAYS AS IDENTITY: generation, HWM monotonicity, refusal") {
+    val s = spark
+    cat()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dflt")
+    s.sql("DROP TABLE IF EXISTS graft.dflt.ids")
+    s.sql("""CREATE TABLE graft.dflt.ids (
+               id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+               v STRING)""")
+    s.sql("INSERT INTO graft.dflt.ids (v) VALUES ('a'), ('b'), ('c')")
+    val first = s.sql("SELECT id FROM graft.dflt.ids").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(first.length == 3 && first.distinct.length == 3, first)
+    assert(first.forall(i => i >= 10 && (i - 10) % 2 == 0),
+      s"ids respect START/INCREMENT: $first")
+    // Second batch strictly above the first (manifest HWM, not session).
+    s.sql("INSERT INTO graft.dflt.ids (v) VALUES ('d'), ('e')")
+    val second = s.sql("SELECT id FROM graft.dflt.ids WHERE v IN ('d','e')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(second.forall(_ > first.max),
+      s"new ids ${second.mkString(",")} must exceed prior max ${first.max}")
+    assert(s.sql("SELECT count(DISTINCT id) FROM graft.dflt.ids")
+      .head().getLong(0) == 5L)
+    // GENERATED ALWAYS refuses explicit values.
+    val e = intercept[Exception] {
+      s.sql("INSERT INTO graft.dflt.ids VALUES (99, 'x')")
+    }
+    assert(e.getMessage.toLowerCase.contains("identity"), e.getMessage)
+    // SHOW CREATE TABLE round-trips the declaration.
+    val script = s.sql("SHOW CREATE TABLE graft.dflt.ids")
+      .collect().map(_.getString(0)).toSeq
+    assert(script.head.contains(
+      "GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2)"), script.head)
+    s.sql("DROP TABLE graft.dflt.ids")
+    cat().purgeDropped(Array("dflt"), 0L, force = true)
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY admits explicit values; HWM tracks them") {
+    val s = spark
+    cat()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dflt")
+    s.sql("DROP TABLE IF EXISTS graft.dflt.ids2")
+    s.sql("""CREATE TABLE graft.dflt.ids2 (
+               id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+               v STRING)""")
+    s.sql("INSERT INTO graft.dflt.ids2 VALUES (1000, 'explicit')")
+    s.sql("INSERT INTO graft.dflt.ids2 (v) VALUES ('generated')")
+    val rows = s.sql("SELECT id, v FROM graft.dflt.ids2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap.map(_.swap)
+    assert(rows("explicit") == 1000L)
+    assert(rows("generated") > 1000L,
+      s"generation must start above the explicit landing: $rows")
+    s.sql("DROP TABLE graft.dflt.ids2")
+    cat().purgeDropped(Array("dflt"), 0L, force = true)
+  }
 }
