@@ -2475,8 +2475,8 @@ object SnapshotTable {
   private def touchedFilesByPredicate(spark: SparkSession, root: String,
       cur: DataFrame, allE: Seq[SnapshotStats.FileStats],
       schema: org.apache.spark.sql.types.StructType,
-      mapping: Map[String, String], predicate: Column): Set[String] = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+      mapping: Map[String, String], predicate: Column): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name}
     def norm(p: String): String = new Path(p).toUri.getPath
     val dvE = allE.filter(_.dv.nonEmpty)
     val cleanE = allE.filter(_.dv.isEmpty)
@@ -2484,6 +2484,10 @@ object SnapshotTable {
     // input_file_name() is valid and the probe file-skips. With DVs in
     // play, `cur` is a union (multi-source refuses input_file_name):
     // probe the clean entries on their OWN indexed scan, same skipping.
+    // Returns MATCHED-ROW COUNTS per file, not just membership: the same
+    // probe scan then answers the merge-on-read eligibility decision for
+    // free (a distinct() and a groupBy().count() cost the same shuffle),
+    // instead of a second full scan of the touched files per DML.
     val cleanProbe: Option[DataFrame] =
       if (dvE.isEmpty) Some(cur)
       else if (cleanE.isEmpty) None
@@ -2491,15 +2495,19 @@ object SnapshotTable {
         val raw = indexedScan(spark, root, cleanE, physSchema(schema, mapping))._1
         Some(fromPhysical(raw, schema, mapping))
       }
-    val clean = cleanProbe.map(_.filter(predicate).select(input_file_name())
-      .distinct().collect().map(r => norm(r.getString(0))).toSet)
-      .getOrElse(Set.empty[String])
+    val clean = cleanProbe.map(
+      _.filter(predicate).select(input_file_name().as("__gf_file"))
+        .groupBy(col("__gf_file")).agg(count(org.apache.spark.sql.functions.lit(1)))
+        .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty[String, Long])
     val viaDv =
-      if (dvE.isEmpty) Set.empty[String]
+      if (dvE.isEmpty) Map.empty[String, Long]
       else readEntries(spark, dvE, schema, mapping, fileCol = Some("__gf_file"))
-        .filter(predicate).select(col("__gf_file"))
-        .distinct().collect().map(r => norm(r.getString(0))).toSet
-    (clean ++ viaDv).intersect(allE.map(e => norm(e.path)).toSet)
+        .filter(predicate).groupBy(col("__gf_file"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)))
+        .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val entryNorms = allE.map(e => norm(e.path)).toSet
+    (clean ++ viaDv).filter { case (p, _) => entryNorms(p) }
   }
 
   /** Fraction of the TOUCHED files' physical rows below which a delete
@@ -2529,8 +2537,9 @@ object SnapshotTable {
       // not a contract, and a missed file here is a silent under-delete.
       val schema = schemaOf(spark, root, v)
       val mapping = mappingOf(spark, root, v)
-      val touched = touchedFilesByPredicate(spark, root, cur, allE, schema, mapping,
-        predicate)
+      val touchedCounts = touchedFilesByPredicate(spark, root, cur, allE,
+        schema, mapping, predicate)
+      val touched = touchedCounts.keySet
       if (touched.isEmpty) return v
       // The optimized (constant-folded) filter condition, for the CAS-loss
       // rebase check: a winner-appended file whose bounds cannot match it
@@ -2553,17 +2562,20 @@ object SnapshotTable {
       // masks; OPTIMIZE materializes. Exact same answers either way —
       // `DeletionVectorSpec` pins hash equality between the branches.
       val touchedPhysRows = touchedE.map(e => e.rows - e.dvRows).sum
+      // Eligibility decides from the PROBE's exact matched counts — zero
+      // extra scans on the (common) rewrite path; only an actual point
+      // delete pays the positions scan below.
+      val matched = touchedCounts.values.sum
       val dvEligible = dvMaxFraction > 0 && touchedE.forall(_.rows > 0) &&
-        touchedPhysRows > 0
+        touchedPhysRows > 0 && matched <= dvMaxRows &&
+        matched.toDouble <= dvMaxFraction * touchedPhysRows
       var dvCasLost = false
       if (dvEligible) {
         val hits = readEntries(spark, touchedE, schema, mapping,
           fileCol = Some("__gf_file"), posCol = Some("__gf_pos"))
           .filter(predicate)
-          .localCheckpoint() // one scan serves count + side-car + CDC
-        val matched = hits.count()
-        if (matched > 0 && matched <= dvMaxRows &&
-            matched.toDouble <= dvMaxFraction * touchedPhysRows) {
+          .localCheckpoint() // one scan serves side-car + CDC
+        locally {
           val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
           val target = v + 1
           val fs = fsOf(spark, root)
@@ -2571,11 +2583,9 @@ object SnapshotTable {
           hits.select(col("__gf_file").as("file"), col("__gf_pos").as("pos"))
             .coalesce(1)
             .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
-          val perFile = hits.groupBy(col("__gf_file")).count().collect()
-            .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
           val newTouched = touchedE.map(e => e.copy(
             dv = e.dv :+ dvDir.toString,
-            dvRows = e.dvRows + perFile.getOrElse(norm(e.path), 0L)))
+            dvRows = e.dvRows + touchedCounts.getOrElse(norm(e.path), 0L)))
           val preImages = hits.drop("__gf_file", "__gf_pos")
           if (tryCommitMeta(spark, root, target, keptE ++ newTouched, schema,
               droppedOf(spark, root, v).toSeq.sorted, bloomOnOf(spark, root, v),
@@ -2588,8 +2598,7 @@ object SnapshotTable {
           if (attempt >= 3) throw new ConcurrentWriteException(
             s"delete(DV) lost the version race at $root 3 times")
           dvCasLost = true // loop re-reads the winner's state
-        } else if (matched == 0) return v
-        // else: too many hits for a DV — fall through to the rewrite
+        }
       }
       if (!dvCasLost) {
       // ---- copy-on-write branch (the pre-r13 path) ----------------------
@@ -2661,14 +2670,65 @@ object SnapshotTable {
       // mix file schemas, and the rewrite must not regress the manifest.
       val schema = schemaOf(spark, root, v)
       val mapping = mappingOf(spark, root, v)
-      val touched = touchedFilesByPredicate(spark, root, cur, allE, schema, mapping,
-        predicate)
+      val touchedCounts = touchedFilesByPredicate(spark, root, cur, allE,
+        schema, mapping, predicate)
+      val touched = touchedCounts.keySet
       if (touched.isEmpty) return v
       val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }
       val (touchedE, keptE) = allE.partition(e => touched(norm(e.path)))
+      // ---- merge-on-read branch (round 13): a point UPDATE writes a DV
+      // masking the old positions plus ONE appended file holding the
+      // post-images — same atomic commit, zero touched-file rewrites.
+      // Falls back to copy-on-write above the same thresholds as delete.
+      // No CAS-loss rebase here (the rebase re-CAS recomputes carry from
+      // the winner and would drop the DV-modified entries): a loss just
+      // redoes the cheap delta-sized work.
+      val touchedPhysRows = touchedE.map(e => e.rows - e.dvRows).sum
+      val matched = touchedCounts.values.sum // exact, from the probe scan
+      var dvCasLost = false
+      if (dvMaxFraction > 0 && touchedE.forall(_.rows > 0) &&
+          touchedPhysRows > 0 && matched <= dvMaxRows &&
+          matched.toDouble <= dvMaxFraction * touchedPhysRows) {
+        import org.apache.spark.sql.functions.col
+        val marked = readEntries(spark, touchedE, schema, mapping,
+          fileCol = Some("__gf_file"), posCol = Some("__gf_pos"))
+          .filter(predicate)
+          .localCheckpoint() // one scan: positions + pre-images + post build
+        locally {
+          val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+          val target = v + 1
+          val fs = fsOf(spark, root)
+          val dvDir = new Path(root, f"dv-$target%08d-$token")
+          marked.select(col("__gf_file").as("file"), col("__gf_pos").as("pos"))
+            .coalesce(1)
+            .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
+          val newTouched = touchedE.map(e => e.copy(
+            dv = e.dv :+ dvDir.toString,
+            dvRows = e.dvRows + touchedCounts.getOrElse(norm(e.path), 0L)))
+          val pre = marked.drop("__gf_file", "__gf_pos")
+          val post = pre.select(schema.fields.map { f =>
+            set.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(pre.col(f.name))
+          }.toIndexedSeq: _*)
+          try {
+            return commitAt(spark, root, target, post,
+              carry = keptE ++ newTouched,
+              cdc = Some((post, pre)),
+              tableSchema = Some(widenNullability(schema, post.schema)))
+          } catch {
+            case e: ConcurrentWriteException =>
+              fs.delete(dvDir, true)
+              attempt += 1
+              if (attempt >= 3) throw e
+              dvCasLost = true // loop re-reads the winner's state
+          }
+        }
+      }
+      if (!dvCasLost) {
+      // ---- copy-on-write branch (the pre-r13 path) ----------------------
       // DV masking applies: rewriting a DV'd file must not resurrect rows.
       val touchedRows = readEntries(spark, touchedE, schema, mapping)
       val hit = coalesce(predicate, lit(false))
@@ -2697,6 +2757,7 @@ object SnapshotTable {
           attempt += 1
           if (attempt >= 3) throw e // loop re-reads the winner's version
       }
+      } // if (!dvCasLost)
     }
     -1L // unreachable
   }
@@ -2741,8 +2802,8 @@ object SnapshotTable {
         s"overwriteWhere: every batch row must satisfy the predicate " +
           s"(classic replaceWhere contract); found rows outside the replaced region")
       val allE = currentEntries(spark, root, v)
-      val touched = touchedFilesByPredicate(spark, root, cur, allE, schema, mapping,
-        predicate)
+      val touched = touchedFilesByPredicate(spark, root, cur, allE,
+        schema, mapping, predicate).keySet
       val resolvedPred = cur.filter(predicate).queryExecution.optimizedPlan
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -2789,6 +2850,23 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val before = filesAt(fs, root, fromVersion).toSet
     val after = filesAt(fs, root, to)
+    // Merge-on-read guard (round 13): a deletion-vector commit changes
+    // ROWS without changing the file set, which this file-level feed
+    // cannot express — a silent miss, not a reprocess signal. Detect it
+    // from the endpoints' per-file masked-row counts and fail toward the
+    // row-level feed ([[changesDelta]] consumes DV commits exactly via
+    // their recorded CDC).
+    locally {
+      val beforeDv = SnapshotStats.statsFromManifest(
+        manifestBodyAt(fs, root, fromVersion))
+        .map(e => e.path -> e.dvRows).toMap
+      val dvMoved = SnapshotStats.statsFromManifest(manifestBodyAt(fs, root, to))
+        .exists(e => beforeDv.get(e.path).exists(_ != e.dvRows))
+      if (dvMoved) throw new IllegalStateException(
+        s"changes($fromVersion, $to) on $root crosses a deletion-vector " +
+          "commit (rows masked, file set unchanged) — the file-level feed " +
+          "cannot express it; use changesDelta/changesFeed")
+    }
     val added = after.filterNot(before)
     if (added.isEmpty)
       read(spark, root, Some(to)).limit(0)

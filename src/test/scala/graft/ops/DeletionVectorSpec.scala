@@ -146,4 +146,41 @@ class DeletionVectorSpec extends SparkSpec {
     assert(row.length == 1 && row.head.getString(1) == "revived")
     assert(SnapshotTable.read(spark, root).count() == 10000L)
   }
+  test("file-level changes() refuses an interval crossing a DV commit") {
+    val root = tmpDir() + "/tbl"
+    seed(root)
+    SnapshotTable.delete(spark, root, col("k") === 9L) // DV commit
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.changes(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    // The row-level feed consumes the same interval exactly.
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, 0L)
+    assert(adds.isEmpty && removes.count() == 1L)
+  }
+  test("a point UPDATE is merge-on-read: DV + appended post-image, no rewrite") {
+    val root = tmpDir() + "/tbl"
+    seed(root)
+    val before = dataFiles(root, 0L)
+    SnapshotTable.update(spark, root, col("k") === 4242L,
+      Map("v" -> lit("patched")))
+    val es = entries(root, 1L)
+    // The touched file survives by entry (now DV'd); ONE new file appends.
+    assert(before.subsetOf(es.map(_.path).toSet),
+      "a point update must not rewrite the touched file")
+    assert(es.map(_.path).toSet.size == before.size + 1,
+      "exactly one appended post-image file")
+    assert(es.count(_.dv.nonEmpty) == 1 && es.map(_.dvRows).sum == 1L)
+    val got = SnapshotTable.read(spark, root)
+    assert(got.count() == 10000L)
+    assert(got.filter(col("k") === 4242L).select("v").head().getString(0) == "patched")
+    // CDC: retraction + insertion, exactly one row each.
+    val Some((adds, removes)) = SnapshotTable.changesDelta(spark, root, 0L)
+    assert(adds.count() == 1L && removes.count() == 1L)
+    assert(adds.select("v").head().getString(0) == "patched")
+    // OPTIMIZE folds the DV and the straggler file back together.
+    SnapshotTable.compact(spark, root, maxFiles = 64)
+    assert(entries(root, 2L).forall(_.dv.isEmpty))
+    assert(SnapshotTable.read(spark, root).count() == 10000L)
+  }
 }
