@@ -2519,6 +2519,15 @@ object SnapshotTable {
     * the side-car stops being broadcast-cheap and a rewrite is honest. */
   private[graft] var dvMaxRows: Long = 1000000L
 
+  /** Economic floor: below this many TOUCHED bytes a copy-on-write
+    * rewrite is cheaper than the DV machinery's extra positions scan +
+    * side-car + masked reads (measured ~1 s of fixed cost on KB-sized
+    * fixture tables vs a ~0.3 s rewrite). DVs exist to avoid rewriting
+    * 128 MB files for 1-row deletes — they should never fire where the
+    * rewrite was already trivial. Specs set 0 to exercise the path on
+    * small fixtures. */
+  private[graft] var dvMinTouchedBytes: Long = 8L << 20
+
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
     def norm(p: String): String = new Path(p).toUri.getPath
@@ -2568,6 +2577,7 @@ object SnapshotTable {
       val matched = touchedCounts.values.sum
       val dvEligible = dvMaxFraction > 0 && touchedE.forall(_.rows > 0) &&
         touchedPhysRows > 0 && matched <= dvMaxRows &&
+        touchedE.map(_.bytes).sum >= dvMinTouchedBytes &&
         matched.toDouble <= dvMaxFraction * touchedPhysRows
       var dvCasLost = false
       if (dvEligible) {
@@ -2691,6 +2701,7 @@ object SnapshotTable {
       var dvCasLost = false
       if (dvMaxFraction > 0 && touchedE.forall(_.rows > 0) &&
           touchedPhysRows > 0 && matched <= dvMaxRows &&
+          touchedE.map(_.bytes).sum >= dvMinTouchedBytes &&
           matched.toDouble <= dvMaxFraction * touchedPhysRows) {
         import org.apache.spark.sql.functions.col
         val marked = readEntries(spark, touchedE, schema, mapping,

@@ -517,12 +517,14 @@ object SqlDml {
               ORDER BY st ASC NULLS FIRST, region ASC NULLS FIRST""")),
 
     // Deletion vectors (round 13, VERDICT r12 #2): scattered point
-    // DELETEs — the GDPR shape — land as (file, pos) side-cars with ZERO
-    // data files rewritten (plan-gated in DeletionVectorSpec; here the
-    // 3-SF hash gate pins the ANSWERS through the masked read), then
-    // OPTIMIZE materializes the DVs back into clean files and the final
-    // aggregate must still be exact. Oracle = the same aggregate with the
-    // deleted keys excluded arithmetically.
+    // DELETEs — the GDPR shape. At these fixture sizes the ECONOMIC floor
+    // (dvMinTouchedBytes) honestly routes to the cheap rewrite; the DV
+    // plan shape itself is pinned by DeletionVectorSpec (floor dropped)
+    // and the 20M-row `dvscale` rehearsal (0/24 files rewritten). Here
+    // the 3-SF hash gate pins the ANSWERS through whichever branch the
+    // economics pick, plus OPTIMIZE and the final aggregate staying
+    // exact. Oracle = the same aggregate with the deleted keys excluded
+    // arithmetically.
     Q("sql_delete_dv",
       (s, dir) => {
         val t = s"orders_dv_${tag(s, dir)}"

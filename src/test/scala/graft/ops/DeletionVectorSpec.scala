@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
 class DeletionVectorSpec extends SparkSpec {
   import spark.implicits._
 
+  // KB-sized fixtures sit under the production economic floor (a rewrite
+  // is cheaper than the DV machinery there, by design) — drop it so the
+  // merge-on-read path itself is what these tests exercise.
+  SnapshotTable.dvMinTouchedBytes = 0L
+
   private def dataFiles(root: String, v: Long): Set[String] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 class TableDdlSpec extends SparkSpec {
   import spark.implicits._
 
+  // Fixture tables sit under the DV economic floor — drop it so the
+  // DESCRIBE DETAIL debt surface has something to show.
+  SnapshotTable.dvMinTouchedBytes = 0L
+
   private def cat(): GraftCatalog = {
     GraftSql.ensureCatalog(spark)
     spark.sessionState.catalogManager.catalog("graft") match {
