@@ -201,6 +201,48 @@ object SnapshotStats {
 
   // --- manifest JSON (de)serialization -----------------------------------
 
+  /** Format protocol (round 14, VERDICT r13 #5 — Delta's protocol-action
+    * shape): every manifest/checkpoint carries the MINIMUM reader/writer
+    * capability it requires; an engine build older than the chain's
+    * requirement refuses loudly instead of mis-parsing a future format.
+    * Absent field = 1 (every pre-r14 manifest). Bump minReader only when
+    * an old reader would return WRONG results; bump minWriter when an old
+    * writer would corrupt state newer readers depend on. */
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 1
+
+  /** (minReader, minWriter) this manifest demands; (1, 1) when absent. */
+  def protocolFromManifest(body: String): (Int, Int) = {
+    val p = tree(body).get("protocol")
+    if (p == null || !p.isObject) (1, 1)
+    else (Option(p.get("minReader")).map(_.asInt).getOrElse(1),
+          Option(p.get("minWriter")).map(_.asInt).getOrElse(1))
+  }
+
+  /** Loud refusal for manifests demanding a newer READER than this build. */
+  def checkReadProtocol(body: String, where: String): Unit = {
+    val (minReader, _) = protocolFromManifest(body)
+    if (minReader > SupportedReaderVersion)
+      throw new IllegalStateException(
+        s"$where requires manifest reader version $minReader; this engine " +
+          s"supports up to $SupportedReaderVersion — upgrade before reading")
+  }
+
+  /** Loud refusal for tables demanding a newer WRITER than this build. */
+  def checkWriteProtocol(body: String, where: String): Unit = {
+    val (_, minWriter) = protocolFromManifest(body)
+    if (minWriter > SupportedWriterVersion)
+      throw new IllegalStateException(
+        s"$where requires manifest writer version $minWriter; this engine " +
+          s"supports up to $SupportedWriterVersion — upgrade before writing")
+  }
+
+  private def putProtocol(root: ObjectNode): Unit = {
+    val p = root.putObject("protocol")
+    p.put("minReader", SupportedReaderVersion)
+    p.put("minWriter", SupportedWriterVersion)
+  }
+
   private val mapper = new ObjectMapper()
 
   // Parsed-manifest memos (round 13): with the incremental manifest log a
@@ -269,6 +311,7 @@ object SnapshotStats {
     // full body — the resolved body must carry the original commit's
     // stamp, never resolution time).
     root.put("ts", tsOverride.getOrElse(nextCommitTs()))
+    putProtocol(root)
     schemaJson.foreach(root.put("schema", _))
     if (mapping.nonEmpty) {
       // Logical → PHYSICAL column names (Delta column-mapping shape,
@@ -408,6 +451,7 @@ object SnapshotStats {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("ts", nextCommitTs())
+    putProtocol(root)
     // The delta marker: its presence is what distinguishes the shapes
     // (`files` vs `base` — a manifest carries exactly one of the two).
     root.put("base", base)

@@ -165,8 +165,13 @@ object SnapshotTable {
 
   private def readManifestBody(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // Protocol gate (round 14): every manifest read — full, delta, or
+    // checkpoint anchor — refuses loudly when the chain demands a newer
+    // reader than this build, instead of mis-parsing a future format.
+    SnapshotStats.checkReadProtocol(body, p.toString)
+    body
   }
 
   // Real JSON parse (jackson ships on the Spark classpath): the writer
@@ -817,6 +822,10 @@ object SnapshotTable {
     if (target == 0L || target % interval == 0L ||
         !fs.exists(manifestPath(root, target - 1))) return full
     val prevBody = manifestBodyAt(fs, root, target - 1)
+    // Writer-protocol gate (round 14): refuse to extend a chain that
+    // demands a newer writer — an old build committing onto it could
+    // corrupt state newer readers depend on.
+    SnapshotStats.checkWriteProtocol(prevBody, s"$root@${target - 1}")
     val prevStats = SnapshotStats.statsFromManifest(prevBody)
     val prevFiles = filesFromBody(prevBody, manifestPath(root, target - 1))
     if (prevStats.map(_.path).sorted != prevFiles.sorted) return full
@@ -1420,11 +1429,12 @@ object SnapshotTable {
         (prevHwm -- logicalSchema.fieldNames) // dropped identity keeps its mark
     }
     def casManifest(target: Long, entries: Seq[SnapshotStats.FileStats],
-                    ingestedSet: Seq[String]): Boolean = {
+                    ingestedSet: Seq[String],
+                    hwm: Map[String, Long] = identityHwm): Boolean = {
       val body = buildCommitBody(fs, root, target, entries, txn, cdcPaths,
         Some(logicalSchema.json), inherited, bloomOn, constraints,
         mapping, usedPhys, ingestedSet, clusterBy = clusterByEff,
-        identityHwm = identityHwm)
+        identityHwm = hwm)
       val tmp = new Path(mdir, f".manifest-$target%08d-$token.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1480,7 +1490,11 @@ object SnapshotTable {
               SnapshotStats.droppedFromManifest(winnerBody).toSet == inherited.toSet &&
               SnapshotStats.bloomOnFromManifest(winnerBody) == bloomOn &&
               SnapshotStats.constraintsFromManifest(winnerBody) == constraints &&
-              SnapshotStats.mappingFromManifest(winnerBody).isEmpty
+              SnapshotStats.mappingFromManifest(winnerBody).isEmpty &&
+              // A winner that re-declared the clustering (recluster/CTAS)
+              // invalidates the layout this rewrite sorted under — give up
+              // rather than re-declare a stale clusterBy (ADVICE r13).
+              SnapshotStats.clusterByFromManifest(winnerBody) == clusterByEff
             val winnerEntries = SnapshotStats.statsFromManifest(winnerBody)
             val winnerFiles = filesFromBody(winnerBody, manifestPath(root, w))
             val winnerByNorm = winnerEntries.map(e => norm(e.path) -> e).toMap
@@ -1510,7 +1524,20 @@ object SnapshotTable {
                 val ingestedSet =
                   (SnapshotStats.ingestedFromManifest(winnerBody) ++ ingestedAdd)
                     .distinct.sorted
-                if (casManifest(w + 1, rebasedCarry ++ newStats, ingestedSet))
+                // The HWM this commit computed hangs off version v-1; if
+                // the winner was an identity-generating append, its HWM is
+                // HIGHER — re-declaring ours would hand out duplicate
+                // identity values on the next insert. Max-merge with the
+                // winner's marks (ADVICE r13); ours still win where this
+                // commit's own new files pushed past the winner.
+                val rebasedHwm = {
+                  val w2 = SnapshotStats.identityHwmFromManifest(winnerBody)
+                  (identityHwm.keySet ++ w2.keySet).map(k => k -> math.max(
+                    identityHwm.getOrElse(k, Long.MinValue),
+                    w2.getOrElse(k, Long.MinValue))).toMap
+                }
+                if (casManifest(w + 1, rebasedCarry ++ newStats, ingestedSet,
+                    hwm = rebasedHwm))
                   Some(w + 1)
                 else { casLosses.incrementAndGet(); None } // lost again: re-read
               }
@@ -3554,7 +3581,14 @@ object SnapshotTable {
         if (!fs.rename(tmp, cp)) fs.delete(tmp, false)
       }
     }
-    doomedDirs.foreach { case (v, dirs) =>
+    // Delete NEWEST-first (ADVICE r13): oldest-first leaves surviving
+    // doomed deltas whose immediate predecessor is already gone — a
+    // concurrent reader (or a crashed-then-rerun vacuum, which pre-resolves
+    // every doomed body above) then fails resolution because the checkpoint
+    // anchor sits only at minKept. Newest-first breaks the chain at the
+    // top, exactly where the anchor covers it; everything still on disk
+    // below keeps an intact predecessor chain.
+    doomedDirs.reverseIterator.foreach { case (v, dirs) =>
       dirs.filterNot(live.contains)
         .filter(underRoot)
         .foreach(d => fs.delete(d, true))

@@ -145,6 +145,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         mb.putString("EXISTS_DEFAULT", dv.getSql)
       }
       Option(c.identityColumnSpec()).foreach { id =>
+        // BIGINT only (ADVICE r13): generation is base +
+        // (monotonically_increasing_id()+1)*step, whose values exceed 2^33
+        // from partition 1 on — cast to INT/SMALLINT that overflows (wraps
+        // to duplicates, or throws under ANSI). Refuse at declaration.
+        require(c.dataType() == org.apache.spark.sql.types.LongType,
+          s"identity columns must be BIGINT; column ${c.name()} is " +
+            c.dataType().sql)
         mb.putLong("identity.start", id.getStart)
         mb.putLong("identity.step", id.getStep)
         mb.putBoolean("identity.allowExplicitInsert", id.isAllowExplicitInsert)

@@ -453,6 +453,24 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
 case class GraftShowCreateCommand(nameParts: Seq[String])
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    // The parser claims EVERY dotted SHOW CREATE TABLE (it cannot consult
+    // the catalog manager at parse time); vanilla Spark tables —
+    // `db.tbl`, `spark_catalog.db.tbl` — must still reach Spark's native
+    // command instead of failing "not a graft catalog" (ADVICE r13). The
+    // fallback constructs Spark's own logical plan directly (re-parsing
+    // the statement would just re-enter this interceptor).
+    val isGraft =
+      try spark.sessionState.catalogManager.catalog(nameParts.head)
+        .isInstanceOf[GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!isGraft) {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+      import org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable
+      return org.apache.spark.sql.graft.Frames.ofRows(spark,
+        ShowCreateTable(UnresolvedTableOrView(
+          nameParts, "SHOW CREATE TABLE", allowTempView = false)))
+        .collect().toSeq
+    }
     val root = GraftSqlParser.rootOf(spark, nameParts)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

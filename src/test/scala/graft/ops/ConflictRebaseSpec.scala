@@ -238,6 +238,41 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(collided, "the planted upsert/append race never collided in 3 tries")
   }
 
+  test("rebase max-merges the identity HWM with the winner's (ADVICE r13)") {
+    val root = s"${tmpDir()}/t"
+    // `k` doubles as a GENERATED BY DEFAULT identity column: the winner's
+    // explicit values bump the manifest HWM via footer bounds.
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("identity.start", 1L).putLong("identity.step", 1L)
+      .putBoolean("identity.allowExplicitInsert", true).build()
+    SnapshotTable.commitClustered(spark, root,
+      (0L until 100L).map(k => (k, s"r$k")).toDF("k", "s")
+        .select(col("k").as("k", md), col("s")),
+      Seq("k"), numFiles = 4)
+    assert(SnapshotTable.identityHwmOf(spark, root, 0L) == Map("k" -> 99L))
+    val (touchedE, keptE, rewritten, schema, resolved) = stageDelete(root)
+
+    // Winner: an append that pushes the HWM to 1009 AFTER the delete
+    // captured version 0's marks.
+    SnapshotTable.append(spark, root,
+      (1000L until 1010L).map(k => (k, "new")).toDF("k", "s"))
+    assert(SnapshotTable.identityHwmOf(spark, root, 1L) == Map("k" -> 1009L))
+
+    val committed = SnapshotTable.commitAt(spark, root, 1L, rewritten,
+      carry = keptE, tableSchema = Some(schema),
+      rebase = Some(SnapshotTable.RebaseSpec(0L,
+        touchedE.map(e => norm(e.path)).toSet, () => resolved)))
+    assert(committed == 2L, s"rebased commit must land at 2, got $committed")
+    // Without the max-merge the rebased manifest re-declared HWM 99 and
+    // the next generating insert would reuse the winner's 1000..1009.
+    assert(SnapshotTable.identityHwmOf(spark, root, 2L) == Map("k" -> 1009L),
+      "rebase must not re-declare the stale pre-winner identity HWM")
+    SnapshotTable.append(spark, root, Seq(("only" : String)).toDF("s"))
+    val gen = SnapshotTable.read(spark, root).filter(col("s") === "only")
+      .select("k").as[Long].head()
+    assert(gen > 1009L, s"generated id $gen must clear the winner's range")
+  }
+
   test("live delete-vs-append race reaches the serial state") {
     val root = s"${tmpDir()}/t"
     SnapshotTable.commitClustered(spark, root,

@@ -161,4 +161,38 @@ class ManifestLogSpec extends SparkSpec {
       land + "/b1", "parquet", Map.empty)
     assert(r2._2 == 0L, "ledger must survive the delta chain")
   }
+
+  test("a manifest demanding a future protocol is refused loudly (r14)") {
+    val root = tmpDir() + "/tbl"
+    SnapshotTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    // New manifests declare the protocol they were written under.
+    assert(SnapshotStats.protocolFromManifest(rawBody(root, 1L)) == (1, 1))
+    // Doctor the head to demand a future READER: every read path must
+    // refuse with the upgrade message, never mis-parse.
+    val p = java.nio.file.Paths.get(root, "_manifests", "manifest-00000001.json")
+    val doctored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"protocol\":{\"minReader\":1,\"minWriter\":1}",
+               "\"protocol\":{\"minReader\":99,\"minWriter\":99}")
+    assert(doctored.contains("minReader\":99"), "doctoring must hit the field")
+    // Write through the hadoop fs (local fs keeps .crc side-files; a raw
+    // java.nio overwrite would fail the read with ChecksumException).
+    val fs = fsOf(root)
+    val hp = new org.apache.hadoop.fs.Path(p.toString)
+    val out = fs.create(hp, true)
+    try out.write(doctored.getBytes("UTF-8")) finally out.close()
+    SnapshotTable.clearResolvedCache()
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("reader version 99"), e.getMessage)
+    // Writes extending the chain refuse too (delta commits read the head).
+    val e2 = intercept[Exception] {
+      SnapshotTable.append(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("version 99"), e2.getMessage)
+    // A manifest WITHOUT the field (pre-r14) still reads as protocol 1.
+    assert(SnapshotStats.protocolFromManifest("""{"version":0,"files":[]}""")
+      == (1, 1))
+  }
 }

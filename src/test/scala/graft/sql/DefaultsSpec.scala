@@ -131,4 +131,21 @@ class DefaultsSpec extends SparkSpec {
     s.sql("DROP TABLE graft.dflt.ids2")
     cat().purgeDropped(Array("dflt"), 0L, force = true)
   }
+
+  test("identity on a non-BIGINT column is refused at declaration (ADVICE r13)") {
+    val s = spark
+    cat()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dflt")
+    s.sql("DROP TABLE IF EXISTS graft.dflt.badid")
+    // Generation offsets exceed 2^33 from partition 1 on; an INT identity
+    // would wrap to duplicates (or throw under ANSI) after the cast.
+    val e = intercept[Exception] {
+      s.sql("""CREATE TABLE graft.dflt.badid (
+                 id INT GENERATED ALWAYS AS IDENTITY, v STRING)""")
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+    assert(!cat().tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("dflt"), "badid")), "refused table must not exist")
+  }
 }

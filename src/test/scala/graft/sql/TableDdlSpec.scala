@@ -59,6 +59,28 @@ class TableDdlSpec extends SparkSpec {
     cat().purgeDropped(Array("ddl"), 0L, force = true)
   }
 
+  test("SHOW CREATE TABLE on a non-graft dotted name falls through to Spark (ADVICE r13)") {
+    val s = spark
+    cat() // graft extensions active: the parser claims every dotted name
+    val loc = java.nio.file.Files.createTempDirectory("graft-test-sc").toString
+    s.sql("CREATE DATABASE IF NOT EXISTS scdb")
+    s.sql("DROP TABLE IF EXISTS scdb.plain")
+    s.sql(s"CREATE TABLE scdb.plain (k BIGINT, v STRING) USING parquet " +
+      s"LOCATION '$loc/plain'")
+    // Pre-fix this failed at execution with "scdb is not a graft catalog";
+    // the command must fall back to Spark's native SHOW CREATE TABLE.
+    val script = s.sql("SHOW CREATE TABLE scdb.plain")
+      .collect().map(_.getString(0)).toSeq
+    assert(script.head.contains("plain") && script.head.contains("CREATE TABLE"),
+      script)
+    // The 3-part session-catalog spelling falls through too.
+    val script3 = s.sql("SHOW CREATE TABLE spark_catalog.scdb.plain")
+      .collect().map(_.getString(0)).toSeq
+    assert(script3.head.contains("plain"), script3)
+    s.sql("DROP TABLE scdb.plain")
+    s.sql("DROP DATABASE scdb")
+  }
+
   test("SHOW CREATE TABLE carries clone provenance as a comment row") {
     val s = spark
     cat()
