@@ -100,26 +100,37 @@ object Bench {
         passC.get(q.name).toSeq.flatten
       q.name -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
-    val prevMins: Map[String, Double] = try {
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
+    // Comparison base = per-query MIN over the last 3 committed artifacts
+    // (VERDICT r13 #3): a single load-poisoned previous artifact used to
+    // mask real regressions up to 1.3× of the POISONED value
+    // (x_graph_pagerank_conv: r12 base 26.96 s vs idle 7.4 s — never
+    // probed). The floor source is recorded per suspect in the JSON.
+    val prevMins: Map[String, (Double, String)] = try {
+      val arts = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .filter(_.getName.matches("bench_results_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-        .lastOption.map { f =>
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readAllBytes(f.toPath))
-          val qn = node.get("queries")
-          if (qn == null || !qn.isObject) Map.empty[String, Double]
-          else {
-            val it = qn.fields()
-            val b = Map.newBuilder[String, Double]
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
-            b.result()
+        .takeRight(3)
+      val b = scala.collection.mutable.Map.empty[String, (Double, String)]
+      arts.foreach { f =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(f.toPath))
+        val qn = node.get("queries")
+        if (qn != null && qn.isObject) {
+          val it = qn.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue.asDouble
+            if (v > 0 && b.get(e.getKey).forall(_._1 > v))
+              b(e.getKey) = (v, f.getName)
           }
-        }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty[String, Double] }
+        }
+      }
+      b.toMap
+    } catch { case _: Throwable => Map.empty[String, (Double, String)] }
     val suspects = SparkEntry.registry.map(_.name).filter { n =>
       val cur = prelim.getOrElse(n, -1.0)
-      prevMins.get(n).exists(prev => prev > 0 && cur > 0 && cur / prev > 1.3)
+      prevMins.get(n).exists { case (prev, _) =>
+        prev > 0 && cur > 0 && cur / prev > 1.3 }
     }
     var probeWaited = 0.0
     val probe: Map[String, Option[Double]] =
@@ -148,11 +159,15 @@ object Bench {
     val probeJson = probe.map { case (n, t) =>
       "\"" + n + "\":" + t.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
+    val floorsJson = suspects.map { n =>
+      val (v, src) = prevMins(n)
+      "\"" + n + "\":{\"floor\":" + v + ",\"source\":\"" + src + "\"}"
+    }.mkString("{", ",", "}")
     val passes = s"""{"a":{"load_before":$loadBeforeA,"wall":$passAWall},""" +
       s""""b":{"load_before":$loadBeforeB,"wall":$passBWall},""" +
       s""""c":{"load_before":$loadBeforeC,"wall":$passCWall,"reran":${passC.size}},""" +
       s""""probe":{"suspects":${suspects.size},"waited":$probeWaited,""" +
-      s""""load":$probeLoad,"times":$probeJson},""" +
+      s""""load":$probeLoad,"times":$probeJson,"floors":$floorsJson},""" +
       s""""load_end":$loadEnd}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load_avg":$loadEnd,"passes":$passes,"sf":"$sfDir"}""")
     // Self-contained bench artifact (VERDICT r6 #6): the driver's tail

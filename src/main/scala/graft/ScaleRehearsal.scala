@@ -1996,9 +1996,10 @@ object ScaleRehearsal {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e6)
     }
-    // Stage the file count up: each stage appends batches of 500 files
+    // Stage the file count up: each stage appends batches of files
     // (1 row per file via repartition — file COUNT is the variable under
-    // test; byte volume is irrelevant to manifest economics).
+    // test; byte volume is irrelevant to manifest economics). Batches grow
+    // with the target so the 200k stage stays a bounded number of jobs.
     var nextKey = 0L
     def appendFiles(files: Int): Unit = {
       graft.ops.SnapshotTable.append(spark, root,
@@ -2008,22 +2009,32 @@ object ScaleRehearsal {
     }
     graft.ops.SnapshotTable.commit(spark, root, Seq((nextKey, "seed")).toDF("k", "v"))
     nextKey += 1
-    for (target <- Seq(1000, 5000, 20000, 50000)) {
+    for (target <- Seq(1000, 5000, 20000, 50000, 200000)) {
+      val batch = math.max(500, target / 40)
       while (graft.ops.SnapshotTable.rowCount(spark, root) < target)
-        appendFiles(math.min(500, target.toInt - graft.ops.SnapshotTable.rowCount(spark, root).toInt))
+        appendFiles(math.min(batch, target.toInt - graft.ops.SnapshotTable.rowCount(spark, root).toInt))
       // One PROBE append: a streaming-micro-batch-sized commit.
       val (_, wall) = timeMs(graft.ops.SnapshotTable.append(spark, root,
         Seq((nextKey, "probe")).toDF("k", "v").repartition(1)))
       nextKey += 1
       val v = graft.ops.SnapshotTable.currentVersion(spark, root).get
       val deltaBytes = mBytes(v)
+      // Cold FULL resolve (file list + stats materialized): pre-r14 this
+      // was a monolithic JSON parse + per-level re-serialize; now a
+      // columnar checkpoint decode + KB delta folds.
       graft.ops.SnapshotTable.clearResolvedCache()
       val (_, coldMs) = timeMs(graft.ops.SnapshotTable.read(spark, root).schema)
+      // Cold STATE-ONLY resolve (round 14): schema/clusterBy/ledger from
+      // the checkpoint FOOTER + KB deltas — must stay FLAT in file count.
+      graft.ops.SnapshotTable.clearResolvedCache()
+      val (_, stateMs) = timeMs(
+        graft.ops.SnapshotTable.stateOnlyAt(fs, root, v).schema)
       val fullBytes = graft.ops.SnapshotTable.manifestBodyAt(fs, root, v)
         .getBytes("UTF-8").length
       println(f"SCALE manifestscale files=${target}%6d " +
         f"delta_commit_bytes=$deltaBytes%8d full_state_bytes=$fullBytes%10d " +
-        f"commit_ms=$wall%8.1f cold_read_resolve_ms=$coldMs%8.1f")
+        f"commit_ms=$wall%8.1f cold_read_resolve_ms=$coldMs%8.1f " +
+        f"cold_state_resolve_ms=$stateMs%8.1f")
     }
     // Streaming-frequency shape (VERDICT r12 #8): 100 consecutive 1-file
     // appends at the 50k-file table; per-commit latency must stay flat.

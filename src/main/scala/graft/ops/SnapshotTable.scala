@@ -203,37 +203,68 @@ object SnapshotTable {
   // parse + a KB tail. The CAS protocol is untouched — the delta manifest
   // IS the commit, still one atomic rename per version.
 
-  /** Full manifests every Nth version bound a reader's resolution walk.
-    * 16 keeps the walk under one dir-listing's worth of KB reads while
-    * amortizing the O(files) checkpoint write to ~6% of commits.
-    * `private[graft]` so the scale rehearsal can stretch chains. */
+  /** Checkpoint cadence: every Nth version gets a COLUMNAR (parquet)
+    * checkpoint written post-CAS (round 14 — pre-r14 the Nth manifest was
+    * itself written full, taxing that commit O(files) of JSON). 16 bounds
+    * a reader's resolution walk to <16 KB-sized delta reads past one
+    * columnar decode while amortizing the O(files) checkpoint write to
+    * ~6% of commits. `private[graft]` so the scale rehearsal can stretch
+    * chains. */
   private[graft] var manifestCheckpointInterval: Int = 16
 
+  /** Legacy (pre-r14, JSON full-body) checkpoint anchors — still read,
+    * never written. */
   private def checkpointPath(root: String, v: Long): Path =
     new Path(new Path(root, ManifestDir), f"checkpoint-$v%08d.json")
 
-  /** Resolved-body cache: manifests are immutable (rename-CAS, never
+  /** Columnar checkpoint (round 14): file entries as parquet rows, table
+    * state in the footer key-value metadata (see [[CheckpointIO]]). */
+  private def checkpointParquetPath(root: String, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"checkpoint-$v%08d.parquet")
+
+  /** Resolved-state cache: manifests are immutable (rename-CAS, never
     * overwritten), so (path, mtime, length) identifies content even across
     * DROP-tombstone renames and recreate-at-same-root — a fresh file at an
     * old path differs in mtime/len. Access-ordered LRU; intermediate chain
     * versions are cached too, so `history` over V versions resolves in
     * O(V) incremental folds, not O(V·chain). */
   private val resolvedCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long), String](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long), SnapshotStats.Resolved](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
-        size() > 48
+          e: java.util.Map.Entry[(String, Long, Long), SnapshotStats.Resolved])
+          : Boolean = size() > 48
     })
 
-  /** Version `v`'s manifest as a FULL body, resolving the delta-log chain
-    * when needed. The single read-side seam: everything that used to read
-    * the manifest file directly for files/stats/ledger state goes through
-    * here. (Fields a delta carries verbatim — ts, txn — may still be read
-    * raw where scanning many versions: lastTxn, TIMESTAMP AS OF.) */
-  private[graft] def manifestBodyAt(fs: FileSystem, root: String, v: Long): String = {
+  /** Version `v`'s fully-resolved manifest STATE, folding the delta-log
+    * chain structurally (round 14). The single read-side seam: everything
+    * that reads files/stats/schema/ledger state goes through here (or
+    * through [[manifestBodyAt]], its string facade). Resolution walks
+    * back from `v` preferring, at each level u: (1) a columnar checkpoint
+    * for u — one footer + columnar decode, subsumes u's own delta; (2) a
+    * cached resolution of u; (3) u's manifest when full. Deltas collect
+    * until one of those hits, then fold forward with ZERO JSON
+    * serialization (the pre-r14 JSON→JSON fold re-serialized the whole
+    * O(files) state per level — the dominant cold-read cost). */
+  private[graft] def resolvedAt(fs: FileSystem, root: String,
+                                v: Long): SnapshotStats.Resolved = {
     def keyOf(p: Path): (String, Long, Long) = {
       val st = fs.getFileStatus(p)
       (p.toString, st.getModificationTime, st.getLen)
+    }
+    // A checkpoint for version u, when one exists: the columnar form
+    // (written post-CAS on the cadence and by vacuum as the minKept
+    // anchor) or a legacy JSON anchor from a pre-r14 vacuum.
+    def checkpointAt(u: Long): Option[SnapshotStats.Resolved] = {
+      val cpq = checkpointParquetPath(root, u)
+      if (fs.exists(cpq))
+        Some(CheckpointIO.read(fs.getConf, cpq))
+      else {
+        val cpj = checkpointPath(root, u)
+        if (fs.exists(cpj))
+          Some(SnapshotStats.parseResolved(readManifestBody(fs, cpj)))
+        else None
+      }
     }
     val mp = manifestPath(root, v)
     val key = keyOf(mp)
@@ -241,49 +272,142 @@ object SnapshotTable {
     if (hit != null) return hit
     val body = readManifestBody(fs, mp)
     if (SnapshotStats.baseFromManifest(body).isEmpty) {
-      resolvedCache.put(key, body); return body
+      val r = SnapshotStats.parseResolved(body)
+      resolvedCache.put(key, r); return r
     }
-    // Delta: walk down collecting the chain until a full manifest, a
-    // vacuum-written checkpoint anchor, or a cached resolution; then fold
-    // forward, memoizing every level. Iterative — no recursion depth bet.
+    // Delta: walk down. Invariant: `chain` holds the deltas for versions
+    // v down to u inclusive (newest first).
     val chain = scala.collection.mutable.ArrayBuffer((key, body))
-    var baseBody: String = null
+    var base: SnapshotStats.Resolved = null
     var u = v
-    while (baseBody == null) {
-      // A delta for version u resolves against u-1 (base is always the
-      // immediate predecessor). A missing predecessor means vacuum pruned
-      // the chain below — it anchored version u with a checkpoint file
-      // before deleting (see vacuumKeeping), which IS u's full body.
-      u -= 1
-      val pmp = manifestPath(root, u)
-      if (!fs.exists(pmp)) {
-        val acp = checkpointPath(root, u + 1)
-        require(fs.exists(acp),
-          s"manifest $u of $root is gone and version ${u + 1} has no " +
-            "checkpoint anchor; cannot resolve the delta chain")
-        baseBody = readManifestBody(fs, acp)
-        // The anchor subsumes u+1's own delta — drop it from the fold.
-        chain.remove(chain.length - 1)
-      } else {
-        val pkey = keyOf(pmp)
-        val cached = resolvedCache.get(pkey)
-        if (cached != null) baseBody = cached
-        else {
-          val pbody = readManifestBody(fs, pmp)
-          if (SnapshotStats.baseFromManifest(pbody).isEmpty) {
-            resolvedCache.put(pkey, pbody)
-            baseBody = pbody
-          } else chain += ((pkey, pbody))
-        }
+    while (base == null) {
+      checkpointAt(u) match {
+        case Some(r) =>
+          // The checkpoint IS u's full state — u's own delta is subsumed.
+          base = r
+          chain.remove(chain.length - 1)
+        case None =>
+          val pu = u - 1
+          val pmp = manifestPath(root, pu)
+          require(fs.exists(pmp),
+            s"manifest $pu of $root is gone and version $u has no " +
+              "checkpoint anchor; cannot resolve the delta chain")
+          val pkey = keyOf(pmp)
+          val cached = resolvedCache.get(pkey)
+          if (cached != null) base = cached
+          else {
+            val pbody = readManifestBody(fs, pmp)
+            if (SnapshotStats.baseFromManifest(pbody).isEmpty) {
+              base = SnapshotStats.parseResolved(pbody)
+              resolvedCache.put(pkey, base)
+            } else { chain += ((pkey, pbody)); u = pu }
+          }
       }
     }
     // Fold forward (chain is newest-first), caching each resolved level.
-    var acc = baseBody
+    var acc = base
     chain.reverseIterator.foreach { case (k, dbody) =>
-      acc = SnapshotStats.resolveDelta(acc, dbody)
+      acc = SnapshotStats.applyDelta(acc, dbody)
       resolvedCache.put(k, acc)
     }
     acc
+  }
+
+  /** Version `v`'s manifest as a FULL JSON body — the string facade over
+    * [[resolvedAt]] for consumers of the pre-r14 shape (serialized lazily,
+    * memoized per version). (Fields a delta carries verbatim — ts, txn —
+    * may still be read raw where scanning many versions: lastTxn,
+    * TIMESTAMP AS OF.) */
+  private[graft] def manifestBodyAt(fs: FileSystem, root: String, v: Long): String =
+    resolvedAt(fs, root, v).body
+
+  /** Table STATE at version `v` WITHOUT materializing the file list
+    * (round 14, VERDICT r13 #1): a delta manifest carries every state
+    * field except the COPY ledger in full, so state-only resolution reads
+    * the head delta (KB), folds `ingestedAdd` down the chain, and — at a
+    * columnar checkpoint — reads ONE parquet FOOTER (CheckpointIO
+    * .readState), never the rows. O(chain·KB + state) and flat in table
+    * file count, vs resolvedAt's necessarily O(files) decode. The
+    * returned state has EMPTY stats/files (and is never placed in the
+    * resolvedCache, whose entries data paths trust to carry files);
+    * state-only surfaces (schema probes, DESCRIBE-class commands, the
+    * scale rehearsal's cold-state metric) are the intended callers —
+    * anything that scans uses [[resolvedAt]]. Shares warm resolvedCache
+    * entries read-only when present. */
+  private[graft] def stateOnlyAt(fs: FileSystem, root: String,
+                                 v: Long): SnapshotStats.Resolved = {
+    def keyOf(p: Path): (String, Long, Long) = {
+      val st = fs.getFileStatus(p)
+      (p.toString, st.getModificationTime, st.getLen)
+    }
+    val mp = manifestPath(root, v)
+    val warm = resolvedCache.get(keyOf(mp))
+    if (warm != null) return warm
+    val body = readManifestBody(fs, mp)
+    if (SnapshotStats.baseFromManifest(body).isEmpty)
+      return SnapshotStats.parseResolved(body)
+    val head = SnapshotStats.applyDelta(
+      // Fold against an empty base: every non-ledger state field comes
+      // from the delta itself; stats/ledger are patched below.
+      new SnapshotStats.Resolved(v - 1, -1L, Nil, None, Nil, Nil, Map.empty,
+        Map.empty, Nil, Nil, Nil, Map.empty, None, None),
+      body)
+    // Ledger: base's ∪ each delta's ingestedAdd, newest-last.
+    val adds = scala.collection.mutable.ArrayBuffer(
+      ingestedAddFromDelta(body))
+    var u = v
+    var baseIngested: Seq[String] = null
+    while (baseIngested == null) {
+      val cpq = checkpointParquetPath(root, u)
+      val cpj = checkpointPath(root, u)
+      if (fs.exists(cpq)) {
+        adds.remove(adds.length - 1) // the checkpoint subsumes u's delta
+        baseIngested = SnapshotStats.ingestedFromManifest(
+          CheckpointIO.readState(fs.getConf, cpq))
+      } else if (fs.exists(cpj)) {
+        adds.remove(adds.length - 1)
+        baseIngested = SnapshotStats.ingestedFromManifest(
+          readManifestBody(fs, cpj))
+      } else {
+        val pu = u - 1
+        val pmp = manifestPath(root, pu)
+        require(fs.exists(pmp),
+          s"manifest $pu of $root is gone and version $u has no " +
+            "checkpoint anchor; cannot resolve the delta chain")
+        val pwarm = resolvedCache.get(keyOf(pmp))
+        if (pwarm != null) baseIngested = pwarm.ingested
+        else {
+          val pbody = readManifestBody(fs, pmp)
+          if (SnapshotStats.baseFromManifest(pbody).isEmpty)
+            baseIngested = SnapshotStats.ingestedFromManifest(pbody)
+          else { adds += ingestedAddFromDelta(pbody); u = pu }
+        }
+      }
+    }
+    val ledger = (baseIngested ++ adds.reverseIterator.flatten)
+      .distinct.sorted
+    new SnapshotStats.Resolved(head.version, head.ts, Nil, head.schemaJson,
+      head.dropped, head.bloomOn, head.constraints, head.mapping,
+      head.usedPhys, ledger, head.clusterBy, head.identityHwm, head.txn,
+      head.cdc)
+  }
+
+  private def ingestedAddFromDelta(deltaBody: String): Seq[String] =
+    SnapshotStats.ingestedAddFromManifest(deltaBody)
+
+  /** Write the columnar checkpoint for `v` when it falls on the cadence —
+    * called AFTER a commit's CAS wins, never on the commit's critical
+    * correctness path: any failure is swallowed (readers walk further
+    * back; the next cadence commit retries). */
+  private def maybeCheckpoint(fs: FileSystem, root: String, v: Long): Unit = {
+    val interval = math.max(1, manifestCheckpointInterval)
+    if (v > 0 && v % interval == 0) {
+      try {
+        val dest = checkpointParquetPath(root, v)
+        if (!fs.exists(dest))
+          CheckpointIO.write(fs, fs.getConf, dest, resolvedAt(fs, root, v))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Drop every memoized resolved body — the scale rehearsal's cold-read
@@ -291,10 +415,8 @@ object SnapshotTable {
   private[graft] def clearResolvedCache(): Unit = resolvedCache.clear()
 
   /** Resolved file list at version `v` (the old `readManifest` shape). */
-  private def filesAt(fs: FileSystem, root: String, v: Long): Seq[String] = {
-    val body = manifestBodyAt(fs, root, v)
-    filesFromBody(body, manifestPath(root, v))
-  }
+  private def filesAt(fs: FileSystem, root: String, v: Long): Seq[String] =
+    resolvedAt(fs, root, v).files
 
   /** Read the table at its latest committed version (or a pinned `asOf`
     * version — time travel falls out of immutable manifests for free).
@@ -317,17 +439,17 @@ object SnapshotTable {
     val v = asOf.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsOf(spark, root)
-    val body = manifestBodyAt(fs, root, v)
-    val files = filesFromBody(body, manifestPath(root, v))
-    val stats = SnapshotStats.statsFromManifest(body)
+    val resolved = resolvedAt(fs, root, v)
+    val files = resolved.files
+    val stats = resolved.stats
     // The manifest's declared schema wins (schema evolution: files written
     // before a column existed are still listed and read NULL for it; time
     // travel sees each version's own schema). Pre-schema manifests fall
     // back to a footer. The SCAN speaks physical names (that is what the
     // files, footer stats and blooms carry); the logical projection on top
     // is identity — and elided — for tables that never renamed/re-added.
-    val declared = SnapshotStats.schemaFromManifest(body)
-    val mapping = SnapshotStats.mappingFromManifest(body)
+    val declared = resolved.schema
+    val mapping = resolved.mapping
     if (files.isEmpty) {
       // Files-less manifest: a `CREATE TABLE` bootstrap (graft.sql) or a
       // fully-compacted-away state — the declared schema IS the table.
@@ -546,9 +668,9 @@ object SnapshotTable {
   private def currentEntries(spark: SparkSession, root: String,
                              v: Long): Seq[SnapshotStats.FileStats] = {
     val fs = fsOf(spark, root)
-    val body = manifestBodyAt(fs, root, v)
-    val files = filesFromBody(body, manifestPath(root, v))
-    val stats = SnapshotStats.statsFromManifest(body)
+    val resolved = resolvedAt(fs, root, v)
+    val files = resolved.files
+    val stats = resolved.stats
     if (stats.map(_.path).sorted == files.sorted) stats
     else files.map { f =>
       val st = fs.getFileStatus(new Path(f))
@@ -657,23 +779,20 @@ object SnapshotTable {
 
   /** Logical → physical (non-identity entries only) at version `v`. */
   private def mappingOf(spark: SparkSession, root: String, v: Long): Map[String, String] =
-    SnapshotStats.mappingFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v))
+    resolvedAt(fsOf(spark, root), root, v).mapping
 
   /** Every physical name ever assigned at or before `v`. Pre-mapping
     * manifests carry none, so the set is SEEDED from the declared schema's
     * physical names plus the tombstoned names — exactly the names whose
     * bytes may still live in retained files. */
   private def usedPhysOf(spark: SparkSession, root: String, v: Long): Seq[String] =
-    usedPhysOfBody(manifestBodyAt(fsOf(spark, root), root, v))
+    usedPhysOfResolved(resolvedAt(fsOf(spark, root), root, v))
 
-  private def usedPhysOfBody(body: String): Seq[String] = {
-    val recorded = SnapshotStats.usedPhysFromManifest(body)
-    val mapping = SnapshotStats.mappingFromManifest(body)
-    val schemaPhys = SnapshotStats.schemaFromManifest(body).toSeq
-      .flatMap(_.fieldNames).map(n => mapping.getOrElse(n, n))
+  private def usedPhysOfResolved(r: SnapshotStats.Resolved): Seq[String] = {
+    val schemaPhys = r.schema.toSeq
+      .flatMap(_.fieldNames).map(n => r.mapping.getOrElse(n, n))
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    (recorded ++ schemaPhys ++ SnapshotStats.droppedFromManifest(body))
+    (r.usedPhys ++ schemaPhys ++ r.dropped)
       .foreach(n => if (!seen.exists(_.equalsIgnoreCase(n))) seen += n)
     seen.toSeq
   }
@@ -753,43 +872,36 @@ object SnapshotTable {
 
   private def schemaOf(spark: SparkSession, root: String, v: Long)
       : org.apache.spark.sql.types.StructType = {
-    val fs = fsOf(spark, root)
-    val body = manifestBodyAt(fs, root, v)
-    SnapshotStats.schemaFromManifest(body).getOrElse(
-      spark.read.parquet(filesFromBody(body, manifestPath(root, v)).head).schema)
+    val resolved = resolvedAt(fsOf(spark, root), root, v)
+    resolved.schema.getOrElse(
+      spark.read.parquet(resolved.files.head).schema)
   }
 
   /** Version `v`'s tombstoned column names. */
   private def droppedOf(spark: SparkSession, root: String, v: Long): Set[String] =
-    SnapshotStats.droppedFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v)).toSet
+    resolvedAt(fsOf(spark, root), root, v).dropped.toSet
 
   /** Version `v`'s COPY INTO loaded-file ledger. */
   private def ingestedOf(spark: SparkSession, root: String, v: Long): Seq[String] =
-    SnapshotStats.ingestedFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v))
+    resolvedAt(fsOf(spark, root), root, v).ingested
 
   /** Version `v`'s identity-column high-water marks (round 13). */
   private[graft] def identityHwmOf(spark: SparkSession, root: String,
                                    v: Long): Map[String, Long] =
-    SnapshotStats.identityHwmFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v))
+    resolvedAt(fsOf(spark, root), root, v).identityHwm
 
   /** Version `v`'s declared clustering columns (round 13). */
   private def clusterByOf(spark: SparkSession, root: String, v: Long): Seq[String] =
-    SnapshotStats.clusterByFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v))
+    resolvedAt(fsOf(spark, root), root, v).clusterBy
 
   /** Version `v`'s bloom-indexed column config. */
   private def bloomOnOf(spark: SparkSession, root: String, v: Long): Seq[String] =
-    SnapshotStats.bloomOnFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v))
+    resolvedAt(fsOf(spark, root), root, v).bloomOn
 
   /** Version `v`'s named CHECK constraints. */
   private def constraintsOf(spark: SparkSession, root: String,
                             v: Long): Map[String, String] =
-    SnapshotStats.constraintsFromManifest(
-      manifestBodyAt(fsOf(spark, root), root, v))
+    resolvedAt(fsOf(spark, root), root, v).constraints
 
   /** Build the body one commit writes: a DELTA manifest when a usable base
     * exists and the delta is actually smaller, else a FULL manifest (the
@@ -818,18 +930,23 @@ object SnapshotTable {
     def full = SnapshotStats.manifestJson(target, entries, txn, cdcPaths,
       schemaJson, dropped, bloomOn, constraints, mapping, usedPhys, ingested,
       clusterBy = clusterBy, identityHwm = identityHwm)
-    val interval = math.max(1, manifestCheckpointInterval)
-    if (target == 0L || target % interval == 0L ||
-        !fs.exists(manifestPath(root, target - 1))) return full
-    val prevBody = manifestBodyAt(fs, root, target - 1)
+    // Round 14: checkpoint-cadence versions no longer force a FULL JSON
+    // manifest — commit bytes stay flat at EVERY version; the winner
+    // writes the columnar checkpoint post-CAS instead (maybeCheckpoint).
+    if (target == 0L || !fs.exists(manifestPath(root, target - 1))) return full
+    val prev = resolvedAt(fs, root, target - 1)
     // Writer-protocol gate (round 14): refuse to extend a chain that
     // demands a newer writer — an old build committing onto it could
     // corrupt state newer readers depend on.
-    SnapshotStats.checkWriteProtocol(prevBody, s"$root@${target - 1}")
-    val prevStats = SnapshotStats.statsFromManifest(prevBody)
-    val prevFiles = filesFromBody(prevBody, manifestPath(root, target - 1))
+    if (prev.protocol._2 > SnapshotStats.SupportedWriterVersion)
+      throw new IllegalStateException(
+        s"$root@${target - 1} requires manifest writer version " +
+          s"${prev.protocol._2}; this engine supports up to " +
+          s"${SnapshotStats.SupportedWriterVersion} — upgrade before writing")
+    val prevStats = prev.stats
+    val prevFiles = prev.files
     if (prevStats.map(_.path).sorted != prevFiles.sorted) return full
-    val prevIngested = SnapshotStats.ingestedFromManifest(prevBody)
+    val prevIngested = prev.ingested
     if (!prevIngested.forall(ingested.contains)) return full
     val prevByPath = prevStats.map(e => e.path -> e).toMap
     val entryPaths = entries.map(_.path).toSet
@@ -870,26 +987,20 @@ object SnapshotTable {
     // COPY INTO's loaded-file ledger inherits like tombstones unless the
     // caller pins an exact set (restore rewinds it with the file set;
     // clone carries the source's so a re-COPY on the clone stays a no-op).
+    val prevResolved =
+      if (target == 0L || !fs.exists(manifestPath(root, target - 1))) None
+      else Some(resolvedAt(fs, root, target - 1))
     val ingestedEff = ingested.getOrElse(
-      if (target == 0L) Nil
-      else if (fs.exists(manifestPath(root, target - 1)))
-        SnapshotStats.ingestedFromManifest(
-          manifestBodyAt(fs, root, target - 1))
-      else Nil)
+      prevResolved.map(_.ingested).getOrElse(Nil))
     // Declared clustering inherits like the ledger (no metadata-only
     // commit changes the layout declaration) unless the caller declares
     // one — the `CREATE TABLE ... CLUSTER BY` bootstrap (round 13).
     val clusterByEff = clusterBy.getOrElse(
-      if (target == 0L || !fs.exists(manifestPath(root, target - 1))) Nil
-      else SnapshotStats.clusterByFromManifest(
-        manifestBodyAt(fs, root, target - 1)))
+      prevResolved.map(_.clusterBy).getOrElse(Nil))
     // Identity high-water marks inherit the same way (a metadata commit
     // writes no rows, so no bump); clone pins its source's exact map.
     val hwmEff = identityHwm.getOrElse(
-      if (target == 0L || !fs.exists(manifestPath(root, target - 1)))
-        Map.empty[String, Long]
-      else SnapshotStats.identityHwmFromManifest(
-        manifestBodyAt(fs, root, target - 1)))
+      prevResolved.map(_.identityHwm).getOrElse(Map.empty[String, Long]))
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     // Optional row-level change sets (restoreWithCdc): side-cars land
     // before the manifest rename, exactly like commitAt's, and a CAS loss
@@ -920,7 +1031,7 @@ object SnapshotTable {
       fs.delete(tmp, false)
       if (cdcPaths.isDefined) fs.delete(cdcDir, true)
       casLosses.incrementAndGet(); false
-    } else true
+    } else { maybeCheckpoint(fs, root, target); true }
   }
 
   private def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -1254,15 +1365,10 @@ object SnapshotTable {
       else {
         val prev = manifestPath(root, v - 1)
         if (fs.exists(prev)) {
-          val pb = manifestBodyAt(fs, root, v - 1)
-          (SnapshotStats.droppedFromManifest(pb),
-            SnapshotStats.bloomOnFromManifest(pb),
-            SnapshotStats.constraintsFromManifest(pb),
-            SnapshotStats.mappingFromManifest(pb),
-            usedPhysOfBody(pb),
-            SnapshotStats.ingestedFromManifest(pb),
-            SnapshotStats.clusterByFromManifest(pb),
-            filesFromBody(pb, prev).length)
+          val pr = resolvedAt(fs, root, v - 1)
+          (pr.dropped, pr.bloomOn, pr.constraints, pr.mapping,
+            usedPhysOfResolved(pr), pr.ingested, pr.clusterBy,
+            pr.files.length)
         } else (Nil, Nil, Map.empty[String, String],
           Map.empty[String, String], Nil, Nil, Nil, 0)
       }
@@ -1274,7 +1380,7 @@ object SnapshotTable {
     val clusterByEff = declareClusterBy.getOrElse(prevClusterBy)
     val prevHwm =
       if (v == 0L || !fs.exists(manifestPath(root, v - 1))) Map.empty[String, Long]
-      else SnapshotStats.identityHwmFromManifest(manifestBodyAt(fs, root, v - 1))
+      else resolvedAt(fs, root, v - 1).identityHwm
     // COPY INTO ledger: accumulated monotonically like tombstones, plus
     // this commit's newly-loaded identities (copyInto's `ingestedAdd`).
     val ingested = (prevIngested ++ ingestedAdd).distinct.sorted
@@ -1441,7 +1547,7 @@ object SnapshotTable {
       val dest = manifestPath(root, target)
       if (fs.exists(dest) || !fs.rename(tmp, dest)) {
         fs.delete(tmp, false); false
-      } else true
+      } else { maybeCheckpoint(fs, root, target); true }
     }
     if (casManifest(v, carry ++ newStats, ingested)) return v
     casLosses.incrementAndGet()
@@ -1478,25 +1584,25 @@ object SnapshotTable {
           val w = currentVersion(spark, root).getOrElse(-1L)
           if (w < v) { giveUp = true; None }
           else {
-            val winnerBody = manifestBodyAt(fs, root, w)
+            val winner = resolvedAt(fs, root, w)
             // Schema gate: same names and types, and OUR declaration at
             // least as nullable as the winner's everywhere (DML commits
             // widen nullability to what their when()-projections produce;
             // declaring the wider form over the winner's files is safe —
             // the reverse would narrow and is refused).
             val sameMeta =
-              SnapshotStats.schemaFromManifest(winnerBody)
+              winner.schema
                 .exists(ws => schemaWidens(ws, logicalSchema)) &&
-              SnapshotStats.droppedFromManifest(winnerBody).toSet == inherited.toSet &&
-              SnapshotStats.bloomOnFromManifest(winnerBody) == bloomOn &&
-              SnapshotStats.constraintsFromManifest(winnerBody) == constraints &&
-              SnapshotStats.mappingFromManifest(winnerBody).isEmpty &&
+              winner.dropped.toSet == inherited.toSet &&
+              winner.bloomOn == bloomOn &&
+              winner.constraints == constraints &&
+              winner.mapping.isEmpty &&
               // A winner that re-declared the clustering (recluster/CTAS)
               // invalidates the layout this rewrite sorted under — give up
               // rather than re-declare a stale clusterBy (ADVICE r13).
-              SnapshotStats.clusterByFromManifest(winnerBody) == clusterByEff
-            val winnerEntries = SnapshotStats.statsFromManifest(winnerBody)
-            val winnerFiles = filesFromBody(winnerBody, manifestPath(root, w))
+              winner.clusterBy == clusterByEff
+            val winnerEntries = winner.stats
+            val winnerFiles = winner.files
             val winnerByNorm = winnerEntries.map(e => norm(e.path) -> e).toMap
             val baseEntries = currentEntries(spark, root, spec.baseVersion)
             val baseByNorm = baseEntries.map(e => norm(e.path) -> e).toMap
@@ -1522,8 +1628,7 @@ object SnapshotTable {
                 val rebasedCarry =
                   winnerEntries.filterNot(e => spec.removedPaths(norm(e.path)))
                 val ingestedSet =
-                  (SnapshotStats.ingestedFromManifest(winnerBody) ++ ingestedAdd)
-                    .distinct.sorted
+                  (winner.ingested ++ ingestedAdd).distinct.sorted
                 // The HWM this commit computed hangs off version v-1; if
                 // the winner was an identity-generating append, its HWM is
                 // HIGHER — re-declaring ours would hand out duplicate
@@ -1531,7 +1636,7 @@ object SnapshotTable {
                 // winner's marks (ADVICE r13); ours still win where this
                 // commit's own new files pushed past the winner.
                 val rebasedHwm = {
-                  val w2 = SnapshotStats.identityHwmFromManifest(winnerBody)
+                  val w2 = winner.identityHwm
                   (identityHwm.keySet ++ w2.keySet).map(k => k -> math.max(
                     identityHwm.getOrElse(k, Long.MinValue),
                     w2.getOrElse(k, Long.MinValue))).toMap
@@ -2262,6 +2367,40 @@ object SnapshotTable {
             s"mergeInto on a table with no committed version at $root"))
         val cur = read(spark, root, Some(v))
         val schema0 = schemaOf(spark, root, v)
+        // Identity × MERGE pin (round 14, VERDICT r13 #4): identity
+        // GENERATION lives on the append path only (appendCommit) — a
+        // MERGE INSERT arm cannot generate, and silently writing NULL
+        // under the column is the one unacceptable outcome. The rule,
+        // refused LOUDLY here: GENERATED ALWAYS admits no MERGE INSERT
+        // arm at all; BY DEFAULT requires every insert arm to assign the
+        // column explicitly (star arms assign it iff the source carries
+        // it) — the commit's footer-bounds HWM bump then keeps later
+        // generation above whatever landed. DefaultsSpec pins all three.
+        locally {
+          val idFields = schema0.fields.filter(
+            org.apache.spark.sql.catalyst.util.IdentityColumn.isIdentityColumn)
+          val hasInsert = notMatchedInsert.nonEmpty || insertChain.nonEmpty
+          if (idFields.nonEmpty && hasInsert) idFields.foreach { f =>
+            val allowExplicit =
+              f.metadata.contains("identity.allowExplicitInsert") &&
+                f.metadata.getBoolean("identity.allowExplicitInsert")
+            require(allowExplicit,
+              s"column ${f.name} is GENERATED ALWAYS AS IDENTITY; MERGE " +
+                "INSERT arms cannot generate identity values — use " +
+                "GENERATED BY DEFAULT with explicit values, or append/INSERT")
+            val explicitArms = insertValues.toSeq ++
+              insertChain.flatMap(_.values)
+            val starArms =
+              (if (notMatchedInsert.nonEmpty && insertValues.isEmpty) 1 else 0) +
+                insertChain.count(_.values.isEmpty)
+            val starAssigns = source0.columns.exists(_.equalsIgnoreCase(f.name))
+            require(explicitArms.forall(_.keys.exists(_.equalsIgnoreCase(f.name))) &&
+                (starArms == 0 || starAssigns),
+              s"MERGE INSERT must assign identity column ${f.name} " +
+                "explicitly in every insert arm (GENERATED BY DEFAULT " +
+                "generates only on the append path)")
+          }
+        }
         // MERGE WITH SCHEMA EVOLUTION (round 12): new source columns join
         // the declared schema (additive only — evolveSchema refuses
         // retypes), fresh physical names assigned through the column
@@ -2555,6 +2694,78 @@ object SnapshotTable {
     * small fixtures. */
   private[graft] var dvMinTouchedBytes: Long = 8L << 20
 
+  /** Cap on ACCRUED side-cars per file (round 14, VERDICT r13 #2a): each
+    * point DML appends one side-car, and a masked scan opens every listed
+    * dir — K deletes = K small parquet opens per scan, unbounded across
+    * commits. When a DML would push a file's list past this cap, it merges
+    * that file's positions into ONE fresh side-car in the same commit, so
+    * per-file debt is bounded at cap+1 forever. `OPTIMIZE t DV ONLY`
+    * ([[consolidateDvs]]) collapses everything to 1 on demand. */
+  private[graft] var dvMaxSidecarsPerFile: Int = 4
+
+  /** Merge the DV lists of entries holding more than `cap` side-cars into
+    * one fresh shared side-car dir. Returns the entries (input order, fat
+    * lists replaced by the merged dir) plus the dir written, if any — the
+    * caller deletes it on a CAS loss. The union read is KB-scale: side-car
+    * sizes are bounded by the DML write thresholds, and only the fat
+    * entries' dirs are read. */
+  private def capDvLists(spark: SparkSession, root: String, target: Long,
+                         entries: Seq[SnapshotStats.FileStats], cap: Int)
+      : (Seq[SnapshotStats.FileStats], Option[Path]) = {
+    import org.apache.spark.sql.functions.col
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val fat = entries.filter(_.dv.length > cap)
+    if (fat.isEmpty) return (entries, None)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val mergedDir = new Path(root, f"dv-$target%08d-$token")
+    val union = spark.read.parquet(fat.flatMap(_.dv).distinct: _*)
+      .select(col("file"), col("pos"))
+    // A shared side-car can hold positions for files that are NOT being
+    // merged (or no longer exist), and earlier merges leave duplicates —
+    // restrict to the fat files and dedup. The distinct-file pull is
+    // bounded by the table's files-with-DV count, never by positions.
+    val present = union.select("file").distinct().collect().map(_.getString(0))
+    val fatNorms = fat.map(e => norm(e.path)).toSet
+    val keep = present.filter(f => fatNorms(norm(f))).toSeq
+    union.filter(col("file").isin(keep: _*)).distinct()
+      .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(mergedDir.toString)
+    val fatPaths = fat.map(_.path).toSet
+    (entries.map(e =>
+       if (fatPaths(e.path)) e.copy(dv = Seq(mergedDir.toString)) else e),
+     Some(mergedDir))
+  }
+
+  /** `OPTIMIZE t DV ONLY` (round 14, VERDICT r13 #2): merge every DV'd
+    * entry's accrued side-car list into ONE shared side-car — a masked
+    * scan then opens exactly one DV dir however many point DMLs accrued.
+    * Rewrites NO data files and changes NO rows: the cheap intermediate
+    * between letting debt accrue and a full OPTIMIZE materialization.
+    * Metadata-only commit with no CDC (file set and rows both unchanged —
+    * delta consumers see an empty change). Returns Some(version), or None
+    * when no entry holds more than one side-car. */
+  def consolidateDvs(spark: SparkSession, root: String): Option[Long] = {
+    var attempt = 0
+    while (attempt < 3) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"consolidateDvs on a table with no committed version at $root"))
+      val allE = currentEntries(spark, root, v)
+      val target = v + 1
+      val (capped, merged) = capDvLists(spark, root, target, allE, cap = 1)
+      if (merged.isEmpty) return None
+      val schema = schemaOf(spark, root, v)
+      if (tryCommitMeta(spark, root, target, capped, schema,
+          droppedOf(spark, root, v).toSeq.sorted, bloomOnOf(spark, root, v),
+          constraintsOf(spark, root, v), mappingOf(spark, root, v),
+          usedPhysOf(spark, root, v)))
+        return Some(target)
+      fsOf(spark, root).delete(merged.get, true)
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"consolidateDvs lost the version race at $root 3 times")
+  }
+
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
     def norm(p: String): String = new Path(p).toUri.getPath
@@ -2620,17 +2831,22 @@ object SnapshotTable {
           hits.select(col("__gf_file").as("file"), col("__gf_pos").as("pos"))
             .coalesce(1)
             .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
-          val newTouched = touchedE.map(e => e.copy(
+          val newTouched0 = touchedE.map(e => e.copy(
             dv = e.dv :+ dvDir.toString,
             dvRows = e.dvRows + touchedCounts.getOrElse(norm(e.path), 0L)))
+          // Debt cap (round 14): a file crossing dvMaxSidecarsPerFile gets
+          // its whole list merged into one side-car inside this commit.
+          val (newTouched, mergedDv) = capDvLists(spark, root, target,
+            newTouched0, dvMaxSidecarsPerFile)
           val preImages = hits.drop("__gf_file", "__gf_pos")
           if (tryCommitMeta(spark, root, target, keptE ++ newTouched, schema,
               droppedOf(spark, root, v).toSeq.sorted, bloomOnOf(spark, root, v),
               constraintsOf(spark, root, v), mapping, usedPhysOf(spark, root, v),
               cdc = Some((preImages.limit(0), preImages)))) return target
-          // CAS lost: remove the orphan side-car and re-derive against the
+          // CAS lost: remove the orphan side-cars and re-derive against the
           // winner (the loop re-reads everything, like the rewrite path).
           fs.delete(dvDir, true)
+          mergedDv.foreach(fs.delete(_, true))
           attempt += 1
           if (attempt >= 3) throw new ConcurrentWriteException(
             s"delete(DV) lost the version race at $root 3 times")
@@ -2743,9 +2959,12 @@ object SnapshotTable {
           marked.select(col("__gf_file").as("file"), col("__gf_pos").as("pos"))
             .coalesce(1)
             .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
-          val newTouched = touchedE.map(e => e.copy(
+          val newTouched0 = touchedE.map(e => e.copy(
             dv = e.dv :+ dvDir.toString,
             dvRows = e.dvRows + touchedCounts.getOrElse(norm(e.path), 0L)))
+          // Debt cap (round 14) — same rule as delete's DV branch.
+          val (newTouched, mergedDv) = capDvLists(spark, root, target,
+            newTouched0, dvMaxSidecarsPerFile)
           val pre = marked.drop("__gf_file", "__gf_pos")
           val post = pre.select(schema.fields.map { f =>
             set.get(f.name).map(_.cast(f.dataType).as(f.name))
@@ -2759,6 +2978,7 @@ object SnapshotTable {
           } catch {
             case e: ConcurrentWriteException =>
               fs.delete(dvDir, true)
+              mergedDv.foreach(fs.delete(_, true))
               attempt += 1
               if (attempt >= 3) throw e
               dvCasLost = true // loop re-reads the winner's state
@@ -2895,10 +3115,9 @@ object SnapshotTable {
     // row-level feed ([[changesDelta]] consumes DV commits exactly via
     // their recorded CDC).
     locally {
-      val beforeDv = SnapshotStats.statsFromManifest(
-        manifestBodyAt(fs, root, fromVersion))
+      val beforeDv = resolvedAt(fs, root, fromVersion).stats
         .map(e => e.path -> e.dvRows).toMap
-      val dvMoved = SnapshotStats.statsFromManifest(manifestBodyAt(fs, root, to))
+      val dvMoved = resolvedAt(fs, root, to).stats
         .exists(e => beforeDv.get(e.path).exists(_ != e.dvRows))
       if (dvMoved) throw new IllegalStateException(
         s"changes($fromVersion, $to) on $root crosses a deletion-vector " +
@@ -2959,9 +3178,9 @@ object SnapshotTable {
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     for (v <- fromVersion + 1 to to) {
-      val body = manifestBodyAt(fs, root, v)
-      val files = filesFromBody(body, manifestPath(root, v)).toSet
-      SnapshotStats.cdcFromManifest(body) match {
+      val r = resolvedAt(fs, root, v)
+      val files = r.files.toSet
+      r.cdc match {
         case Some((a, r)) => adds ++= a; removes ++= r
         case None if prev.subsetOf(files) => adds ++= (files -- prev)
         case None => return None // pre-CDC rewrite: not incrementally consumable
@@ -3039,9 +3258,9 @@ object SnapshotTable {
           .withColumn("_commit_version", lit(v))
       }
     for (v <- fromVersion + 1 to toVersion) {
-      val body = manifestBodyAt(fs, root, v)
-      val files = filesFromBody(body, manifestPath(root, v)).toSet
-      SnapshotStats.cdcFromManifest(body) match {
+      val r = resolvedAt(fs, root, v)
+      val files = r.files.toSet
+      r.cdc match {
         case Some((a, r)) => slice(a, "insert", v); slice(r, "delete", v)
         case None if prev.subsetOf(files) =>
           slice((files -- prev).toSeq, "insert", v)
@@ -3177,9 +3396,9 @@ object SnapshotTable {
     val v = asOf.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsOf(spark, root)
-    val body = manifestBodyAt(fs, root, v)
-    val files = filesFromBody(body, manifestPath(root, v))
-    val stats = SnapshotStats.statsFromManifest(body)
+    val r = resolvedAt(fs, root, v)
+    val files = r.files
+    val stats = r.stats
     if (files.nonEmpty && stats.map(_.path).sorted == files.sorted)
       stats.map(e => e.rows - e.dvRows).sum // logical rows: DV-masked drop
     else read(spark, root, Some(v)).count()
@@ -3206,15 +3425,10 @@ object SnapshotTable {
         case _ => None
       }).sorted
     val byV = versions.map { v =>
-      val body = manifestBodyAt(fs, root, v)
-      (v, filesFromBody(body, manifestPath(root, v)).toSet,
-        SnapshotStats.statsFromManifest(body),
-        SnapshotStats.txnFromManifest(body),
-        SnapshotStats.cdcFromManifest(body).isDefined,
-        SnapshotStats.schemaFromManifest(body).map(_.fieldNames.toSeq).getOrElse(Nil),
-        SnapshotStats.constraintsFromManifest(body).keys.toSeq.sorted,
-        SnapshotStats.bloomOnFromManifest(body),
-        SnapshotStats.tsFromManifest(body))
+      val r = resolvedAt(fs, root, v)
+      (v, r.files.toSet, r.stats, r.txn, r.cdc.isDefined,
+        r.schema.map(_.fieldNames.toSeq).getOrElse(Nil),
+        r.constraints.keys.toSeq.sorted, r.bloomOn, r.ts)
     }
     val rows = byV.zipWithIndex.map {
       case ((v, files, stats, txn, hasCdc, cols, cons, bloomOn, ts), i) =>
@@ -3399,32 +3613,31 @@ object SnapshotTable {
       case Some(w) => math.max(keep, versions.count(_ >= w))
       case None => keep
     }, versions.size)
-    def cdcRootsOf(body: String): Seq[Path] =
-      SnapshotStats.cdcFromManifest(body).toSeq
-        .flatMap { case (a, r) => a ++ r }
+    def cdcRootsOf(r: SnapshotStats.Resolved): Seq[Path] =
+      r.cdc.toSeq
+        .flatMap { case (a, rm) => a ++ rm }
         .map(f => new Path(f).getParent.getParent).distinct ++
       // DV side-car dirs (round 13) live and die with the manifests that
       // reference them, exactly like CDC dirs.
-      SnapshotStats.statsFromManifest(body).flatMap(_.dv).distinct
+      r.stats.flatMap(_.dv).distinct
         .map(new Path(_))
     val live: Set[Path] = versions.takeRight(keepEff)
       .flatMap { v =>
-        val body = manifestBodyAt(fs, root, v)
-        filesFromBody(body, manifestPath(root, v))
-          .map(f => new Path(f).getParent) ++ cdcRootsOf(body)
+        val r = resolvedAt(fs, root, v)
+        r.files.map(f => new Path(f).getParent) ++ cdcRootsOf(r)
       }.toSet
     val ownPrefix = new Path(root).toUri.getPath.stripSuffix("/") + "/"
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val seen = scala.collection.mutable.Set.empty[Path]
     versions.dropRight(keepEff).foreach { v =>
       val mp = manifestPath(root, v)
-      val body = manifestBodyAt(fs, root, v)
+      val r = resolvedAt(fs, root, v)
       out += (("manifest", mp.toString, fs.getFileStatus(mp).getLen))
-      val cp = checkpointPath(root, v)
-      if (fs.exists(cp))
-        out += (("checkpoint", cp.toString, fs.getFileStatus(cp).getLen))
-      (filesFromBody(body, mp).map(f => new Path(f).getParent).distinct ++
-        cdcRootsOf(body))
+      Seq(checkpointPath(root, v), checkpointParquetPath(root, v))
+        .filter(fs.exists).foreach(cp =>
+          out += (("checkpoint", cp.toString, fs.getFileStatus(cp).getLen)))
+      (r.files.map(f => new Path(f).getParent).distinct ++
+        cdcRootsOf(r))
         .filterNot(live.contains)
         .filter(_.toUri.getPath.startsWith(ownPrefix))
         .filter(seen.add)
@@ -3490,8 +3703,7 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val body = manifestBodyAt(fs, root, v)
-    val stats = SnapshotStats.statsFromManifest(body)
+    val stats = resolvedAt(fs, root, v).stats
     val mdir = new Path(root, ManifestDir)
     val retained = fs.listStatus(mdir).count(_.getPath.getName match {
       case ManifestRe(_) => true
@@ -3515,15 +3727,32 @@ object SnapshotTable {
         Some((num("requestedKeep"), num("effectiveKeep"), num("clampedByWatermark")))
       }
     }
+    // DV debt (round 14, VERDICT r13 #2b): how many files carry masks,
+    // how many side-car dirs a masked scan opens, how many rows are
+    // masked — and an actionable hint when a maintenance pass would pay.
+    val dvFiles = stats.count(_.dv.nonEmpty).toLong
+    val dvSidecars = stats.flatMap(_.dv).distinct.size.toLong
+    val dvRows = stats.map(_.dvRows).sum
+    val physRows = stats.map(_.rows).sum
+    val hint: Option[String] =
+      if (physRows > 0 && dvRows.toDouble / physRows > 0.2)
+        Some("OPTIMIZE (materialize deletion vectors: " +
+          s"$dvRows of $physRows physical rows are masked)")
+      else if (dvSidecars > dvFiles)
+        Some("OPTIMIZE DV ONLY (consolidate " +
+          s"$dvSidecars side-cars across $dvFiles files)")
+      else None
     Seq((v, stats.size.toLong, stats.map(e => e.rows - e.dvRows).sum,
       stats.map(_.bytes).sum,
       retained.toLong, subs,
       lastVac.map(_._1), lastVac.map(_._2), lastVac.map(_._3),
-      casLosses.get(), rebases.get()))
+      casLosses.get(), rebases.get(),
+      dvFiles, dvSidecars, dvRows, hint))
       .toDF("version", "num_files", "total_rows", "total_bytes",
         "retained_versions", "subscribers",
         "last_vacuum_requested_keep", "last_vacuum_effective_keep",
-        "last_vacuum_clamped_by_watermark", "cas_losses", "rebases")
+        "last_vacuum_clamped_by_watermark", "cas_losses", "rebases",
+        "dv_files", "dv_sidecars", "dv_rows", "maintenance_hint")
   }
 
   private def vacuumKeeping(spark: SparkSession, root: String,
@@ -3534,19 +3763,18 @@ object SnapshotTable {
     // granularity: a dir dies only when no KEPT manifest references it.
     // CDC side-car dirs (cdc-<v>-<token>/{add,remove}) are rooted one level
     // deeper than their files; they live and die with their manifest.
-    def cdcRootsOf(body: String): Seq[Path] =
-      SnapshotStats.cdcFromManifest(body).toSeq
-        .flatMap { case (a, r) => a ++ r }
+    def cdcRootsOf(r: SnapshotStats.Resolved): Seq[Path] =
+      r.cdc.toSeq
+        .flatMap { case (a, rm) => a ++ rm }
         .map(f => new Path(f).getParent.getParent).distinct ++
       // DV side-car dirs (round 13) live and die with the manifests that
       // reference them, exactly like CDC dirs.
-      SnapshotStats.statsFromManifest(body).flatMap(_.dv).distinct
+      r.stats.flatMap(_.dv).distinct
         .map(new Path(_))
     val live: Set[Path] = versions.takeRight(keep)
       .flatMap { v =>
-        val body = manifestBodyAt(fs, root, v)
-        filesFromBody(body, manifestPath(root, v))
-          .map(f => new Path(f).getParent) ++ cdcRootsOf(body)
+        val r = resolvedAt(fs, root, v)
+        r.files.map(f => new Path(f).getParent) ++ cdcRootsOf(r)
       }.toSet
     // A SHALLOW CLONE's manifests reference dirs under the SOURCE root;
     // this table's vacuum must reclaim only its OWN storage — deleting a
@@ -3562,23 +3790,21 @@ object SnapshotTable {
     val doomedDirs = doomed.map { v =>
       // Resolve the data dirs FROM the manifest (dir names carry per-attempt
       // tokens, so they can't be reconstructed from the version alone).
-      val body = manifestBodyAt(fs, root, v)
-      v -> (filesFromBody(body, manifestPath(root, v))
-        .map(f => new Path(f).getParent).distinct ++ cdcRootsOf(body))
+      val r = resolvedAt(fs, root, v)
+      v -> (r.files.map(f => new Path(f).getParent).distinct ++ cdcRootsOf(r))
     }
     // Anchor: the oldest KEPT version must stay resolvable once its delta
     // chain below is gone — materialize its full body as a checkpoint file
     // (tmp + rename; idempotent, racing writers' duplicate is identical).
     versions.takeRight(keep).headOption.foreach { minKept =>
       val raw = readManifestBody(fs, manifestPath(root, minKept))
-      val cp = checkpointPath(root, minKept)
-      if (SnapshotStats.baseFromManifest(raw).isDefined && !fs.exists(cp) &&
-          doomed.nonEmpty) {
-        val full = manifestBodyAt(fs, root, minKept)
-        val tmp = new Path(cp.getParent, s".${cp.getName}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(full.getBytes("UTF-8")) finally out.close()
-        if (!fs.rename(tmp, cp)) fs.delete(tmp, false)
+      if (SnapshotStats.baseFromManifest(raw).isDefined && doomed.nonEmpty &&
+          !fs.exists(checkpointParquetPath(root, minKept)) &&
+          !fs.exists(checkpointPath(root, minKept))) {
+        // Columnar since round 14; MUST land before any deletion below —
+        // a failure here aborts the vacuum with the chain intact.
+        CheckpointIO.write(fs, fs.getConf, checkpointParquetPath(root, minKept),
+          resolvedAt(fs, root, minKept))
       }
     }
     // Delete NEWEST-first (ADVICE r13): oldest-first leaves surviving
@@ -3593,8 +3819,9 @@ object SnapshotTable {
         .filter(underRoot)
         .foreach(d => fs.delete(d, true))
       fs.delete(manifestPath(root, v), false)
-      // A checkpoint anchor from an EARLIER vacuum dies with its version.
+      // A checkpoint from an earlier vacuum/cadence dies with its version.
       fs.delete(checkpointPath(root, v), false)
+      fs.delete(checkpointParquetPath(root, v), false)
     }
     // Orphan sweep: losing-writer / crashed-commit dirs are invisible to
     // readers; once their target version is older than every kept manifest

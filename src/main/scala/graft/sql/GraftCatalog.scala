@@ -179,6 +179,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw new UnsupportedOperationException(
         s"graft tables cluster via CLUSTER BY, not ${other.mkString(", ")}")
     }
+    require(!viewExistsFile(ident),
+      s"cannot create table $ident: a view with that name exists")
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     // Empty version 0: a files-less manifest DECLARING the schema — the
@@ -358,6 +360,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (purge) SnapshotTable.detachClone(spark, p.toString, force = true)
       purge && f.delete(p, true)
     }
+  }
+
+  // --- persistent views (round 14, VERDICT r13 #6) --------------------------
+  //
+  // `CREATE [OR REPLACE] VIEW graft.ns.v AS SELECT ...` stores the query
+  // TEXT in a `_views/<name>.json` side-car of the namespace dir (the
+  // `_dropped/` sibling pattern); resolution substitutes the parsed text
+  // at read time (GraftSqlRule.substituteViews), so a view over a DML'd
+  // table always re-reads current state — the standard late-binding view
+  // semantics. Intentionally text-based, not schema-pinned: a renamed
+  // underlying column fails the view's next analysis LOUDLY rather than
+  // silently drifting.
+
+  private def viewsDir(namespace: Array[String]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(pathOf(namespace), "_views")
+
+  private def viewPath(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(viewsDir(ident.namespace()),
+      s"${seg(ident.name())}.json")
+
+  /** The stored query text, `None` when no such view. */
+  def viewSql(ident: Identifier): Option[String] = {
+    val p = try viewPath(ident) catch {
+      case _: IllegalArgumentException => return None // reserved/illegal name
+    }
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      Option(node.get("sql")).map(_.asText)
+    }
+  }
+
+  def viewExistsFile(ident: Identifier): Boolean = viewSql(ident).isDefined
+
+  /** Persist (or replace) a view definition. Refuses a name a TABLE holds
+    * — one namespace, one name. */
+  def createViewFile(ident: Identifier, sql: String, orReplace: Boolean): Unit = {
+    require(!tableExists(ident),
+      s"cannot create view $ident: a table with that name exists")
+    val f = fs
+    val p = viewPath(ident)
+    require(orReplace || !f.exists(p),
+      s"view $ident already exists (use CREATE OR REPLACE VIEW)")
+    f.mkdirs(p.getParent)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+    node.put("sql", sql)
+    node.put("created", System.currentTimeMillis())
+    val out = f.create(p, true)
+    try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Delete a view definition; false when it did not exist. */
+  def dropViewFile(ident: Identifier): Boolean =
+    fs.delete(viewPath(ident), false)
+
+  /** View names in a namespace (SHOW VIEWS-style enumeration). */
+  def listViewNames(namespace: Array[String]): Seq[String] = {
+    val d = viewsDir(namespace)
+    val f = fs
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -51,9 +51,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftVacuumCommand(parts(table),
           Option(retain).map(_.toInt).getOrElse(-1), force != null,
           dryRun != null))
-      case OptimizeRe(table, zcols) =>
+      case OptimizeRe(table, zcols, dvOnly) =>
         Some(GraftOptimizeCommand(parts(table),
-          Option(zcols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
+          Option(zcols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          dvOnly = dvOnly != null))
       case RestoreRe(table, version, withCdc) =>
         Some(GraftRestoreCommand(parts(table), version.toLong, withCdc != null))
       case RestoreTsRe(table, ts, withCdc) =>
@@ -77,6 +78,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(version).map(_.toLong)))
       case DetachCloneRe(table, force) =>
         Some(GraftDetachCloneCommand(parts(table), force != null))
+      case CreateViewRe(orReplace, table, query) if table.contains(".") =>
+        // Dotted names only (bare CREATE VIEW v stays with Spark's session
+        // views); non-graft catalogs fall back at run time via `delegate`.
+        Some(GraftCreateViewCommand(parts(table), query.trim,
+          orReplace != null, sqlText, delegate))
+      case DropViewRe(ifExists, table) if table.contains(".") =>
+        Some(GraftDropViewCommand(parts(table), ifExists != null,
+          sqlText, delegate))
       case CopyIntoRe(table, dir, fmt, pat, opts, copyOpts) =>
         def kvs(s: String): Map[String, String] =
           raw"'([^']*)'\s*=\s*'([^']*)'".r.findAllMatchIn(s)
@@ -143,7 +152,7 @@ object GraftSqlParser {
   val VacuumRe =
     raw"(?is)VACUUM\s+$Id(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?(\s+DRY\s+RUN)?\s*;?".r
   val OptimizeRe =
-    raw"(?is)OPTIMIZE\s+$Id(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?".r
+    raw"(?is)OPTIMIZE\s+$Id(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+DV\s+ONLY)?\s*;?".r
   val RestoreRe =
     raw"(?is)RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)(\s+WITH\s+CDC)?\s*;?".r
   val RestoreTsRe =
@@ -160,6 +169,12 @@ object GraftSqlParser {
   val CloneTsRe =
     raw"(?is)CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?".r
   val DetachCloneRe = raw"(?is)DETACH\s+CLONE\s+$Id(\s+FORCE)?\s*;?".r
+  // Persistent views (round 14): plain CREATE VIEW over a dotted name.
+  // TEMP/column-list/TBLPROPERTIES forms deliberately fall through to
+  // Spark (unsupported against v2 catalogs, loud there).
+  val CreateViewRe =
+    raw"(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+$Id\s+AS\s+(.+?)\s*;?".r
+  val DropViewRe = raw"(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?$Id\s*;?".r
   val CopyIntoRe =
     (raw"(?is)COPY\s+INTO\s+$Id\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)" +
       raw"(?:\s+PATTERN\s*=\s*'([^']+)')?" +
@@ -230,12 +245,14 @@ case class GraftVacuumCommand(nameParts: Seq[String], keep: Int,
 /** `OPTIMIZE t` → [[SnapshotTable.compact]] (bin-pack);
   * `OPTIMIZE t ZORDER BY (a, b)` → Morton-curve [[SnapshotTable.recluster]].
   * Returns the committed version (-1 = already within bounds). */
-case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String])
+case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String],
+                                dvOnly: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val root = GraftSqlParser.rootOf(spark, nameParts)
     val v =
-      if (zorderBy.nonEmpty) SnapshotTable.recluster(spark, root, zorderBy,
+      if (dvOnly) SnapshotTable.consolidateDvs(spark, root).getOrElse(-1L)
+      else if (zorderBy.nonEmpty) SnapshotTable.recluster(spark, root, zorderBy,
         zorder = zorderBy.size >= 2)
       else SnapshotTable.compact(spark, root, maxFiles = 64).getOrElse(-1L)
     Seq(org.apache.spark.sql.Row(v))
@@ -290,7 +307,71 @@ case class GraftStatusCommand(nameParts: Seq[String])
     AttributeReference("last_vacuum_effective_keep", LongType)(),
     AttributeReference("last_vacuum_clamped_by_watermark", LongType)(),
     AttributeReference("cas_losses", LongType, nullable = false)(),
-    AttributeReference("rebases", LongType, nullable = false)())
+    AttributeReference("rebases", LongType, nullable = false)(),
+    AttributeReference("dv_files", LongType, nullable = false)(),
+    AttributeReference("dv_sidecars", LongType, nullable = false)(),
+    AttributeReference("dv_rows", LongType, nullable = false)(),
+    AttributeReference("maintenance_hint", StringType)())
+}
+
+/** `CREATE [OR REPLACE] VIEW graft.ns.v AS SELECT ...` (round 14, VERDICT
+  * r13 #6): persists the query TEXT in the catalog's `_views/` side-car;
+  * reads late-bind through GraftSqlRule's substitution, so the view always
+  * reflects the underlying table's CURRENT version. The query is analyzed
+  * EAGERLY here so a broken view fails at CREATE, not first read. The
+  * parser claims every dotted CREATE VIEW (it cannot consult catalogs at
+  * parse time); non-graft names re-parse through the delegate and run
+  * Spark's native path. */
+case class GraftCreateViewCommand(nameParts: Seq[String], viewSql: String,
+                                  orReplace: Boolean, originalSql: String,
+                                  @transient delegate: ParserInterface)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val isGraft =
+      try spark.sessionState.catalogManager.catalog(nameParts.head)
+        .isInstanceOf[GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!isGraft)
+      return org.apache.spark.sql.graft.Frames.ofRows(spark,
+        delegate.parsePlan(originalSql)).collect().toSeq
+    val (cat, ident) = GraftSqlParser.resolve(spark, nameParts)
+    // Cheap self-reference guard: a view whose text names itself would
+    // expand forever at read time (deeper cycles still fail loudly at the
+    // analyzer's iteration cap).
+    val self = nameParts.map(_.toLowerCase).mkString(".")
+    require(!viewSql.toLowerCase.contains(self),
+      s"recursive view: $self references itself")
+    // Validate NOW: parse + analyze the query (views over views expand
+    // through the same substitution).
+    org.apache.spark.sql.graft.Frames.ofRows(spark,
+      spark.sessionState.sqlParser.parsePlan(viewSql)).schema
+    cat.createViewFile(ident, viewSql, orReplace)
+    Seq.empty
+  }
+  override val output: Seq[Attribute] = Seq.empty
+}
+
+/** `DROP VIEW [IF EXISTS] graft.ns.v` — deletes the `_views/` side-car;
+  * non-graft names fall back to Spark's native statement. */
+case class GraftDropViewCommand(nameParts: Seq[String], ifExists: Boolean,
+                                originalSql: String,
+                                @transient delegate: ParserInterface)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val isGraft =
+      try spark.sessionState.catalogManager.catalog(nameParts.head)
+        .isInstanceOf[GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!isGraft)
+      return org.apache.spark.sql.graft.Frames.ofRows(spark,
+        delegate.parsePlan(originalSql)).collect().toSeq
+    val (cat, ident) = GraftSqlParser.resolve(spark, nameParts)
+    val dropped = cat.dropViewFile(ident)
+    if (!dropped && !ifExists)
+      throw new IllegalArgumentException(s"view not found: ${nameParts.mkString(".")}")
+    Seq.empty
+  }
+  override val output: Seq[Attribute] = Seq.empty
 }
 
 /** `UNDROP TABLE t` → [[GraftCatalog.undropTable]]: restore the newest
@@ -470,6 +551,14 @@ case class GraftShowCreateCommand(nameParts: Seq[String])
         ShowCreateTable(UnresolvedTableOrView(
           nameParts, "SHOW CREATE TABLE", allowTempView = false)))
         .collect().toSeq
+    }
+    // A graft VIEW round-trips as its stored definition (round 14).
+    locally {
+      val (cat, ident) = GraftSqlParser.resolve(spark, nameParts)
+      cat.viewSql(ident).foreach { vs =>
+        val vn = nameParts.map(p => s"`$p`").mkString(".")
+        return Seq(org.apache.spark.sql.Row(s"CREATE VIEW $vn AS $vs"))
+      }
     }
     val root = GraftSqlParser.rootOf(spark, nameParts)
     val fs = new org.apache.hadoop.fs.Path(root)

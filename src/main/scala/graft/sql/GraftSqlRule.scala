@@ -377,7 +377,35 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       bySourceChain = bySourceChain)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+  /** Late-binding persistent-view substitution (round 14, VERDICT r13
+    * #6): any still-unresolved dotted relation whose catalog is a
+    * GraftCatalog and whose name has a `_views/` definition expands to
+    * the PARSED stored query under a SubqueryAlias. Underlying relations
+    * resolve on the analyzer's next pass (views over views expand
+    * iteratively; cycles fail loudly at the iteration cap — creation
+    * refuses the direct self-reference). */
+  private def substituteViews(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    plan.transformUpWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+        viewPlanFor(u.multipartIdentifier).getOrElse(u)
+    }
+  }
+
+  private def viewPlanFor(parts: Seq[String]): Option[LogicalPlan] = {
+    val cat =
+      try session.sessionState.catalogManager.catalog(parts.head) match {
+        case g: GraftCatalog => g
+        case _ => return None
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.slice(1, parts.length - 1).toArray, parts.last)
+    cat.viewSql(ident).map(sql =>
+      SubqueryAlias(parts.toIndexedSeq,
+        session.sessionState.sqlParser.parsePlan(sql)))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = substituteViews(plan) match {
     // ---- DML roots over graft tables: wait for resolution, then lower ----
     case d: DeleteFromTable if graftOf(d.table).isDefined =>
       if (!d.resolved) d
@@ -640,6 +668,8 @@ case class GraftCtasCommand(catalog: GraftCatalog,
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val root = catalog.rootOf(ident)
+    require(!catalog.viewExistsFile(ident),
+      s"cannot create table $ident: a view with that name exists")
     val exists = SnapshotTable.currentVersion(spark, root).isDefined
     val v =
       if (exists && !replace) {

@@ -549,6 +549,37 @@ object SqlDml {
               GROUP BY st
               ORDER BY st ASC NULLS FIRST""")),
 
+    // Persistent views (round 14, VERDICT r13 #6): CREATE VIEW stores the
+    // query text in the catalog; reads late-bind, so the DELETE issued
+    // AFTER the view definition must be visible through it — and through
+    // a view stacked on the view. Oracle = the same algebra over orders.
+    Q("sql_view",
+      (s, dir) => {
+        val t = s"orders_vw_${tag(s, dir)}"
+        run(s, dir, t, Seq(
+          s"DROP VIEW IF EXISTS graft.dml.${t}_v2",
+          s"DROP VIEW IF EXISTS graft.dml.${t}_v",
+          s"DROP TABLE IF EXISTS graft.dml.$t",
+          s"""CREATE TABLE graft.dml.$t AS
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                     o_orderstatus AS st
+              FROM orders""",
+          s"""CREATE VIEW graft.dml.${t}_v AS
+              SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
+              FROM graft.dml.$t GROUP BY st""",
+          s"DELETE FROM graft.dml.$t WHERE o_orderkey % 7 = 3",
+          s"""CREATE OR REPLACE VIEW graft.dml.${t}_v2 AS
+              SELECT st, cnt, total FROM graft.dml.${t}_v WHERE cnt > 0""",
+          s"""SELECT st, cnt, total FROM graft.dml.${t}_v2
+              ORDER BY st ASC NULLS FIRST"""), vacuum = true)
+      },
+      Some("""SELECT o_orderstatus AS st, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders
+              WHERE o_orderkey % 7 <> 3
+              GROUP BY st
+              ORDER BY st ASC NULLS FIRST""")),
+
     // SHALLOW CLONE (round 12, unasked-for): a zero-copy table pinned to a
     // source VERSION, then diverged by DML — the clone's DELETE/UPDATE
     // rewrite carried source files into the clone's own root while the

@@ -188,4 +188,61 @@ class DeletionVectorSpec extends SparkSpec {
     assert(entries(root, 2L).forall(_.dv.isEmpty))
     assert(SnapshotTable.read(spark, root).count() == 10000L)
   }
+
+  test("DV debt stays bounded: 50 accrued point deletes, capped side-car lists") {
+    val root = tmpDir() + "/tbl"
+    seed(root)
+    // 50 scattered single-row deletes into the same key range — pre-r14
+    // this accrued 50 side-cars on one file and every masked scan opened
+    // all of them.
+    (0 until 50).foreach(i =>
+      SnapshotTable.delete(spark, root, col("k") === (i * 7L)))
+    val es = entries(root, 50L)
+    val cap = SnapshotTable.dvMaxSidecarsPerFile
+    assert(es.forall(_.dv.length <= cap + 1),
+      s"per-file side-car lists must stay bounded at cap+1: " +
+        es.map(_.dv.length).mkString(","))
+    assert(es.map(_.dvRows).sum == 50L, "masked-row accounting stays exact")
+    assert(SnapshotTable.read(spark, root).count() == 9950L)
+    assert(SnapshotTable.rowCount(spark, root) == 9950L)
+    // A surviving deleted key stays masked through the merge chain.
+    assert(SnapshotTable.read(spark, root).filter(col("k") === 49L * 7L).isEmpty)
+
+    // OPTIMIZE ... DV ONLY collapses everything to ≤1 side-car per file
+    // without touching a data file.
+    val before = dataFiles(root, 50L)
+    val v = SnapshotTable.consolidateDvs(spark, root)
+    assert(v.nonEmpty, "multiple side-cars must consolidate")
+    val es2 = entries(root, v.get)
+    assert(dataFiles(root, v.get) == before, "DV ONLY rewrites no data files")
+    assert(es2.forall(_.dv.length <= 1), "≤1 side-car per file after DV ONLY")
+    assert(es2.map(_.dvRows).sum == 50L)
+    assert(SnapshotTable.read(spark, root).count() == 9950L)
+    // Idempotent: nothing left to merge.
+    assert(SnapshotTable.consolidateDvs(spark, root).isEmpty)
+    // The file-set-unchanged metadata commit is an EMPTY delta to feeds.
+    val Some((adds, removes)) =
+      SnapshotTable.changesDelta(spark, root, v.get - 1, Some(v.get))
+    assert(adds.isEmpty && removes.isEmpty,
+      "consolidation must read as an empty change")
+  }
+
+  test("DESCRIBE STATUS surfaces DV debt and the maintenance hint") {
+    val root = tmpDir() + "/tbl"
+    seed(root)
+    (0 until 3).foreach(i =>
+      SnapshotTable.delete(spark, root, col("k") === (i * 11L)))
+    val st = SnapshotTable.status(spark, root).head()
+    assert(st.getAs[Long]("dv_files") >= 1L)
+    assert(st.getAs[Long]("dv_rows") == 3L)
+    assert(st.getAs[Long]("dv_sidecars") >= 2L)
+    val hint = st.getAs[String]("maintenance_hint")
+    assert(hint != null && hint.contains("DV ONLY"), s"hint: $hint")
+    // After consolidation the hint clears (1 side-car, tiny masked share).
+    SnapshotTable.consolidateDvs(spark, root)
+    val st2 = SnapshotTable.status(spark, root).head()
+    assert(st2.getAs[Long]("dv_sidecars") == 1L)
+    assert(st2.getAs[String]("maintenance_hint") == null,
+      s"hint must clear: ${st2.getAs[String]("maintenance_hint")}")
+  }
 }

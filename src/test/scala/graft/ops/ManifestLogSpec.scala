@@ -38,11 +38,21 @@ class ManifestLogSpec extends SparkSpec {
         SnapshotTable.appendOnce(spark, root,
           Seq((i.toLong, s"r$i")).toDF("k", "v"), "app", i.toLong)
       }
-      (0L until 10L).foreach { v =>
-        val expectDelta = v % 4 != 0
-        assert(isDelta(root, v) == expectDelta,
-          s"v$v: expected ${if (expectDelta) "delta" else "full"}")
+      // Round 14: EVERY commit past v0 is a delta (flat commit bytes at
+      // all versions); the cadence writes a COLUMNAR checkpoint post-CAS
+      // instead of an in-line full JSON manifest.
+      (1L until 10L).foreach { v =>
+        assert(isDelta(root, v), s"v$v: expected delta")
       }
+      assert(!isDelta(root, 0L), "v0 bootstraps full")
+      Seq(4L, 8L).foreach { v =>
+        assert(new java.io.File(
+          root, f"_manifests/checkpoint-$v%08d.parquet").exists(),
+          s"cadence checkpoint missing at v$v")
+      }
+      assert(!new java.io.File(
+        root, "_manifests/checkpoint-00000006.parquet").exists(),
+        "no checkpoint off the cadence")
       // Resolution equivalence: every version reads its exact prefix.
       (0L until 10L).foreach { v =>
         val got = SnapshotTable.read(spark, root, Some(v))
@@ -88,11 +98,12 @@ class ManifestLogSpec extends SparkSpec {
       }
       SnapshotTable.vacuum(spark, root, keep = 2)
       val fs = fsOf(root)
-      // Manifests 0..3 gone; v4 (a delta) must have been anchored.
+      // Manifests 0..3 gone; v4 (a delta) must have been anchored — as a
+      // COLUMNAR checkpoint since round 14.
       (0L to 3L).foreach(v => assert(!new java.io.File(
         root, f"_manifests/manifest-$v%08d.json").exists(), s"v$v pruned"))
       assert(fs.exists(new org.apache.hadoop.fs.Path(
-        root, "_manifests/checkpoint-00000004.json")))
+        root, "_manifests/checkpoint-00000004.parquet")))
       // Both kept versions still resolve, through the anchor.
       assert(SnapshotTable.read(spark, root, Some(4L))
         .as[(Long, String)].collect().length == 5)
@@ -105,8 +116,95 @@ class ManifestLogSpec extends SparkSpec {
       }
       SnapshotTable.vacuum(spark, root, keep = 1)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
-        root, "_manifests/checkpoint-00000004.json")))
+        root, "_manifests/checkpoint-00000004.parquet")))
       assert(SnapshotTable.read(spark, root).count() == 8L)
+    }
+  }
+
+  test("a legacy JSON checkpoint anchor still resolves (pre-r14 tables)") {
+    withInterval(100) {
+      val root = tmpDir() + "/tbl"
+      (0 until 5).foreach { i =>
+        SnapshotTable.appendOnce(spark, root,
+          Seq((i.toLong, s"r$i")).toDF("k", "v"), "app", i.toLong)
+      }
+      // Hand-plant a pre-r14 anchor (full JSON body) at v3, then prune
+      // 0..2 exactly as an old vacuum left things.
+      val fs = fsOf(root)
+      val full = SnapshotTable.manifestBodyAt(fs, root, 3L)
+      val cp = new org.apache.hadoop.fs.Path(
+        root, "_manifests/checkpoint-00000003.json")
+      val out = fs.create(cp, true)
+      try out.write(full.getBytes("UTF-8")) finally out.close()
+      (0L to 2L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+        root, f"_manifests/manifest-$v%08d.json"), false))
+      SnapshotTable.clearResolvedCache()
+      assert(SnapshotTable.read(spark, root).count() == 5L)
+      assert(SnapshotTable.read(spark, root, Some(3L)).count() == 4L)
+    }
+  }
+
+  test("resolution folds deltas over the columnar checkpoint exactly") {
+    withInterval(4) {
+      val root = tmpDir() + "/tbl"
+      (0 until 7).foreach { i =>
+        SnapshotTable.appendOnce(spark, root,
+          Seq((i.toLong, s"r$i")).toDF("k", "v"), "app", i.toLong)
+      }
+      // Cold process: state must resolve via checkpoint(4) + deltas 5..6
+      // even with every JSON manifest below the checkpoint REMOVED (proves
+      // the columnar read is the real base, not a shortcut).
+      val fs = fsOf(root)
+      (0L to 3L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+        root, f"_manifests/manifest-$v%08d.json"), false))
+      SnapshotTable.clearResolvedCache()
+      val got = SnapshotTable.read(spark, root)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 7L).toSeq, s"rows through the checkpoint: $got")
+      // Time travel to the checkpointed version and one past it.
+      assert(SnapshotTable.read(spark, root, Some(4L)).count() == 5L)
+      assert(SnapshotTable.read(spark, root, Some(5L)).count() == 6L)
+      // The idempotent-replay marker survives the columnar round-trip
+      // (txn rides in the delta, not the checkpoint — but resolution of
+      // v6 must still surface ITS txn).
+      val r6 = SnapshotStats.parseResolved(
+        SnapshotTable.manifestBodyAt(fs, root, 6L))
+      assert(r6.txn.contains(("app", 6L)), s"txn after fold: ${r6.txn}")
+    }
+  }
+
+  test("a crash mid-vacuum (newest-first) leaves a readable, re-vacuumable table") {
+    withInterval(100) {
+      val root = tmpDir() + "/tbl"
+      (0 until 8).foreach { i =>
+        SnapshotTable.appendOnce(spark, root,
+          Seq((i.toLong, s"r$i")).toDF("k", "v"), "app", i.toLong)
+      }
+      val fs = fsOf(root)
+      // Simulate the fixed loop crashing halfway: anchor minKept=6 (what
+      // vacuum does first), then delete only the NEWEST doomed manifests
+      // (5, 4) — the prefix a newest-first loop removes before dying.
+      val full = SnapshotTable.manifestBodyAt(fs, root, 6L)
+      SnapshotTable.clearResolvedCache()
+      // plant the anchor exactly as vacuum would
+      val st = SnapshotStats.parseResolved(full)
+      CheckpointIO.write(fs, spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(
+          root, "_manifests/checkpoint-00000006.parquet"), st)
+      Seq(5L, 4L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+        root, f"_manifests/manifest-$v%08d.json"), false))
+      SnapshotTable.clearResolvedCache()
+      // Readers: head and the oldest kept version resolve through the
+      // anchor; surviving doomed versions (0..3) keep intact chains.
+      assert(SnapshotTable.read(spark, root).count() == 8L)
+      assert(SnapshotTable.read(spark, root, Some(6L)).count() == 7L)
+      assert(SnapshotTable.read(spark, root, Some(3L)).count() == 4L)
+      // The re-run completes the job.
+      SnapshotTable.vacuum(spark, root, keep = 2)
+      (0L to 5L).foreach(v => assert(!new java.io.File(
+        root, f"_manifests/manifest-$v%08d.json").exists(), s"v$v pruned"))
+      assert(SnapshotTable.read(spark, root).count() == 8L)
+      assert(SnapshotTable.read(spark, root, Some(6L)).count() == 7L)
     }
   }
 

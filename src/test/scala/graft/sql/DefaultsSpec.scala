@@ -132,6 +132,55 @@ class DefaultsSpec extends SparkSpec {
     cat().purgeDropped(Array("dflt"), 0L, force = true)
   }
 
+  test("identity × MERGE: ALWAYS refuses INSERT arms; BY DEFAULT demands values (r14)") {
+    val s = spark
+    cat()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dflt")
+    s.sql("DROP TABLE IF EXISTS graft.dflt.mids")
+    s.sql("""CREATE TABLE graft.dflt.mids (
+               id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v STRING)""")
+    s.sql("INSERT INTO graft.dflt.mids (k, v) VALUES (1, 'a')")
+    // A MERGE INSERT arm cannot generate — refused loudly, never NULL.
+    val e1 = intercept[Exception] {
+      s.sql("""MERGE INTO graft.dflt.mids t
+               USING (SELECT 2L AS k, 'b' AS v) s ON t.k = s.k
+               WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    }
+    assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
+    // Insert-free MERGE arms still work on an identity table.
+    s.sql("""MERGE INTO graft.dflt.mids t
+             USING (SELECT 1L AS k, 'upd' AS v) s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(s.sql("SELECT v FROM graft.dflt.mids WHERE k = 1")
+      .head().getString(0) == "upd")
+    s.sql("DROP TABLE graft.dflt.mids")
+
+    s.sql("DROP TABLE IF EXISTS graft.dflt.mids2")
+    s.sql("""CREATE TABLE graft.dflt.mids2 (
+               id BIGINT GENERATED BY DEFAULT AS IDENTITY, k BIGINT, v STRING)""")
+    s.sql("INSERT INTO graft.dflt.mids2 VALUES (100, 1, 'a')")
+    // BY DEFAULT: an arm that omits the identity column is refused
+    // (generation lives only on the append path; NULL is unacceptable).
+    val e2 = intercept[Exception] {
+      s.sql("""MERGE INTO graft.dflt.mids2 t
+               USING (SELECT 2L AS k, 'b' AS v) s ON t.k = s.k
+               WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    }
+    assert(e2.getMessage.contains("must assign identity"), e2.getMessage)
+    // An arm that assigns it explicitly lands, and the HWM tracks it.
+    s.sql("""MERGE INTO graft.dflt.mids2 t
+             USING (SELECT 500L AS id, 2L AS k, 'b' AS v) s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (s.id, s.k, s.v)""")
+    assert(s.sql("SELECT id FROM graft.dflt.mids2 WHERE k = 2")
+      .head().getLong(0) == 500L)
+    s.sql("INSERT INTO graft.dflt.mids2 (k, v) VALUES (3, 'c')")
+    val gen = s.sql("SELECT id FROM graft.dflt.mids2 WHERE k = 3")
+      .head().getLong(0)
+    assert(gen > 500L, s"generation must clear the MERGE-landed value: $gen")
+    s.sql("DROP TABLE graft.dflt.mids2")
+    cat().purgeDropped(Array("dflt"), 0L, force = true)
+  }
+
   test("identity on a non-BIGINT column is refused at declaration (ADVICE r13)") {
     val s = spark
     cat()
