@@ -53,6 +53,7 @@ object ScaleRehearsal {
     if (args.contains("skew")) { skewLeg(spark); spark.stop(); return }
     if (args.contains("manifestscale")) { manifestScaleLeg(spark); spark.stop(); return }
     if (args.contains("dvscale")) { dvScaleLeg(spark); spark.stop(); return }
+    if (args.contains("clonerebase50k")) { cloneRebase50kLeg(spark); spark.stop(); return }
     if (args.contains("all")) {
       // Regenerate every SCALE.md evidence row in one command.
       dedupLeg(spark, 21); dedupLeg(spark, 50); dedupLeg(spark, 100)
@@ -2044,9 +2045,93 @@ object ScaleRehearsal {
         Seq((nextKey + i, "mb")).toDF("k", "v").repartition(1), "mscale", i.toLong)
     }
     val per = (System.nanoTime() - t0) / 1e6 / 100
-    println(f"SCALE manifestscale 100 micro-batch appends at 50k files: " +
+    println(f"SCALE manifestscale 100 micro-batch appends at 200k files: " +
       f"${per}%.1f ms/commit (pre-r13 each paid the full O(files) manifest)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** Round-14 stretch (VERDICT r13 #8): clone + CAS-loss rebase economics
+    * at a 50k-FILE table under the parquet-checkpoint manifest format —
+    * both must stay O(delta): a SHALLOW CLONE copies one manifest's worth
+    * of metadata however many files the source holds, and a rebase
+    * re-CASes metadata-only (one columnar checkpoint decode + entry-set
+    * comparisons, never a data re-read). */
+  private def cloneRebase50kLeg(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.ops.{SnapshotStats, SnapshotTable}
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-scale-clr50k/src").getAbsolutePath
+    val cloneRoot = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-scale-clr50k/clone").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-clr50k"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // Stage 50k files (one row per file; file COUNT is the variable).
+    var nextKey = 0L
+    SnapshotTable.commit(spark, root, Seq((nextKey, "seed")).toDF("k", "v"))
+    nextKey += 1
+    while (SnapshotTable.rowCount(spark, root) < 50000) {
+      val batch = math.min(5000,
+        50000 - SnapshotTable.rowCount(spark, root).toInt)
+      SnapshotTable.append(spark, root,
+        (0 until batch).map(i => (nextKey + i, s"v$i")).toSeq.toDF("k", "v")
+          .repartition(batch))
+      nextKey += batch
+    }
+    val v0 = SnapshotTable.currentVersion(spark, root).get
+    println(s"SCALE clr50k staged ${SnapshotTable.rowCount(spark, root)} " +
+      s"files across ${v0 + 1} versions")
+
+    // SHALLOW CLONE: wall + bytes must be O(manifest), not O(files' data).
+    val (_, cloneWall) = timed(
+      SnapshotTable.cloneShallow(spark, root, cloneRoot))
+    val cloneBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(cloneRoot)).getLength
+    println(f"SCALE clr50k SHALLOW CLONE of the 50k-file table: " +
+      f"$cloneWall%.2f s, clone dir ${cloneBytes / 1024} KB " +
+      "(one full manifest + marker — zero data copied)")
+    assert(SnapshotTable.rowCount(spark, cloneRoot) == 50000L)
+
+    // CAS-loss REBASE: stage a single-file delete against v0, let an
+    // append win the version, then commit stale — the rebase must land
+    // metadata-only in O(seconds) at 50k carried entries (the redo
+    // baseline is re-running the probe + rewrite against the winner).
+    val entries = SnapshotStats.statsFromManifest(
+      SnapshotTable.manifestBodyAt(fs, root, v0))
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val victim = entries.find(e =>
+      e.cols.get("k").flatMap(_.min).contains(7L)).getOrElse(entries.head)
+    val (touchedE, keptE) = entries.partition(_.path == victim.path)
+    val rewritten = spark.read.parquet(victim.path).filter(col("k") < 0)
+    val cur = SnapshotTable.read(spark, root, Some(v0))
+    val resolvedPred = cur
+      .filter(col("k") === victim.cols("k").min.get.asInstanceOf[Long])
+      .queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    SnapshotTable.append(spark, root,
+      Seq((9999999L, "winner")).toDF("k", "v").repartition(1))
+    SnapshotTable.clearResolvedCache() // cold: the rebase pays the real resolve
+    val rebasesBefore = SnapshotTable.rebases.get()
+    val (committed: Long, rebaseWall) = timed[Long](
+      SnapshotTable.commitAt(spark, root, v0 + 1, rewritten,
+        carry = keptE, tableSchema = Some(cur.schema),
+        rebase = Some(SnapshotTable.RebaseSpec(v0,
+          touchedE.map(e => norm(e.path)).toSet, () => resolvedPred))))
+    assert(SnapshotTable.rebases.get() == rebasesBefore + 1,
+      "the planted race must resolve via rebase")
+    println(f"SCALE clr50k CAS-loss REBASE at 50k carried entries: " +
+      f"$rebaseWall%.2f s cold (v${v0 + 1} stale -> v$committed committed " +
+      "metadata-only; the redo baseline re-scans the table probe)")
+    // 50000 staged + 1 winner append - 1 deleted victim row
+    assert(SnapshotTable.rowCount(spark, root) == 50000L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-scale-clr50k"))
   }
 
   /** Round-13 leg (VERDICT r12 #2 done-criterion): 100 scattered
@@ -2060,11 +2145,22 @@ object ScaleRehearsal {
       "graft-scale-dv").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val n = 20000000L
+    // Row payload sized so each of the 24 files lands WELL ABOVE the 8 MB
+    // economic floor (~60 MB): the leg measures merge-on-read on the big
+    // files DVs exist for. (The round-13 fixture's ~4-byte rows produced
+    // 7–9 MB files that STRADDLED the floor — the floor landed after that
+    // measurement and correctly routed sub-floor files to the rewrite,
+    // which this leg would then mis-read as a regression.)
     graft.ops.SnapshotTable.commitClustered(spark, root,
       spark.range(n).select(col("id").as("k"),
         (col("id") % 997).as("m"),
         org.apache.spark.sql.functions.concat(
-          org.apache.spark.sql.functions.lit("row-"), col("id")).as("v")),
+          org.apache.spark.sql.functions.lit("row-"), col("id"),
+          org.apache.spark.sql.functions.md5(col("id").cast("string")),
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("y"),
+              col("id").cast("string")))).as("v")),
       Seq("k"), numFiles = 24)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2087,6 +2183,32 @@ object ScaleRehearsal {
       f"0/${before.size} files rewritten, dv_files=${es.count(_.dv.nonEmpty)}, " +
       f"dv_rows=${es.map(_.dvRows).sum}")
     assert(graft.ops.SnapshotTable.rowCount(spark, root) == n - keys.size)
+    // Debt-bounded reads (round 14, VERDICT r13 #2 done-criterion): the
+    // per-file side-car CAP means 100 accrued deletes leave a bounded
+    // list, and `OPTIMIZE DV ONLY` collapses it to ≤1 per file — masked
+    // scan latency must stay flat as debt accrues and then clears.
+    def scanMs(): Double = {
+      val t = System.nanoTime()
+      graft.ops.SnapshotTable.read(spark, root)
+        .filter(col("m") === 123).count()
+      (System.nanoTime() - t) / 1e6
+    }
+    val maxList = es.map(_.dv.length).max
+    assert(maxList <= graft.ops.SnapshotTable.dvMaxSidecarsPerFile + 1,
+      s"per-file side-car lists must stay capped: $maxList")
+    val scanAccrued = scanMs()
+    val vCons = graft.ops.SnapshotTable.consolidateDvs(spark, root)
+    val esCons = graft.ops.SnapshotStats.statsFromManifest(
+      graft.ops.SnapshotTable.manifestBodyAt(fs, root,
+        vCons.getOrElse(v)))
+    assert(esCons.forall(_.dv.length <= 1), "DV ONLY leaves ≤1 side-car/file")
+    assert(files(vCons.getOrElse(v)) == before, "DV ONLY rewrites no data")
+    val scanConsolidated = scanMs()
+    assert(graft.ops.SnapshotTable.rowCount(spark, root) == n - keys.size)
+    println(f"SCALE dvscale read-with-debt: max_sidecars/file=$maxList " +
+      f"(cap=${graft.ops.SnapshotTable.dvMaxSidecarsPerFile}), " +
+      f"masked scan accrued=$scanAccrued%.0f ms -> " +
+      f"consolidated=$scanConsolidated%.0f ms (flat, debt-bounded)")
     val t1 = System.nanoTime()
     val vOpt = graft.ops.SnapshotTable.compact(spark, root, maxFiles = 64)
     val optWall = (System.nanoTime() - t1) / 1e9

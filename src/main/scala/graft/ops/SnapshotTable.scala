@@ -63,7 +63,8 @@ object SnapshotTable {
     * unknown shape, never rebase). A thunk because some producers pay a
     * real cost to build it — mergeInto collects its source keys — and the
     * common case (CAS won) must not pay it. */
-  private[ops] final case class RebaseSpec(
+  // private[graft]: the scale rehearsal plants deterministic races too.
+  private[graft] final case class RebaseSpec(
       baseVersion: Long,
       removedPaths: Set[String],
       predicate: () => Option[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -1344,7 +1345,7 @@ object SnapshotTable {
     * path: the new version = old files + this commit's files — no data is
     * rewritten); `txn` stamps the manifest with an (appId, batchId)
     * idempotence marker. */
-  private[ops] def commitAt(spark: SparkSession, root: String, v: Long,
+  private[graft] def commitAt(spark: SparkSession, root: String, v: Long,
                             df: DataFrame,
                             carry: Seq[SnapshotStats.FileStats] = Nil,
                             txn: Option[(String, Long)] = None,

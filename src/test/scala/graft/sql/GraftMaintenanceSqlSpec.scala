@@ -19,6 +19,38 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
     ns
   }
 
+  test("OPTIMIZE ... DV ONLY consolidates side-cars through the SQL surface (r14)") {
+    val ns = fresh("mntdv")
+    val root = s"${GraftSql.defaultWarehouse}/$ns/t"
+    val oldFloor = SnapshotTable.dvMinTouchedBytes
+    SnapshotTable.dvMinTouchedBytes = 0L // KB fixture: exercise the DV path
+    try {
+      spark.sql(s"""CREATE TABLE graft.$ns.t CLUSTER BY (k) AS
+                    SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(10000)""")
+      (1 to 3).foreach(i =>
+        spark.sql(s"DELETE FROM graft.$ns.t WHERE k = ${i * 17}"))
+      val st = spark.sql(s"DESCRIBE STATUS graft.$ns.t").head()
+      assert(st.getAs[Long]("dv_sidecars") >= 2L)
+      assert(Option(st.getAs[String]("maintenance_hint"))
+        .exists(_.contains("DV ONLY")), st.toString)
+      // inputFiles includes the DV side-cars the masked scan opens —
+      // compare DATA files only (consolidation replaces side-cars by design).
+      def dataFiles(): Set[String] = SnapshotTable.read(spark, root)
+        .inputFiles.filterNot(_.contains("/dv-")).toSet
+      val before = dataFiles()
+      val v = spark.sql(s"OPTIMIZE graft.$ns.t DV ONLY").head().getLong(0)
+      assert(v > 0, "consolidation must commit a version")
+      assert(dataFiles() == before, "DV ONLY must rewrite no data files")
+      val st2 = spark.sql(s"DESCRIBE STATUS graft.$ns.t").head()
+      assert(st2.getAs[Long]("dv_sidecars") == 1L)
+      assert(st2.getAs[String]("maintenance_hint") == null)
+      assert(spark.sql(s"SELECT count(*) FROM graft.$ns.t").head().getLong(0)
+        == 9997L)
+      // Idempotent through SQL too: nothing left to merge → -1.
+      assert(spark.sql(s"OPTIMIZE graft.$ns.t DV ONLY").head().getLong(0) == -1L)
+    } finally SnapshotTable.dvMinTouchedBytes = oldFloor
+  }
+
   test("OPTIMIZE compacts; DESCRIBE HISTORY audits; VACUUM retains by count and respects FORCE") {
     val ns = fresh("mnt1")
     val root = s"${GraftSql.defaultWarehouse}/$ns/t"
