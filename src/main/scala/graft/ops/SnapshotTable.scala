@@ -229,13 +229,31 @@ object SnapshotTable {
     * old path differs in mtime/len. Access-ordered LRU; intermediate chain
     * versions are cached too, so `history` over V versions resolves in
     * O(V) incremental folds, not O(V·chain). */
-  private val resolvedCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long), SnapshotStats.Resolved](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), SnapshotStats.Resolved])
-          : Boolean = size() > 48
-    })
+  private object resolvedCache {
+    // Structural entries hold O(files) FileStats — a 200k-file version is
+    // ~100 MB of driver heap (the pre-r14 cache held 12 MB JSON strings) —
+    // so eviction is bounded by TOTAL cached file entries as well as
+    // version count. 1M entries ≈ five very large versions or 48 normal
+    // ones, a bounded slice of any sane driver heap.
+    private val maxEntries = 48
+    private val maxWeight = 1000000L
+    private val m = new java.util.LinkedHashMap[(String, Long, Long),
+      SnapshotStats.Resolved](64, 0.75f, true)
+    def get(k: (String, Long, Long)): SnapshotStats.Resolved =
+      synchronized(m.get(k))
+    def put(k: (String, Long, Long), v: SnapshotStats.Resolved): Unit =
+      synchronized {
+        m.put(k, v)
+        def weight: Long = {
+          var s = 0L; val it = m.values().iterator()
+          while (it.hasNext) s += it.next().stats.length
+          s
+        }
+        while ((m.size > maxEntries || weight > maxWeight) && m.size > 1)
+          m.remove(m.keySet().iterator().next()) // eldest (access-ordered)
+      }
+    def clear(): Unit = synchronized(m.clear())
+  }
 
   /** Version `v`'s fully-resolved manifest STATE, folding the delta-log
     * chain structurally (round 14). The single read-side seam: everything

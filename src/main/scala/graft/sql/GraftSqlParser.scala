@@ -86,6 +86,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case DropViewRe(ifExists, table) if table.contains(".") =>
         Some(GraftDropViewCommand(parts(table), ifExists != null,
           sqlText, delegate))
+      case ShowViewsRe(ns) if ns.contains(".") =>
+        Some(GraftShowViewsCommand(parts(ns), sqlText, delegate))
       case CopyIntoRe(table, dir, fmt, pat, opts, copyOpts) =>
         def kvs(s: String): Map[String, String] =
           raw"'([^']*)'\s*=\s*'([^']*)'".r.findAllMatchIn(s)
@@ -175,6 +177,7 @@ object GraftSqlParser {
   val CreateViewRe =
     raw"(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+$Id\s+AS\s+(.+?)\s*;?".r
   val DropViewRe = raw"(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?$Id\s*;?".r
+  val ShowViewsRe = raw"(?is)SHOW\s+VIEWS\s+IN\s+$Id\s*;?".r
   val CopyIntoRe =
     (raw"(?is)COPY\s+INTO\s+$Id\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)" +
       raw"(?:\s+PATTERN\s*=\s*'([^']+)')?" +
@@ -372,6 +375,32 @@ case class GraftDropViewCommand(nameParts: Seq[String], ifExists: Boolean,
     Seq.empty
   }
   override val output: Seq[Attribute] = Seq.empty
+}
+
+/** `SHOW VIEWS IN graft.ns` — enumerate the namespace's `_views/`
+  * side-car definitions (Spark's SHOW VIEWS output shape); non-graft
+  * dotted names fall back to Spark's native statement. */
+case class GraftShowViewsCommand(nameParts: Seq[String], originalSql: String,
+                                 @transient delegate: ParserInterface)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val isGraft =
+      try spark.sessionState.catalogManager.catalog(nameParts.head)
+        .isInstanceOf[GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!isGraft)
+      return org.apache.spark.sql.graft.Frames.ofRows(spark,
+        delegate.parsePlan(originalSql)).collect().toSeq
+    val cat = spark.sessionState.catalogManager.catalog(nameParts.head)
+      .asInstanceOf[GraftCatalog]
+    val ns = nameParts.drop(1)
+    cat.listViewNames(ns.toArray).map(n =>
+      org.apache.spark.sql.Row(ns.mkString("."), n, false))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
 }
 
 /** `UNDROP TABLE t` → [[GraftCatalog.undropTable]]: restore the newest

@@ -536,6 +536,10 @@ object SqlDml {
               FROM orders""",
           s"DELETE FROM graft.dml.$t WHERE o_orderkey % 9973 = 1",
           s"DELETE FROM graft.dml.$t WHERE o_orderkey % 9973 = 2",
+          // Fixture DMLs route to the cheap rewrite (economic floor), so
+          // this is a grammar-level no-op (-1) here; consolidation
+          // behavior itself is pinned by DeletionVectorSpec + dvscale.
+          s"OPTIMIZE graft.dml.$t DV ONLY",
           s"OPTIMIZE graft.dml.$t",
           s"""SELECT st, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS total
               FROM graft.dml.$t

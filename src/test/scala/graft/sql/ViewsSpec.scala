@@ -78,6 +78,24 @@ class ViewsSpec extends SparkSpec {
     cat().purgeDropped(Array("vw"), 0L, force = true)
   }
 
+  test("SHOW VIEWS IN graft.ns enumerates the side-car definitions") {
+    val s = spark
+    cat()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vw")
+    s.sql("DROP VIEW IF EXISTS graft.vw.sv1")
+    s.sql("DROP VIEW IF EXISTS graft.vw.sv2")
+    s.sql("CREATE VIEW graft.vw.sv1 AS SELECT 1 AS one")
+    s.sql("CREATE VIEW graft.vw.sv2 AS SELECT 2 AS two")
+    val names = s.sql("SHOW VIEWS IN graft.vw")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("sv1", "sv2").subsetOf(names), names)
+    s.sql("DROP VIEW graft.vw.sv1")
+    val names2 = s.sql("SHOW VIEWS IN graft.vw")
+      .collect().map(_.getString(1)).toSet
+    assert(!names2.contains("sv1") && names2.contains("sv2"), names2)
+    s.sql("DROP VIEW graft.vw.sv2")
+  }
+
   test("view over a SHALLOW CLONE reads the clone's pinned lineage") {
     val s = spark
     cat()
