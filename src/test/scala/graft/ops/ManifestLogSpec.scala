@@ -260,6 +260,71 @@ class ManifestLogSpec extends SparkSpec {
     assert(r2._2 == 0L, "ledger must survive the delta chain")
   }
 
+  test("columnar checkpoint round-trips FileStats exactly (all stat domains)") {
+    withInterval(100) {
+      val root = tmpDir() + "/tbl"
+      // A table exercising every tricky serialization domain: decimal
+      // bounds (dec:2 unscaled longs), double bounds, string bounds,
+      // bloom side-cars, a DV side-car, and a COPY ledger entry.
+      SnapshotTable.commitClustered(spark, root,
+        (0 until 4000).map(i => (i.toLong, BigDecimal(i) / 100,
+          i * 1.5, s"s$i")).toDF("k", "price", "score", "v"),
+        Seq("k"), numFiles = 3)
+      SnapshotTable.setBloomColumns(spark, root, Seq("v"))
+      SnapshotTable.append(spark, root,
+        (4000 until 4200).map(i => (i.toLong, BigDecimal(i) / 100,
+          i * 1.5, s"s$i")).toDF("k", "price", "score", "v"))
+      val old = SnapshotTable.dvMinTouchedBytes
+      SnapshotTable.dvMinTouchedBytes = 0L
+      try SnapshotTable.delete(spark, root, org.apache.spark.sql.functions
+        .col("k") === 42L)
+      finally SnapshotTable.dvMinTouchedBytes = old
+      val v = SnapshotTable.currentVersion(spark, root).get
+      val fs = fsOf(root)
+      val resolved = SnapshotTable.resolvedAt(fs, root, v)
+      // Write + read a checkpoint directly; every field must round-trip.
+      val cp = new org.apache.hadoop.fs.Path(
+        root, "_manifests/checkpoint-roundtrip.parquet")
+      CheckpointIO.write(fs, spark.sparkContext.hadoopConfiguration,
+        cp, resolved)
+      val back = CheckpointIO.read(
+        spark.sparkContext.hadoopConfiguration, cp)
+      assert(back.stats.sortBy(_.path) == resolved.stats.sortBy(_.path),
+        "FileStats (bounds, blooms, dv, dvRows) must round-trip exactly")
+      assert(back.schemaJson == resolved.schemaJson)
+      assert(back.bloomOn == resolved.bloomOn)
+      assert(back.clusterBy == resolved.clusterBy)
+      assert(back.version == resolved.version && back.ts == resolved.ts)
+      fs.delete(cp, false)
+    }
+  }
+
+  test("stateOnlyAt matches resolvedAt's state without the file list (r14)") {
+    withInterval(4) {
+      val root = tmpDir() + "/tbl"
+      val land = tmpDir() + "/land"
+      import spark.implicits._
+      Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(land + "/b1")
+      SnapshotTable.commit(spark, root, Seq((0L, "seed")).toDF("k", "v"))
+      SnapshotTable.copyInto(spark, root, land + "/b1", "parquet", Map.empty)
+      (2 until 7).foreach(i => SnapshotTable.append(spark, root,
+        Seq((i.toLong, s"r$i")).toDF("k", "v")))
+      val v = SnapshotTable.currentVersion(spark, root).get
+      val fs = fsOf(root)
+      SnapshotTable.clearResolvedCache()
+      val state = SnapshotTable.stateOnlyAt(fs, root, v)
+      val full = SnapshotTable.resolvedAt(fs, root, v)
+      assert(state.stats.isEmpty, "state-only must not materialize files")
+      assert(state.schemaJson == full.schemaJson)
+      assert(state.clusterBy == full.clusterBy)
+      assert(state.constraints == full.constraints)
+      assert(state.identityHwm == full.identityHwm)
+      assert(state.ingested == full.ingested,
+        s"ledger must fold across the chain: ${state.ingested} vs ${full.ingested}")
+      assert(state.version == full.version && state.ts == full.ts)
+    }
+  }
+
   test("a manifest demanding a future protocol is refused loudly (r14)") {
     val root = tmpDir() + "/tbl"
     SnapshotTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
