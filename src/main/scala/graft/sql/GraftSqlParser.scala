@@ -344,10 +344,12 @@ case class GraftCreateViewCommand(nameParts: Seq[String], viewSql: String,
     val self = nameParts.map(_.toLowerCase).mkString(".")
     require(!viewSql.toLowerCase.contains(self),
       s"recursive view: $self references itself")
-    // Validate NOW: parse + analyze the query (views over views expand
-    // through the same substitution).
+    // Validate NOW: parse + analyze the body — with parseQuery, which
+    // REFUSES statements. parsePlan would accept `... AS DROP TABLE t`
+    // and ofRows would eagerly EXECUTE the command here and on every
+    // later read — a stored-statement injection, not a view.
     org.apache.spark.sql.graft.Frames.ofRows(spark,
-      spark.sessionState.sqlParser.parsePlan(viewSql)).schema
+      spark.sessionState.sqlParser.parseQuery(viewSql)).schema
     cat.createViewFile(ident, viewSql, orReplace)
     Seq.empty
   }

@@ -400,9 +400,12 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       } catch { case scala.util.control.NonFatal(_) => return None }
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       parts.slice(1, parts.length - 1).toArray, parts.last)
+    // parseQuery, not parsePlan: a stored body that is a STATEMENT must
+    // refuse at resolution, never execute (creation already gates this;
+    // the read side must not trust the side-car file).
     cat.viewSql(ident).map(sql =>
       SubqueryAlias(parts.toIndexedSeq,
-        session.sessionState.sqlParser.parsePlan(sql)))
+        session.sessionState.sqlParser.parseQuery(sql)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = substituteViews(plan) match {

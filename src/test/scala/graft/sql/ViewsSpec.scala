@@ -154,6 +154,14 @@ class ViewsSpec extends SparkSpec {
       s.sql("CREATE VIEW graft.vw.broken AS SELECT no_such FROM graft.vw.tb")
     }
     assert(e5.getMessage.toLowerCase.contains("no_such"), e5.getMessage)
+    // A STATEMENT body refuses at CREATE — and must not execute: the
+    // parseQuery gate (parsePlan + eager ofRows would have DROPPED the
+    // table during "validation" and re-run the command on every read).
+    intercept[Exception] {
+      s.sql("CREATE VIEW graft.vw.evil AS DROP TABLE graft.vw.tb")
+    }
+    assert(s.sql("SELECT count(*) FROM graft.vw.tb").head().getLong(0) == 3L,
+      "the refused statement body must not have executed")
     s.sql("DROP VIEW graft.vw.x")
     s.sql("DROP TABLE graft.vw.tb")
     cat().purgeDropped(Array("vw"), 0L, force = true)
