@@ -95,7 +95,15 @@ object CheckpointIO {
         writer.write(g)
       }
     } finally writer.close()
-    if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      // Losing to an identical concurrent writer is fine; anything else
+      // must be LOUD — vacuum writes its minKept anchor through here and
+      // deletes the chain below only on success (maybeCheckpoint swallows
+      // this; the anchor path must not).
+      require(fs.exists(dest),
+        s"checkpoint write to $dest failed (rename refused, no winner)")
+    }
   }
 
   /** The state-only read: ONE footer fetch, no row decode — O(table
